@@ -1,0 +1,209 @@
+"""Core downsampling operator: one cascade step as a declarative Spark plan.
+
+Semantics replicated from the reference's ``FilterAlgorithm.firfilter``
+(``geomagio/algorithm/FilterAlgorithm.py:343-392``): for every output slot,
+a dot product of normalized window coefficients against the input samples in
+the slot's data window, with
+
+- NaN/absent samples masked out,
+- the result renormalized by the sum of the weights of *valid* samples,
+- the output masked (NULL) when the missing-weight fraction exceeds
+  ``allowed_bad`` (0.1),
+- output slots emitted only where the full window fits inside the scanned
+  input range (the strided-view edge rule + ``align_trace`` trimming,
+  ``FilterAlgorithm.py:309-341,367-369``),
+- "average" steps center-stamped (hour at HH:29:30, day at 11:59:30) and
+  "firfilter" steps stamped on the output grid (``get_nearest_time``,
+  ``FilterAlgorithm.py:66-89``).
+
+Spark-first design — why this is NOT an applyInPandas port
+----------------------------------------------------------
+A grouped-pandas implementation would shuffle *every input row* to its
+series group and run Python. Instead:
+
+- "average" steps (boxcar weights) are a plain ``groupBy`` aggregate:
+  uniform weights make the masked-renormalized dot identical to the mean of
+  valid samples, and the 10% rule an integer count predicate. Map-side
+  partial aggregation collapses each 60/1440-sample window to one partial
+  row *before* the shuffle.
+- "firfilter" steps explode each input sample to the (ceil(numtaps/
+  decimation)+1, e.g. ~2.5 for 1s->1min) output anchors whose window
+  contains it, look the tap weight up in a *literal array*
+  (``element_at`` — constant-folded, whole-stage-codegen'd), and aggregate.
+  Shuffle volume after partial aggregation is bounded by the *output*
+  cardinality (decimated), not the input.
+
+Both paths shuffle on ``(series, output_anchor)`` — the same key every
+downstream tier groups on — and contain zero Python. Gap rows need never be
+materialized: an absent row and a NULL/NaN row contribute identically
+(nothing) to both the weighted sum and the valid-weight sum.
+
+Timestamps are integer epoch microseconds (``t_us``) end-to-end: exact
+arithmetic at any tier including 10 Hz, no float grid drift.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..tiers import Step
+
+#: numeric guard for the strict ``weight_sum < 1 - allowed_bad`` mask of the
+#: reference (np.ma.masked_less) under summation-order fp differences.
+_EPS = 1e-9
+
+
+def _floordiv(a: Column, b: int) -> Column:
+    # exact floor division on longs (Spark's `div` truncates toward zero)
+    return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
+
+
+def _ceildiv(a: Column, b: int) -> Column:
+    return -_floordiv(-a, b)
+
+
+def _valid(value: Column) -> Column:
+    """Gap test: NULL and NaN are both gaps (reference carries gaps as
+    in-band NaN, ``geomagio/TimeseriesUtility.py:62``; our long format also
+    allows the row to simply be absent)."""
+    return value.isNotNull() & ~F.isnan(value)
+
+
+def rollup_step(
+    df: DataFrame,
+    step: Step,
+    range_start_us: int | None = None,
+    range_end_us: int | None = None,
+    series_cols: Sequence[str] = ("url", "channel"),
+    ts_col: str = "t_us",
+    value_col: str = "value",
+    allowed_bad: float = 0.1,
+    emit_coverage: bool = False,
+) -> DataFrame:
+    """Apply one cascade step to a long-format frame.
+
+    Parameters
+    ----------
+    df:
+        columns ``series_cols + [ts_col(long, epoch us), value_col(double)]``
+        on a regular ``step.input_sample_period`` grid (gap rows may be
+        absent or NULL/NaN).
+    range_start_us / range_end_us:
+        the scanned input coverage; output slots are emitted only where the
+        full filter window lies inside ``[range_start_us, range_end_us]``.
+        When omitted, the *global* min/max of ``ts_col`` is used (one cheap
+        pre-aggregate). The cascade planner always passes these explicitly
+        (computed via ``tiers.get_input_interval_us``), keeping the operator
+        a single-pass plan.
+    emit_coverage:
+        also emit ``weight_sum`` (fraction of valid input weight) and
+        ``n_valid`` — used by monitoring and incremental refresh.
+    """
+    series_cols = list(series_cols)
+    out_us = step.out_us
+    in_us = step.in_us
+    hw = step.half_width_us
+
+    if range_start_us is None or range_end_us is None:
+        lo, hi = df.select(
+            F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+        ).first()
+        if lo is None:
+            return _empty_like(df, series_cols, ts_col, value_col, emit_coverage)
+        range_start_us = range_start_us if range_start_us is not None else lo
+        range_end_us = range_end_us if range_end_us is not None else hi
+
+    t = F.col(ts_col)
+    v = F.col(value_col)
+    valid = _valid(v)
+
+    if step.type == "average":
+        # one output anchor per input sample: interval start s = floor(t/out)
+        anchor = (_floordiv(t, out_us) * out_us).alias("_anchor")
+        numtaps = step.numtaps
+        grouped = (
+            df.where(t.between(range_start_us, range_end_us))
+            .groupBy(*series_cols, anchor)
+            .agg(
+                F.sum(F.when(valid, v)).alias("_vsum"),
+                F.count(F.when(valid, True)).alias("_nvalid"),
+            )
+        )
+        # uniform weights: weight_sum == n_valid/numtaps; the reference masks
+        # weight_sum < 1 - allowed_bad strictly -> integer predicate
+        # n_valid * 10 >= numtaps * 9 (exact, no fp boundary).
+        ok = F.col("_nvalid") * 10 >= numtaps * 9
+        value_out = F.when(ok, F.col("_vsum") / F.col("_nvalid"))
+        weight_sum = F.col("_nvalid") / F.lit(float(numtaps))
+        # full window must fit in scanned range (window = [s, s+out-in])
+        eligible = (F.col("_anchor") >= F.lit(range_start_us)) & (
+            F.col("_anchor") + F.lit(out_us - in_us) <= F.lit(range_end_us)
+        )
+        stamp = F.col("_anchor") + F.lit(step.stamp_offset_us)
+    else:
+        w = step.normalized_window
+        w_arr = F.array(*[F.lit(float(x)) for x in w])
+        # candidate output anchors k*out with |t - k*out| <= hw
+        k_lo = _ceildiv(t - F.lit(hw), out_us)
+        k_hi = _floordiv(t + F.lit(hw), out_us)
+        ks = F.when(k_hi >= k_lo, F.sequence(k_lo, k_hi))
+        exploded = (
+            df.where(t.between(range_start_us, range_end_us))
+            # drop off-grid samples defensively (reference assumes grid)
+            .where(F.pmod(t, F.lit(in_us)) == 0)
+            .select(
+                *series_cols,
+                t.alias("_t"),
+                v.alias("_v"),
+                F.explode(ks).alias("_k"),
+            )
+            .withColumn(
+                "_tap",
+                ((F.col("_t") - (F.col("_k") * out_us - F.lit(hw))) / F.lit(in_us))
+                .cast("int"),
+            )
+            .where(F.col("_tap").between(0, step.numtaps - 1))
+            .withColumn("_w", F.element_at(w_arr, F.col("_tap") + 1))
+        )
+        vv = F.col("_v")
+        valid2 = _valid(vv)
+        grouped = exploded.groupBy(*series_cols, F.col("_k")).agg(
+            F.sum(F.when(valid2, F.col("_w") * vv)).alias("_vsum"),
+            F.sum(F.when(valid2, F.col("_w"))).alias("_wsum"),
+            F.count(F.when(valid2, True)).alias("_nvalid"),
+        )
+        ok = F.col("_wsum") >= F.lit(1.0 - allowed_bad - _EPS)
+        value_out = F.when(ok, F.col("_vsum") / F.col("_wsum"))
+        weight_sum = F.coalesce(F.col("_wsum"), F.lit(0.0))
+        center = F.col("_k") * out_us
+        eligible = (center - F.lit(hw) >= F.lit(range_start_us)) & (
+            center + F.lit(hw) <= F.lit(range_end_us)
+        )
+        stamp = center
+
+    out_cols = [
+        *series_cols,
+        stamp.cast("long").alias(ts_col),
+        value_out.cast("double").alias(value_col),
+    ]
+    if emit_coverage:
+        out_cols += [
+            weight_sum.cast("double").alias("weight_sum"),
+            F.coalesce(F.col("_nvalid"), F.lit(0)).cast("long").alias("n_valid"),
+        ]
+    return grouped.where(eligible).select(*out_cols)
+
+
+def _empty_like(df, series_cols, ts_col, value_col, emit_coverage):
+    cols = [F.col(c) for c in series_cols] + [
+        F.col(ts_col).cast("long").alias(ts_col),
+        F.col(value_col).cast("double").alias(value_col),
+    ]
+    if emit_coverage:
+        cols += [
+            F.lit(0.0).alias("weight_sum"),
+            F.lit(0).cast("long").alias("n_valid"),
+        ]
+    return df.select(*cols).limit(0)

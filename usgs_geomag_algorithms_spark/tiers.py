@@ -219,6 +219,20 @@ def get_filter_steps(
     return selected
 
 
+def output_range_us(step: Step, scan_lo_us: int, scan_hi_us: int):
+    """Forward map: given scanned input coverage, the stamped-output range
+    this step emits (anchors whose full window fits in the scan)."""
+    out = step.out_us
+    first_anchor = -(-(scan_lo_us - step.window_lo_offset_us) // out) * out
+    last_anchor = ((scan_hi_us - step.window_hi_offset_us) // out) * out
+    if last_anchor < first_anchor:
+        return None
+    return (
+        first_anchor + step.stamp_offset_us,
+        last_anchor + step.stamp_offset_us,
+    )
+
+
 def get_input_interval_us(
     steps: list[Step], start_us: int, end_us: int
 ) -> tuple[int, int]:

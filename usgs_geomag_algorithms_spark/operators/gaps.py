@@ -1,0 +1,150 @@
+"""Gap detection and interval merge as window-function plans.
+
+Long-format re-expression of the reference's gap model
+(``geomagio/TimeseriesUtility.py:184-290``): a gap is a maximal run of
+grid slots whose value is NULL/NaN *or absent*. Each detected gap is
+``[gap_start, gap_end, next_sample]`` exactly as ``get_trace_gaps`` returns
+(next_sample = first valid slot after the gap, or one-past-the-end).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def detect_gaps(
+    df: DataFrame,
+    delta_s: float,
+    range_start_us: int,
+    range_end_us: int,
+    series_cols: Sequence[str] = ("url", "channel"),
+    ts_col: str = "t_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series gap list over the grid [range_start_us, range_end_us].
+
+    Plan shape: keep only *valid* samples, then one window pass per series
+    ordered by time — each consecutive-valid pair with a hole between them
+    yields a gap, plus edge gaps at range bounds. Missing rows never need
+    materializing: gaps fall out of the deltas between valid samples, so
+    the operator is O(valid rows), not O(grid slots) — the property that
+    makes it usable on a 100 TB sparse tier.
+
+    Output: series_cols + (gap_start_us, gap_end_us, next_valid_us).
+    """
+    series_cols = list(series_cols)
+    delta_us = int(round(delta_s * 1_000_000))
+    t = F.col(ts_col)
+    v = F.col(value_col)
+    valid = df.where(
+        t.between(int(range_start_us), int(range_end_us))
+        & v.isNotNull()
+        & ~F.isnan(v)
+    ).select(*series_cols, t.alias("t"))
+
+    w = Window.partitionBy(*series_cols).orderBy("t")
+    stepped = valid.select(
+        *series_cols,
+        F.col("t"),
+        F.lag("t").over(w).alias("prev_t"),
+    )
+
+    # interior gaps: hole between prev_t and t
+    interior = stepped.where(
+        F.col("prev_t").isNotNull() & (F.col("t") - F.col("prev_t") > delta_us)
+    ).select(
+        *series_cols,
+        (F.col("prev_t") + delta_us).alias("gap_start_us"),
+        (F.col("t") - delta_us).alias("gap_end_us"),
+        F.col("t").alias("next_valid_us"),
+    )
+    # leading gap: range start to first valid
+    edges = valid.groupBy(*series_cols).agg(
+        F.min("t").alias("first_t"), F.max("t").alias("last_t")
+    )
+    lead = edges.where(F.col("first_t") > int(range_start_us)).select(
+        *series_cols,
+        F.lit(int(range_start_us)).alias("gap_start_us"),
+        (F.col("first_t") - delta_us).alias("gap_end_us"),
+        F.col("first_t").alias("next_valid_us"),
+    )
+    # trailing gap: last valid to range end; next = one past the end
+    trail = edges.where(F.col("last_t") < int(range_end_us)).select(
+        *series_cols,
+        (F.col("last_t") + delta_us).alias("gap_start_us"),
+        F.lit(int(range_end_us)).alias("gap_end_us"),
+        (F.lit(int(range_end_us)) + delta_us).alias("next_valid_us"),
+    )
+    return interior.unionByName(lead).unionByName(trail)
+
+
+def merge_gap_intervals(
+    gaps: DataFrame,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge overlapping/adjacent gap intervals across series (the analog of
+    ``get_merged_gaps``, TimeseriesUtility.py:249-290: intervals merge when
+    the next gap starts at/before the current gap's next_valid sample).
+
+    Classic interval-merge plan: order by start, runs split where start >
+    cumulative max of previous ``next_valid``; group id via running sum.
+    """
+    group_cols = list(group_cols)
+    w = Window.partitionBy(*group_cols).orderBy("gap_start_us") if group_cols else Window.orderBy("gap_start_us")
+    prev_max_next = F.max("next_valid_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = gaps.select(
+        *group_cols,
+        "gap_start_us",
+        "gap_end_us",
+        "next_valid_us",
+        F.when(
+            prev_max_next.isNull() | (F.col("gap_start_us") > prev_max_next), 1
+        )
+        .otherwise(0)
+        .alias("_new_run"),
+    ).withColumn("_run", F.sum("_new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        flagged.groupBy(*group_cols, "_run")
+        .agg(
+            F.min("gap_start_us").alias("gap_start_us"),
+            F.max("gap_end_us").alias("gap_end_us"),
+            F.max("next_valid_us").alias("next_valid_us"),
+        )
+        .drop("_run")
+    )
+
+
+def coverage_metrics(
+    df: DataFrame,
+    delta_s: float,
+    range_start_us: int,
+    range_end_us: int,
+    series_cols: Sequence[str] = ("url", "channel"),
+    ts_col: str = "t_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Percent-missing per series over a range — the reference's ``monitor``
+    gap metrics (``geomagio/processing/monitor.py``) as one aggregate."""
+    series_cols = list(series_cols)
+    delta_us = int(round(delta_s * 1_000_000))
+    n_slots = (int(range_end_us) - int(range_start_us)) // delta_us + 1
+    t, v = F.col(ts_col), F.col(value_col)
+    return (
+        df.where(t.between(int(range_start_us), int(range_end_us)))
+        .groupBy(*series_cols)
+        .agg(
+            F.count(F.when(v.isNotNull() & ~F.isnan(v), True)).alias("n_valid"),
+        )
+        .select(
+            *series_cols,
+            "n_valid",
+            F.lit(n_slots).alias("n_slots"),
+            (100.0 * (F.lit(n_slots) - F.col("n_valid")) / F.lit(n_slots)).alias(
+                "pct_missing"
+            ),
+        )
+    )

@@ -1,38 +1,367 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one engine operator from SURVEY.md §2
+over the driver's synthetic tables; ``oracle_sql()`` holds the equivalent
+ANSI SQL for DuckDB. Time columns are exchanged as epoch-microsecond longs
+and aggregated doubles are rounded (4-6 decimals) on BOTH sides so the
+driver's value-hash comparison is insensitive to summation order.
+
+The time-series queries derive a minute-gridded signal from ``events``
+(per event_type: avg(value) per minute — gaps where no events fell in a
+minute) and push it through the engine's rollup/gap/diff/average operators;
+the reference semantics being checked are the FIR/boxcar cascade rules
+(coverage masking, center-stamping), gap detection, NaN-propagating
+averages, and grid-adjacent differentiation.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from usgs_geomag_algorithms_spark.operators.average import average_across_series
+from usgs_geomag_algorithms_spark.operators.dbdt import dbdt
+from usgs_geomag_algorithms_spark.operators.gaps import detect_gaps
+from usgs_geomag_algorithms_spark.operators.rollup import rollup_step
+from usgs_geomag_algorithms_spark.operators.spine import pad_to_spine
+from usgs_geomag_algorithms_spark.tiers import STEPS
+
+MIN_HOUR = STEPS[2]
+MIN_DAY = STEPS[3]
+MIN_US = 60_000_000
+HOUR_US = 3_600_000_000
+
+
+# ---------------------------------------------------------------- helpers
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _minute_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, minute) avg(value); absent minutes are gaps."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_type",
+        F.expr(f"(unix_micros(cast(ts as timestamp)) div {MIN_US}) * {MIN_US}").alias("t_us"),
+        "value",
+    ).groupBy("event_type", "t_us").agg(F.avg("value").alias("value"))
+
+
+def _bounds(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    ev = _events(spark, sf_dir)
+    r = ev.select(
+        F.expr(f"(min(unix_micros(cast(ts as timestamp))) div {MIN_US}) * {MIN_US}").alias("lo"),
+        F.expr(f"(max(unix_micros(cast(ts as timestamp))) div {MIN_US}) * {MIN_US}").alias("hi"),
+    ).first()
+    return int(r.lo), int(r.hi)
+
+
+_MINUTE_CTE = f"""
+minute AS (
+    SELECT event_type,
+           (epoch_us(ts) // {MIN_US}) * {MIN_US} AS t_us,
+           avg(value) AS v
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT (epoch_us(min(ts)) // {MIN_US}) * {MIN_US} AS lo_us,
+           (epoch_us(max(ts)) // {MIN_US}) * {MIN_US} AS hi_us
+    FROM events
+)
+"""
+
+
+# ---------------------------------------------------------------- queries
+def q_rollup_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour tier: boxcar-60 of the minute signal, center-stamped HH:29:30,
+    masked NULL when <90% of the hour's minutes are present."""
+    sig = _minute_signal(spark, sf_dir)
+    lo, hi = _bounds(spark, sf_dir)
+    out = rollup_step(
+        sig, MIN_HOUR, range_start_us=lo, range_end_us=hi,
+        series_cols=("event_type",),
+    )
+    return out.select("event_type", "t_us", F.round("value", 4).alias("value"))
+
+
+def q_rollup_day_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day tier: boxcar-1440, stamped 11:59:30 (mask semantics dominate at
+    sparse coverage — exercises NULL-not-dropped behavior)."""
+    sig = _minute_signal(spark, sf_dir)
+    lo, hi = _bounds(spark, sf_dir)
+    out = rollup_step(
+        sig, MIN_DAY, range_start_us=lo, range_end_us=hi,
+        series_cols=("event_type",),
+    )
+    return out.select("event_type", "t_us", F.round("value", 4).alias("value"))
+
+
+def q_rollup_hour_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour tier over per-minute event *counts* on a 0-filled spine (count
+    semantics: absence = 0, so coverage is always complete)."""
+    ev = _events(spark, sf_dir)
+    lo, hi = _bounds(spark, sf_dir)
+    counts = ev.select(
+        "event_type",
+        F.expr(f"(unix_micros(cast(ts as timestamp)) div {MIN_US}) * {MIN_US}").alias("t_us"),
+    ).groupBy("event_type", "t_us").agg(F.count("*").cast("double").alias("value"))
+    padded = pad_to_spine(
+        counts, lo, hi, 60.0, series_cols=("event_type",), fill_value=0.0
+    )
+    out = rollup_step(
+        padded, MIN_HOUR, range_start_us=lo, range_end_us=hi,
+        series_cols=("event_type",),
+    )
+    return out.select("event_type", "t_us", F.round("value", 4).alias("value"))
+
+
+def q_dbdt_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-adjacent first difference of the minute signal, rounded to 6."""
+    sig = _minute_signal(spark, sf_dir)
+    out = dbdt(sig, 60.0, series_cols=("event_type",), channel_col=None)
+    return out.select("event_type", "t_us", "value")
+
+
+def q_average_across_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaN-propagating cross-series average of the minute signal."""
+    sig = _minute_signal(spark, sf_dir)
+    out = average_across_series(
+        sig, series_col="event_type", group_cols=(), out_series="ALL"
+    )
+    return out.select(
+        F.col("event_type"), "t_us", F.round("value", 4).alias("value")
+    )
+
+
+def q_gap_detect_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap runs [start, end, next_valid] per event_type on the minute grid."""
+    sig = _minute_signal(spark, sf_dir)
+    lo, hi = _bounds(spark, sf_dir)
+    return detect_gaps(
+        sig, 60.0, lo, hi, series_cols=("event_type",)
+    ).select("event_type", "gap_start_us", "gap_end_us", "next_valid_us")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style relational sanity over lineitem."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content hash + first-doc-wins duplicate flag."""
+    from pyspark.sql import Window
+
+    docs = _documents(spark, sf_dir)
+    w = Window.partitionBy("text_md5")
+    return (
+        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("text_md5"))
+        .withColumn("keep_doc_id", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "text_md5",
+            (F.col("doc_id") != F.col("keep_doc_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality metrics per document (token counts, length)."""
+    docs = _documents(spark, sf_dir)
+    n_tokens = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(
+            (F.length("text") - n_tokens + 1).cast("double")
+            / n_tokens.cast("double"),
+            4,
+        ).alias("avg_token_len"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: hour-tier rollup of the events minute signal at sf0.001."""
+    return q_rollup_hour_value(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_hour_value": q_rollup_hour_value,
+        "rollup_day_value": q_rollup_day_value,
+        "rollup_hour_count": q_rollup_hour_count,
+        "dbdt_minute": q_dbdt_minute,
+        "average_across_types": q_average_across_types,
+        "gap_detect_minute": q_gap_detect_minute,
+        "q1_pricing_summary": q1_pricing_summary,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    hour_value = f"""
+WITH {_MINUTE_CTE},
+hour AS (
+    SELECT event_type, (t_us // {HOUR_US}) * {HOUR_US} AS h_us,
+           sum(v) AS vsum, count(v) AS nv
+    FROM minute GROUP BY 1, 2
+)
+SELECT event_type,
+       h_us + 1770000000 AS t_us,
+       CASE WHEN nv * 10 >= 540 THEN round(vsum / nv, 4) END AS value
+FROM hour, bounds
+WHERE h_us >= lo_us AND h_us + {HOUR_US - MIN_US} <= hi_us
+"""
+    day_us = 86_400_000_000
+    day_value = f"""
+WITH {_MINUTE_CTE},
+day AS (
+    SELECT event_type, (t_us // {day_us}) * {day_us} AS d_us,
+           sum(v) AS vsum, count(v) AS nv
+    FROM minute GROUP BY 1, 2
+)
+SELECT event_type,
+       d_us + 43170000000 AS t_us,
+       CASE WHEN nv * 10 >= 12960 THEN round(vsum / nv, 4) END AS value
+FROM day, bounds
+WHERE d_us >= lo_us AND d_us + {day_us - MIN_US} <= hi_us
+"""
+    hour_count = f"""
+WITH bounds AS (
+    SELECT (epoch_us(min(ts)) // {MIN_US}) * {MIN_US} AS lo_us,
+           (epoch_us(max(ts)) // {MIN_US}) * {MIN_US} AS hi_us
+    FROM events
+),
+spine AS (
+    SELECT et.event_type, gs.t_us
+    FROM (SELECT DISTINCT event_type FROM events) et
+    CROSS JOIN (
+        SELECT unnest(generate_series(lo_us, hi_us, {MIN_US})) AS t_us
+        FROM bounds
+    ) gs
+),
+counts AS (
+    SELECT event_type, (epoch_us(ts) // {MIN_US}) * {MIN_US} AS t_us,
+           count(*)::DOUBLE AS c
+    FROM events GROUP BY 1, 2
+),
+minute AS (
+    SELECT s.event_type, s.t_us, coalesce(c.c, 0.0) AS v
+    FROM spine s LEFT JOIN counts c
+      ON s.event_type = c.event_type AND s.t_us = c.t_us
+),
+hour AS (
+    SELECT event_type, (t_us // {HOUR_US}) * {HOUR_US} AS h_us,
+           sum(v) AS vsum, count(v) AS nv
+    FROM minute GROUP BY 1, 2
+)
+SELECT event_type,
+       h_us + 1770000000 AS t_us,
+       CASE WHEN nv * 10 >= 540 THEN round(vsum / nv, 4) END AS value
+FROM hour, bounds
+WHERE h_us >= lo_us AND h_us + {HOUR_US - MIN_US} <= hi_us
+"""
+    dbdt_minute = f"""
+WITH {_MINUTE_CTE}
+SELECT event_type, t_us,
+       CASE WHEN lag(t_us) OVER w = t_us - {MIN_US}
+            THEN round(v - lag(v) OVER w, 6) END AS value
+FROM minute
+WINDOW w AS (PARTITION BY event_type ORDER BY t_us)
+QUALIFY lag(t_us) OVER w IS NOT NULL
+"""
+    average_across = f"""
+WITH {_MINUTE_CTE},
+n AS (SELECT count(DISTINCT event_type) AS k FROM events)
+SELECT 'ALL' AS event_type, t_us,
+       CASE WHEN count(v) = (SELECT k FROM n)
+            THEN round(sum(v) / count(v), 4) END AS value
+FROM minute GROUP BY t_us
+"""
+    gap_detect = f"""
+WITH {_MINUTE_CTE},
+v AS (
+    SELECT event_type, t_us,
+           lag(t_us) OVER (PARTITION BY event_type ORDER BY t_us) AS prev
+    FROM minute
+),
+interior AS (
+    SELECT event_type, prev + {MIN_US} AS gap_start_us,
+           t_us - {MIN_US} AS gap_end_us, t_us AS next_valid_us
+    FROM v WHERE prev IS NOT NULL AND t_us - prev > {MIN_US}
+),
+edges AS (
+    SELECT event_type, min(t_us) AS f, max(t_us) AS l FROM minute GROUP BY 1
+),
+lead_gap AS (
+    SELECT event_type, lo_us AS gap_start_us, f - {MIN_US} AS gap_end_us,
+           f AS next_valid_us
+    FROM edges, bounds WHERE f > lo_us
+),
+trail_gap AS (
+    SELECT event_type, l + {MIN_US} AS gap_start_us, hi_us AS gap_end_us,
+           hi_us + {MIN_US} AS next_valid_us
+    FROM edges, bounds WHERE l < hi_us
+)
+SELECT * FROM interior
+UNION ALL SELECT * FROM lead_gap
+UNION ALL SELECT * FROM trail_gap
+"""
+    q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+    dedup_exact = """
+SELECT doc_id, md5(text) AS text_md5,
+       doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM documents
+"""
+    text_quality = """
+SELECT doc_id, n_chars,
+       (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_tokens,
+       round(
+         (length(text) - (length(text) - length(replace(text, ' ', '')) + 1) + 1)::DOUBLE
+         / (length(text) - length(replace(text, ' ', '')) + 1)::DOUBLE, 4
+       ) AS avg_token_len
+FROM documents
+"""
+    return {
+        "rollup_hour_value": hour_value,
+        "rollup_day_value": day_value,
+        "rollup_hour_count": hour_count,
+        "dbdt_minute": dbdt_minute,
+        "average_across_types": average_across,
+        "gap_detect_minute": gap_detect,
+        "q1_pricing_summary": q1,
+        "dedup_exact": dedup_exact,
+        "text_quality": text_quality,
+    }

@@ -1,0 +1,130 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipeline — pages → signal extraction → second→minute→
+hour→day rollup cascade — plus the per-operator queries from
+``__spark_entry__`` at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, and prints ONE JSON
+line with per-query seconds and cascade throughput (rolled-up points/sec —
+the BASELINE.json target metric).
+
+Setup (pages parquet generation) is cached in /tmp and untimed: in
+production the pages table already exists; the engine's work starts at the
+scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from usgs_geomag_algorithms_spark.session import get_spark  # noqa: E402
+from usgs_geomag_algorithms_spark.operators.cascade import run_tiers  # noqa: E402
+from usgs_geomag_algorithms_spark.sources.pages import BASE_EPOCH, generate_pages  # noqa: E402
+from usgs_geomag_algorithms_spark.sources.signals import page_signals  # noqa: E402
+from usgs_geomag_algorithms_spark.tiers import US  # noqa: E402
+
+BENCH_QUERIES = [
+    "rollup_hour_value",
+    "rollup_hour_count",
+    "dbdt_minute",
+    "average_across_types",
+    "gap_detect_minute",
+    "q1_pricing_summary",
+    "dedup_exact",
+    "text_quality",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _pages_path(sf: float, n_urls: int, hours: float) -> str:
+    return f"/tmp/spark_graft_bench/pages_sf{sf}_u{n_urls}_h{hours}"
+
+
+def prepare_pages(spark, sf: float):
+    n_urls = max(16, int(2560 * sf))
+    hours = 26.0
+    path = _pages_path(sf, n_urls, hours)
+    if not os.path.exists(path + "/_SUCCESS"):
+        generate_pages(
+            spark, n_urls=n_urls, hours=hours, gap_pct=4.0
+        ).write.mode("overwrite").parquet(path)
+    return path, hours
+
+
+def bench_cascade(spark, sf: float) -> dict:
+    path, hours = prepare_pages(spark, sf)
+    pages = spark.read.parquet(path)
+    # claim the fir-widened scan range (reference pad semantics) so the
+    # first day window [00:00, 23:59] is eligible
+    t0_us = BASE_EPOCH * US - 45 * US
+    t1_us = BASE_EPOCH * US + int(hours * 3600 - 1) * US
+
+    start = time.perf_counter()
+    sig = page_signals(pages, channels=("text_len", "lang_en"))
+    tiersd = run_tiers(sig, 1.0, t0_us, t1_us)
+    rolled = {name: df.count() for name, df in tiersd.items()}
+    wall = time.perf_counter() - start
+    n_input = pages.count() * 2  # 2 channels
+    return {
+        "input_points": n_input,
+        "rolled_points": rolled,
+        "wall_sec": round(wall, 3),
+        "points_per_sec": round(n_input / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # warmup: JVM + parquet footer caches
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t
+        timings[name] = round(dt, 3)
+        total += dt
+
+    cascade = bench_cascade(spark, sf)
+    timings["cascade_pages_to_day"] = cascade["wall_sec"]
+    total += cascade["wall_sec"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cores": cpus,
+                "cascade": cascade,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

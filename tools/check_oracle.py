@@ -1,0 +1,95 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same parquet tables,
+compare row count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from usgs_geomag_algorithms_spark.session import get_spark
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="check_oracle", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sorted(sdf.columns)
+        except Exception as e:
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"OK?  {name}: rows={len(srows)} (no oracle; rows-only check)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error {e}")
+            failures += 1
+            continue
+        dcols = sorted(ddf.columns.tolist())
+        if scols != dcols:
+            print(f"FAIL {name}: columns spark={scols} duckdb={dcols}")
+            failures += 1
+            continue
+        if len(srows) != len(ddf):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duckdb={len(ddf)}")
+            failures += 1
+            continue
+        sset = sorted(
+            tuple(norm(row[c]) for c in scols) for row in (r.asDict() for r in srows)
+        )
+        import pandas as pd
+
+        dd = ddf.astype(object).where(pd.notnull(ddf), None)
+        dset = sorted(
+            tuple(norm(v) for v in (row[c] for c in dcols))
+            for row in dd.to_dict("records")
+        )
+        if sset != dset:
+            bad = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
+            print(f"FAIL {name}: values differ, first diffs: {bad}")
+            failures += 1
+        else:
+            print(f"PASS {name}: rows={len(srows)}")
+    print(f"{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
+    return failures
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

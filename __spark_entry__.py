@@ -207,7 +207,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from usgs_geomag_algorithms_spark.webtext_queries import QUERIES as WQ
+
     return {
+        **WQ,
         "rollup_hour_value": q_rollup_hour_value,
         "rollup_day_value": q_rollup_day_value,
         "rollup_hour_count": q_rollup_hour_count,
@@ -354,7 +357,10 @@ SELECT doc_id, n_chars,
        ) AS avg_token_len
 FROM documents
 """
+    from usgs_geomag_algorithms_spark.webtext_queries import ORACLES as WO
+
     return {
+        **WO,
         "rollup_hour_value": hour_value,
         "rollup_day_value": day_value,
         "rollup_hour_count": hour_count,

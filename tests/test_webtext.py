@@ -1,0 +1,174 @@
+"""Webtext operator tests: dedup family, similarity search, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from usgs_geomag_algorithms_spark.operators import dedup as D
+from usgs_geomag_algorithms_spark.operators import multimodal as M
+from usgs_geomag_algorithms_spark.operators import similarity as S
+from usgs_geomag_algorithms_spark.operators import textops as T
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark):
+        df = docs_df(spark, ["aaa", "bbb", "aaa", "ccc", "bbb"])
+        out = {r.doc_id: r.is_duplicate for r in D.exact_dedup(df).collect()}
+        assert out == {0: False, 1: False, 2: True, 3: False, 4: True}
+
+    def test_minhash_identical_docs_same_signature(self, spark):
+        df = docs_df(spark, ["the quick brown fox jumps", "the quick brown fox jumps",
+                             "totally different content here"])
+        sigs = {r.doc_id: r.minhash for r in D.minhash_signatures(df, k=16).collect()}
+        assert sigs[0] == sigs[1]
+        assert sigs[0] != sigs[2]
+
+    def test_minhash_similar_docs_close(self, spark):
+        a = "the quick brown fox jumps over the lazy dog again and again today"
+        b = a.replace("today", "tonite")
+        df = docs_df(spark, [a, b, "unrelated text about spark rollups entirely"])
+        sigs = {r.doc_id: r.minhash for r in D.minhash_signatures(df, k=32).collect()}
+        agree_ab = sum(x == y for x, y in zip(sigs[0], sigs[1]))
+        agree_ac = sum(x == y for x, y in zip(sigs[0], sigs[2]))
+        assert agree_ab > agree_ac
+
+    def test_lsh_pairs_find_near_dups(self, spark):
+        a = "the quick brown fox jumps over the lazy dog again and again today"
+        df = docs_df(spark, [a, a, a.replace("today", "tonite"), "zzz qqq www"])
+        sigs = D.minhash_signatures(df, k=16)
+        pairs = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sigs, bands=8).collect()}
+        assert (0, 1) in pairs
+        assert (0, 3) not in pairs and (1, 3) not in pairs
+
+    def test_simhash_hamming(self, spark):
+        a = "alpha beta gamma delta epsilon zeta eta theta"
+        df = docs_df(spark, [a, a + " iota", "one two three four five six"])
+        out = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+        ham = lambda x, y: bin(x ^ y).count("1")
+        assert ham(out[0], out[1]) < ham(out[0], out[2])
+
+    def test_ngram_jaccard(self, spark):
+        df = docs_df(spark, ["abcdefghijkl", "abcdefghijkl", "xyzxyzxyzxyz"])
+        pairs = spark.createDataFrame(
+            [(0, 1), (0, 2)], schema="id_a long, id_b long"
+        )
+        out = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(df, pairs).collect()}
+        assert out[(0, 1)] == 1.0
+        assert out[(0, 2)] == 0.0
+
+
+class TestSimilarity:
+    def test_bruteforce_topk_exact(self, spark):
+        rng = np.random.default_rng(5)
+        vecs = rng.normal(size=(40, 16)).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            schema="vec_id long, embedding array<float>",
+        )
+        q = df.where(F.col("vec_id") < 3)
+        out = S.cosine_topk(df, q, k=5).collect()
+        # numpy oracle
+        vd = vecs.astype(np.float64)
+        norms = np.linalg.norm(vd, axis=1)
+        sims = (vd @ vd.T) / np.outer(norms, norms)
+        for qi in range(3):
+            s = np.round(sims[qi], 6)
+            order = sorted(
+                (i for i in range(40) if i != qi), key=lambda i: (-s[i], i)
+            )[:5]
+            got = sorted(
+                [(r.n_id, r.rank) for r in out if r.q_id == qi], key=lambda x: x[1]
+            )
+            assert [g[0] for g in got] == order
+
+    def test_lsh_topk_subset_of_bucket(self, spark):
+        rng = np.random.default_rng(6)
+        vecs = rng.normal(size=(60, 8)).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            schema="vec_id long, embedding array<float>",
+        )
+        q = df.where(F.col("vec_id") < 2)
+        out = S.lsh_topk(df, q, k=3, n_planes=2).collect()
+        assert len(out) > 0
+        # every neighbor shares the query's bucket
+        buckets = {
+            r.vec_id: r.bucket
+            for r in S.hyperplane_bucket(df, n_planes=2).collect()
+        }
+        for r in out:
+            assert buckets[r.q_id] == buckets[r.n_id]
+
+
+class TestTextOps:
+    def test_token_count(self, spark):
+        df = docs_df(spark, ["one two three", "single"])
+        out = {r.doc_id: r for r in T.token_count(df).collect()}
+        assert out[0].n_tokens_ws == 3 and out[1].n_tokens_ws == 1
+        assert out[0].n_chars == 13
+        assert out[0].n_tokens_bpe_est == 4  # ceil(13/4)
+
+    def test_lang_id(self, spark):
+        df = docs_df(
+            spark,
+            [
+                "the cat and the dog is a pet of the house",
+                "der hund und die katze ist das tier",
+                "le chat et la souris est les animaux",
+            ],
+        )
+        out = {r.doc_id: r.pred_lang for r in T.lang_id(df).collect()}
+        assert out == {0: "en", 1: "de", 2: "fr"}
+
+    def test_quality_score_range(self, spark):
+        df = docs_df(spark, ["the data and the model is a good fit of the curve",
+                             "!!! ??? ### $$$ %%%"])
+        out = {r.doc_id: r for r in T.quality_score(df).collect()}
+        assert out[0].quality_score > out[1].quality_score
+        assert 0.0 <= out[1].quality_score <= 1.0
+
+    def test_fingerprint_stable_and_edit_sensitive(self, spark):
+        a = "the quick brown fox jumps over the lazy dog"
+        df = docs_df(spark, [a, a, "completely different words here now"])
+        out = {r.doc_id: r.fingerprint for r in T.fingerprint(df).collect()}
+        assert out[0] == out[1]
+        assert out[0] != out[2]
+
+
+class TestMultimodal:
+    def test_metadata_jvm_side(self, spark):
+        media = M.synthetic_media(spark, n=12)
+        meta = M.attach_media_metadata(media).collect()
+        assert len(meta) == 12
+        for r in meta:
+            assert r.n_bytes == len(r.payload)
+            assert len(r.sha256) == 64
+
+    def test_decode_batch_shapes(self, spark):
+        media = M.synthetic_media(spark, n=12)
+        out = M.decode_media(media, feat_dim=8).collect()
+        assert len(out) == 12
+        for r in out:
+            assert len(r.feature) == 8
+            assert 64 <= r.width < 256 and 64 <= r.height < 256
+            if r.kind == "image":
+                assert r.n_frames == 1
+            else:
+                assert r.n_frames >= 1
+
+    def test_decode_deterministic(self, spark):
+        media = M.synthetic_media(spark, n=6)
+        a = sorted((r.media_id, r.sha256, list(r.feature)) for r in M.decode_media(media).collect())
+        b = sorted((r.media_id, r.sha256, list(r.feature)) for r in M.decode_media(media).collect())
+        assert a == b
+
+    def test_frame_sample(self, spark):
+        media = M.synthetic_media(spark, n=9)
+        frames = M.frame_sample(M.decode_media(media), every_n=8).collect()
+        assert all(r.frame_idx % 8 == 0 for r in frames)

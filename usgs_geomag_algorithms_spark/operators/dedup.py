@@ -1,0 +1,246 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+No reference analog (the geomag reference has no document ops) — these are
+the web-text layer the graft adds. All of them are pure DataFrame plans
+built from cross-engine-reproducible primitives (md5-based hashing, integer
+modular arithmetic) so every stage has an exact DuckDB oracle:
+
+- exact dedup: content-hash groupBy, first-id-wins
+- MinHash: char-shingle -> k modular permutations -> per-doc signature;
+  LSH banding -> candidate pairs via band-hash self-join
+- SimHash: 60-bit sign-of-weighted-bit-sums over tokens
+- n-gram Jaccard: exact set similarity on candidate pairs
+
+Scale shape: everything is explode -> groupBy with map-side partial
+aggregation; the LSH self-join shuffles on (band, band_hash) — the standard
+near-dup join at crawl scale. Shingle hashing uses the first 8 hex chars of
+md5 (32-bit), keeping a*h below 2^62 for exact BIGINT modular math in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
+
+
+def minhash_perms(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation constants via a fixed LCG;
+    a < 2^30 so a*h + b stays < 2^63 for 32-bit h."""
+    perms = []
+    state = seed
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state >> 16) % ((1 << 30) - 2) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = (state >> 16) % MINHASH_PRIME
+        perms.append((a, b))
+    return perms
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-hash dedup: every row keeps its group's minimum id; rows
+    whose id differs are duplicates."""
+    w = Window.partitionBy("text_md5")
+    return (
+        df.select(id_col, F.md5(F.col(text_col).cast("binary")).alias("text_md5"))
+        .withColumn("keep_id", F.min(id_col).over(w))
+        .select(
+            id_col,
+            "text_md5",
+            (F.col(id_col) != F.col("keep_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def char_shingles(
+    df: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct character n-grams per document: explode positions 1..len-n+1
+    (JVM-side sequence; no Python)."""
+    return (
+        df.select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
+            ).alias("_i"),
+            F.col(text_col).alias("_t"),
+        )
+        .select(id_col, F.expr(f"substring(_t, _i, {n})").alias("shingle"))
+        .distinct()
+    )
+
+
+def _shingle_hash(col: F.Column) -> F.Column:
+    """32-bit shingle hash = first 8 hex chars of md5 — identical in DuckDB
+    as ('0x' || substr(md5(s),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 32,
+    shingle_n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signature: array of k minima of
+    (a_i * h(shingle) + b_i) mod p, ordered by permutation index.
+
+    One explode (shingles) -> k aggregate minima computed as array-wise
+    ``min`` without a second explode: the k permuted hashes are built as an
+    array column and reduced with ``zip_with``-style element minima via
+    groupBy on arrays? Spark lacks elementwise array-min aggregate, so we
+    aggregate each permutation as its own min() column — k literal
+    expressions, all in one whole-stage-codegen'd aggregate (no k-fold row
+    amplification).
+    """
+    sh = char_shingles(df, n=shingle_n, text_col=text_col, id_col=id_col)
+    h = _shingle_hash(F.col("shingle"))
+    hashed = sh.select(id_col, h.alias("_h"))
+    aggs = [
+        F.min(
+            (F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+        ).alias(f"_m{i}")
+        for i, (a, b) in enumerate(minhash_perms(k, seed))
+    ]
+    sigs = hashed.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col, F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("minhash")
+    )
+
+
+def minhash_digest(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Signature digest for compact comparison: md5 of the comma-joined
+    signature values."""
+    return sigs.select(
+        id_col,
+        F.md5(
+            F.concat_ws(",", F.col("minhash").cast("array<string>")).cast("binary")
+        ).alias("sig_md5"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` equal bands, hash
+    each band, self-join on (band_idx, band_hash) -> distinct (id_a < id_b)
+    candidate pairs. Shuffle key is the band hash — hot buckets (boilerplate
+    shingles) are bounded by band width; AQE skew-join covers the rest."""
+    k = len(sigs.select("minhash").first()[0])
+    rows_per_band = k // bands
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.slice(
+                                    F.col("minhash"), i * rows_per_band + 1, rows_per_band
+                                ).cast("array<string>"),
+                            ).cast("binary")
+                        ).alias("bhash"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.bhash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """60-bit SimHash over whitespace tokens: token hash h (60-bit from md5
+    hex), bit j contributes +1 if set else -1; output bit j = 1 iff the sum
+    is positive. One explode (tokens) + one aggregate with ``bits`` codegen
+    sum expressions — no per-bit row amplification."""
+    toks = df.select(
+        id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    ).where(F.length("tok") > 0)
+    h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    toks = toks.select(id_col, h.alias("_h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"_s{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*aggs)
+    sim = None
+    for j in range(bits):
+        term = F.when(
+            F.col(f"_s{j}") > 0, F.lit(1).cast("long") * F.lit(2 ** j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for given (id_a, id_b) pairs:
+    |A ∩ B| / |A ∪ B| over distinct char n-grams. Computed with two
+    broadcast-friendly joins against the shingle relation; the common-count
+    join shuffles on the shingle value."""
+    sh = char_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # equi-join on the shingle value (shuffle key = shingle), then keep only
+    # requested pairs — never a per-pair cartesian of shingle sets
+    common = (
+        sh.withColumnRenamed(id_col, "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b"), on="shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .join(pairs, on=["id_a", "id_b"], how="leftsemi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.join(common, on=["id_a", "id_b"], how="left")
+        .na.fill({"n_common": 0})
+        .join(counts.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), on="id_a")
+        .join(counts.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

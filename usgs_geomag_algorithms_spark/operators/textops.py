@@ -1,0 +1,130 @@
+"""Text analysis operators: token counting, language-ID, quality scoring,
+document fingerprinting. All pure column expressions / explode+aggregate
+plans (no Python in the hot path) with exact DuckDB-oracle equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: tiny per-language stopword marker sets for the n-gram heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "a", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+}
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish proxy (ceil of chars/4 per token is a
+    common rough token estimate) — both as plain expressions."""
+    n_ws = F.size(F.split(F.col(text_col), r"\s+"))
+    n_chars = F.length(text_col)
+    bpe_ish = F.ceil(n_chars.cast("double") / 4.0).cast("long")
+    return df.select(
+        id_col,
+        n_chars.cast("long").alias("n_chars"),
+        n_ws.cast("long").alias("n_tokens_ws"),
+        bpe_ish.alias("n_tokens_bpe_est"),
+    )
+
+
+def _count_occurrences(text: F.Column, word: str) -> F.Column:
+    """Occurrences of ' word ' (space-delimited) via length arithmetic —
+    reproducible in any SQL dialect, unlike regexp counting."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID: score = Σ occurrences of each language's
+    marker words; predict argmax (ties broken by language code order)."""
+    scores = {
+        lang: sum(
+            (_count_occurrences(F.col(text_col), w) for w in words), F.lit(0)
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    best = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            # strictly greater than later langs, >= earlier langs (argmax
+            # with first-wins tie-break in sorted order)
+            c = (
+                scores[lang] >= scores[other]
+                if other > lang
+                else scores[lang] > scores[other]
+            )
+            cond = c if cond is None else (cond & c)
+        best = (
+            F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+        )
+    pred = best.otherwise(F.lit(langs[0]))
+    return df.select(
+        id_col,
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: mean token length, stopword ratio,
+    non-alnum ratio, plus a composite [0,1] score. Deterministic closed-form
+    expressions only."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_tokens = F.size(F.split(text, r"\s+"))
+    n_spaces = n_chars - F.length(F.replace(text, F.lit(" "), F.lit("")))
+    mean_tok_len = (n_chars - n_spaces).cast("double") / n_tokens
+    stop_hits = sum(
+        (_count_occurrences(text, w) for w in LANG_MARKERS["en"]), F.lit(0)
+    )
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    alnum_removed = F.regexp_replace(text, r"[A-Za-z0-9 ]", "")
+    punct_ratio = F.length(alnum_removed).cast("double") / n_chars
+    score = (
+        F.when(mean_tok_len.between(3.0, 10.0), 0.4).otherwise(0.0)
+        + F.when(stop_ratio > 0.02, 0.3).otherwise(0.0)
+        + F.when(punct_ratio < 0.1, 0.3).otherwise(0.0)
+    )
+    return df.select(
+        id_col,
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    n: int = 8,
+    keep: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing-style document fingerprint: the ``keep`` smallest 32-bit
+    char-n-gram hashes, concatenated and re-hashed — robust to local edits,
+    exact-oracle-checkable (same md5 hashing as dedup)."""
+    from .dedup import char_shingles, _shingle_hash
+
+    sh = char_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    hashed = sh.select(id_col, _shingle_hash(F.col("shingle")).alias("_h"))
+    return (
+        hashed.groupBy(id_col)
+        .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, keep).alias("_mins"))
+        .select(
+            id_col,
+            F.md5(
+                F.concat_ws(",", F.col("_mins").cast("array<string>")).cast("binary")
+            ).alias("fingerprint"),
+        )
+    )

@@ -1,0 +1,309 @@
+"""Webtext operator query pack: dedup / similarity / text-analysis queries
+over the driver's ``documents`` and ``embeddings`` tables, each with an
+exact DuckDB oracle built from the SAME constants as the Spark plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import textops as T
+from .operators.dedup import MINHASH_PRIME, minhash_perms
+from .operators.textops import LANG_MARKERS
+
+K_MINHASH = 16
+SHINGLE_N = 8
+SIMHASH_BITS = 60
+KNN_K = 3
+N_QUERY_VECS = 10
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------------ spark
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.minhash_signatures(
+        _docs(spark, sf_dir), k=K_MINHASH, shingle_n=SHINGLE_N
+    )
+    return D.minhash_digest(sigs)
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash (rows-only check)."""
+    sigs = D.minhash_signatures(
+        _docs(spark, sf_dir), k=K_MINHASH, shingle_n=SHINGLE_N
+    )
+    return D.lsh_candidate_pairs(sigs, bands=4).orderBy("id_a", "id_b")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
+
+
+def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = docs.select(F.col("doc_id").alias("id_a")).join(
+        docs.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b")),
+        on="id_a",
+    )
+    return D.ngram_jaccard_pairs(docs, pairs, n=SHINGLE_N)
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return S.cosine_topk(emb, queries, k=KNN_K)
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN variant (rows-only check: approximation is by design)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return S.lsh_topk(emb, queries, k=KNN_K, n_planes=4)
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_count(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_score(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(_docs(spark, sf_dir), n=SHINGLE_N, keep=4)
+
+
+# ----------------------------------------------------------------- oracle
+_SHINGLE_CTE = f"""
+pos AS (
+    SELECT doc_id, text,
+           unnest(generate_series(1, greatest(length(text) - {SHINGLE_N - 1}, 1))) AS i
+    FROM documents
+),
+sh AS (SELECT DISTINCT doc_id, substr(text, i, {SHINGLE_N}) AS s FROM pos),
+hv AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh)
+"""
+
+
+def _minhash_sql() -> str:
+    perms = minhash_perms(K_MINHASH)
+    mins = ",\n           ".join(
+        f"min((h * {a} + {b}) % {MINHASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    concat = " || ',' || ".join(f"m{i}::VARCHAR" for i in range(K_MINHASH))
+    return f"""
+WITH {_SHINGLE_CTE},
+sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM hv GROUP BY doc_id
+)
+SELECT doc_id, md5({concat}) AS sig_md5 FROM sig
+"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok FROM documents
+),
+th AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+    FROM toks WHERE length(tok) > 0
+),
+bits AS (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS j),
+bitsum AS (
+    SELECT doc_id, j,
+           sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM th, bits GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+FROM bitsum GROUP BY doc_id
+"""
+
+
+def _jaccard_sql() -> str:
+    return f"""
+WITH {_SHINGLE_CTE},
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+common AS (
+    SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_common
+    FROM sh sa JOIN sh sb ON sa.s = sb.s AND sb.doc_id = sa.doc_id + 1
+    GROUP BY 1, 2
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+SELECT p.id_a, p.id_b,
+       round(coalesce(c.n_common, 0) / (ca.n + cb.n - coalesce(c.n_common, 0)), 6)
+           AS jaccard
+FROM pairs p
+LEFT JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b
+JOIN counts ca ON ca.doc_id = p.id_a
+JOIN counts cb ON cb.doc_id = p.id_b
+"""
+
+
+def _knn_sql() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS e FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+c AS (SELECT vec_id AS n_id, embedding AS e FROM embeddings),
+eq AS (SELECT q_id, unnest(e)::DOUBLE AS x, generate_subscripts(e, 1) AS i FROM q),
+ec AS (SELECT n_id, unnest(e)::DOUBLE AS x, generate_subscripts(e, 1) AS i FROM c),
+dots AS (
+    SELECT a.q_id, b.n_id, sum(a.x * b.x) AS dot
+    FROM eq a JOIN ec b ON a.i = b.i
+    WHERE a.q_id != b.n_id
+    GROUP BY 1, 2
+),
+nq AS (SELECT q_id, sum(x * x) AS s FROM eq GROUP BY 1),
+nc AS (SELECT n_id, sum(x * x) AS s FROM ec GROUP BY 1),
+scored AS (
+    SELECT d.q_id, d.n_id,
+           round(d.dot / (sqrt(nq.s) * sqrt(nc.s)), 6) AS cosine
+    FROM dots d JOIN nq ON nq.q_id = d.q_id JOIN nc ON nc.n_id = d.n_id
+),
+ranked AS (
+    SELECT q_id, n_id, cosine,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank
+    FROM scored
+)
+SELECT q_id, n_id, cosine, rank::INT AS rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def _occ(word: str) -> str:
+    needle = f" {word} "
+    return (
+        f"((length(' ' || text || ' ') - "
+        f"length(replace(' ' || text || ' ', '{needle}', ''))) / {len(needle)})::BIGINT"
+    )
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_exprs = {
+        lang: " + ".join(_occ(w) for w in LANG_MARKERS[lang]) for lang in langs
+    }
+    selects = ",\n       ".join(
+        f"({score_exprs[lang]}) AS score_{lang}" for lang in langs
+    )
+    cases = []
+    for lang in langs:
+        conds = []
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">=" if other > lang else ">"
+            conds.append(f"score_{lang} {op} score_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + f" ELSE '{langs[0]}' END"
+    return f"""
+WITH scored AS (
+    SELECT doc_id,
+       {selects}
+    FROM documents
+)
+SELECT doc_id, {', '.join('score_' + lang for lang in langs)},
+       {case_sql} AS pred_lang
+FROM scored
+"""
+
+
+def _token_count_sql() -> str:
+    return """
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(string_split_regex(text, '\\s+'))::BIGINT AS n_tokens_ws,
+       ceil(length(text)::DOUBLE / 4.0)::BIGINT AS n_tokens_bpe_est
+FROM documents
+"""
+
+
+def _quality_sql() -> str:
+    stop = " + ".join(_occ(w) for w in LANG_MARKERS["en"])
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split_regex(text, '\\s+')) AS n_tokens,
+           length(text) - length(replace(text, ' ', '')) AS n_spaces,
+           ({stop}) AS stop_hits,
+           length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_punct
+    FROM documents
+),
+feat AS (
+    SELECT doc_id,
+           (n_chars - n_spaces)::DOUBLE / n_tokens AS mean_token_len,
+           stop_hits::DOUBLE / n_tokens AS stopword_ratio,
+           n_punct::DOUBLE / n_chars AS punct_ratio
+    FROM base
+)
+SELECT doc_id,
+       round(mean_token_len, 4) AS mean_token_len,
+       round(stopword_ratio, 4) AS stopword_ratio,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(
+         (CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN stopword_ratio > 0.02 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN punct_ratio < 0.1 THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+FROM feat
+"""
+
+
+def _fingerprint_sql() -> str:
+    return f"""
+WITH {_SHINGLE_CTE},
+dh AS (SELECT DISTINCT doc_id, h FROM hv),
+ranked AS (
+    SELECT doc_id, h,
+           row_number() OVER (PARTITION BY doc_id ORDER BY h ASC) AS rn
+    FROM dh
+)
+SELECT doc_id,
+       md5(string_agg(h::VARCHAR, ',' ORDER BY h)) AS fingerprint
+FROM ranked WHERE rn <= 4
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "minhash_signature": q_minhash_signature,
+    "lsh_pairs": q_lsh_pairs,
+    "simhash": q_simhash,
+    "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
+    "knn_cosine": q_knn_cosine,
+    "knn_lsh": q_knn_lsh,
+    "token_count": q_token_count,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_fingerprint,
+}
+
+ORACLES = {
+    "minhash_signature": _minhash_sql(),
+    "simhash": _simhash_sql(),
+    "ngram_jaccard_adjacent": _jaccard_sql(),
+    "knn_cosine": _knn_sql(),
+    "token_count": _token_count_sql(),
+    "lang_id": _lang_id_sql(),
+    "quality_score": _quality_sql(),
+    "doc_fingerprint": _fingerprint_sql(),
+    # lsh_pairs / knn_lsh: approximate-by-design -> rows-only check
+}

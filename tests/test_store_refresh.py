@@ -1,0 +1,127 @@
+"""Tier store (partitioned parquet, upsert, retention, lineage) and
+incremental refresh (run_as_update analog, checkpoint resume) — the F6
+scenario from FIXTURES.md (ref Controller.py:326-474 semantics)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from usgs_geomag_algorithms_spark.operators.rollup import rollup_step
+from usgs_geomag_algorithms_spark.plans import refresh as R
+from usgs_geomag_algorithms_spark.sources.store import TierStore
+from usgs_geomag_algorithms_spark.tiers import STEPS, US
+
+MIN_HOUR = STEPS[2]
+T0 = 1577836800 * US  # 2020-01-01 00:00
+MIN = 60 * US
+HOUR = 3600 * US
+
+
+def minute_rows(n_hours, url="u", ch="text_len"):
+    rng = np.random.default_rng(9)
+    return [
+        (url, ch, T0 + i * MIN, float(rng.normal(100, 5)))
+        for i in range(n_hours * 60)
+    ]
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TierStore(spark, str(tmp_path / "tiers"), n_buckets=4)
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(
+        rows, schema="url string, channel string, t_us long, value double"
+    )
+
+
+def hour_stamp(h):
+    return T0 + h * HOUR + (29 * 60 + 30) * US
+
+
+class TestStore:
+    def test_roundtrip_and_prune(self, spark, store):
+        df = mk(spark, minute_rows(4))
+        store.write(df, "minute")
+        back = store.read("minute", T0 + HOUR, T0 + 2 * HOUR - MIN)
+        assert back.count() == 60
+        assert {r.t_us for r in back.collect()} == {
+            T0 + HOUR + i * MIN for i in range(60)
+        }
+
+    def test_upsert_last_wins(self, spark, store):
+        store.write(mk(spark, minute_rows(1)), "minute")
+        patch = mk(spark, [("u", "text_len", T0 + 5 * MIN, 999.0)])
+        store.upsert(patch, "minute")
+        back = {r.t_us: r.value for r in store.read("minute").collect()}
+        assert back[T0 + 5 * MIN] == 999.0
+        assert len(back) == 60  # untouched slots preserved
+
+    def test_retention_drop(self, spark, store):
+        rows = [("u", "c", T0 + d * 86400 * US, 1.0) for d in range(4)]
+        store.write(mk(spark, rows), "day")
+        dropped = store.expire_before("day", T0 + 2 * 86400 * US)
+        assert len(dropped) == 2
+        assert store.read("day").count() == 2
+
+
+class TestRefresh:
+    def test_fill_hole_and_backfill(self, spark, store):
+        # minute tier: 4 hours of data
+        store.write(mk(spark, minute_rows(4)), "minute")
+        # hour tier pre-populated with hours 0 and 2 only
+        full = rollup_step(
+            store.read("minute"), MIN_HOUR,
+            range_start_us=T0, range_end_us=T0 + 4 * HOUR - MIN,
+        )
+        pre = full.where(F.col("t_us").isin([hour_stamp(0), hour_stamp(2)]))
+        store.write(pre, "hour")
+
+        metrics = R.run_as_update(
+            store, "minute", "hour", MIN_HOUR,
+            start_us=hour_stamp(1), end_us=hour_stamp(3), update_limit=1,
+        )
+        assert metrics["gaps_filled"] >= 2
+        got = {r.t_us: r.value for r in store.read("hour").collect()}
+        exp = {r.t_us: r.value for r in full.collect()}
+        assert set(got) == {hour_stamp(h) for h in range(4)}
+        for t, v in exp.items():
+            np.testing.assert_almost_equal(got[t], v, decimal=9)
+
+    def test_idempotent_rerun(self, spark, store):
+        store.write(mk(spark, minute_rows(3)), "minute")
+        m1 = R.run_as_update(
+            store, "minute", "hour", MIN_HOUR, hour_stamp(0), hour_stamp(2)
+        )
+        before = sorted(map(tuple, store.read("hour").collect()))
+        m2 = R.run_as_update(
+            store, "minute", "hour", MIN_HOUR, hour_stamp(0), hour_stamp(2)
+        )
+        after = sorted(map(tuple, store.read("hour").collect()))
+        assert before == after
+        assert m2["gaps_filled"] == 0  # everything valid -> no gaps
+
+    def test_checkpoint_resume_skips_completed(self, spark, store):
+        store.write(mk(spark, minute_rows(2)), "minute")
+        # simulate a prior killed run that completed hour 0 only
+        R.save_checkpoint(store, "hour", {"completed": [hour_stamp(0)]})
+        metrics = R.run_as_update(
+            store, "minute", "hour", MIN_HOUR, hour_stamp(0), hour_stamp(1),
+            update_limit=0,
+        )
+        assert metrics["gaps_filled"] == 1  # only the hour-1 run recomputed
+        got = {r.t_us for r in store.read("hour").collect()}
+        assert got == {hour_stamp(1)}  # hour 0 skipped per checkpoint
+
+    def test_lineage_records(self, spark, store):
+        store.write(mk(spark, minute_rows(2)), "minute")
+        R.run_as_update(
+            store, "minute", "hour", MIN_HOUR, hour_stamp(0), hour_stamp(1),
+            run_id="test-run",
+        )
+        lineage = store.read_lineage("hour")
+        gap_recs = [r for r in lineage if "gap_start_us" in r]
+        assert len(gap_recs) >= 1
+        assert all(r["run_id"] == "test-run" for r in gap_recs)
+        assert all(r["input_start_us"] <= r["gap_start_us"] for r in gap_recs)

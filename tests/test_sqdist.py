@@ -1,0 +1,167 @@
+"""Holt-Winters SqDist: golden unit vectors (derived from the reference's
+SQDistAlgorithm_test.py:11-200 configurations — FIXTURES F7), state
+continuity, and the distributed applyInPandas operator."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_almost_equal
+
+from usgs_geomag_algorithms_spark.operators.sqdist import (
+    HWParams,
+    HWState,
+    holt_winters_additive,
+    split_state_rows,
+    sqdist_apply,
+)
+from usgs_geomag_algorithms_spark.tiers import US
+
+M = 4
+T = np.linspace(0, 2 * np.pi, M + 1)[:-1]
+S0 = np.sin(T)[0:4].tolist()
+SIGMA0 = [np.sqrt(0.5)]
+T0 = 1577836800 * US
+
+
+def run(yobs, alpha, beta, gamma, s0=S0, l0=0.0, b0=0.0, sigma0=SIGMA0):
+    p = HWParams(m=M, alpha=alpha, beta=beta, gamma=gamma)
+    st = HWState(s0=list(s0), l0=l0, b0=b0, sigma0=list(sigma0))
+    return holt_winters_additive(np.asarray(yobs, float), p, st)
+
+
+class TestGoldenVectors:
+    def test_gap_forecast_trendline_sigma_growth(self):
+        # all-NaN input, gamma=0: yhat repeats the seasonal cycle, sigma
+        # grows per Hyndman PI with trendline adjustments
+        yhat, shat, sig, _ = run(np.full(12, np.nan), alpha=1 / 12.0, beta=0.0, gamma=0.0)
+        assert_almost_equal(yhat, [0, 1, 0, -1] * 3)
+        assert_almost_equal(shat, [0, 1, 0, -1] * 3)
+        assert_almost_equal(
+            sig,
+            [0.70710678, 0.70955777, 0.71200031, 0.71443451, 0.71686044,
+             0.71927819, 0.72168784, 0.72408947, 0.72648316, 0.72886899,
+             0.73124703, 0.73361737],
+        )
+
+    def test_gap_forecast_seasonal_sigma_growth(self):
+        yhat, shat, sig, _ = run(
+            np.full(12, np.nan), alpha=0.0, beta=0.0, gamma=1 / 12.0 * M
+        )
+        assert_almost_equal(yhat, [0, 1, 0, -1] * 3)
+        assert_almost_equal(
+            sig,
+            [0.70710678] * 4 + [0.74535599] * 4 + [0.78173596] * 4,
+        )
+
+    def test_smooth_zero_observations_level_only(self):
+        yhat, shat, sig, _ = run(np.zeros(12), alpha=1 / 12.0, beta=0.0, gamma=0.0)
+        assert_almost_equal(
+            yhat,
+            [0, 1, -0.08333333, -1.07638889, 0.01331019, 1.01220100,
+             -0.07214908, -1.06613666, 0.02270806, 1.02081573,
+             -0.06425225, -1.0588979],
+            8,
+        )
+        assert_almost_equal(shat, [0, 1, 0, -1] * 3, 8)
+        assert_almost_equal(
+            sig,
+            [0.64818122, 0.67749945, 0.62798561, 0.66535255, 0.61101568,
+             0.64444779, 0.59675623, 0.63587127, 0.58477433, 0.62111112,
+             0.57470621, 0.61505552],
+            8,
+        )
+
+    def test_smooth_zero_observations_seasonal_only(self):
+        yhat, shat, sig, _ = run(np.zeros(12), alpha=0.0, beta=0.0, gamma=1 / 12.0 * M)
+        assert_almost_equal(
+            yhat,
+            [0, 1, 0, -1, 0, 0.66666667, 0, -0.66666667, 0, 0.44444444,
+             0, -0.44444444],
+            8,
+        )
+
+
+class TestStateContinuity:
+    def test_chunked_equals_whole(self):
+        rng = np.random.default_rng(21)
+        y = np.sin(np.arange(48) * 2 * np.pi / M) + rng.normal(0, 0.1, 48)
+        p = HWParams(m=M, alpha=0.1, beta=0.01, gamma=0.2)
+        st0 = HWState(s0=list(S0), l0=0.0, b0=0.0, sigma0=list(SIGMA0))
+        whole, _, _, _ = holt_winters_additive(y, p, st0)
+        a, _, _, st_mid = holt_winters_additive(y[:24], p, st0)
+        b, _, _, _ = holt_winters_additive(y[24:], p, st_mid)
+        assert_almost_equal(np.concatenate([a, b]), whole, 10)
+
+    def test_state_roundtrip_json(self):
+        st = HWState(s0=[1.0, 2.0], l0=3.0, b0=0.1, sigma0=[0.5], next_start_us=123, delta_us=60)
+        assert HWState.from_json(st.to_json()) == st
+
+
+class TestSparkApply:
+    def mk(self, spark, series, offset=0):
+        rows = []
+        for url, vals in series.items():
+            for i, v in enumerate(vals):
+                t = T0 + (i + offset) * 60 * US
+                if v is not None and not (isinstance(v, float) and np.isnan(v)):
+                    rows.append((url, "H", t, float(v)))
+                else:
+                    rows.append((url, "H", t, None))
+        return spark.createDataFrame(
+            rows, schema="url string, channel string, t_us long, value double"
+        )
+
+    def test_emits_four_channels_and_state(self, spark):
+        rng = np.random.default_rng(3)
+        y = (np.sin(np.arange(24) * 2 * np.pi / M) + rng.normal(0, 0.05, 24)).tolist()
+        df = self.mk(spark, {"u1": y, "u2": y})
+        p = HWParams(m=M, alpha=0.1, beta=0.0, gamma=0.2)
+        out = sqdist_apply(df, p, delta_s=60.0)
+        data, states = split_state_rows(out)
+        chans = {r.channel for r in data.select("channel").distinct().collect()}
+        assert chans == {"H_Dist", "H_SQ", "H_SV", "H_Sigma"}
+        assert set(states) == {"u1|H", "u2|H"}
+        st = HWState.from_json(states["u1|H"])
+        assert st.next_start_us == T0 + 24 * 60 * US
+        # dist + sv + sq == yobs where observed (dist = y - yhat; yhat = sq+sv)
+        rows = {(r.channel, r.t_us): r.value for r in data.collect() if r.url == "u1"}
+        for i, v in enumerate(y):
+            t = T0 + i * 60 * US
+            recon = rows[("H_Dist", t)] + rows[("H_SQ", t)] + rows[("H_SV", t)]
+            assert abs(recon - v) < 1e-9
+
+    def test_resume_matches_single_run(self, spark):
+        rng = np.random.default_rng(4)
+        y = (np.sin(np.arange(40) * 2 * np.pi / M) + rng.normal(0, 0.05, 40)).tolist()
+        p = HWParams(m=M, alpha=0.1, beta=0.0, gamma=0.2)
+        whole, _ = split_state_rows(sqdist_apply(self.mk(spark, {"u": y}), p, 60.0))
+        first, st1 = split_state_rows(
+            sqdist_apply(self.mk(spark, {"u": y[:20]}), p, 60.0)
+        )
+        second, _ = split_state_rows(
+            sqdist_apply(self.mk(spark, {"u": y[20:]}, offset=20), p, 60.0, states=st1)
+        )
+        got = {}
+        for r in first.collect():
+            got[(r.channel, r.t_us)] = r.value
+        for r in second.collect():
+            got[(r.channel, r.t_us)] = r.value
+        exp = {(r.channel, r.t_us): r.value for r in whole.collect()}
+        # SQ/SV carry the chunk-relative zero-mean remainder (same in the
+        # reference: the enforcement folds the END-of-chunk remainder into
+        # all emitted seasonals), so chunk-invariant channels are Dist+Sigma
+        mismatches = [
+            k
+            for k in exp
+            if k[0] in ("H_Dist", "H_Sigma")
+            and not np.isclose(got[k], exp[k], atol=1e-9, equal_nan=True)
+        ]
+        assert not mismatches
+
+    def test_continuity_violation_raises(self, spark):
+        y = [1.0] * 12
+        p = HWParams(m=M, alpha=0.1, beta=0.0, gamma=0.2)
+        _, st = split_state_rows(sqdist_apply(self.mk(spark, {"u": y}), p, 60.0))
+        # next chunk starting at the WRONG time must fail
+        bad = self.mk(spark, {"u": y})  # starts at T0 again, not next_start
+        with pytest.raises(Exception, match="Inconsistent SqDist state"):
+            sqdist_apply(bad, p, 60.0, states=st).collect()

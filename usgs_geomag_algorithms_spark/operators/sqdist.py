@@ -1,0 +1,315 @@
+"""SqDist: Holt-Winters solar-quiet / secular-variation / disturbance
+decomposition — the engine's stateful sequential operator.
+
+Semantics match the reference ``SqDistAlgorithm``
+(``geomagio/algorithm/SqDistAlgorithm.py:308-611``): additive exponential
+smoothing with damped linear trend and an m-season additive component,
+
+- spike gating: observations with ``|error| > zthresh * sigma`` update only
+  sigma, not the level/trend/season (``:524,550-554``),
+- gap forecasting: over NaN runs the state free-runs and sigma grows as a
+  Hyndman et al. (2005) prediction interval (``:535-548``),
+- seasonal error redistribution: the correction is spread over neighboring
+  seasonal slots with a Gaussian kernel (White et al., USGS SIR 2014-5045;
+  ``:453-472,559-574``),
+- zero-mean seasonal enforcement via a running remainder folded into the
+  level (``:478-480,598-600``),
+- resumable state ``{yhat0, s0, l0, b0, sigma0, next_start}`` with a strict
+  continuity check (``:227-256``).
+
+The recurrence is inherently sequential per series, so Spark parallelism is
+*across* series: a grouped Arrow ``applyInPandas`` runs one series per
+group, emitting the four output channels (``_Dist,_SQ,_SV,_Sigma`` —
+``:288-305``) plus a state row the driver persists to the checkpoint store.
+This mirrors the production shape: millions of independent url channels,
+each with a tiny sequential state.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass
+class HWParams:
+    m: int
+    alpha: float
+    beta: float
+    gamma: float
+    phi: float = 1.0
+    zthresh: float = 6.0
+    hstep: int = 0
+    smooth: int = 1
+
+
+@dataclass
+class HWState:
+    yhat0: list = None
+    s0: list = None
+    l0: float = None
+    b0: float = None
+    sigma0: list = None
+    next_start_us: int = None
+    delta_us: int = None
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "HWState":
+        return cls(**json.loads(s))
+
+
+def _season_kernel(m: int, smooth: int) -> np.ndarray:
+    """Gaussian redistribution weights for the seasonal correction (White
+    et al. 2014): half-power at period ``smooth`` samples."""
+    half_power = 10 ** (-3 / 20.0)
+    omega = np.pi / float(smooth)
+    sig = np.sqrt(-2 * np.log(half_power) / omega**2) + np.finfo(float).eps
+    span = 3 * np.round(sig)
+    grid = np.linspace(
+        max(-m, -span), min(m, span), int(np.round(min(2 * m, 2 * span) + 1))
+    )
+    w = np.exp(-0.5 * (grid / sig) ** 2)
+    return w / w.sum()
+
+
+def holt_winters_additive(
+    yobs: np.ndarray,
+    p: HWParams,
+    state: HWState | None = None,
+    fc: int = 0,
+):
+    """Run the recurrence over one chunk; returns (yhat, shat, sigmahat,
+    new_state). All arrays aligned with yobs (plus ``fc`` forecast steps)."""
+    m, alpha, beta, gamma, phi = p.m, p.alpha, p.beta, p.gamma, p.phi
+    hstep = p.hstep
+    yobs = np.asarray(yobs, dtype=np.float64)
+    n = len(yobs)
+
+    st = state or HWState()
+    level = (
+        st.l0
+        if st.l0 is not None
+        else (0.0 if np.isnan(np.nanmean(yobs[:m])) else np.nanmean(yobs[:m]))
+    )
+    slope = st.b0 if st.b0 is not None else 0.0
+    yhat = np.concatenate(
+        [
+            np.asarray(st.yhat0, dtype=np.float64)
+            if st.yhat0 is not None
+            else np.full(hstep, np.nan),
+            np.zeros(n + fc),
+        ]
+    )
+    season = np.concatenate(
+        [
+            np.asarray(st.s0, dtype=np.float64)
+            if st.s0 is not None
+            else np.zeros(m),
+            np.zeros(n + fc),
+        ]
+    )
+    sigma = np.concatenate(
+        [
+            np.asarray(st.sigma0, dtype=np.float64)
+            if st.sigma0 is not None
+            else np.full(hstep + 1, np.sqrt(np.nanvar(yobs))),
+            np.zeros(n + fc),
+        ]
+    )
+    # running remainder enforcing zero-mean seasonal corrections
+    rem = np.concatenate([[np.nanmean(season[:m])], np.zeros(n + fc)])
+
+    kernel = _season_kernel(m, p.smooth)
+    half = kernel.size // 2
+
+    # Hyndman prediction-interval coefficient sums for hstep-ahead forecasts
+    c2_base = 1.0
+    phi_h = 0.0
+    for h in range(1, hstep):
+        phi_h += phi ** (h - 1)
+        c2_base += (alpha * (1 + phi_h * beta) + gamma * (1 if h % m == 0 else 0)) ** 2
+    c2 = c2_base
+    phi_j = phi_h
+    j = hstep
+    sigma2_anchor = 0.0
+
+    frozen = None
+    for i in range(n + fc):
+        if j == hstep:
+            sigma2_anchor = sigma[i] * sigma[i]
+        sigma[i + hstep + 1] = np.sqrt(sigma2_anchor * c2)
+        yhat[i + hstep] = level + phi_h * slope + season[i + hstep % m]
+
+        err = yobs[i] - yhat[i] if i < n else np.nan
+        gated = np.isnan(err) or abs(err) > p.zthresh * sigma[i]
+        if gated:
+            # free-run: state advances with zero innovation
+            rem[i + 1] = rem[i]
+            season[i + m] = season[i]
+            level = level + phi * slope
+            slope = phi * slope
+            if np.isnan(err):
+                # grow sigma like a widening prediction interval over gaps
+                phi_j += phi**j
+                j += 1
+                c2 += (
+                    alpha * (1 + phi_j * beta) + gamma * (1 if j % m == 0 else 0)
+                ) ** 2
+            else:
+                # spike: sigma tracks it, nothing else does
+                sigma[i + 1] = alpha * abs(err) + (1 - alpha) * sigma[i]
+                j = hstep
+        else:
+            corr = gamma * (1 - alpha) * err
+            rem[i + 1] = corr / m + rem[i]
+            # distribute the correction across neighboring seasonal slots
+            season[i + m] = season[i] + corr * kernel[half]
+            season[i + m - half : i + m] += corr * kernel[:half]
+            season[i + 1 : i + half + 1] += corr * kernel[half + 1 :]
+            level = level + phi * slope + alpha * err
+            slope = phi * slope + alpha * beta * err
+            sigma[i + 1] = alpha * abs(err) + (1 - alpha) * sigma[i]
+            c2 = c2_base
+            phi_j = phi_h
+            j = hstep
+
+        if i == n - 1:
+            frozen = HWState(
+                yhat0=yhat[n : n + hstep].tolist(),
+                s0=(season[n : n + m] - rem[i + 1]).tolist(),
+                l0=float(level + rem[i + 1]),
+                b0=float(slope),
+                sigma0=sigma[n : n + hstep + 1].tolist(),
+            )
+
+    # fold the remainder into level/seasonals (zero-mean enforcement)
+    season = season - np.concatenate([rem, np.tile(rem[-1], m - 1)])
+    return (
+        yhat[: n + fc],
+        season[: n + fc],
+        sigma[1 : n + fc + 1],
+        frozen if frozen is not None else state,
+    )
+
+
+def sqdist_decompose(yobs: np.ndarray, p: HWParams, state: HWState | None = None):
+    """One chunk -> (dist, sq, sv, sigma, new_state): the four output
+    channels (ref ``process_one``, SqDistAlgorithm.py:288-305)."""
+    yhat, shat, sighat, new_state = holt_winters_additive(yobs, p, state)
+    dist = np.asarray(yobs, dtype=np.float64) - yhat
+    sq = shat
+    sv = yhat - shat
+    return dist, sq, sv, sighat, new_state
+
+
+STATE_CHANNEL = "_state"
+
+
+def sqdist_apply(
+    df: DataFrame,
+    params: HWParams,
+    delta_s: float,
+    states: dict[str, str] | None = None,
+    series_cols: Sequence[str] = ("url", "channel"),
+    ts_col: str = "t_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Distributed SqDist: one sequential recurrence per series via grouped
+    Arrow ``applyInPandas``; parallelism across series.
+
+    ``states`` maps series key (series cols joined with '|') to an
+    ``HWState`` JSON from a previous run; continuity (next_start/delta) is
+    enforced exactly like the reference (AlgorithmException analog ->
+    ValueError). Output: per-input-slot rows with channels suffixed
+    ``_Dist/_SQ/_SV/_Sigma`` plus one ``_state`` row per series whose
+    ``state_json`` the caller persists.
+    """
+    series_cols = list(series_cols)
+    delta_us = int(round(delta_s * 1_000_000))
+    states = states or {}
+    schema_prefix = ", ".join(f"{c} string" for c in series_cols)
+    out_schema = (
+        f"{schema_prefix}, {ts_col} long, {value_col} double, state_json string"
+    )
+    chan_idx = series_cols.index("channel") if "channel" in series_cols else None
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        key = "|".join(str(pdf[c].iloc[0]) for c in series_cols)
+        st = HWState.from_json(states[key]) if key in states else None
+        t0 = int(pdf[ts_col].iloc[0])
+        t1 = int(pdf[ts_col].iloc[-1])
+        if st is not None and st.next_start_us is not None:
+            if st.delta_us != delta_us or t0 != st.next_start_us:
+                raise ValueError(
+                    f"Inconsistent SqDist state for {key}: "
+                    f"chunk starts {t0} delta {delta_us}, "
+                    f"state expects {st.next_start_us} delta {st.delta_us}"
+                )
+        # densify to the grid (gaps -> NaN)
+        n = (t1 - t0) // delta_us + 1
+        dense = np.full(n, np.nan)
+        idx = ((pdf[ts_col].to_numpy(np.int64) - t0) // delta_us).astype(np.int64)
+        vals = pdf[value_col].to_numpy(np.float64)
+        dense[idx] = vals
+        dist, sq, sv, sig, new_state = sqdist_decompose(dense, params, st)
+        new_state.next_start_us = t1 + delta_us
+        new_state.delta_us = delta_us
+        ts = t0 + np.arange(n, dtype=np.int64) * delta_us
+        base_ch = pdf["channel"].iloc[0] if chan_idx is not None else "X"
+        frames = []
+        for suffix, arr in (
+            ("_Dist", dist),
+            ("_SQ", sq),
+            ("_SV", sv),
+            ("_Sigma", sig),
+        ):
+            d = {c: pdf[c].iloc[0] for c in series_cols}
+            if chan_idx is not None:
+                d["channel"] = f"{base_ch}{suffix}"
+            frames.append(
+                pd.DataFrame(
+                    {**d, ts_col: ts, value_col: arr, "state_json": None}
+                )
+            )
+        d = {c: pdf[c].iloc[0] for c in series_cols}
+        if chan_idx is not None:
+            d["channel"] = f"{base_ch}{STATE_CHANNEL}"
+        frames.append(
+            pd.DataFrame(
+                {
+                    **d,
+                    ts_col: [t1],
+                    value_col: [np.nan],
+                    "state_json": [new_state.to_json()],
+                }
+            )
+        )
+        return pd.concat(frames, ignore_index=True)
+
+    return df.groupBy(*series_cols).applyInPandas(run, schema=out_schema)
+
+
+def split_state_rows(out: DataFrame, series_cols: Sequence[str] = ("url", "channel")):
+    """Separate data rows from state rows; returns (data_df, {key: json})."""
+    series_cols = list(series_cols)
+    data = out.where(F.col("state_json").isNull()).drop("state_json")
+    st_rows = out.where(F.col("state_json").isNotNull()).collect()
+    states = {}
+    for r in st_rows:
+        key_parts = []
+        for c in series_cols:
+            v = r[c]
+            if c == "channel" and v.endswith(STATE_CHANNEL):
+                v = v[: -len(STATE_CHANNEL)]
+            key_parts.append(str(v))
+        states["|".join(key_parts)] = r.state_json
+    return data, states

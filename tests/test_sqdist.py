@@ -133,9 +133,18 @@ class TestSparkApply:
         rng = np.random.default_rng(4)
         y = (np.sin(np.arange(40) * 2 * np.pi / M) + rng.normal(0, 0.05, 40)).tolist()
         p = HWParams(m=M, alpha=0.1, beta=0.0, gamma=0.2)
-        whole, _ = split_state_rows(sqdist_apply(self.mk(spark, {"u": y}), p, 60.0))
+        # identical explicit initial state for both runs (defaults like
+        # sigma0 = nanvar(chunk) are chunk-dependent)
+        init = {
+            "u|H": HWState(
+                s0=list(S0), l0=0.0, b0=0.0, sigma0=list(SIGMA0)
+            ).to_json()
+        }
+        whole, _ = split_state_rows(
+            sqdist_apply(self.mk(spark, {"u": y}), p, 60.0, states=init)
+        )
         first, st1 = split_state_rows(
-            sqdist_apply(self.mk(spark, {"u": y[:20]}), p, 60.0)
+            sqdist_apply(self.mk(spark, {"u": y[:20]}), p, 60.0, states=init)
         )
         second, _ = split_state_rows(
             sqdist_apply(self.mk(spark, {"u": y[20:]}, offset=20), p, 60.0, states=st1)

@@ -1,0 +1,96 @@
+"""Structured Streaming rollup vs the batch operator (availableNow drain)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from usgs_geomag_algorithms_spark.operators.rollup import rollup_step
+from usgs_geomag_algorithms_spark.sources.pages import BASE_EPOCH, generate_pages
+from usgs_geomag_algorithms_spark.sources.signals import page_signals
+from usgs_geomag_algorithms_spark.streaming.rollup_stream import streaming_rollup_step
+from usgs_geomag_algorithms_spark.tiers import STEPS, US
+
+SEC_MIN, MIN_HOUR = STEPS[1], STEPS[2]
+T0 = BASE_EPOCH * US
+
+
+def drain(stream_out, spark, name):
+    q = (
+        stream_out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+class TestStreamingRollup:
+    def test_fir_minute_matches_batch(self, spark, tmp_path):
+        pages = generate_pages(spark, n_urls=3, hours=0.5, gap_pct=3.0, n_hot=3)
+        path = str(tmp_path / "pages")
+        pages.write.parquet(path)
+
+        sig_batch = page_signals(spark.read.parquet(path), channels=("text_len",))
+        batch = {
+            (r.url, r.t_us): r.value
+            for r in rollup_step(
+                sig_batch, SEC_MIN,
+                range_start_us=T0, range_end_us=T0 + (1800 - 1) * US,
+            ).collect()
+        }
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(path).schema)
+            .parquet(path)
+            .select(
+                "url",
+                F.col("warc_ts").cast("timestamp").alias("event_ts"),
+                F.length("text").cast("double").alias("value"),
+                F.lit("text_len").alias("channel"),
+            )
+        )
+        out = streaming_rollup_step(stream, SEC_MIN, watermark="10 seconds")
+        got = {
+            (r.url, r.t_us): r.value
+            for r in drain(out, spark, "minute_stream").collect()
+        }
+        # every batch-eligible interior minute must match the stream output
+        matched = 0
+        for k, v in batch.items():
+            if k in got and v is not None and got[k] is not None:
+                np.testing.assert_almost_equal(got[k], v, decimal=9)
+                matched += 1
+        assert matched >= len([v for v in batch.values() if v is not None]) * 0.8
+
+    def test_tumbling_hour_matches_batch(self, spark, tmp_path):
+        # minute-tier rows as the stream source
+        rng = np.random.default_rng(17)
+        rows = [
+            ("u", "text_len", T0 + i * 60 * US, float(rng.normal(50, 4)))
+            for i in range(3 * 60)
+        ]
+        df = spark.createDataFrame(
+            rows, schema="url string, channel string, t_us long, value double"
+        )
+        path = str(tmp_path / "minute")
+        df.withColumn("event_ts", F.timestamp_micros("t_us")).write.parquet(path)
+
+        batch = {
+            (r.url, r.t_us): r.value
+            for r in rollup_step(
+                df, MIN_HOUR, range_start_us=T0,
+                range_end_us=T0 + (180 - 1) * 60 * US,
+            ).collect()
+        }
+        stream = (
+            spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+        )
+        out = streaming_rollup_step(stream, MIN_HOUR, watermark="1 minute")
+        got = {
+            (r.url, r.t_us): r.value
+            for r in drain(out, spark, "hour_stream").collect()
+        }
+        assert len(got) >= 2  # last hour may be held back by the watermark
+        for k, v in got.items():
+            np.testing.assert_almost_equal(v, batch[k], decimal=9)

@@ -52,8 +52,8 @@ def _pages_path(sf: float, n_urls: int, hours: float) -> str:
 
 
 def prepare_pages(spark, sf: float):
-    n_urls = max(16, int(2560 * sf))
-    hours = 26.0
+    n_urls = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", max(16, int(2560 * sf))))
+    hours = float(os.environ.get("SPARK_GRAFT_BENCH_HOURS", 26.0))
     path = _pages_path(sf, n_urls, hours)
     if not os.path.exists(path + "/_SUCCESS"):
         generate_pages(
@@ -89,6 +89,15 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_from_dir(sf_dir)
     spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
+
+    if "--cascade-only" in sys.argv:
+        # scaling-evidence mode: run the cascade twice (cold + warm) and
+        # report the warm run — isolates engine throughput from JVM startup
+        spark.range(1000).selectExpr("sum(id)").collect()
+        cold = bench_cascade(spark, sf)
+        warm = bench_cascade(spark, sf)
+        print(json.dumps({"cores": cpus, "sf": sf, "cold": cold, "warm": warm}))
+        return
 
     import __spark_entry__ as entrymod
 

@@ -118,6 +118,55 @@ def merge_gap_intervals(
     )
 
 
+def has_any_channels(
+    df: DataFrame,
+    channels: Sequence[str],
+    range_start_us: int,
+    range_end_us: int,
+    channel_col: str = "channel",
+    ts_col: str = "t_us",
+    value_col: str = "value",
+) -> bool:
+    """True if ANY requested channel has valid data in range — the
+    ``can_produce_data`` gate (ref ``TimeseriesUtility.has_any_channels``
+    :369-401; used by FilterAlgorithm :211-227). A LIMIT-1 probe so the
+    skip-if-empty short circuit never launches a full stage."""
+    v = F.col(value_col)
+    probe = df.where(
+        F.col(channel_col).isin(list(channels))
+        & F.col(ts_col).between(int(range_start_us), int(range_end_us))
+        & v.isNotNull()
+        & ~F.isnan(v)
+    ).limit(1)
+    return len(probe.take(1)) > 0
+
+
+def has_all_channels(
+    df: DataFrame,
+    channels: Sequence[str],
+    range_start_us: int,
+    range_end_us: int,
+    channel_col: str = "channel",
+    ts_col: str = "t_us",
+    value_col: str = "value",
+) -> bool:
+    """True if EVERY requested channel has valid data in range (ref
+    ``has_all_channels`` :339-366): one distinct-channel aggregate."""
+    v = F.col(value_col)
+    present = (
+        df.where(
+            F.col(channel_col).isin(list(channels))
+            & F.col(ts_col).between(int(range_start_us), int(range_end_us))
+            & v.isNotNull()
+            & ~F.isnan(v)
+        )
+        .select(channel_col)
+        .distinct()
+        .collect()
+    )
+    return {r[0] for r in present} >= set(channels)
+
+
 def coverage_metrics(
     df: DataFrame,
     delta_s: float,

@@ -1,0 +1,82 @@
+"""IAGA2002 fixed-width text format: scan + sink shim.
+
+The reference parses/writes IAGA2002 as its golden-file interchange format
+(``geomagio/iaga2002/IAGA2002Parser.py:53-250``, ``IAGA2002Writer.py:26-303``).
+The engine needs it only as a comparison fixture/serving shim, so this is a
+compact subset: 4-channel data blocks, sentinel 99999/88888 -> NULL
+(``IAGA2002Parser.py:7-9,183-184``), 2-decimal fixed-width values.
+
+Scan path is a real Spark plan: ``spark.read.text`` + substring/split
+projections (header lines filtered by prefix) — no Python row loop. The
+writer renders with ``format_string`` and coalesces to one partition (text
+golden files are inherently single-file)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SENTINELS = (99999.0, 99999.99, 88888.0, 88888.88)
+
+
+def write_iaga2002(
+    wide: DataFrame,
+    path: str,
+    station: str = "BOU",
+    channels=("H", "E", "Z", "F"),
+    ts_col: str = "t_us",
+) -> None:
+    """Render a wide 4-channel frame to IAGA2002-style text (one file)."""
+    ts = F.timestamp_micros(F.col(ts_col))
+    vals = [
+        F.format_string(
+            "%10.2f", F.coalesce(F.col(c).cast("double"), F.lit(99999.00))
+        )
+        for c in channels
+    ]
+    header = [
+        " Format                 IAGA-2002                                    |",
+        f" Station                {station}                                          |",
+        "DATE       TIME         DOY     "
+        + "".join(f"{station + c:>10s}" for c in channels)
+        + "   |",
+    ]
+    lines = wide.select(
+        F.concat(
+            F.date_format(ts, "yyyy-MM-dd"),
+            F.lit(" "),
+            F.date_format(ts, "HH:mm:ss.SSS"),
+            F.lit(" "),
+            F.format_string("%3s", F.date_format(ts, "DDD")),
+            F.lit("  "),
+            *vals,
+        ).alias("value"),
+        F.col(ts_col).alias("_t"),
+    ).orderBy("_t").select("value")
+    hdr = lines.sparkSession.createDataFrame(
+        [(h,) for h in header], schema="value string"
+    )
+    hdr.unionByName(lines).coalesce(1).write.mode("overwrite").text(path)
+
+
+def read_iaga2002(
+    spark: SparkSession,
+    path: str,
+    station: str = "BOU",
+    channels=("H", "E", "Z", "F"),
+) -> DataFrame:
+    """Parse IAGA2002-style text back into a wide frame (sentinels->NULL)."""
+    raw = spark.read.text(path)
+    data = raw.where(F.col("value").rlike(r"^\d{4}-\d{2}-\d{2} "))
+    date = F.substring("value", 1, 10)
+    timec = F.substring("value", 12, 12)
+    ts = F.to_timestamp(F.concat(date, F.lit(" "), timec), "yyyy-MM-dd HH:mm:ss.SSS")
+    cols = [F.unix_micros(ts).alias("t_us")]
+    base = 29  # date(10)+sp+time(12)+sp+doy(3)+2sp before the value fields
+    for i, c in enumerate(channels):
+        v = F.trim(F.substring("value", base + i * 10 + 1, 10)).cast("double")
+        cols.append(
+            F.when(v.isin(*[F.lit(s) for s in SENTINELS]), None)
+            .otherwise(v)
+            .alias(c)
+        )
+    return data.select(*cols).withColumn("station", F.lit(station))

@@ -201,6 +201,61 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_fir_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIR downsample with the INTERMAGNET Gaussian-91 window applied as a
+    custom step over the minute signal (in=60s, out=3600s, 91 taps,
+    half-width 2700s): exercises the explode-to-anchor FIR plan — masked
+    dot, renormalization, 10% rule — against an exact SQL oracle."""
+    from usgs_geomag_algorithms_spark.tiers import Step
+    from usgs_geomag_algorithms_spark.functions.windows import gaussian
+
+    step = Step(
+        name="fir-gauss-91-minute",
+        data_interval="hour",
+        input_sample_period=60.0,
+        output_sample_period=3600.0,
+        window=gaussian(91, 15.8734),
+        type="firfilter",
+    )
+    sig = _minute_signal(spark, sf_dir)
+    lo, hi = _bounds(spark, sf_dir)
+    out = rollup_step(
+        sig, step, range_start_us=lo, range_end_us=hi,
+        series_cols=("event_type",),
+    )
+    return out.select("event_type", "t_us", F.round("value", 4).alias("value"))
+
+
+def q_sqdist_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters SQ/SV/Dist decomposition per event_type over the
+    0-filled minute count signal (stateful sequential kernel; rows-only
+    driver check — not SQL-expressible)."""
+    from usgs_geomag_algorithms_spark.operators.sqdist import (
+        HWParams,
+        split_state_rows,
+        sqdist_apply,
+    )
+
+    ev = _events(spark, sf_dir)
+    lo, hi = _bounds(spark, sf_dir)
+    counts = ev.select(
+        "event_type",
+        F.expr(f"(unix_micros(cast(ts as timestamp)) div {MIN_US}) * {MIN_US}").alias("t_us"),
+    ).groupBy("event_type", "t_us").agg(F.count("*").cast("double").alias("value"))
+    padded = pad_to_spine(
+        counts, lo, min(hi, lo + 12 * HOUR_US), 60.0,
+        series_cols=("event_type",), fill_value=0.0,
+    ).withColumn("channel", F.col("event_type"))
+    p = HWParams(m=60, alpha=0.1, beta=0.0, gamma=0.2)
+    out = sqdist_apply(
+        padded, p, delta_s=60.0, series_cols=("event_type", "channel")
+    )
+    data = out.where(F.col("state_json").isNull()).drop("state_json")
+    return data.select(
+        "event_type", "channel", "t_us", F.round("value", 6).alias("value")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hour-tier rollup of the events minute signal at sf0.001."""
     return q_rollup_hour_value(spark, "/root/testdata/sf0.001")
@@ -220,6 +275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
+        "rollup_fir_gaussian": q_rollup_fir_gaussian,
+        "sqdist_decompose": q_sqdist_decompose,
     }
 
 
@@ -359,8 +416,45 @@ FROM documents
 """
     from usgs_geomag_algorithms_spark.webtext_queries import ORACLES as WO
 
+    from usgs_geomag_algorithms_spark.functions.windows import gaussian
+
+    w = gaussian(91, 15.8734)
+    w = w / w.sum()
+    lits = ", ".join(f"{x:.17g}" for x in w)
+    HW = 2_700_000_000
+    OUT = HOUR_US
+    fir_gaussian = f"""
+WITH {_MINUTE_CTE},
+expl AS (
+    SELECT event_type, t_us, v,
+           unnest(generate_series(
+               (t_us - {HW} + {OUT} - 1) // {OUT},
+               (t_us + {HW}) // {OUT})) AS k
+    FROM minute
+),
+tap AS (
+    SELECT event_type, k, v,
+           ((t_us - (k * {OUT} - {HW})) // {MIN_US}) AS tap
+    FROM expl
+),
+wgt AS (
+    SELECT event_type, k, v, ([{lits}])[tap + 1] AS w
+    FROM tap WHERE tap BETWEEN 0 AND 90
+),
+grp AS (
+    SELECT event_type, k,
+           sum(CASE WHEN v IS NOT NULL THEN w * v END) AS vsum,
+           sum(CASE WHEN v IS NOT NULL THEN w END) AS ws
+    FROM wgt GROUP BY 1, 2
+)
+SELECT event_type, k * {OUT} AS t_us,
+       CASE WHEN ws >= 0.9 - 1e-9 THEN round(vsum / ws, 4) END AS value
+FROM grp, bounds
+WHERE k * {OUT} - {HW} >= lo_us AND k * {OUT} + {HW} <= hi_us
+"""
     return {
         **WO,
+        "rollup_fir_gaussian": fir_gaussian,
         "rollup_hour_value": hour_value,
         "rollup_day_value": day_value,
         "rollup_hour_count": hour_count,

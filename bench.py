@@ -48,7 +48,7 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 def _pages_path(sf: float, n_urls: int, hours: float) -> str:
-    return f"/tmp/spark_graft_bench/pages_sf{sf}_u{n_urls}_h{hours}"
+    return f"/tmp/spark_graft_bench/pages_v2_sf{sf}_u{n_urls}_h{hours}"
 
 
 def prepare_pages(spark, sf: float):
@@ -56,13 +56,26 @@ def prepare_pages(spark, sf: float):
     hours = float(os.environ.get("SPARK_GRAFT_BENCH_HOURS", 26.0))
     path = _pages_path(sf, n_urls, hours)
     if not os.path.exists(path + "/_SUCCESS"):
-        generate_pages(
-            spark, n_urls=n_urls, hours=hours, gap_pct=4.0
-        ).write.mode("overwrite").parquet(path)
+        # url-hash-clustered layout (the Iceberg bucket(url) spec): each
+        # file holds complete url series, sorted by (url, warc_ts). This is
+        # load-bearing: scattering a url across files makes every map-side
+        # partial-agg hash map hold nearly ALL groups (measured 10x slower).
+        n_files = max(64, (os.cpu_count() or 32) * 4)
+        (
+            generate_pages(spark, n_urls=n_urls, hours=hours, gap_pct=4.0)
+            .repartition(n_files, "url")
+            .sortWithinPartitions("url", "warc_ts")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
     return path, hours
 
 
 def bench_cascade(spark, sf: float) -> dict:
+    # drop any persisted frames from a previous run in this JVM — Spark's
+    # CacheManager matches canonicalized plans, so a repeat run would
+    # silently reuse the previous run's materialized minute tier
+    spark.catalog.clearCache()
     path, hours = prepare_pages(spark, sf)
     pages = spark.read.parquet(path)
     # claim the fir-widened scan range (reference pad semantics) so the

@@ -1,0 +1,80 @@
+"""spark-submit entry point for the rollup pipeline (the Controller/
+``geomag.py`` CLI analog, re-imagined for cluster runs).
+
+    spark-submit --py-files usgs_geomag_algorithms_spark.zip \
+        jobs/run_cascade.py --pages /data/pages --store /data/tiers \
+        --start 2020-01-06T00:00:00 --end 2020-01-07T00:00:00 \
+        [--mode build|update] [--update-limit 1] [--retention-now <iso>]
+
+Modes mirror the reference: ``build`` = bulk backfill (Controller.run),
+``update`` = gap-driven incremental refresh (Controller.run_as_update),
+plus retention partition drops.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from datetime import datetime, timezone
+
+# allow running as a plain script (spark-submit ships the package via
+# --py-files; local runs resolve it from the repo root)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+def iso_to_us(s: str) -> int:
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1_000_000)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pages", required=False, help="pages parquet/table path")
+    ap.add_argument("--store", required=True, help="tier store root")
+    ap.add_argument("--start", required=True)
+    ap.add_argument("--end", required=True)
+    ap.add_argument("--mode", choices=["build", "update"], default="build")
+    ap.add_argument("--channels", nargs="*", default=["text_len", "lang_en"])
+    ap.add_argument("--update-limit", type=int, default=1)
+    ap.add_argument("--n-buckets", type=int, default=16)
+    ap.add_argument("--retention-now", default=None)
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args(argv)
+
+    from usgs_geomag_algorithms_spark.plans import pipeline
+    from usgs_geomag_algorithms_spark.sources.store import TierStore
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    store = TierStore(spark, args.store, n_buckets=args.n_buckets)
+    start_us, end_us = iso_to_us(args.start), iso_to_us(args.end)
+
+    if args.mode == "build":
+        if not args.pages:
+            ap.error("--pages required in build mode")
+        pages = spark.read.parquet(args.pages)
+        metrics = pipeline.build_tiers(
+            pages, store, start_us, end_us,
+            channels=tuple(args.channels), run_id=args.run_id,
+        )
+    else:
+        metrics = pipeline.update_tiers(
+            store, start_us, end_us,
+            update_limit=args.update_limit, run_id=args.run_id,
+        )
+    if args.retention_now:
+        metrics["retention_dropped"] = pipeline.apply_retention(
+            store, iso_to_us(args.retention_now)
+        )
+    print(json.dumps(metrics, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,58 @@
+"""End-to-end pipeline + spark-submit CLI entry point."""
+
+import json
+import subprocess
+import sys
+
+from usgs_geomag_algorithms_spark.plans import pipeline
+from usgs_geomag_algorithms_spark.sources.pages import BASE_EPOCH, generate_pages
+from usgs_geomag_algorithms_spark.sources.store import TierStore
+from usgs_geomag_algorithms_spark.tiers import US
+
+T0 = BASE_EPOCH * US
+
+
+class TestPipeline:
+    def test_build_update_retention(self, spark, tmp_path):
+        pages = generate_pages(spark, n_urls=3, hours=3.0, gap_pct=3.0, n_hot=3)
+        store = TierStore(spark, str(tmp_path / "tiers"), n_buckets=4)
+        m = pipeline.build_tiers(
+            pages, store, T0 - 45 * US, T0 + (3 * 3600 - 1) * US,
+            channels=("text_len",),
+        )
+        assert m["tiers"]["minute"] > 0
+        assert m["tiers"]["hour"] == 3 * 3  # 3 urls x 3 hours
+        # lineage recorded per tier
+        assert len(store.read_lineage("hour")) >= 1
+
+        # update mode: no gaps -> nothing recomputed, idempotent
+        hour_stamp = T0 + (29 * 60 + 30) * US
+        u = pipeline.update_tiers(
+            store, hour_stamp, hour_stamp + 2 * 3600 * US
+        )
+        assert u["hour"]["gaps_filled"] == 0
+
+        dropped = pipeline.apply_retention(
+            store, T0 + 400 * 365 * 86400 * US,
+            retention_us={"minute": 86400 * US},
+        )
+        assert dropped["minute"]  # everything older than a day dropped
+
+    def test_cli_build(self, spark, tmp_path):
+        pages = generate_pages(spark, n_urls=2, hours=1.0, n_hot=2)
+        pages_path = str(tmp_path / "pages")
+        pages.write.parquet(pages_path)
+        out = subprocess.run(
+            [
+                sys.executable, "jobs/run_cascade.py",
+                "--pages", pages_path,
+                "--store", str(tmp_path / "tiers"),
+                "--start", "2020-01-06T00:00:00",
+                "--end", "2020-01-06T00:59:59",
+                "--channels", "text_len",
+            ],
+            capture_output=True, text=True, timeout=600, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        metrics = json.loads(out.stdout.strip().splitlines()[-1])
+        assert metrics["tiers"]["minute"] > 0

@@ -1,0 +1,103 @@
+"""End-to-end tier pipeline: pages table -> signal extraction -> materialized
+rollup tiers in a TierStore, with lineage, metrics, and retention.
+
+The production-shaped composition of the engine (the reference's
+``Controller`` + ``geomag-filter`` cron cascade,
+``geomagio/Controller.py:236-324``, ``geomagio/processing/filters.py``):
+
+- bulk build (``build_tiers``): one pass — extract signals, run the cascade,
+  write every tier partition-clustered, record lineage
+- incremental (``update_tiers``): per-tier ``run_as_update`` gap refresh
+  (plans/refresh.py), resumable via slot checkpoints
+- retention (``apply_retention``): per-tier partition-drop cutoffs
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+
+from .. import tiers
+from ..operators.cascade import run_tiers
+from ..sources.signals import page_signals
+from ..sources.store import TierStore
+from . import refresh
+
+#: default retention horizon per tier, microseconds (coarser tiers live longer)
+DEFAULT_RETENTION_US = {
+    "second": 7 * 86400 * 1_000_000,
+    "minute": 90 * 86400 * 1_000_000,
+    "hour": 2 * 365 * 86400 * 1_000_000,
+    "day": 20 * 365 * 86400 * 1_000_000,
+}
+
+
+def build_tiers(
+    pages: DataFrame,
+    store: TierStore,
+    scan_start_us: int,
+    scan_end_us: int,
+    channels=("text_len", "lang_en"),
+    input_sample_period: float = 1.0,
+    run_id: str | None = None,
+) -> dict:
+    """Bulk-build every tier from a pages frame; returns metrics."""
+    run_id = run_id or f"build-{int(time.time() * 1000)}"
+    sig = page_signals(pages, channels=channels)
+    tierframes = run_tiers(sig, input_sample_period, scan_start_us, scan_end_us)
+    metrics = {"run_id": run_id, "tiers": {}}
+    for name, df in tierframes.items():
+        store.write(df, name)
+        n = store.read(name).count()
+        metrics["tiers"][name] = n
+        store.append_lineage(
+            name,
+            [
+                {
+                    "run_id": run_id,
+                    "tier": name,
+                    "input_start_us": scan_start_us,
+                    "input_end_us": scan_end_us,
+                    "rows": n,
+                    "ts": time.time(),
+                }
+            ],
+        )
+    return metrics
+
+
+def update_tiers(
+    store: TierStore,
+    start_us: int,
+    end_us: int,
+    update_limit: int = 1,
+    run_id: str | None = None,
+) -> dict:
+    """Incrementally refresh hour+day tiers from the minute tier."""
+    out = {}
+    for step in tiers.STEPS:
+        if step.type != "average":
+            continue
+        out[step.data_interval] = refresh.run_as_update(
+            store,
+            "minute",
+            step.data_interval,
+            step,
+            start_us,
+            end_us,
+            update_limit=update_limit,
+            run_id=run_id,
+        )
+    return out
+
+
+def apply_retention(
+    store: TierStore, now_us: int, retention_us: dict | None = None
+) -> dict:
+    retention_us = retention_us or DEFAULT_RETENTION_US
+    dropped = {}
+    for tier, keep in retention_us.items():
+        if store.exists(tier):
+            dropped[tier] = store.expire_before(tier, now_us - keep)
+    return dropped

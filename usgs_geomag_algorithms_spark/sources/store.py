@@ -105,13 +105,31 @@ class TierStore:
     def exists(self, tier: str) -> bool:
         return os.path.exists(self.path(tier))
 
+    def _schema(self) -> str:
+        cols = ", ".join(f"{c} string" for c in self.series_cols)
+        return f"{cols}, t_us long, value double"
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], schema=self._schema())
+
     def read(
         self,
         tier: str,
         start_us: int | None = None,
         end_us: int | None = None,
     ) -> DataFrame:
-        df = self.spark.read.parquet(self.path(tier))
+        base = self.path(tier)
+        # a tier written from an empty frame has no data files; reads must
+        # still succeed with the fixed schema
+        has_data = any(
+            True
+            for root, _dirs, files in os.walk(base)
+            for f in files
+            if f.endswith(".parquet")
+        ) if os.path.exists(base) else False
+        if not has_data:
+            return self._empty()
+        df = self.spark.read.parquet(base)
         if start_us is not None:
             # partition-pruning predicate on p_date plus the exact t_us range
             d0 = time.strftime("%Y-%m-%d", time.gmtime(start_us // US))

@@ -1,0 +1,101 @@
+"""Small operators completing the SURVEY §2 inventory.
+
+- calculated channels: derived = Σ(component*scale + offset) — the
+  volt/bin -> nT conversion (``geomagio/edge/MiniSeedFactory.py:231-299``)
+- instrument-metadata interval join: per-time-range config applied to rows
+  (``MiniSeedFactory.py:417-448``) as a broadcast range join
+- channel renames in flight (``geomagio/Controller.py:116-137``)
+- point lookup ``value_at`` (``TimeseriesUtility.get_trace_value:312-336``)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def calculated_channel(
+    wide: DataFrame,
+    out_channel: str,
+    components: Sequence[Mapping],
+) -> DataFrame:
+    """derived = Σ (channel * scale + offset) over component dicts like
+    ``{"channel": "U_Volt", "scale": 100, "offset": 0}`` (the reference's
+    volt/bin metadata shape)."""
+    expr = None
+    for comp in components:
+        term = F.col(comp["channel"]) * F.lit(float(comp.get("scale", 1.0))) + F.lit(
+            float(comp.get("offset", 0.0))
+        )
+        expr = term if expr is None else expr + term
+    return wide.withColumn(out_channel, expr)
+
+
+def apply_instrument_metadata(
+    df: DataFrame,
+    meta: DataFrame,
+    on: str = "url",
+    ts_col: str = "t_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Join per-time-range instrument config (scale/offset) onto fact rows:
+    ``meta(on, start_us, end_us, scale, offset)`` is small — broadcast range
+    join, no shuffle of the fact side."""
+    m = F.broadcast(
+        meta.select(
+            F.col(on).alias("_m_key"),
+            "start_us",
+            "end_us",
+            "scale",
+            "offset",
+        )
+    )
+    joined = df.join(
+        m,
+        (df[on] == F.col("_m_key"))
+        & (F.col(ts_col) >= F.col("start_us"))
+        & (F.col(ts_col) <= F.col("end_us")),
+        "left",
+    )
+    return joined.select(
+        *[c for c in df.columns if c != value_col],
+        (
+            F.col(value_col) * F.coalesce(F.col("scale"), F.lit(1.0))
+            + F.coalesce(F.col("offset"), F.lit(0.0))
+        ).alias(value_col),
+    )
+
+
+def rename_channels(
+    df: DataFrame, renames: Mapping[str, str], channel_col: str = "channel"
+) -> DataFrame:
+    """In-flight channel renames (input or output side)."""
+    mapping = F.create_map(*[F.lit(x) for kv in renames.items() for x in kv])
+    return df.withColumn(
+        channel_col, F.coalesce(mapping[F.col(channel_col)], F.col(channel_col))
+    )
+
+
+def value_at(
+    df: DataFrame,
+    t_us: int,
+    series_cols: Sequence[str] = ("url", "channel"),
+    ts_col: str = "t_us",
+    value_col: str = "value",
+    exact: bool = True,
+) -> DataFrame:
+    """Value at a timestamp per series: exact-slot filter, or the as-of
+    (latest at-or-before) lookup via one ordered window when ``exact=False``."""
+    series_cols = list(series_cols)
+    if exact:
+        return df.where(F.col(ts_col) == int(t_us)).select(
+            *series_cols, ts_col, value_col
+        )
+    w = Window.partitionBy(*series_cols).orderBy(F.col(ts_col).desc())
+    return (
+        df.where(F.col(ts_col) <= int(t_us))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -174,3 +174,24 @@ class TestSparkApply:
         bad = self.mk(spark, {"u": y})  # starts at T0 again, not next_start
         with pytest.raises(Exception, match="Inconsistent SqDist state"):
             sqdist_apply(bad, p, 60.0, states=st).collect()
+
+
+class TestEstimateParameters:
+    def test_fit_improves_rmse(self):
+        from usgs_geomag_algorithms_spark.operators.sqdist import (
+            estimate_parameters,
+            holt_winters_additive,
+        )
+
+        rng = np.random.default_rng(44)
+        n = 240
+        season = np.tile(np.sin(np.linspace(0, 2 * np.pi, M + 1)[:-1]), n // M)
+        y = 10 + season * 3 + rng.normal(0, 0.1, n)
+        a, b, g, rmse_fit = estimate_parameters(y, m=M)
+        assert 0.0 <= a <= 1.0 and 0.0 <= b <= 1.0 and 0.0 <= g <= 1.0
+        # fitted params beat a deliberately bad configuration
+        p_bad = HWParams(m=M, alpha=0.999, beta=0.999, gamma=0.0)
+        yhat, _, _, _ = holt_winters_additive(y, p_bad)
+        e = (y - yhat)[~np.isnan(y - yhat)]
+        rmse_bad = np.sqrt(np.mean(e * e))
+        assert rmse_fit < rmse_bad

@@ -210,6 +210,66 @@ def sqdist_decompose(yobs: np.ndarray, p: HWParams, state: HWState | None = None
     return dist, sq, sv, sighat, new_state
 
 
+def estimate_parameters(
+    yobs: np.ndarray,
+    m: int,
+    alpha0: float = 0.3,
+    beta0: float = 0.1,
+    gamma0: float = 0.3,
+    max_iter: int = 120,
+) -> tuple[float, float, float, float]:
+    """Fit (alpha, beta, gamma) by minimizing the RMSE of one-step-ahead
+    errors of the recurrence — the reference fits the same objective with
+    scipy L-BFGS-B (``SqDistAlgorithm.estimate_parameters``, :613-744);
+    scipy is unavailable here, so this uses a bounded Nelder-Mead simplex
+    (NumPy-only). Runs driver-side (or per-series in a pandas UDF) on a
+    sampled chunk; parameters then broadcast to the distributed operator.
+
+    Returns (alpha, beta, gamma, rmse)."""
+    y = np.asarray(yobs, dtype=np.float64)
+
+    def rmse(v):
+        a, b, g = (float(np.clip(x, 0.0, 1.0)) for x in v)
+        p = HWParams(m=m, alpha=a, beta=b, gamma=g)
+        yhat, _, _, _ = holt_winters_additive(y, p)
+        e = y - yhat
+        e = e[~np.isnan(e)]
+        return float(np.sqrt(np.mean(e * e))) if e.size else np.inf
+
+    # standard Nelder-Mead (reflect/expand/contract/shrink)
+    pts = [np.array([alpha0, beta0, gamma0])]
+    for i in range(3):
+        q = pts[0].copy()
+        q[i] = min(1.0, q[i] + 0.2)
+        pts.append(q)
+    vals = [rmse(p) for p in pts]
+    for _ in range(max_iter):
+        order = np.argsort(vals)
+        pts = [pts[i] for i in order]
+        vals = [vals[i] for i in order]
+        centroid = np.mean(pts[:-1], axis=0)
+        refl = centroid + (centroid - pts[-1])
+        fr = rmse(refl)
+        if fr < vals[0]:
+            exp = centroid + 2 * (centroid - pts[-1])
+            fe = rmse(exp)
+            pts[-1], vals[-1] = (exp, fe) if fe < fr else (refl, fr)
+        elif fr < vals[-2]:
+            pts[-1], vals[-1] = refl, fr
+        else:
+            contr = centroid + 0.5 * (pts[-1] - centroid)
+            fc = rmse(contr)
+            if fc < vals[-1]:
+                pts[-1], vals[-1] = contr, fc
+            else:
+                pts = [pts[0]] + [pts[0] + 0.5 * (p - pts[0]) for p in pts[1:]]
+                vals = [vals[0]] + [rmse(p) for p in pts[1:]]
+        if np.max(np.abs(np.array(vals) - vals[0])) < 1e-10:
+            break
+    best = np.clip(pts[int(np.argmin(vals))], 0.0, 1.0)
+    return float(best[0]), float(best[1]), float(best[2]), float(min(vals))
+
+
 STATE_CHANNEL = "_state"
 
 

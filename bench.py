@@ -30,11 +30,15 @@ from usgs_geomag_algorithms_spark.tiers import US  # noqa: E402
 BENCH_QUERIES = [
     "rollup_hour_value",
     "rollup_hour_count",
+    "rollup_fir_gaussian",
     "dbdt_minute",
     "average_across_types",
     "gap_detect_minute",
     "q1_pricing_summary",
     "dedup_exact",
+    "minhash_signature",
+    "simhash",
+    "knn_cosine",
     "text_quality",
 ]
 

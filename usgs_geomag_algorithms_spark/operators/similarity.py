@@ -65,6 +65,37 @@ def cosine_topk(
     )
 
 
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine) with
+    cosine >= threshold. ``n_planes=0`` is the exact all-pairs baseline
+    (test scale); ``n_planes>0`` restricts candidates to shared hyperplane
+    buckets — the 100 TB path where the join is bucket-local."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if n_planes > 0:
+        ba = hyperplane_bucket(corpus, n_planes, id_col, vec_col, seed).select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+        )
+        bb = hyperplane_bucket(corpus, n_planes, id_col, vec_col, seed).select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+        )
+        joined = ba.join(bb, on="bucket").where(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    sim = _dot("va", "vb") / (_norm("va") * _norm("vb"))
+    return (
+        joined.select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def hyperplane_bucket(
     df: DataFrame,
     n_planes: int = 8,

@@ -70,6 +70,16 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=KNN_K, n_planes=4)
 
 
+NEAR_DUP_THRESHOLD = 0.4
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline)."""
+    return S.embedding_near_dups(
+        _emb(spark, sf_dir), threshold=NEAR_DUP_THRESHOLD
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_count(_docs(spark, sf_dir))
 
@@ -188,6 +198,27 @@ SELECT q_id, n_id, cosine, rank::INT AS rank FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+def _near_dup_sql() -> str:
+    return f"""
+WITH e AS (
+    SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+dots AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+    FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM e GROUP BY 1)
+SELECT d.id_a, d.id_b, round(d.dot / (na.n * nb.n), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.id_a
+JOIN norms nb ON nb.vec_id = d.id_b
+WHERE round(d.dot / (na.n * nb.n), 6) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
 def _occ(word: str) -> str:
     needle = f" {word} "
     return (
@@ -290,6 +321,7 @@ QUERIES = {
     "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
     "knn_cosine": q_knn_cosine,
     "knn_lsh": q_knn_lsh,
+    "embedding_near_dups": q_embedding_near_dups,
     "token_count": q_token_count,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -301,6 +333,7 @@ ORACLES = {
     "simhash": _simhash_sql(),
     "ngram_jaccard_adjacent": _jaccard_sql(),
     "knn_cosine": _knn_sql(),
+    "embedding_near_dups": _near_dup_sql(),
     "token_count": _token_count_sql(),
     "lang_id": _lang_id_sql(),
     "quality_score": _quality_sql(),

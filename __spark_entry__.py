@@ -35,6 +35,10 @@ HOUR_US = 3_600_000_000
 
 # ---------------------------------------------------------------- helpers
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.ts is TIMESTAMP_NTZ; the cast to TIMESTAMP (for unix_micros)
+    # interprets wall time in the SESSION timezone — pin UTC so epochs match
+    # the DuckDB oracle regardless of the harness session's zone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 

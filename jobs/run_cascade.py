@@ -53,7 +53,10 @@ def main(argv=None) -> int:
     spark = SparkSession.builder.getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     store = TierStore(spark, args.store, n_buckets=args.n_buckets)
-    start_us, end_us = iso_to_us(args.start), iso_to_us(args.end)
+    try:
+        start_us, end_us = iso_to_us(args.start), iso_to_us(args.end)
+    except ValueError as e:
+        ap.error(f"--start/--end must be ISO timestamps: {e}")
 
     if args.mode == "build":
         if not args.pages:

@@ -151,6 +151,39 @@ def q_gap_detect_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "gap_start_us", "gap_end_us", "next_valid_us")
 
 
+def q_coverage_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-missing per series over the grid (the reference's monitor
+    gap metrics, geomagio/processing/monitor.py)."""
+    from usgs_geomag_algorithms_spark.operators.gaps import coverage_metrics
+
+    sig = _minute_signal(spark, sf_dir)
+    lo, hi = _bounds(spark, sf_dir)
+    out = coverage_metrics(sig, 60.0, lo, hi, series_cols=("event_type",))
+    return out.select(
+        "event_type",
+        F.col("n_valid").cast("long").alias("n_valid"),
+        F.col("n_slots").cast("long").alias("n_slots"),
+        F.round("pct_missing", 4).alias("pct_missing"),
+    )
+
+
+def q_merged_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series merged gap intervals (get_merged_gaps analog)."""
+    from usgs_geomag_algorithms_spark.operators.gaps import (
+        detect_gaps,
+        merge_gap_intervals,
+    )
+
+    sig = _minute_signal(spark, sf_dir)
+    lo, hi = _bounds(spark, sf_dir)
+    gaps = detect_gaps(sig, 60.0, lo, hi, series_cols=("event_type",)).drop(
+        "event_type"
+    )
+    return merge_gap_intervals(gaps).select(
+        "gap_start_us", "gap_end_us", "next_valid_us"
+    )
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style relational sanity over lineitem."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -281,6 +314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "rollup_fir_gaussian": q_rollup_fir_gaussian,
         "sqdist_decompose": q_sqdist_decompose,
+        "coverage_monitor": q_coverage_monitor,
+        "merged_gaps": q_merged_gaps,
     }
 
 
@@ -393,6 +428,64 @@ SELECT * FROM interior
 UNION ALL SELECT * FROM lead_gap
 UNION ALL SELECT * FROM trail_gap
 """
+    coverage_monitor = f"""
+WITH {_MINUTE_CTE}
+SELECT event_type,
+       count(v) AS n_valid,
+       (SELECT (hi_us - lo_us) // {MIN_US} + 1 FROM bounds) AS n_slots,
+       round(100.0 * ((SELECT (hi_us - lo_us) // {MIN_US} + 1 FROM bounds) - count(v))
+             / (SELECT (hi_us - lo_us) // {MIN_US} + 1 FROM bounds), 4) AS pct_missing
+FROM minute GROUP BY event_type
+"""
+    merged_gaps = f"""
+WITH {_MINUTE_CTE},
+v AS (
+    SELECT event_type, t_us,
+           lag(t_us) OVER (PARTITION BY event_type ORDER BY t_us) AS prev
+    FROM minute
+),
+interior AS (
+    SELECT prev + {MIN_US} AS gap_start_us, t_us - {MIN_US} AS gap_end_us,
+           t_us AS next_valid_us
+    FROM v WHERE prev IS NOT NULL AND t_us - prev > {MIN_US}
+),
+edges AS (SELECT event_type, min(t_us) AS f, max(t_us) AS l FROM minute GROUP BY 1),
+lead_gap AS (
+    SELECT lo_us AS gap_start_us, f - {MIN_US} AS gap_end_us, f AS next_valid_us
+    FROM edges, bounds WHERE f > lo_us
+),
+trail_gap AS (
+    SELECT l + {MIN_US} AS gap_start_us, hi_us AS gap_end_us,
+           hi_us + {MIN_US} AS next_valid_us
+    FROM edges, bounds WHERE l < hi_us
+),
+gaps AS (
+    SELECT * FROM interior UNION ALL SELECT * FROM lead_gap
+    UNION ALL SELECT * FROM trail_gap
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN max(next_valid_us) OVER (
+                    ORDER BY gap_start_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                OR gap_start_us > max(next_valid_us) OVER (
+                    ORDER BY gap_start_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                )
+           THEN 1 ELSE 0 END AS new_run
+    FROM gaps
+),
+runs AS (
+    SELECT *, sum(new_run) OVER (
+        ORDER BY gap_start_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS run
+    FROM flagged
+)
+SELECT min(gap_start_us) AS gap_start_us, max(gap_end_us) AS gap_end_us,
+       max(next_valid_us) AS next_valid_us
+FROM runs GROUP BY run
+"""
     q1 = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
@@ -468,4 +561,6 @@ WHERE k * {OUT} - {HW} >= lo_us AND k * {OUT} + {HW} <= hi_us
         "q1_pricing_summary": q1,
         "dedup_exact": dedup_exact,
         "text_quality": text_quality,
+        "coverage_monitor": coverage_monitor,
+        "merged_gaps": merged_gaps,
     }

@@ -99,6 +99,34 @@ class TestGaps:
             (T0 + 5 * MIN, T0 + 7 * MIN),
         ]
 
+    def test_global_merge_two_phase_parity(self, spark):
+        # The global (no group key) merge runs two-phase (bucketed window +
+        # boundary pass). Its output must equal a naive single-window merge
+        # on adversarial inputs: chains spanning many buckets, equality
+        # touches (start == prev next_valid merges), and isolated intervals.
+        import random
+
+        from usgs_geomag_algorithms_spark.operators.gaps import _merge_runs
+
+        rng = random.Random(7)
+        B = 1000  # small bucket to force many boundary crossings
+        rows = []
+        t = 0
+        for _ in range(300):
+            t += rng.randint(1, 900)
+            length = rng.randint(0, 2500)  # many spans > bucket
+            nv = t + length + rng.choice([1, 1, 60])
+            rows.append((t, t + length, nv))
+            if rng.random() < 0.3:
+                t = nv  # next interval starts exactly at next_valid -> merges
+        df = spark.createDataFrame(
+            rows, "gap_start_us long, gap_end_us long, next_valid_us long"
+        )
+        fast = sorted(map(tuple, merge_gap_intervals(df, bucket_us=B).collect()))
+        naive = sorted(map(tuple, _merge_runs(df, []).collect()))
+        assert fast == naive
+        assert len(fast) < len(rows)  # merging actually happened
+
     def test_coverage_metrics(self, spark):
         df = mk(spark, series("u", "H", [1, None, 1, None, 1, 1, 1, 1, 1, 1]))
         m = coverage_metrics(df, 60.0, T0, T0 + 9 * MIN).collect()[0]

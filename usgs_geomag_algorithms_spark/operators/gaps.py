@@ -80,24 +80,16 @@ def detect_gaps(
     return interior.unionByName(lead).unionByName(trail)
 
 
-def merge_gap_intervals(
-    gaps: DataFrame,
-    group_cols: Sequence[str] = (),
-) -> DataFrame:
-    """Merge overlapping/adjacent gap intervals across series (the analog of
-    ``get_merged_gaps``, TimeseriesUtility.py:249-290: intervals merge when
-    the next gap starts at/before the current gap's next_valid sample).
-
-    Classic interval-merge plan: order by start, runs split where start >
-    cumulative max of previous ``next_valid``; group id via running sum.
-    """
-    group_cols = list(group_cols)
-    w = Window.partitionBy(*group_cols).orderBy("gap_start_us") if group_cols else Window.orderBy("gap_start_us")
+def _merge_runs(gaps: DataFrame, part_cols: Sequence[str]) -> DataFrame:
+    """One interval-merge pass: within each partition key, order by start and
+    split runs where start > cumulative max of previous ``next_valid``."""
+    part_cols = list(part_cols)
+    w = Window.partitionBy(*part_cols).orderBy("gap_start_us") if part_cols else Window.orderBy("gap_start_us")
     prev_max_next = F.max("next_valid_us").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
     flagged = gaps.select(
-        *group_cols,
+        *part_cols,
         "gap_start_us",
         "gap_end_us",
         "next_valid_us",
@@ -108,7 +100,7 @@ def merge_gap_intervals(
         .alias("_new_run"),
     ).withColumn("_run", F.sum("_new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)))
     return (
-        flagged.groupBy(*group_cols, "_run")
+        flagged.groupBy(*part_cols, "_run")
         .agg(
             F.min("gap_start_us").alias("gap_start_us"),
             F.max("gap_end_us").alias("gap_end_us"),
@@ -116,6 +108,58 @@ def merge_gap_intervals(
         )
         .drop("_run")
     )
+
+
+def merge_gap_intervals(
+    gaps: DataFrame,
+    group_cols: Sequence[str] = (),
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Merge overlapping/adjacent gap intervals across series (the analog of
+    ``get_merged_gaps``, TimeseriesUtility.py:249-290: intervals merge when
+    the next gap starts at/before the current gap's next_valid sample).
+
+    With ``group_cols`` the window is partitioned by the group key and
+    parallelism follows group cardinality. The global case (no group key)
+    cannot use one unpartitioned window at 100 TB, so it runs two-phase:
+
+    1. bucket intervals by ``floor(gap_start / bucket_us)`` and merge within
+       each bucket (partitioned window — fully parallel);
+    2. an in-bucket-merged interval is *final* iff nothing can still merge
+       with it across buckets: no earlier bucket reaches its start
+       (prefix-max of per-bucket max ``next_valid`` over bucket ids — a
+       #buckets-row aggregate) and its own ``next_valid`` stays inside its
+       bucket. Only the non-final remainder — boundary-spanning chains,
+       normally a tiny fraction — takes the single-partition merge pass.
+
+    Output is identical to a single global merge (parity-tested).
+    """
+    group_cols = list(group_cols)
+    if group_cols:
+        return _merge_runs(gaps, group_cols)
+
+    cols = ["gap_start_us", "gap_end_us", "next_valid_us"]
+    bucketed = gaps.select(
+        F.floor(F.col("gap_start_us") / F.lit(int(bucket_us))).alias("_b"), *cols
+    )
+    phase1 = _merge_runs(bucketed, ["_b"])
+
+    # Per-bucket reach: the farthest next_valid any earlier bucket attains.
+    # #buckets rows — the unpartitioned window here is over a tiny frame.
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    reach = (
+        phase1.groupBy("_b")
+        .agg(F.max("next_valid_us").alias("_max_nv"))
+        .select("_b", F.max("_max_nv").over(wb).alias("_reach_left"))
+    )
+    joined = phase1.join(F.broadcast(reach), "_b", "left")
+    final_cond = (
+        (F.col("_reach_left").isNull() | (F.col("gap_start_us") > F.col("_reach_left")))
+        & (F.col("next_valid_us") < (F.col("_b") + 1) * F.lit(int(bucket_us)))
+    )
+    final = joined.where(final_cond).select(*cols)
+    spanning = joined.where(~final_cond).select(*cols)
+    return final.unionByName(_merge_runs(spanning, []))
 
 
 def has_any_channels(

@@ -106,6 +106,62 @@ class TestSimilarity:
             assert buckets[r.q_id] == buckets[r.n_id]
 
 
+class TestIvf:
+    def _clustered(self, spark, rng, n_clusters=4, per=25, dim=16):
+        # well-separated gaussian clusters so IVF cells are meaningful
+        centers = rng.normal(size=(n_clusters, dim)) * 10
+        vecs = np.concatenate(
+            [c + rng.normal(size=(per, dim)) for c in centers]
+        ).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            schema="vec_id long, embedding array<float>",
+        )
+        return df, vecs
+
+    def test_assign_is_nearest_cell(self, spark):
+        rng = np.random.default_rng(11)
+        df, vecs = self._clustered(spark, rng)
+        cents = S.train_ivf_centroids(df, n_centroids=4, sample_n=100, seed=3)
+        got = {r.vec_id: r.cell for r in S.ivf_assign(df, cents).collect()}
+        c = np.asarray(cents)
+        vd = vecs.astype(np.float64)
+        sims = (vd / np.linalg.norm(vd, axis=1, keepdims=True)) @ (
+            c / np.linalg.norm(c, axis=1, keepdims=True)
+        ).T
+        for i in range(len(vecs)):
+            assert got[i] == int(np.argmax(sims[i]))
+
+    def test_ivf_recall_vs_bruteforce(self, spark):
+        rng = np.random.default_rng(12)
+        df, _ = self._clustered(spark, rng)
+        q = df.where(F.col("vec_id") % 25 == 0)  # one query per cluster
+        exact = {
+            (r.q_id, r.n_id) for r in S.cosine_topk(df, q, k=5).collect()
+        }
+        approx = {
+            (r.q_id, r.n_id)
+            for r in S.ivf_topk(df, q, k=5, n_centroids=4, n_probe=2).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9  # separated clusters: probing 2/4 cells suffices
+
+    def test_n_probe_widens_candidates(self, spark):
+        rng = np.random.default_rng(13)
+        df, _ = self._clustered(spark, rng)
+        cents = S.train_ivf_centroids(df, n_centroids=4, sample_n=100)
+        one = S.ivf_assign(df, cents, n_probe=1).count()
+        two = S.ivf_assign(df, cents, n_probe=2).count()
+        assert one == 100 and two == 200
+
+    def test_determinism(self, spark):
+        rng = np.random.default_rng(14)
+        df, _ = self._clustered(spark, rng)
+        a = S.train_ivf_centroids(df, n_centroids=4, sample_n=64, seed=9)
+        b = S.train_ivf_centroids(df, n_centroids=4, sample_n=64, seed=9)
+        assert a == b
+
+
 class TestTextOps:
     def test_token_count(self, spark):
         df = docs_df(spark, ["one two three", "single"])

@@ -118,6 +118,131 @@ def hyperplane_bucket(
     return df.select(id_col, vec_col, bucket.cast("long").alias("bucket"))
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    sample_n: int = 4096,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train IVF coarse centroids with Lloyd's k-means on a driver-side
+    sample. The sample stays tiny regardless of corpus size (a few thousand
+    vectors is enough to place coarse cells at 10^12 rows — IVF quality
+    depends on cell *placement*, not on seeing every vector), so this is
+    the one legitimately driver-side step of the index build; everything
+    after (assignment, search) is distributed.
+
+    Deterministic: sample = first ``sample_n`` ids in order, k-means++-style
+    farthest-point init from a seeded RNG, fixed iteration count."""
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(int(sample_n))
+        .collect()
+    )
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    k = min(int(n_centroids), len(x))
+    rng = np.random.default_rng(seed)
+    # k-means++ init on the normalized sample
+    cents = [x[rng.integers(len(x))]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [np.sum((x - c) ** 2, axis=1) for c in cents], axis=0
+        )
+        probs = d2 / max(d2.sum(), 1e-12)
+        cents.append(x[rng.choice(len(x), p=probs)])
+    c = np.asarray(cents)
+    for _ in range(int(n_iter)):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                c[j] = m / max(np.linalg.norm(m), 1e-12)
+    return [[float(v) for v in row] for row in c]
+
+
+def _centroid_frame(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cell int, c_vec array<double>",
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest coarse cells (by cosine).
+
+    Plan: broadcast the C-row centroid table against the corpus (C ~ 2^10
+    even at 100 TB — always broadcastable), rank cells per vector with a
+    window keyed by the vector id (map-local: the corpus side is never
+    shuffled for rank because the join is broadcast and ids are unique),
+    keep the top ``n_probe``. Output: id, vec, cell."""
+    cents = _centroid_frame(df, centroids)
+    sim = (_dot(vec_col, "c_vec") / (_norm(vec_col) * _norm("c_vec"))).alias("_cs")
+    scored = (
+        df.select(id_col, vec_col)
+        .join(F.broadcast(cents), how="cross")
+        .select(id_col, vec_col, "cell", sim)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= int(n_probe))
+        .select(id_col, vec_col, "cell")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single nearest
+    coarse cell; each query probes its ``n_probe`` nearest cells and scores
+    only those cells' members. The corpus-side index (assignment) is what a
+    persisted IVF table would store — partitioned by ``cell``, so a probe
+    reads ``n_probe / C`` of the data (partition pruning), vs the
+    hyperplane-LSH variant's hash buckets. Recall rises with ``n_probe`` at
+    linear cost — the standard IVF quality/latency dial."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    cb = ivf_assign(corpus, centroids, 1, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "cell"
+    )
+    qb = ivf_assign(queries, centroids, n_probe, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "cell"
+    )
+    joined = cb.join(F.broadcast(qb), on="cell").where(F.col("q_id") != F.col("n_id"))
+    sim = (_dot("q_vec", "n_vec") / (_norm("q_vec") * _norm("n_vec"))).alias("_s")
+    scored = joined.select("q_id", "n_id", F.round(sim, 6).alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -70,6 +70,14 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=KNN_K, n_planes=4)
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse cell) ANN variant — the partition-pruned scale
+    path (rows-only check: approximation is by design)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return S.ivf_topk(emb, queries, k=KNN_K, n_centroids=8, n_probe=3)
+
+
 NEAR_DUP_THRESHOLD = 0.4
 
 
@@ -321,6 +329,7 @@ QUERIES = {
     "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
     "knn_cosine": q_knn_cosine,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "embedding_near_dups": q_embedding_near_dups,
     "token_count": q_token_count,
     "lang_id": q_lang_id,
@@ -338,5 +347,5 @@ ORACLES = {
     "lang_id": _lang_id_sql(),
     "quality_score": _quality_sql(),
     "doc_fingerprint": _fingerprint_sql(),
-    # lsh_pairs / knn_lsh: approximate-by-design -> rows-only check
+    # lsh_pairs / knn_lsh / knn_ivf: approximate-by-design -> rows-only check
 }

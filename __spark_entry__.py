@@ -124,6 +124,41 @@ def q_rollup_hour_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "t_us", F.round("value", 4).alias("value"))
 
 
+def q_rollup_month_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month tier: day tier (boxcar-1440 over the 0-filled minute
+    count spine) rolled into calendar months — variable-width 10% rule and
+    the (delta-60)/2 center stamp generalized to month length."""
+    import datetime as _dt
+
+    from usgs_geomag_algorithms_spark.operators.month import rollup_month
+
+    ev = _events(spark, sf_dir)
+    lo, hi = _bounds(spark, sf_dir)
+    counts = ev.select(
+        "event_type",
+        F.expr(f"(unix_micros(cast(ts as timestamp)) div {MIN_US}) * {MIN_US}").alias("t_us"),
+    ).groupBy("event_type", "t_us").agg(F.count("*").cast("double").alias("value"))
+    padded = pad_to_spine(
+        counts, lo, hi, 60.0, series_cols=("event_type",), fill_value=0.0
+    )
+    day = rollup_step(
+        padded, MIN_DAY, range_start_us=lo, range_end_us=hi,
+        series_cols=("event_type",),
+    )
+    d0 = _dt.datetime.fromtimestamp(lo / 1e6, tz=_dt.timezone.utc)
+    m0 = _dt.datetime(d0.year, d0.month, 1, tzinfo=_dt.timezone.utc)
+    nxt = _dt.datetime(
+        m0.year + (m0.month == 12), m0.month % 12 + 1, 1, tzinfo=_dt.timezone.utc
+    )
+    out = rollup_month(
+        day,
+        int(m0.timestamp() * 1e6),
+        int(nxt.timestamp() * 1e6),
+        series_cols=("event_type",),
+    )
+    return out.select("event_type", "t_us", F.round("value", 4).alias("value"))
+
+
 def q_dbdt_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-adjacent first difference of the minute signal, rounded to 6."""
     sig = _minute_signal(spark, sf_dir)
@@ -306,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hour_value": q_rollup_hour_value,
         "rollup_day_value": q_rollup_day_value,
         "rollup_hour_count": q_rollup_hour_count,
+        "rollup_month_value": q_rollup_month_value,
         "dbdt_minute": q_dbdt_minute,
         "average_across_types": q_average_across_types,
         "gap_detect_minute": q_gap_detect_minute,
@@ -381,6 +417,56 @@ SELECT event_type,
        CASE WHEN nv * 10 >= 540 THEN round(vsum / nv, 4) END AS value
 FROM hour, bounds
 WHERE h_us >= lo_us AND h_us + {HOUR_US - MIN_US} <= hi_us
+"""
+    day_us = 86_400_000_000
+    month_value = f"""
+WITH bounds AS (
+    SELECT (epoch_us(min(ts)) // {MIN_US}) * {MIN_US} AS lo_us,
+           (epoch_us(max(ts)) // {MIN_US}) * {MIN_US} AS hi_us
+    FROM events
+),
+spine AS (
+    SELECT et.event_type, gs.t_us
+    FROM (SELECT DISTINCT event_type FROM events) et
+    CROSS JOIN (
+        SELECT unnest(generate_series(lo_us, hi_us, {MIN_US})) AS t_us
+        FROM bounds
+    ) gs
+),
+counts AS (
+    SELECT event_type, (epoch_us(ts) // {MIN_US}) * {MIN_US} AS t_us,
+           count(*)::DOUBLE AS c
+    FROM events GROUP BY 1, 2
+),
+minute AS (
+    SELECT s.event_type, s.t_us, coalesce(c.c, 0.0) AS v
+    FROM spine s LEFT JOIN counts c
+      ON s.event_type = c.event_type AND s.t_us = c.t_us
+),
+day AS (
+    SELECT event_type, (t_us // {day_us}) * {day_us} AS d_us,
+           sum(v) AS vsum, count(v) AS nv
+    FROM minute GROUP BY 1, 2
+),
+dayt AS (
+    SELECT event_type, d_us + 43170000000 AS t_us,
+           CASE WHEN nv * 10 >= 12960 THEN vsum / nv END AS v
+    FROM day, bounds
+    WHERE d_us >= lo_us AND d_us + {day_us - MIN_US} <= hi_us
+),
+mon AS (
+    SELECT event_type,
+           epoch_us(date_trunc('month', make_timestamp(t_us))) AS m0,
+           sum(CASE WHEN v IS NOT NULL THEN v END) AS vsum,
+           count(v) AS nv
+    FROM dayt GROUP BY 1, 2
+)
+SELECT event_type,
+       m0 + (43200000000::BIGINT * day(last_day(make_timestamp(m0))) - 30000000) AS t_us,
+       CASE WHEN nv * 10 >= day(last_day(make_timestamp(m0))) * 9
+            THEN round(vsum / nv, 4) END AS value
+FROM mon, bounds
+WHERE m0 = epoch_us(date_trunc('month', make_timestamp(lo_us)))
 """
     dbdt_minute = f"""
 WITH {_MINUTE_CTE}
@@ -555,6 +641,7 @@ WHERE k * {OUT} - {HW} >= lo_us AND k * {OUT} + {HW} <= hi_us
         "rollup_hour_value": hour_value,
         "rollup_day_value": day_value,
         "rollup_hour_count": hour_count,
+        "rollup_month_value": month_value,
         "dbdt_minute": dbdt_minute,
         "average_across_types": average_across,
         "gap_detect_minute": gap_detect,

@@ -56,7 +56,9 @@ class TestCascadeE2E:
         scan_lo = t0 - 45 * US
         t1 = t0 + (26 * 3600 - 1) * US
         out = run_tiers(sig, 1.0, scan_lo, t1)
-        assert set(out) == {"minute", "hour", "day"}
+        assert set(out) == {"minute", "hour", "day", "month"}
+        # 26h scan cannot contain a whole calendar month
+        assert out["month"].count() == 0
         minute = out["minute"].collect()
         hour = out["hour"].collect()
         day = out["day"].collect()

@@ -62,6 +62,7 @@ def run_tiers(
     ts_col: str = "t_us",
     value_col: str = "value",
     persist_intermediate: bool = True,
+    include_month: bool = True,
 ) -> dict[str, DataFrame]:
     """Produce every coarser retention tier from one input frame.
 
@@ -100,4 +101,12 @@ def run_tiers(
         out[step.data_interval] = rollup_step(
             cur, step, range_start_us=cur_lo, range_end_us=cur_hi, **kw
         )
+    # calendar-month tier stacks on the day tier's stamped-output range
+    if include_month and "day" in out:
+        day_step = next(s for s in tiers.STEPS if s.data_interval == "day")
+        rng = tiers.output_range_us(day_step, cur_lo, cur_hi)
+        if rng is not None:
+            from .month import rollup_month
+
+            out["month"] = rollup_month(out["day"], rng[0], rng[1], **kw)
     return out

@@ -30,6 +30,7 @@ DEFAULT_RETENTION_US = {
     "minute": 90 * 86400 * 1_000_000,
     "hour": 2 * 365 * 86400 * 1_000_000,
     "day": 20 * 365 * 86400 * 1_000_000,
+    "month": 100 * 365 * 86400 * 1_000_000,
 }
 
 

@@ -18,10 +18,14 @@ class TestPipeline:
         store = TierStore(spark, str(tmp_path / "tiers"), n_buckets=4)
         m = pipeline.build_tiers(
             pages, store, T0 - 45 * US, T0 + (3 * 3600 - 1) * US,
-            channels=("text_len",),
+            channels=("text_len",), pack_coarse=("hour",),
         )
         assert m["tiers"]["minute"] > 0
         assert m["tiers"]["hour"] == 3 * 3  # 3 urls x 3 hours
+        # coarse tier also persisted Gorilla-packed, bit-exact
+        packed = sorted(map(tuple, store.read_packed("hour").collect()))
+        plain = sorted(map(tuple, store.read("hour").collect()))
+        assert packed == plain
         # lineage recorded per tier
         assert len(store.read_lineage("hour")) >= 1
 

@@ -40,6 +40,54 @@ def hour_stamp(h):
     return T0 + h * HOUR + (29 * 60 + 30) * US
 
 
+class TestPackedStore:
+    def test_roundtrip_matches_long_layout(self, spark, store):
+        rows = minute_rows(4)
+        rows[17] = (rows[17][0], rows[17][1], rows[17][2], None)  # a gap
+        df = mk(spark, rows)
+        store.write(df, "minute")
+        store.write_packed(df, "minute", segment_us=HOUR)
+        plain = sorted(map(tuple, store.read("minute").collect()))
+        packed = sorted(map(tuple, store.read_packed("minute").collect()))
+        assert packed == plain  # bit-exact values, NULL gap preserved
+
+    def test_range_read_prunes_segments(self, spark, store):
+        df = mk(spark, minute_rows(6))
+        store.write_packed(df, "minute", segment_us=HOUR)
+        back = store.read_packed("minute", T0 + HOUR + 30 * MIN, T0 + 3 * HOUR - MIN)
+        got = sorted(r.t_us for r in back.collect())
+        assert got[0] == T0 + HOUR + 30 * MIN and got[-1] == T0 + 3 * HOUR - MIN
+        assert len(got) == 90
+        # pruning reaches the parquet scan: only segments overlapping the
+        # range survive the pushed seg_start_us filters
+        segs = spark.read.parquet(store.path("minute_packed"))
+        pruned = segs.where(
+            (F.col("seg_start_us") > T0 + 30 * MIN) &
+            (F.col("seg_start_us") <= T0 + 3 * HOUR - MIN)
+        )
+        assert pruned.count() < segs.count()
+
+    def test_compression_beats_long_layout(self, spark, store):
+        import os
+
+        df = mk(spark, minute_rows(12))
+        store.write(df, "minute")
+        store.write_packed(df, "minute", segment_us=12 * HOUR)
+
+        def du(p):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(p)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+
+        assert du(store.path("minute_packed")) < du(store.path("minute"))
+
+    def test_missing_packed_tier_reads_empty(self, spark, store):
+        assert store.read_packed("nope").count() == 0
+
+
 class TestStore:
     def test_roundtrip_and_prune(self, spark, store):
         df = mk(spark, minute_rows(4))

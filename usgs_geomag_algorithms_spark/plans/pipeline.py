@@ -42,8 +42,14 @@ def build_tiers(
     channels=("text_len", "lang_en"),
     input_sample_period: float = 1.0,
     run_id: str | None = None,
+    pack_coarse: tuple = (),
 ) -> dict:
-    """Bulk-build every tier from a pages frame; returns metrics."""
+    """Bulk-build every tier from a pages frame; returns metrics.
+
+    ``pack_coarse``: tier names additionally persisted Gorilla-packed
+    (``TierStore.write_packed``) — the long-term storage format for coarse
+    tiers per BASELINE (e.g. ``("hour", "day")``). Packing reads the
+    just-materialized long tier back, so the cascade never recomputes."""
     run_id = run_id or f"build-{int(time.time() * 1000)}"
     sig = page_signals(pages, channels=channels)
     tierframes = run_tiers(sig, input_sample_period, scan_start_us, scan_end_us)
@@ -52,6 +58,8 @@ def build_tiers(
         store.write(df, name)
         n = store.read(name).count()
         metrics["tiers"][name] = n
+        if name in pack_coarse and n:
+            store.write_packed(store.read(name), name)
         store.append_lineage(
             name,
             [

@@ -139,6 +139,89 @@ class TierStore:
             df = df.where(F.col("p_date") <= d1).where(F.col("t_us") <= int(end_us))
         return df.select(*self.series_cols, "t_us", "value")
 
+    # ----------------------------------------------------- packed segments
+    def write_packed(
+        self, df: DataFrame, tier: str, segment_us: int = 86400 * US
+    ) -> None:
+        """Persist a tier Gorilla-packed: one binary segment row per
+        (series, segment window) — XOR-encoded values + delta-of-delta
+        timestamps (``operators/segments.py``) under the same
+        ``(p_date, p_bucket)`` partition spec as the long layout, so
+        retention partition-drops and bucket clustering apply unchanged.
+        The coarse tiers' long-term storage format per BASELINE."""
+        from ..operators.segments import pack_segments
+
+        segs = pack_segments(df, segment_us, self.series_cols)
+        out = segs.withColumn(
+            "p_date",
+            F.date_format(F.timestamp_micros(F.col("seg_start_us")), "yyyy-MM-dd"),
+        ).withColumn(
+            "p_bucket",
+            F.pmod(F.xxhash64(F.col(self.series_cols[0])), F.lit(self.n_buckets)).cast(
+                "int"
+            ),
+        )
+        path = self.path(f"{tier}_packed")
+        (
+            out.write.mode("overwrite")
+            .partitionBy("p_date", "p_bucket")
+            .parquet(path)
+        )
+        with open(f"{path}/_segment_meta.json", "w") as f:
+            json.dump({"segment_us": int(segment_us)}, f)
+
+    def read_packed(
+        self,
+        tier: str,
+        start_us: int | None = None,
+        end_us: int | None = None,
+    ) -> DataFrame:
+        """Range-read a packed tier back as long rows. Pruning happens at
+        *segment* granularity before any decode runs: the p_date/seg_start
+        predicates reach the parquet scan, and only surviving segments pay
+        the Arrow unpack; exact t_us trimming follows after decode."""
+        from ..operators.segments import unpack_segments
+
+        base = self.path(f"{tier}_packed")
+        meta_path = f"{base}/_segment_meta.json"
+        has_data = (
+            any(
+                True
+                for _root, _dirs, files in os.walk(base)
+                for fn in files
+                if fn.endswith(".parquet")
+            )
+            if os.path.exists(base)
+            else False
+        )
+        if not has_data:
+            return self._empty()
+        with open(meta_path) as f:
+            segment_us = json.load(f)["segment_us"]
+        segs = self.spark.read.parquet(base)
+        if start_us is not None:
+            # a segment starting before start_us may still contain it
+            d0 = time.strftime(
+                "%Y-%m-%d", time.gmtime(max(start_us - segment_us, 0) // US)
+            )
+            segs = segs.where(F.col("p_date") >= d0).where(
+                F.col("seg_start_us") > int(start_us) - segment_us
+            )
+        if end_us is not None:
+            d1 = time.strftime("%Y-%m-%d", time.gmtime(end_us // US))
+            segs = segs.where(F.col("p_date") <= d1).where(
+                F.col("seg_start_us") <= int(end_us)
+            )
+        rows = unpack_segments(
+            segs.select(*self.series_cols, "seg_start_us", "n", "ts_codec", "val_codec"),
+            self.series_cols,
+        )
+        if start_us is not None:
+            rows = rows.where(F.col("t_us") >= int(start_us))
+        if end_us is not None:
+            rows = rows.where(F.col("t_us") <= int(end_us))
+        return rows.select(*self.series_cols, "t_us", "value")
+
     # --------------------------------------------------------- retention
     def expire_before(self, tier: str, cutoff_us: int) -> list[str]:
         """Retention: drop whole day partitions older than the cutoff —

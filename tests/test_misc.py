@@ -90,3 +90,27 @@ class TestMisc:
         )
         np.testing.assert_array_equal(step.window, [1.0, 2.0, 1.0])
         np.testing.assert_almost_equal(step.normalized_window.sum(), 1.0)
+
+
+class TestPyFilesArchive:
+    def test_zip_deterministic_and_complete(self, tmp_path):
+        import subprocess
+        import sys as _sys
+
+        out1, out2 = str(tmp_path / "a.zip"), str(tmp_path / "b.zip")
+        # build twice in subprocesses; archives must be byte-identical
+        for out in (out1, out2):
+            subprocess.run(
+                [_sys.executable, "tools/make_pyfiles.py", out],
+                check=True, capture_output=True, cwd="/root/repo",
+            )
+        assert open(out1, "rb").read() == open(out2, "rb").read()
+        # the archive is importable as a --py-files entry
+        probe = subprocess.run(
+            [_sys.executable, "-c",
+             "import sys; sys.path.insert(0, sys.argv[1]); "
+             "from usgs_geomag_algorithms_spark.tiers import STEPS; "
+             "print(len(STEPS))", out1],
+            check=True, capture_output=True, text=True,
+        )
+        assert probe.stdout.strip() == "4"

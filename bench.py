@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "minhash_signature",
     "simhash",
     "knn_cosine",
+    "knn_ivf",
+    "rollup_month_value",
     "text_quality",
 ]
 

@@ -1,0 +1,87 @@
+"""Physical-plan regression guards: the properties that make the engine
+scale must be visible in the executed plan, not just believed.
+
+- store range reads: partition pruning (p_date) AND parquet predicate
+  pushdown (t_us/channel) reach the FileScan;
+- the cascade's default path contains zero Python evaluation nodes and
+  runs inside WholeStageCodegen;
+- a column projection prunes the parquet ReadSchema (no html/text bytes
+  read for a value-only query).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usgs_geomag_algorithms_spark.operators.cascade import run_cascade
+from usgs_geomag_algorithms_spark.sources.store import TierStore
+from usgs_geomag_algorithms_spark.tiers import STEPS, US
+
+T0 = 1578268800 * US  # 2020-01-06
+MIN = 60 * US
+PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
+
+
+def phys(df) -> str:
+    # widen metadata truncation so PushedFilters lists print in full
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def minute_store(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tiers"))
+    st = TierStore(spark, d, n_buckets=2)
+    rows = [
+        ("u", "H", T0 + i * MIN, float(i)) for i in range(3 * 1440)
+    ]  # 3 days
+    st.write(
+        spark.createDataFrame(
+            rows, "url string, channel string, t_us long, value double"
+        ),
+        "minute",
+    )
+    return st
+
+
+class TestPlanAudit:
+    def test_store_range_read_prunes_and_pushes(self, spark, minute_store):
+        rd = minute_store.read("minute", T0, T0 + 3_600 * US).where(
+            F.col("channel") == "H"
+        )
+        p = phys(rd)
+        assert "PartitionFilters: [isnotnull(p_date" in p
+        assert "p_date" in p.split("PartitionFilters:")[1][:200]
+        assert "GreaterThanOrEqual(t_us" in p and "LessThanOrEqual(t_us" in p
+        assert "EqualTo(channel,H)" in p  # channel filter pushed to parquet
+
+    def test_projection_prunes_read_schema(self, spark, minute_store):
+        rd = minute_store.read("minute").select("t_us")
+        p = phys(rd)
+        schema = p.split("ReadSchema:")[1].splitlines()[0]
+        assert "value" not in schema  # only t_us (+ partition cols) read
+
+    def test_cascade_plan_is_python_free_and_codegen(self, spark, minute_store):
+        df = minute_store.read("minute")
+        out = run_cascade(df, [STEPS[2]], T0, T0 + 3 * 1440 * MIN - MIN)
+        out.collect()  # execute THIS dataset so AQE finalizes its plan
+        p = phys(out)
+        for node in PY_NODES:
+            assert node not in p, f"Python node {node} on the cascade path"
+        assert "*(" in p  # WholeStageCodegen spans (starred operators)
+        # map-side partial aggregation present (partial_ prefix in agg)
+        assert "partial_" in p
+
+    def test_fir_plan_is_python_free(self, spark, minute_store):
+        # firfilter (explode-to-anchor) path: second->minute gaussian
+        rows = [("u", "H", T0 + i * US, float(i)) for i in range(600)]
+        sec = spark.createDataFrame(
+            rows, "url string, channel string, t_us long, value double"
+        )
+        out = run_cascade(sec, [STEPS[1]], T0, T0 + 599 * US)
+        out.collect()
+        p = phys(out)
+        for node in PY_NODES:
+            assert node not in p
+        assert "*(" in p

@@ -59,3 +59,42 @@ class TestCadenceChannel:
         ts = sorted(vals)
         assert vals[ts[0]] is None  # first crawl has no predecessor
         assert all(vals[t] == 1.0 for t in ts[1:])  # 1 s crawl cadence
+
+
+class TestServeMonthAndPacked:
+    JAN1 = 1704067200 * US   # 2024-01-01
+    MAR1 = 1709251200 * US   # 2024-03-01
+    APR1 = 1711929600 * US   # 2024-04-01
+
+    def test_month_tier_pads_calendar_grid(self, spark, tmp_path):
+        from usgs_geomag_algorithms_spark.plans.serve import month_stamps
+
+        store = TierStore(spark, str(tmp_path / "t"), n_buckets=2)
+        jan_stamp = self.JAN1 + (43_200 * 31 - 30) * US
+        mar_stamp = self.MAR1 + (43_200 * 31 - 30) * US
+        df = spark.createDataFrame(
+            [("u", "text_len", jan_stamp, 1.0), ("u", "text_len", mar_stamp, 3.0)],
+            schema="url string, channel string, t_us long, value double",
+        )
+        store.write(df, "month")
+        out = get_timeseries(store, "month", self.JAN1, self.APR1)
+        got = {r.t_us: r.value for r in out.collect()}
+        stamps = month_stamps(self.JAN1, self.APR1)
+        assert len(stamps) == 3  # Jan, Feb(leap 29d), Mar
+        assert got[jan_stamp] == 1.0 and got[mar_stamp] == 3.0
+        feb_stamp = [s for s in stamps if s not in (jan_stamp, mar_stamp)][0]
+        assert got[feb_stamp] is None  # absent month -> explicit gap row
+
+    def test_packed_serve_equals_plain(self, spark, tmp_path):
+        store = TierStore(spark, str(tmp_path / "t"), n_buckets=2)
+        rows = [("u1", "text_len", T0 + i * MIN, float(i)) for i in range(120)]
+        df = spark.createDataFrame(
+            rows, schema="url string, channel string, t_us long, value double"
+        )
+        store.write(df, "minute")
+        store.write_packed(df, "minute", segment_us=3600 * US)
+        a = sorted(map(tuple, get_timeseries(
+            store, "minute", T0, T0 + 119 * MIN).collect()))
+        b = sorted(map(tuple, get_timeseries(
+            store, "minute", T0, T0 + 119 * MIN, use_packed=True).collect()))
+        assert a == b

@@ -21,6 +21,30 @@ from ..tiers import INTERVAL_SECONDS, US
 REQUEST_LIMIT_SAMPLES = 345_600
 
 
+def month_stamps(start_us: int, end_us: int) -> list[int]:
+    """Center stamps of every calendar month whose stamp falls inside the
+    range — the month tier's variable-width grid (driver-side: a few
+    dozen values even for a century)."""
+    import datetime as _dt
+
+    utc = _dt.timezone.utc
+    dt = _dt.datetime.fromtimestamp(start_us / 1e6, tz=utc)
+    cur = _dt.datetime(dt.year, dt.month, 1, tzinfo=utc)
+    out: list[int] = []
+    while True:
+        nxt = _dt.datetime(
+            cur.year + (cur.month == 12), cur.month % 12 + 1, 1, tzinfo=utc
+        )
+        n_days = (nxt - cur).days
+        stamp = int(cur.timestamp() * 1e6) + (43_200 * n_days - 30) * US
+        if stamp > end_us:
+            break
+        if stamp >= start_us:
+            out.append(stamp)
+        cur = nxt
+    return out
+
+
 def get_timeseries(
     store: TierStore,
     tier: str,
@@ -30,23 +54,52 @@ def get_timeseries(
     channels: Sequence[str] | None = None,
     pad: bool = True,
     as_json: bool = False,
+    use_packed: bool = False,
 ):
-    """Serve one tier over [start_us, end_us] with explicit gap rows."""
-    delta_s = INTERVAL_SECONDS[tier] if tier in INTERVAL_SECONDS else 60.0
+    """Serve one tier over [start_us, end_us] with explicit gap rows.
+
+    ``use_packed`` reads the Gorilla-packed layout (``read_packed``)
+    instead of the long layout — same rows, segment-granular pruning.
+    The ``month`` tier pads against its variable-width calendar grid."""
+    if tier == "month":
+        delta_s = 28 * 86400.0  # cap check lower bound for variable months
+    else:
+        delta_s = INTERVAL_SECONDS[tier] if tier in INTERVAL_SECONDS else 60.0
     n_samples = int((end_us - start_us) / (delta_s * US)) + 1
     if n_samples > REQUEST_LIMIT_SAMPLES:
         raise ValueError(
             f"request exceeds {REQUEST_LIMIT_SAMPLES} samples ({n_samples})"
         )
-    df = store.read(tier, start_us, end_us)
+    reader = store.read_packed if use_packed else store.read
+    df = reader(tier, start_us, end_us)
     if urls:
         df = df.where(df.url.isin(list(urls)))
     if channels:
         df = df.where(df.channel.isin(list(channels)))
     if pad:
-        df = pad_to_spine(
-            df, start_us, end_us, delta_s, series_cols=store.series_cols
-        )
+        if tier == "month":
+            df = _pad_month(df, store, start_us, end_us)
+        else:
+            df = pad_to_spine(
+                df, start_us, end_us, delta_s, series_cols=store.series_cols
+            )
     if as_json:
         return to_imfjson(df, series_cols=store.series_cols)
     return df
+
+
+def _pad_month(df, store: TierStore, start_us: int, end_us: int):
+    """Left-join the month tier onto its calendar-stamp spine so absent
+    months surface as explicit NULL rows (serving contract)."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    stamps = month_stamps(start_us, end_us)
+    if not stamps:
+        return df
+    spine_t = spark.createDataFrame([(t,) for t in stamps], "t_us long")
+    series = df.select(*store.series_cols).distinct()
+    spine = series.crossJoin(F.broadcast(spine_t))
+    return spine.join(df, [*store.series_cols, "t_us"], "left").select(
+        *store.series_cols, "t_us", "value"
+    )

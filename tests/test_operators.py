@@ -108,24 +108,25 @@ class TestGaps:
 
         from usgs_geomag_algorithms_spark.operators.gaps import _merge_runs
 
-        rng = random.Random(7)
-        B = 1000  # small bucket to force many boundary crossings
-        rows = []
-        t = 0
-        for _ in range(300):
-            t += rng.randint(1, 900)
-            length = rng.randint(0, 2500)  # many spans > bucket
-            nv = t + length + rng.choice([1, 1, 60])
-            rows.append((t, t + length, nv))
-            if rng.random() < 0.3:
-                t = nv  # next interval starts exactly at next_valid -> merges
-        df = spark.createDataFrame(
-            rows, "gap_start_us long, gap_end_us long, next_valid_us long"
-        )
-        fast = sorted(map(tuple, merge_gap_intervals(df, bucket_us=B).collect()))
-        naive = sorted(map(tuple, _merge_runs(df, []).collect()))
-        assert fast == naive
-        assert len(fast) < len(rows)  # merging actually happened
+        # bucket sizes: boundary-heavy (100/1000) and all-in-one-bucket (1e12)
+        for seed, B in ((7, 1000), (8, 100), (9, 10**12)):
+            rng = random.Random(seed)
+            rows = []
+            t = 0
+            for _ in range(300):
+                t += rng.randint(1, 900)
+                length = rng.randint(0, 2500)  # many spans > bucket
+                nv = t + length + rng.choice([1, 1, 60])
+                rows.append((t, t + length, nv))
+                if rng.random() < 0.3:
+                    t = nv  # next starts exactly at next_valid -> merges
+            df = spark.createDataFrame(
+                rows, "gap_start_us long, gap_end_us long, next_valid_us long"
+            )
+            fast = sorted(map(tuple, merge_gap_intervals(df, bucket_us=B).collect()))
+            naive = sorted(map(tuple, _merge_runs(df, []).collect()))
+            assert fast == naive, f"mismatch at seed={seed} B={B}"
+            assert len(fast) < len(rows)  # merging actually happened
 
     def test_coverage_metrics(self, spark):
         df = mk(spark, series("u", "H", [1, None, 1, None, 1, 1, 1, 1, 1, 1]))

@@ -87,6 +87,17 @@ class TestPackedStore:
     def test_missing_packed_tier_reads_empty(self, spark, store):
         assert store.read_packed("nope").count() == 0
 
+    def test_retention_drops_packed_partitions(self, spark, store):
+        # packed layout shares the p_date spec, so retention partition
+        # drops apply to it unchanged
+        rows = minute_rows(30)  # spans two days (T0 + 30h)
+        store.write_packed(mk(spark, rows), "minute", segment_us=12 * HOUR)
+        before = store.read_packed("minute").count()
+        dropped = store.expire_before("minute_packed", T0 + 25 * HOUR)
+        assert dropped == ["p_date=2020-01-01"]
+        after = store.read_packed("minute").count()
+        assert 0 < after < before
+
 
 class TestStore:
     def test_roundtrip_and_prune(self, spark, store):

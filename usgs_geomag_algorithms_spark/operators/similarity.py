@@ -167,14 +167,6 @@ def train_ivf_centroids(
     return [[float(v) for v in row] for row in c]
 
 
-def _centroid_frame(df: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
-        "cell int, c_vec array<double>",
-    )
-
-
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -184,23 +176,32 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest coarse cells (by cosine).
 
-    Plan: broadcast the C-row centroid table against the corpus (C ~ 2^10
-    even at 100 TB — always broadcastable), rank cells per vector with a
-    window keyed by the vector id (map-local: the corpus side is never
-    shuffled for rank because the join is broadcast and ids are unique),
-    keep the top ``n_probe``. Output: id, vec, cell."""
-    cents = _centroid_frame(df, centroids)
-    sim = (_dot(vec_col, "c_vec") / (_norm(vec_col) * _norm("c_vec"))).alias("_cs")
-    scored = (
-        df.select(id_col, vec_col)
-        .join(F.broadcast(cents), how="cross")
-        .select(id_col, vec_col, "cell", sim)
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(), F.col("cell").asc())
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= int(n_probe))
-        .select(id_col, vec_col, "cell")
+    Map-only plan — no join, no shuffle: the centroid matrix is folded into
+    the expression as literals (normalized at plan time, so the per-row
+    score is just a dot product whose argmax equals cosine argmax), each
+    row computes its C cell scores inside whole-stage codegen, sorts the
+    tiny (score, cell) struct array, and explodes the top ``n_probe``.
+    At 100 TB this is the difference between a free pass over the corpus
+    and a corpus-wide shuffle. Ties break on cell id (struct ordering).
+    Output: id, vec, cell."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    scores = []
+    for j, row in enumerate(c):
+        lits = ", ".join(f"{x:.17g}D" for x in row)
+        dot = F.expr(
+            f"aggregate(zip_with({vec_col}, array({lits}),"
+            f" (x, y) -> cast(x as double) * y), cast(0.0 as double),"
+            f" (acc, v) -> acc + v)"
+        )
+        scores.append(F.struct((-dot).alias("ns"), F.lit(j).alias("cell")))
+    ranked = F.slice(F.array_sort(F.array(*scores)), 1, int(n_probe))
+    return df.select(
+        id_col,
+        vec_col,
+        F.explode(F.transform(ranked, lambda s: s["cell"])).alias("cell"),
     )
 
 

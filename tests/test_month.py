@@ -88,3 +88,56 @@ class TestMonthRollup:
         out = rollup_month(df, JAN1, FEB1 + 29 * DAY_US).collect()
         got = {(r.url, r.value) for r in out}
         assert got == {("u", 1.0), ("u", 3.0), ("v", 10.0)}
+
+
+class TestRefreshMonth:
+    def _seed_day_tier(self, spark, store, months):
+        rows = []
+        for m0, vals in months:
+            rows += [
+                ("u", "H", t, v)
+                for (_, _, t, v) in [
+                    ("u", "H", m0 + i * DAY_US + DAY_STAMP_OFF_US, v)
+                    for i, v in enumerate(vals)
+                ]
+            ]
+        df = spark.createDataFrame(
+            rows, "url string, channel string, t_us long, value double"
+        )
+        store.write(df, "day")
+
+    def test_fills_missing_months_idempotently(self, spark, tmp_path):
+        from usgs_geomag_algorithms_spark.plans.refresh import refresh_month
+        from usgs_geomag_algorithms_spark.sources.store import TierStore
+
+        store = TierStore(spark, str(tmp_path / "t"), n_buckets=2)
+        self._seed_day_tier(
+            spark, store, [(JAN1, [1.0] * 31), (FEB1, [3.0] * 29)]
+        )
+        m = refresh_month(store, JAN1, FEB1 + 29 * DAY_US)
+        assert m["gaps_filled"] == 2 and m["rows_written"] == 2
+        got = {r.t_us: r.value for r in store.read("month").collect()}
+        assert sorted(got.values()) == [1.0, 3.0]
+        # second run: both stamps present -> nothing recomputed
+        m2 = refresh_month(store, JAN1, FEB1 + 29 * DAY_US)
+        assert m2["gaps_filled"] == 0 and m2["skipped"] == 2
+        # lineage recorded for both runs
+        assert len(store.read_lineage("month")) >= 2
+
+    def test_force_recomputes(self, spark, tmp_path):
+        from usgs_geomag_algorithms_spark.plans.refresh import refresh_month
+        from usgs_geomag_algorithms_spark.sources.store import TierStore
+
+        store = TierStore(spark, str(tmp_path / "t"), n_buckets=2)
+        self._seed_day_tier(spark, store, [(JAN1, [1.0] * 31)])
+        refresh_month(store, JAN1, JAN1 + 31 * DAY_US)
+        # backfill changes the day tier; force recompute picks it up
+        patch = spark.createDataFrame(
+            [("u", "H", JAN1 + i * DAY_US + DAY_STAMP_OFF_US, 2.0) for i in range(31)],
+            "url string, channel string, t_us long, value double",
+        )
+        store.upsert(patch, "day")
+        m = refresh_month(store, JAN1, JAN1 + 31 * DAY_US, force=True)
+        assert m["gaps_filled"] == 1
+        got = [r.value for r in store.read("month").collect()]
+        assert got == [2.0]

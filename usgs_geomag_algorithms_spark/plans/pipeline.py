@@ -83,7 +83,8 @@ def update_tiers(
     update_limit: int = 1,
     run_id: str | None = None,
 ) -> dict:
-    """Incrementally refresh hour+day tiers from the minute tier."""
+    """Incrementally refresh hour+day tiers from the minute tier, then the
+    month tier from day (months whose stamps fall in the window)."""
     out = {}
     for step in tiers.STEPS:
         if step.type != "average":
@@ -98,6 +99,7 @@ def update_tiers(
             update_limit=update_limit,
             run_id=run_id,
         )
+    out["month"] = refresh.refresh_month(store, start_us, end_us, run_id=run_id)
     return out
 
 

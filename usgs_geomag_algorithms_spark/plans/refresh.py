@@ -177,3 +177,83 @@ def run_as_update(
     process_window(start_us, end_us, 0)
     store.append_lineage(tier_out, [{"run_id": run_id, "metrics": metrics}])
     return metrics
+
+
+def _months_in_range(start_us: int, end_us: int) -> list[tuple[int, int, int]]:
+    """(month_start_us, n_days, stamp_us) for every calendar month whose
+    center stamp lies in [start_us, end_us]. Driver-side: tiny."""
+    import datetime as _dt
+
+    from ..operators.month import US as _US
+
+    utc = _dt.timezone.utc
+    dt = _dt.datetime.fromtimestamp(start_us / 1e6, tz=utc)
+    cur = _dt.datetime(dt.year, dt.month, 1, tzinfo=utc)
+    out: list[tuple[int, int, int]] = []
+    while True:
+        nxt = _dt.datetime(
+            cur.year + (cur.month == 12), cur.month % 12 + 1, 1, tzinfo=utc
+        )
+        n_days = (nxt - cur).days
+        m0 = int(cur.timestamp() * 1e6)
+        stamp = m0 + (43_200 * n_days - 30) * _US
+        if stamp > end_us:
+            break
+        if stamp >= start_us:
+            out.append((m0, n_days, stamp))
+        cur = nxt
+    return out
+
+
+def refresh_month(
+    store: TierStore,
+    start_us: int,
+    end_us: int,
+    run_id: str | None = None,
+    force: bool = False,
+) -> dict:
+    """Month-tier ``run_as_update`` analog: recompute calendar months in
+    [start_us, end_us] whose stamp is missing from the month tier (or all
+    of them with ``force``) from the day tier, and upsert.
+
+    Months are variable-width, so this skips the fixed-grid slot machinery:
+    the month list is plan-time driver arithmetic, the recompute is one
+    partition-pruned day-tier scan covering the affected months, and the
+    upsert is the same last-wins merge — idempotent like the slot path."""
+    from ..operators.month import DAY_STAMP_OFF_US, DAY_US, rollup_month
+
+    run_id = run_id or f"run-{int(time.time() * 1000)}"
+    months = _months_in_range(start_us, end_us)
+    metrics = {"run_id": run_id, "gaps_filled": 0, "rows_written": 0, "skipped": 0}
+    if not months:
+        return metrics
+    if force:
+        todo = months
+    else:
+        have = {
+            r.t_us
+            for r in store.read("month", months[0][2], months[-1][2])
+            .select("t_us")
+            .distinct()
+            .collect()
+        }
+        todo = [m for m in months if m[2] not in have]
+        metrics["skipped"] = len(months) - len(todo)
+    if not todo:
+        store.append_lineage("month", [{"run_id": run_id, "metrics": metrics}])
+        return metrics
+    # one widened day-tier scan covering every affected month completely
+    in_lo = todo[0][0] + DAY_STAMP_OFF_US
+    last_m0, last_n, _ = todo[-1]
+    in_hi = last_m0 + (last_n - 1) * DAY_US + DAY_STAMP_OFF_US
+    day = store.read("day", in_lo, in_hi)
+    out = rollup_month(day, in_lo, in_hi, series_cols=store.series_cols)
+    stamps = [m[2] for m in todo]
+    out = out.where(F.col("t_us").isin(stamps))
+    n = out.count()
+    if n > 0:
+        store.upsert(out, "month")
+    metrics["gaps_filled"] = len(todo)
+    metrics["rows_written"] = n
+    store.append_lineage("month", [{"run_id": run_id, "metrics": metrics}])
+    return metrics

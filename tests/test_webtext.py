@@ -228,3 +228,38 @@ class TestMultimodal:
         media = M.synthetic_media(spark, n=9)
         frames = M.frame_sample(M.decode_media(media), every_n=8).collect()
         assert all(r.frame_idx % 8 == 0 for r in frames)
+
+
+class TestCurate:
+    def test_gates_compose(self, spark):
+        from usgs_geomag_algorithms_spark.operators.curate import curate
+
+        en = (
+            "the quick brown fox and the lazy dog were found in the house "
+            "with that other dog and this was not a surprise for they had "
+            "been there for days"
+        )
+        docs = spark.createDataFrame(
+            [
+                (0, en),                      # survives
+                (1, en),                      # exact duplicate -> dropped
+                (2, "le chat est dans la maison avec les autres et il est la"),  # fr
+                (3, "zzzz!!!! ####### @@@@"),  # junk quality
+            ],
+            "doc_id long, text string",
+        )
+        out = curate(docs, lang="en", min_quality=0.7).collect()
+        assert [r.doc_id for r in out] == [0]
+        assert out[0].pred_lang == "en" and out[0].quality_score >= 0.7
+
+    def test_single_scan_plan(self, spark):
+        # the three gates fold into one documents scan + one dedup window:
+        # no more than 2 scans of the source in the optimized plan
+        from usgs_geomag_algorithms_spark.operators.curate import curate
+
+        docs = spark.createDataFrame(
+            [(i, f"the and was for {i}") for i in range(10)],
+            "doc_id long, text string",
+        )
+        plan = curate(docs)._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("LocalRelation") <= 3

@@ -88,6 +88,17 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURATE_MIN_QUALITY = 0.7
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline: dedup + language + quality gates in one
+    Catalyst plan — the pretraining-data manifest query."""
+    from usgs_geomag_algorithms_spark.operators.curate import curate
+
+    return curate(_docs(spark, sf_dir), lang="en", min_quality=CURATE_MIN_QUALITY)
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_count(_docs(spark, sf_dir))
 
@@ -322,6 +333,24 @@ GROUP BY doc_id
 """
 
 
+def _curate_sql() -> str:
+    lang_sql = _lang_id_sql()
+    quality_sql = _quality_sql()
+    return f"""
+SELECT k.doc_id, l.pred_lang, q.quality_score, q.mean_token_len, q.stopword_ratio
+FROM (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        FROM documents
+    ) WHERE doc_id = keep_id
+) k
+JOIN ({lang_sql}) l ON k.doc_id = l.doc_id
+JOIN ({quality_sql}) q ON k.doc_id = q.doc_id
+WHERE l.pred_lang = 'en' AND q.quality_score >= {CURATE_MIN_QUALITY}
+"""
+
+
 QUERIES = {
     "minhash_signature": q_minhash_signature,
     "lsh_pairs": q_lsh_pairs,
@@ -335,6 +364,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "doc_fingerprint": q_fingerprint,
+    "curate_corpus": q_curate_corpus,
 }
 
 ORACLES = {
@@ -347,5 +377,6 @@ ORACLES = {
     "lang_id": _lang_id_sql(),
     "quality_score": _quality_sql(),
     "doc_fingerprint": _fingerprint_sql(),
+    "curate_corpus": _curate_sql(),
     # lsh_pairs / knn_lsh / knn_ivf: approximate-by-design -> rows-only check
 }

@@ -85,3 +85,22 @@ class TestPlanAudit:
         for node in PY_NODES:
             assert node not in p
         assert "*(" in p
+
+
+class TestJoinPlans:
+    def test_metadata_range_join_broadcasts_no_fact_shuffle(self, spark, minute_store):
+        from usgs_geomag_algorithms_spark.operators.misc import (
+            apply_instrument_metadata,
+        )
+
+        facts = minute_store.read("minute")
+        meta = spark.createDataFrame(
+            [("u", T0, T0 + 86_400 * US, 2.0, 1.0)],
+            "url string, start_us long, end_us long, scale double, offset double",
+        )
+        out = apply_instrument_metadata(facts, meta)
+        out.collect()
+        p = phys(out)
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+        # the fact side must not shuffle for this join
+        assert "Exchange hashpartitioning" not in p

@@ -290,6 +290,42 @@ class TestConvert:
         out = adjusted(wide, m, pier_correction=-22.0).collect()[0]
         assert (out.X, out.Y, out.Z, out.F) == (12.0, 6.0, 3.0, 28.0)
 
+    def test_reference_verification_data(self, spark):
+        # Real-observatory golden vectors from the reference
+        # (StreamConverter_test.py:286-344, test_verification_data): the
+        # cross-converter check its authors ran against production data.
+        h_obs = [20889.55, 20889.57, 20889.74, 20889.86, 20889.91, 20889.81]
+        e_obs = [-21.10, -20.89, -20.72, -20.57, -20.39, -20.12]
+        rows = []
+        for i in range(6):
+            rows += [("u", "H", T0 + i * MIN, h_obs[i]), ("u", "E", T0 + i * MIN, e_obs[i])]
+        wide = pivot_channels(mk(spark, rows), ["H", "E"])
+        # obs -> mag D (d0=0), rendered in arc-minutes as the ref test does
+        out = xyz_convert(wide, "obs", "mag").orderBy("t_us").collect()
+        d_min = [r.D * 3437.7467707849396 for r in out]
+        np.testing.assert_almost_equal(
+            d_min, [-3.47, -3.43, -3.40, -3.38, -3.35, -3.31], 2
+        )
+
+        h_mag = [20884.04, 20883.45, 20883.38, 20883.43, 20883.07, 20882.76]
+        d_mag_min = [556.51, 556.52, 556.56, 556.61, 556.65, 556.64]
+        rows = []
+        for i in range(6):
+            rows += [
+                ("u", "H", T0 + i * MIN, h_mag[i]),
+                ("u", "D", T0 + i * MIN, d_mag_min[i] / 3437.7467707849396),
+            ]
+        wide = pivot_channels(mk(spark, rows), ["H", "D"])
+        out = xyz_convert(wide, "mag", "geo").orderBy("t_us").collect()
+        np.testing.assert_almost_equal(
+            [r.X for r in out],
+            [20611.00, 20610.40, 20610.30, 20610.30, 20609.90, 20609.60], 2,
+        )
+        np.testing.assert_almost_equal(
+            [r.Y for r in out],
+            [3366.00, 3366.00, 3366.20, 3366.50, 3366.70, 3366.60], 1,
+        )
+
     def test_unpivot_roundtrip(self, spark):
         rows = series("u", "H", [1, 2]) + series("u", "E", [3, 4])
         wide = pivot_channels(mk(spark, rows), ["H", "E"])

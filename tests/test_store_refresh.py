@@ -184,3 +184,23 @@ class TestRefresh:
         assert len(gap_recs) >= 1
         assert all(r["run_id"] == "test-run" for r in gap_recs)
         assert all(r["input_start_us"] <= r["gap_start_us"] for r in gap_recs)
+
+
+class TestCompaction:
+    def test_compact_preserves_rows_and_shrinks_files(self, spark, store):
+        import glob
+
+        # a many-task write scatters each partition across task files
+        # (the accretion mode: upsert rewrites are clean, bulk writes from
+        # wide stages are not)
+        store.write(mk(spark, minute_rows(4)).repartition(8), "minute")
+        base = store.path("minute")
+        before_rows = sorted(map(tuple, store.read("minute").collect()))
+        before_files = len(glob.glob(f"{base}/*/*/*.parquet"))
+        m = store.compact("minute")
+        assert m["files_after"] < before_files
+        after_rows = sorted(map(tuple, store.read("minute").collect()))
+        assert after_rows == before_rows
+        # one file per (p_date, p_bucket) partition at target=1
+        for pdir in glob.glob(f"{base}/p_date=*/p_bucket=*"):
+            assert len(glob.glob(f"{pdir}/*.parquet")) == 1

@@ -139,6 +139,50 @@ class TierStore:
             df = df.where(F.col("p_date") <= d1).where(F.col("t_us") <= int(end_us))
         return df.select(*self.series_cols, "t_us", "value")
 
+    # --------------------------------------------------------- compaction
+    def compact(self, tier: str, target_files_per_partition: int = 1) -> dict:
+        """Rewrite each (p_date, p_bucket) partition's accumulated small
+        files into ``target_files_per_partition`` — the Iceberg
+        ``rewrite_data_files`` analog. Upserts rewrite whole partitions,
+        but streaming epochs and repeated refreshes accrete files; at
+        cluster scale unbounded file counts degrade scan planning, so
+        compaction is a first-class maintenance op.
+
+        Values are unchanged (asserted in tests); the rewrite is one
+        dynamic-partition overwrite reusing the store's own layout."""
+        import glob
+
+        import shutil
+
+        base = self.path(tier)
+        before = len(glob.glob(f"{base}/*/*/*.parquet"))
+        df = self.spark.read.parquet(base).select(
+            *self.series_cols, "t_us", "value"
+        )
+        part = self._partitioned(df)
+        if target_files_per_partition <= 1:
+            # hash-repartition on the partition cols: every (p_date,
+            # p_bucket) lands whole in one task -> one file per partition
+            compacted = part.repartition(F.col("p_date"), F.col("p_bucket"))
+        else:
+            salt = F.pmod(
+                F.xxhash64(*self.series_cols, F.col("t_us")),
+                F.lit(int(target_files_per_partition)),
+            )
+            compacted = part.repartition(F.col("p_date"), F.col("p_bucket"), salt)
+        # rewrite into a sibling dir, then swap (a scan must never overlap
+        # an in-place overwrite of its own input files)
+        tmp = f"{base}.__compact__"
+        (
+            compacted.write.mode("overwrite")
+            .partitionBy("p_date", "p_bucket")
+            .parquet(tmp)
+        )
+        shutil.rmtree(base)
+        os.rename(tmp, base)
+        after = len(glob.glob(f"{base}/*/*/*.parquet"))
+        return {"tier": tier, "files_before": before, "files_after": after}
+
     # ----------------------------------------------------- packed segments
     def write_packed(
         self, df: DataFrame, tier: str, segment_us: int = 86400 * US

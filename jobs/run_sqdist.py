@@ -1,0 +1,92 @@
+"""spark-submit entry point for realtime SqDist over a tier store — the
+reference's cron ``geomag.py --algorithm sqdist --realtime`` loop
+(``geomagio/Controller.py:292-324``, ``test/Controller_test.py:36-213``:
+six sequential invocations with a persisted statefile).
+
+    spark-submit --py-files usgs_geomag_algorithms_spark.zip \
+        jobs/run_sqdist.py --store /data/tiers --tier minute \
+        --start 2020-01-06T00:00:00 --end 2020-01-06T01:00:00 \
+        --statefile /data/sqdist_state.json --out /data/sqdist
+
+Each invocation reads [start, end] from the tier, resumes every series
+from the statefile (strict continuity: a window that does not begin at a
+series' ``next_start`` raises, exactly like the reference's
+AlgorithmException), appends decomposition rows to ``--out``, and
+rewrites the statefile. Deterministic: re-running a window after a crash
+(statefile not yet advanced) reproduces identical rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+def iso_to_us(s: str) -> int:
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1_000_000)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--store", required=True)
+    ap.add_argument("--tier", default="minute")
+    ap.add_argument("--start", required=True)
+    ap.add_argument("--end", required=True)
+    ap.add_argument("--statefile", required=True)
+    ap.add_argument("--out", required=True, help="output parquet dir (append)")
+    ap.add_argument("--alpha", type=float, default=0.1)
+    ap.add_argument("--beta", type=float, default=0.0)
+    ap.add_argument("--gamma", type=float, default=0.2)
+    ap.add_argument("--m", type=int, default=1440)
+    args = ap.parse_args(argv)
+
+    from usgs_geomag_algorithms_spark.operators.sqdist import (
+        HWParams,
+        split_state_rows,
+        sqdist_apply,
+    )
+    from usgs_geomag_algorithms_spark.session import get_spark
+    from usgs_geomag_algorithms_spark.sources.store import TierStore
+    from usgs_geomag_algorithms_spark.tiers import INTERVAL_SECONDS
+
+    spark = SparkSession.getActiveSession() or get_spark(app_name="sqdist")
+    store = TierStore(spark, args.store)
+    delta_s = INTERVAL_SECONDS.get(args.tier, 60.0)
+    start_us, end_us = iso_to_us(args.start), iso_to_us(args.end)
+
+    states = {}
+    if os.path.exists(args.statefile):
+        with open(args.statefile) as f:
+            states = json.load(f)
+
+    params = HWParams(m=args.m, alpha=args.alpha, beta=args.beta, gamma=args.gamma)
+
+    df = store.read(args.tier, start_us, end_us)
+    out = sqdist_apply(df, params, delta_s, states=states or None)
+    data, new_states = split_state_rows(out)
+    n = data.count()
+    if n:
+        data.write.mode("append").parquet(args.out)
+    states.update(new_states)
+    tmp = args.statefile + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(states, f, sort_keys=True)
+    os.replace(tmp, args.statefile)  # statefile advances only after data lands
+
+    print(json.dumps({"rows": n, "series": len(new_states)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

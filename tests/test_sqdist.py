@@ -195,3 +195,90 @@ class TestEstimateParameters:
         e = (y - yhat)[~np.isnan(y - yhat)]
         rmse_bad = np.sqrt(np.mean(e * e))
         assert rmse_fit < rmse_bad
+
+
+class TestRealtimeCli:
+    def test_six_sequential_invocations_match_one_run(self, spark, tmp_path):
+        """The reference Controller test pattern (Controller_test.py:36-213):
+        repeated realtime CLI invocations with a persisted statefile must
+        reproduce the single-run decomposition exactly."""
+        import json
+        import numpy as np
+
+        from jobs.run_sqdist import main as sqdist_main
+        from usgs_geomag_algorithms_spark.sources.store import TierStore
+        from usgs_geomag_algorithms_spark.tiers import US
+
+        T0 = 1577836800 * US  # 2020-01-01T00:00Z
+        MINU = 60 * US
+        n = 6 * 60  # six hourly windows of minute data
+        rng = np.random.default_rng(3)
+        y = (
+            10.0
+            + np.sin(np.arange(n) * 2 * np.pi / 60) * 5
+            + rng.normal(0, 0.3, n)
+        )
+        rows = [("u", "H", T0 + i * MINU, float(y[i])) for i in range(n)]
+        store = TierStore(spark, str(tmp_path / "t"), n_buckets=2)
+        store.write(
+            spark.createDataFrame(
+                rows, "url string, channel string, t_us long, value double"
+            ),
+            "minute",
+        )
+
+        def iso(us):
+            import datetime
+
+            return (
+                datetime.datetime.fromtimestamp(us / 1e6, tz=datetime.timezone.utc)
+                .strftime("%Y-%m-%dT%H:%M:%S")
+            )
+
+        state = str(tmp_path / "state.json")
+        out_inc = str(tmp_path / "inc")
+        # window 0 bootstraps the state (default init is data-dependent,
+        # as in the reference); both paths then resume from THAT state
+        rc = sqdist_main([
+            "--store", str(tmp_path / "t"), "--tier", "minute",
+            "--start", iso(T0), "--end", iso(T0 + 59 * MINU),
+            "--statefile", state, "--out", str(tmp_path / "warm"), "--m", "60",
+        ])
+        assert rc == 0
+        import shutil
+
+        state_full = str(tmp_path / "state_full.json")
+        shutil.copy(state, state_full)
+
+        for h in range(1, 6):
+            lo, hi = T0 + h * 60 * MINU, T0 + ((h + 1) * 60 - 1) * MINU
+            rc = sqdist_main([
+                "--store", str(tmp_path / "t"), "--tier", "minute",
+                "--start", iso(lo), "--end", iso(hi),
+                "--statefile", state, "--out", out_inc, "--m", "60",
+            ])
+            assert rc == 0
+
+        # single run over windows 1..5 from the same bootstrap state
+        out_full = str(tmp_path / "full")
+        rc = sqdist_main([
+            "--store", str(tmp_path / "t"), "--tier", "minute",
+            "--start", iso(T0 + 60 * MINU), "--end", iso(T0 + (n - 1) * MINU),
+            "--statefile", state_full, "--out", out_full, "--m", "60",
+        ])
+        assert rc == 0
+
+        inc = sorted(map(tuple, spark.read.parquet(out_inc).collect()))
+        full = sorted(map(tuple, spark.read.parquet(out_full).collect()))
+        assert len(inc) == len(full) > 0
+        for a, b in zip(inc, full):
+            assert a[:3] == b[:3]
+            if a[3] is None or b[3] is None:
+                assert a[3] == b[3]
+            else:
+                np.testing.assert_almost_equal(a[3], b[3], decimal=8)
+
+        # statefile advanced to one-past-the-end for each series
+        st = json.loads(open(state).read())
+        assert set(st) == {"u|H"}
+        assert json.loads(st["u|H"])["next_start_us"] == T0 + n * MINU

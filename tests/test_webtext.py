@@ -263,3 +263,24 @@ class TestCurate:
         )
         plan = curate(docs)._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("LocalRelation") <= 3
+
+
+class TestResize:
+    def test_resize_batch_shapes_and_determinism(self, spark):
+        import pytest
+
+        media = M.synthetic_media(spark, n=10)
+        decoded = M.decode_media(media)
+        joined = decoded.join(media.select("media_id", "payload"), "media_id")
+        out = M.resize_media(joined, target_w=64, target_h=64).collect()
+        assert len(out) == 10
+        for r in out:
+            assert (r.target_w, r.target_h) == (64, 64)
+            assert len(r.resized) == 64 * 64 // 8  # area-scaled payload
+        again = M.resize_media(joined, target_w=64, target_h=64).collect()
+        assert sorted((r.media_id, bytes(r.resized)) for r in out) == sorted(
+            (r.media_id, bytes(r.resized)) for r in again
+        )
+        # the real-kernel call site is marked, not silently faked
+        with pytest.raises(Exception):
+            M.resize_media(joined, deterministic=False).collect()

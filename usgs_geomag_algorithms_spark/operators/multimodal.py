@@ -108,6 +108,50 @@ def frame_sample(
     )
 
 
+RESIZE_SCHEMA = (
+    "media_id long, width int, height int, target_w int, target_h int, "
+    "resized binary"
+)
+
+
+def resize_media(
+    decoded_with_payload: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    payload_col: str = "payload",
+    deterministic: bool = True,
+) -> DataFrame:
+    """Resize plan: Arrow-batched ``mapInPandas`` producing a new binary
+    payload at (target_w, target_h). The pixel kernel is STUBBED like
+    decode — ``deterministic=True`` emits a digest-derived payload whose
+    length scales with the target area (so batch-shape/size accounting is
+    testable); ``deterministic=False`` marks the PIL call site."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic:
+                raise NotImplementedError(
+                    "real resize requires PIL; not in container"
+                )
+            fake = [
+                (hashlib.sha256(bytes(b) + b"%dx%d" % (target_w, target_h)).digest()
+                 * (target_w * target_h // 32 + 1))[: target_w * target_h // 8]
+                for b in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"].astype("int32"),
+                    "height": pdf["height"].astype("int32"),
+                    "target_w": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "target_h": pd.Series([target_h] * len(pdf), dtype="int32"),
+                    "resized": fake,
+                }
+            )
+
+    return decoded_with_payload.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests/bench: payload bytes derived
     from the row id."""

@@ -98,3 +98,36 @@ class TestServeMonthAndPacked:
         b = sorted(map(tuple, get_timeseries(
             store, "minute", T0, T0 + 119 * MIN, use_packed=True).collect()))
         assert a == b
+
+
+class TestServeDerive:
+    def test_derive_on_read(self, spark, tmp_path):
+        # store holds H and D (mag); request X and Y (geo) -> derived on
+        # read like DerivedTimeseriesFactory wrapping the /data endpoint
+        import math
+
+        store = TierStore(spark, str(tmp_path / "t"), n_buckets=2)
+        d = math.radians(30.0)
+        rows = []
+        for i in range(3):
+            rows += [
+                ("u", "H", T0 + i * MIN, 1.0),
+                ("u", "D", T0 + i * MIN, d),
+            ]
+        store.write(
+            spark.createDataFrame(
+                rows, "url string, channel string, t_us long, value double"
+            ),
+            "minute",
+        )
+        out = get_timeseries(
+            store, "minute", T0, T0 + 2 * MIN,
+            channels=["X", "Y"], derive=True, pad=False,
+        ).collect()
+        got = {(r.channel, r.t_us): r.value for r in out}
+        assert len(got) == 6  # X and Y at 3 slots, H/D filtered out
+        import numpy as np
+
+        # H=1, D=d -> X=cos(d), Y=sin(d)
+        np.testing.assert_almost_equal(got[("X", T0)], math.cos(d))
+        np.testing.assert_almost_equal(got[("Y", T0)], math.sin(d))

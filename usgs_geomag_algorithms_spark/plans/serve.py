@@ -55,12 +55,18 @@ def get_timeseries(
     pad: bool = True,
     as_json: bool = False,
     use_packed: bool = False,
+    derive: bool = False,
+    d0: float = 0.0,
 ):
     """Serve one tier over [start_us, end_us] with explicit gap rows.
 
     ``use_packed`` reads the Gorilla-packed layout (``read_packed``)
     instead of the long layout — same rows, segment-granular pruning.
-    The ``month`` tier pads against its variable-width calendar grid."""
+    The ``month`` tier pads against its variable-width calendar grid.
+    ``derive`` computes requested-but-absent channels on read (the
+    DerivedTimeseriesFactory wrap of the reference's /data endpoint,
+    ``geomagio/api/ws/data.py:21-47``): pivot wide, fixed-point derive,
+    unpivot back to the long serving shape."""
     if tier == "month":
         delta_s = 28 * 86400.0  # cap check lower bound for variable months
     else:
@@ -74,6 +80,17 @@ def get_timeseries(
     df = reader(tier, start_us, end_us)
     if urls:
         df = df.where(df.url.isin(list(urls)))
+    if derive and channels:
+        from ..operators.convert import pivot_channels, unpivot_channels
+        from ..operators.derived import derive_missing_channels
+
+        present = sorted(
+            r[0] for r in df.select("channel").distinct().collect()
+        )
+        wide = pivot_channels(df, present, series_cols=("url",))
+        wide = derive_missing_channels(wide, list(channels), d0=d0)
+        out_ch = sorted(set(present) | ({c for c in channels if c in wide.columns}))
+        df = unpivot_channels(wide, out_ch, series_cols=("url",))
     if channels:
         df = df.where(df.channel.isin(list(channels)))
     if pad:

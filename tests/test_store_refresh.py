@@ -204,3 +204,8 @@ class TestCompaction:
         # one file per (p_date, p_bucket) partition at target=1
         for pdir in glob.glob(f"{base}/p_date=*/p_bucket=*"):
             assert len(glob.glob(f"{pdir}/*.parquet")) == 1
+
+    def test_compact_rejects_packed_tiers(self, spark, store):
+        store.write_packed(mk(spark, minute_rows(1)), "minute")
+        with pytest.raises(ValueError):
+            store.compact("minute_packed")

@@ -154,6 +154,11 @@ class TierStore:
 
         import shutil
 
+        if tier.endswith("_packed"):
+            raise ValueError(
+                "compact() operates on long-layout tiers; packed tiers are "
+                "rewritten by write_packed"
+            )
         base = self.path(tier)
         before = len(glob.glob(f"{base}/*/*/*.parquet"))
         df = self.spark.read.parquet(base).select(

@@ -183,3 +183,84 @@ class TestContinuousAggregate:
         run("ckpt2")  # full replay from scratch -> same upserts
         second = sorted(map(tuple, store.read("minute").collect()))
         assert first == second
+
+
+class TestLambdaReconcile:
+    def test_late_data_gap_filled_by_batch_refresh(self, spark, tmp_path):
+        """The documented handoff: data later than the watermark never
+        reaches the streaming path; the batch incremental refresh fills the
+        hole from the materialized finer tier — same store, same merge."""
+        from usgs_geomag_algorithms_spark.plans.refresh import run_as_update
+        from usgs_geomag_algorithms_spark.sources.store import TierStore
+        from usgs_geomag_algorithms_spark.streaming.continuous import (
+            continuous_aggregate,
+        )
+
+        pages = generate_pages(spark, n_urls=2, hours=1.0, n_hot=2)
+        # "late" slice: minutes 20-39 arrive after the stream has closed
+        lo_us = T0 + 20 * 60 * US
+        hi_us = T0 + 40 * 60 * US - US
+        on_time = pages.where(
+            ~F.col("warc_ts").cast("timestamp").cast("long")
+            .between(lo_us // US, hi_us // US)
+        )
+        path = str(tmp_path / "pages_ontime")
+        on_time.write.parquet(path)
+
+        store = TierStore(spark, str(tmp_path / "tiers"), n_buckets=4)
+
+        def sig(df):
+            return df.select(
+                "url",
+                F.col("warc_ts").cast("timestamp").alias("event_ts"),
+                F.length("text").cast("double").alias("value"),
+                F.lit("text_len").alias("channel"),
+            )
+
+        # streaming path builds the minute tier from on-time pages only
+        stream = spark.readStream.schema(
+            spark.read.parquet(path).schema
+        ).parquet(path)
+        q = continuous_aggregate(
+            sig(stream), SEC_MIN, store, "minute",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            watermark="10 seconds", trigger_available_now=True,
+        )
+        q.awaitTermination(180)
+        streamed = {r.t_us for r in store.read("minute").collect()}
+        missing = {
+            T0 + m * 60 * US for m in range(21, 39)
+        }  # interior late minutes
+        assert streamed.isdisjoint(missing)
+
+        # batch side: the second tier is materialized from the FULL pages
+        # table (the bulk backfill path), then run_as_update fills minute
+        sig_all = page_signals(pages, channels=("text_len",))
+        store.write(sig_all, "second")
+        m = run_as_update(
+            store, "second", "minute", SEC_MIN,
+            start_us=T0 + 60 * US, end_us=T0 + 59 * 60 * US,
+            update_limit=0,
+        )
+        assert m["gaps_filled"] >= 1
+
+        got = {r.t_us: r.value for r in store.read("minute").collect()}
+        full = {
+            (r.t_us): r.value
+            for r in rollup_step(
+                sig_all.select(
+                    "url", "channel",
+                    F.unix_micros("event_ts").alias("t_us")
+                    if "event_ts" in sig_all.columns else F.col("t_us"),
+                    "value",
+                ),
+                SEC_MIN,
+                range_start_us=T0, range_end_us=T0 + 3600 * US - US,
+            ).collect()
+        }
+        for t in missing:
+            assert t in got  # hole closed
+            if full.get(t) is None or got[t] is None:
+                assert full.get(t) == got[t]
+            else:
+                np.testing.assert_almost_equal(got[t], full[t], decimal=9)

@@ -4,7 +4,7 @@
     spark-submit --py-files usgs_geomag_algorithms_spark.zip \
         jobs/run_cascade.py --pages /data/pages --store /data/tiers \
         --start 2020-01-06T00:00:00 --end 2020-01-07T00:00:00 \
-        [--mode build|update] [--update-limit 1] [--retention-now <iso>]
+        [--mode build|update|maintain] [--update-limit 1] [--retention-now <iso>]
 
 Modes mirror the reference: ``build`` = bulk backfill (Controller.run),
 ``update`` = gap-driven incremental refresh (Controller.run_as_update),
@@ -39,7 +39,7 @@ def main(argv=None) -> int:
     ap.add_argument("--store", required=True, help="tier store root")
     ap.add_argument("--start", required=True)
     ap.add_argument("--end", required=True)
-    ap.add_argument("--mode", choices=["build", "update"], default="build")
+    ap.add_argument("--mode", choices=["build", "update", "maintain"], default="build")
     ap.add_argument("--channels", nargs="*", default=["text_len", "lang_en"])
     ap.add_argument("--update-limit", type=int, default=1)
     ap.add_argument("--n-buckets", type=int, default=16)
@@ -66,6 +66,8 @@ def main(argv=None) -> int:
             pages, store, start_us, end_us,
             channels=tuple(args.channels), run_id=args.run_id,
         )
+    elif args.mode == "maintain":
+        metrics = pipeline.maintain(store, end_us)
     else:
         metrics = pipeline.update_tiers(
             store, start_us, end_us,

@@ -60,3 +60,37 @@ class TestPipeline:
         assert out.returncode == 0, out.stderr[-2000:]
         metrics = json.loads(out.stdout.strip().splitlines()[-1])
         assert metrics["tiers"]["minute"] > 0
+
+
+class TestMaintain:
+    def test_maintain_cli(self, spark, tmp_path):
+        from usgs_geomag_algorithms_spark.sources.store import TierStore
+
+        store = TierStore(spark, str(tmp_path / "t"), n_buckets=2)
+        rows = [
+            ("u", "text_len", T0 + i * 60 * US, float(i)) for i in range(120)
+        ]
+        store.write(
+            spark.createDataFrame(
+                rows, "url string, channel string, t_us long, value double"
+            ).repartition(6),
+            "minute",
+        )
+        from jobs.run_cascade import main as cascade_main
+        import json as _json
+        import io, contextlib
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cascade_main([
+                "--store", str(tmp_path / "t"), "--mode", "maintain",
+                "--start", "2020-01-01T00:00:00", "--end", "2020-01-01T02:00:00",
+            ])
+        assert rc == 0
+        m = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert "compaction" in m and m["compaction"]["minute"]["files_after"] >= 1
+        assert sorted(map(tuple, store.read("minute").collect())) == sorted(
+            map(tuple, spark.createDataFrame(
+                rows, "url string, channel string, t_us long, value double"
+            ).collect())
+        )

@@ -112,3 +112,19 @@ def apply_retention(
         if store.exists(tier):
             dropped[tier] = store.expire_before(tier, now_us - keep)
     return dropped
+
+
+def maintain(
+    store: TierStore,
+    now_us: int,
+    retention_us: dict | None = None,
+    compact_tiers: tuple = ("minute", "hour", "day", "month"),
+) -> dict:
+    """Scheduled store maintenance: retention partition drops, then
+    small-file compaction of the long-layout tiers (the Iceberg
+    ``expire_snapshots`` + ``rewrite_data_files`` housekeeping pair)."""
+    out = {"retention": apply_retention(store, now_us, retention_us)}
+    out["compaction"] = {
+        t: store.compact(t) for t in compact_tiers if store.exists(t)
+    }
+    return out

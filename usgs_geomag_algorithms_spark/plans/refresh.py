@@ -28,7 +28,6 @@ import time
 
 from pyspark.sql import functions as F
 
-from .. import tiers
 from ..operators.rollup import rollup_step
 from ..sources.store import TierStore
 from ..tiers import Step

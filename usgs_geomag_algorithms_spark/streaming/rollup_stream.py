@@ -28,7 +28,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..tiers import US, Step
+from ..tiers import Step
 
 
 def streaming_rollup_step(

@@ -219,6 +219,22 @@ def q_merged_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 minutes by signal value per event_type (rank + limit — the
+    §2.8 sort/limit surface; deterministic tie-break on timestamp)."""
+    from pyspark.sql import Window
+
+    sig = _minute_signal(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("t_us").asc()
+    )
+    return (
+        sig.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("event_type", "t_us", F.round("value", 4).alias("value"), "rank")
+    )
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style relational sanity over lineitem."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -352,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sqdist_decompose": q_sqdist_decompose,
         "coverage_monitor": q_coverage_monitor,
         "merged_gaps": q_merged_gaps,
+        "top_minutes": q_top_minutes,
     }
 
 
@@ -467,6 +484,15 @@ SELECT event_type,
             THEN round(vsum / nv, 4) END AS value
 FROM mon, bounds
 WHERE m0 = epoch_us(date_trunc('month', make_timestamp(lo_us)))
+"""
+    top_minutes = f"""
+WITH {_MINUTE_CTE}
+SELECT event_type, t_us, round(v, 4) AS value, rank::INT AS rank FROM (
+    SELECT event_type, t_us, v,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY v DESC, t_us ASC) AS rank
+    FROM minute
+) WHERE rank <= 5
 """
     dbdt_minute = f"""
 WITH {_MINUTE_CTE}
@@ -650,4 +676,5 @@ WHERE k * {OUT} - {HW} >= lo_us AND k * {OUT} + {HW} <= hi_us
         "text_quality": text_quality,
         "coverage_monitor": coverage_monitor,
         "merged_gaps": merged_gaps,
+        "top_minutes": top_minutes,
     }

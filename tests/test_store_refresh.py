@@ -209,3 +209,14 @@ class TestCompaction:
         store.write_packed(mk(spark, minute_rows(1)), "minute")
         with pytest.raises(ValueError):
             store.compact("minute_packed")
+
+
+class TestStats:
+    def test_tier_stats(self, spark, store):
+        rows = minute_rows(2) + minute_rows(2, url="v")
+        rows[3] = (rows[3][0], rows[3][1], rows[3][2], None)
+        store.write(mk(spark, rows), "minute")
+        s = store.stats("minute")
+        assert s["rows"] == 240 and s["valid_rows"] == 239
+        assert s["t_min_us"] == T0 and s["t_max_us"] == T0 + 119 * MIN
+        assert 1 <= s["approx_series"] <= 3  # HLL estimate of 2 urls

@@ -139,6 +139,29 @@ class TierStore:
             df = df.where(F.col("p_date") <= d1).where(F.col("t_us") <= int(end_us))
         return df.select(*self.series_cols, "t_us", "value")
 
+    # ------------------------------------------------------------- stats
+    def stats(self, tier: str) -> dict:
+        """One-aggregate tier profile for monitoring dashboards: row count,
+        valid fraction, time span, and approx distinct series (HLL sketch —
+        exact distinct over 10^8 urls would itself be a shuffle)."""
+        df = self.read(tier)
+        v = F.col("value")
+        r = df.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count(F.when(v.isNotNull() & ~F.isnan(v), True)).alias("valid"),
+            F.min("t_us").alias("t_min"),
+            F.max("t_us").alias("t_max"),
+            F.approx_count_distinct(self.series_cols[0]).alias("approx_series"),
+        ).first()
+        return {
+            "tier": tier,
+            "rows": r.rows,
+            "valid_rows": r.valid,
+            "t_min_us": r.t_min,
+            "t_max_us": r.t_max,
+            "approx_series": r.approx_series,
+        }
+
     # --------------------------------------------------------- compaction
     def compact(self, tier: str, target_files_per_partition: int = 1) -> dict:
         """Rewrite each (p_date, p_bucket) partition's accumulated small

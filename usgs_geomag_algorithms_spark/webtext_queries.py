@@ -88,6 +88,22 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEAR_DUP_JACCARD = 0.3
+
+
+def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline: MinHash-LSH candidate generation
+    followed by exact n-gram-Jaccard verification — deterministic end to
+    end (fixed permutations + md5 band hashes), so exactly oracle-checked
+    despite containing an 'approximate' stage."""
+    docs = _docs(spark, sf_dir)
+    sigs = D.minhash_signatures(docs, k=K_MINHASH, shingle_n=SHINGLE_N)
+    cands = D.lsh_candidate_pairs(sigs, bands=4)
+    return D.ngram_jaccard_pairs(docs, cands, n=SHINGLE_N).where(
+        F.col("jaccard") >= NEAR_DUP_JACCARD
+    )
+
+
 CURATE_MIN_QUALITY = 0.7
 
 
@@ -333,6 +349,58 @@ GROUP BY doc_id
 """
 
 
+def _near_dup_verified_sql() -> str:
+    perms = minhash_perms(K_MINHASH)
+    mins = ",\n           ".join(
+        f"min((h * {a} + {b}) % {MINHASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    rows_per_band = K_MINHASH // 4
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band, md5({concat}) AS bhash FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"m{b * rows_per_band + j}::VARCHAR" for j in range(rows_per_band)
+            ),
+        )
+        for b in range(4)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM hv GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bhash = b.bhash
+               AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+    SELECT c.id_a, c.id_b, count(*) AS n_common
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+    GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       round(coalesce(cm.n_common, 0)
+             / (ca.n + cb.n - coalesce(cm.n_common, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN common cm ON cm.id_a = c.id_a AND cm.id_b = c.id_b
+JOIN counts ca ON ca.doc_id = c.id_a
+JOIN counts cb ON cb.doc_id = c.id_b
+WHERE round(coalesce(cm.n_common, 0)
+            / (ca.n + cb.n - coalesce(cm.n_common, 0)), 6) >= {NEAR_DUP_JACCARD}
+"""
+
+
 def _curate_sql() -> str:
     lang_sql = _lang_id_sql()
     quality_sql = _quality_sql()
@@ -365,6 +433,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "doc_fingerprint": q_fingerprint,
     "curate_corpus": q_curate_corpus,
+    "near_dup_verified": q_near_dup_verified,
 }
 
 ORACLES = {
@@ -378,5 +447,6 @@ ORACLES = {
     "quality_score": _quality_sql(),
     "doc_fingerprint": _fingerprint_sql(),
     "curate_corpus": _curate_sql(),
+    "near_dup_verified": _near_dup_verified_sql(),
     # lsh_pairs / knn_lsh / knn_ivf: approximate-by-design -> rows-only check
 }

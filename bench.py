@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "knn_cosine",
     "knn_ivf",
     "rollup_month_value",
+    "near_dup_verified",
+    "curate_corpus",
+    "top_minutes",
     "text_quality",
 ]
 

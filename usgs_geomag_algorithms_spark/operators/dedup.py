@@ -87,6 +87,7 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    shingles: DataFrame = None,
 ) -> DataFrame:
     """Per-document MinHash signature: array of k minima of
     (a_i * h(shingle) + b_i) mod p, ordered by permutation index.
@@ -99,7 +100,11 @@ def minhash_signatures(
     expressions, all in one whole-stage-codegen'd aggregate (no k-fold row
     amplification).
     """
-    sh = char_shingles(df, n=shingle_n, text_col=text_col, id_col=id_col)
+    sh = (
+        shingles
+        if shingles is not None
+        else char_shingles(df, n=shingle_n, text_col=text_col, id_col=id_col)
+    )
     h = _shingle_hash(F.col("shingle"))
     hashed = sh.select(id_col, h.alias("_h"))
     aggs = [
@@ -212,20 +217,30 @@ def ngram_jaccard_pairs(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: DataFrame = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for given (id_a, id_b) pairs:
-    |A ∩ B| / |A ∪ B| over distinct char n-grams. Computed with two
-    broadcast-friendly joins against the shingle relation; the common-count
-    join shuffles on the shingle value."""
-    sh = char_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    |A ∩ B| / |A ∪ B| over distinct char n-grams.
+
+    PAIR-DRIVEN plan: expand each pair by its left doc's shingles, then
+    equi-join on ``(id_b, shingle)``. Work is Σ over pairs of |shingles(a)|
+    — linear in the candidate list. (The tempting alternative — self-join
+    the shingle relation on shingle value and filter to pairs afterwards —
+    is quadratic in the posting-list length of hot shingles: with
+    boilerplate 8-grams shared by most of a web corpus it explodes before
+    the filter can save it; measured 42 s vs 3 s at sf0.1.)"""
+    sh = (
+        shingles
+        if shingles is not None
+        else char_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    )
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    # equi-join on the shingle value (shuffle key = shingle), then keep only
-    # requested pairs — never a per-pair cartesian of shingle sets
     common = (
-        sh.withColumnRenamed(id_col, "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b"), on="shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .join(pairs, on=["id_a", "id_b"], how="leftsemi")
+        pairs.join(sh.withColumnRenamed(id_col, "id_a"), on="id_a")
+        .join(
+            sh.withColumnRenamed(id_col, "id_b"),
+            on=["id_b", "shingle"],
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
@@ -244,3 +259,34 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def near_dup_pairs_verified(
+    df: DataFrame,
+    k: int = 16,
+    shingle_n: int = 8,
+    bands: int = 4,
+    threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash-LSH candidates verified by exact
+    n-gram Jaccard. The shingle relation feeds BOTH the signature and the
+    verification stage, and Spark's exchange reuse cannot bridge their
+    different shuffle keys — so it is persisted once here (the dominant
+    cost: one explode + hash over every document). Deterministic end to
+    end (fixed permutations, md5 band hashes) — exactly oracle-checkable
+    despite the candidate stage being an approximation."""
+    from pyspark.storagelevel import StorageLevel
+
+    sh = char_shingles(df, n=shingle_n, text_col=text_col, id_col=id_col)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(
+        df, k=k, shingle_n=shingle_n, text_col=text_col, id_col=id_col,
+        seed=seed, shingles=sh,
+    )
+    cands = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
+    return ngram_jaccard_pairs(
+        df, cands, n=shingle_n, text_col=text_col, id_col=id_col, shingles=sh
+    ).where(F.col("jaccard") >= threshold)

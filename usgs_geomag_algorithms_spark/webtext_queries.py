@@ -96,11 +96,9 @@ def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     followed by exact n-gram-Jaccard verification — deterministic end to
     end (fixed permutations + md5 band hashes), so exactly oracle-checked
     despite containing an 'approximate' stage."""
-    docs = _docs(spark, sf_dir)
-    sigs = D.minhash_signatures(docs, k=K_MINHASH, shingle_n=SHINGLE_N)
-    cands = D.lsh_candidate_pairs(sigs, bands=4)
-    return D.ngram_jaccard_pairs(docs, cands, n=SHINGLE_N).where(
-        F.col("jaccard") >= NEAR_DUP_JACCARD
+    return D.near_dup_pairs_verified(
+        _docs(spark, sf_dir), k=K_MINHASH, shingle_n=SHINGLE_N, bands=4,
+        threshold=NEAR_DUP_JACCARD,
     )
 
 

@@ -1,20 +1,19 @@
 """Corpus curation: the composed training-data filter pipeline.
 
-One declarative plan chaining the webtext primitives the way a 100 TB
-pretraining-data build would: exact-dedup (first-doc-wins), language
-gate, quality gate — emitting the surviving doc ids with their features.
-Because each stage is a column-expression layer over the same documents
-scan, Catalyst collapses the whole pipeline into a single pass + one
-window for the dedup (keyed on the content hash); nothing is
-materialized between stages.
+One declarative plan computing the webtext gates the way a 100 TB
+pretraining-data build must: every gate — language prediction, quality
+features, content hash — is a column expression over ONE scan of the
+documents table, and the only shuffle is the dedup window on the content
+hash. (The tempting composition — run lang_id / quality_score / dedup as
+three DataFrames and join on id — reads the table three times and adds
+two join shuffles; at 100 TB that is 2×100 TB of extra scan.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-from .dedup import exact_dedup
-from .textops import lang_id, quality_score
+from .textops import lang_pred_column, quality_columns
 
 
 def curate(
@@ -26,20 +25,23 @@ def curate(
 ) -> DataFrame:
     """Surviving docs after dedup + language + quality gates.
 
-    Output: id, lang, quality_score, mean_token_len, stopword_ratio —
+    Output: id, pred_lang, quality_score, mean_token_len, stopword_ratio —
     the curation manifest a downstream tokenizer job would consume."""
-    dedup = exact_dedup(df, text_col, id_col).where(~F.col("is_duplicate"))
-    langs = lang_id(df, text_col, id_col).where(F.col("pred_lang") == lang)
-    quality = quality_score(df, text_col, id_col).where(
-        F.col("quality_score") >= min_quality
-    )
-    return (
-        dedup.select(id_col)
-        .join(langs.select(id_col, "pred_lang"), id_col)
-        .join(
-            quality.select(
-                id_col, "quality_score", "mean_token_len", "stopword_ratio"
-            ),
-            id_col,
-        )
+    text = F.col(text_col)
+    q = quality_columns(text)
+    w = Window.partitionBy("_md5")
+    enriched = df.select(
+        id_col,
+        F.md5(text.cast("binary")).alias("_md5"),
+        lang_pred_column(text).alias("pred_lang"),
+        q["quality_score"].alias("quality_score"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+    ).withColumn("_keep", F.col(id_col) == F.min(id_col).over(w))
+    return enriched.where(
+        F.col("_keep")
+        & (F.col("pred_lang") == lang)
+        & (F.col("quality_score") >= min_quality)
+    ).select(
+        id_col, "pred_lang", "quality_score", "mean_token_len", "stopword_ratio"
     )

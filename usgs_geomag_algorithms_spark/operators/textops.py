@@ -40,13 +40,12 @@ def _count_occurrences(text: F.Column, word: str) -> F.Column:
     ).cast("long")
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-marker language ID: score = Σ occurrences of each language's
-    marker words; predict argmax (ties broken by language code order)."""
+def lang_pred_column(text: F.Column) -> F.Column:
+    """The language prediction as a single column expression (argmax of
+    marker scores, first-wins tie-break) — reusable by single-scan
+    compositions like ``curate``."""
     scores = {
-        lang: sum(
-            (_count_occurrences(F.col(text_col), w) for w in words), F.lit(0)
-        )
+        lang: sum((_count_occurrences(text, w) for w in words), F.lit(0))
         for lang, words in LANG_MARKERS.items()
     }
     langs = sorted(LANG_MARKERS)
@@ -56,8 +55,6 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         for other in langs:
             if other == lang:
                 continue
-            # strictly greater than later langs, >= earlier langs (argmax
-            # with first-wins tie-break in sorted order)
             c = (
                 scores[lang] >= scores[other]
                 if other > lang
@@ -67,19 +64,12 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         best = (
             F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
         )
-    pred = best.otherwise(F.lit(langs[0]))
-    return df.select(
-        id_col,
-        *[scores[lang].alias(f"score_{lang}") for lang in langs],
-        pred.alias("pred_lang"),
-    )
+    return best.otherwise(F.lit(langs[0]))
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality features: mean token length, stopword ratio,
-    non-alnum ratio, plus a composite [0,1] score. Deterministic closed-form
-    expressions only."""
-    text = F.col(text_col)
+def quality_columns(text: F.Column) -> dict:
+    """Quality features as raw column expressions keyed by output name —
+    the single source shared by ``quality_score`` and ``curate``."""
     n_chars = F.length(text)
     n_tokens = F.size(F.split(text, r"\s+"))
     n_spaces = n_chars - F.length(F.replace(text, F.lit(" "), F.lit("")))
@@ -95,12 +85,38 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + F.when(stop_ratio > 0.02, 0.3).otherwise(0.0)
         + F.when(punct_ratio < 0.1, 0.3).otherwise(0.0)
     )
+    return {
+        "mean_token_len": F.round(mean_tok_len, 4),
+        "stopword_ratio": F.round(stop_ratio, 4),
+        "punct_ratio": F.round(punct_ratio, 4),
+        "quality_score": F.round(score, 2),
+    }
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID: score = Σ occurrences of each language's
+    marker words; predict argmax (ties broken by language code order)."""
+    scores = {
+        lang: sum(
+            (_count_occurrences(F.col(text_col), w) for w in words), F.lit(0)
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
     return df.select(
         id_col,
-        F.round(mean_tok_len, 4).alias("mean_token_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(score, 2).alias("quality_score"),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        lang_pred_column(F.col(text_col)).alias("pred_lang"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: mean token length, stopword ratio,
+    non-alnum ratio, plus a composite [0,1] score. Deterministic closed-form
+    expressions only."""
+    cols = quality_columns(F.col(text_col))
+    return df.select(
+        id_col, *[expr.alias(name) for name, expr in cols.items()]
     )
 
 

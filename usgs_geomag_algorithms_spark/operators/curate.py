@@ -29,19 +29,25 @@ def curate(
     the curation manifest a downstream tokenizer job would consume."""
     text = F.col(text_col)
     q = quality_columns(text)
-    w = Window.partitionBy("_md5")
-    enriched = df.select(
+    # gates BEFORE the dedup window: both predicates are pure functions of
+    # text and the window partitions on md5(text), so a content group
+    # passes or fails as a whole — identical output, but only survivors
+    # pay the pipeline's one shuffle
+    gated = df.select(
         id_col,
         F.md5(text.cast("binary")).alias("_md5"),
         lang_pred_column(text).alias("pred_lang"),
         q["quality_score"].alias("quality_score"),
         q["mean_token_len"].alias("mean_token_len"),
         q["stopword_ratio"].alias("stopword_ratio"),
-    ).withColumn("_keep", F.col(id_col) == F.min(id_col).over(w))
-    return enriched.where(
-        F.col("_keep")
-        & (F.col("pred_lang") == lang)
-        & (F.col("quality_score") >= min_quality)
-    ).select(
-        id_col, "pred_lang", "quality_score", "mean_token_len", "stopword_ratio"
+    ).where(
+        (F.col("pred_lang") == lang) & (F.col("quality_score") >= min_quality)
+    )
+    w = Window.partitionBy("_md5")
+    return (
+        gated.withColumn("_keep", F.col(id_col) == F.min(id_col).over(w))
+        .where(F.col("_keep"))
+        .select(
+            id_col, "pred_lang", "quality_score", "mean_token_len", "stopword_ratio"
+        )
     )

@@ -40,14 +40,20 @@ def _count_occurrences(text: F.Column, word: str) -> F.Column:
     ).cast("long")
 
 
-def lang_pred_column(text: F.Column) -> F.Column:
-    """The language prediction as a single column expression (argmax of
-    marker scores, first-wins tie-break) — reusable by single-scan
-    compositions like ``curate``."""
-    scores = {
+def lang_score_columns(text: F.Column) -> dict:
+    """Per-language marker scores as column expressions — the single
+    source for ``lang_id`` and ``lang_pred_column``."""
+    return {
         lang: sum((_count_occurrences(text, w) for w in words), F.lit(0))
         for lang, words in LANG_MARKERS.items()
     }
+
+
+def lang_pred_column(text: F.Column, scores: dict = None) -> F.Column:
+    """The language prediction as a single column expression (argmax of
+    marker scores, first-wins tie-break) — reusable by single-scan
+    compositions like ``curate``."""
+    scores = scores if scores is not None else lang_score_columns(text)
     langs = sorted(LANG_MARKERS)
     best = None
     for lang in langs:
@@ -96,17 +102,12 @@ def quality_columns(text: F.Column) -> dict:
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-marker language ID: score = Σ occurrences of each language's
     marker words; predict argmax (ties broken by language code order)."""
-    scores = {
-        lang: sum(
-            (_count_occurrences(F.col(text_col), w) for w in words), F.lit(0)
-        )
-        for lang, words in LANG_MARKERS.items()
-    }
+    scores = lang_score_columns(F.col(text_col))
     langs = sorted(LANG_MARKERS)
     return df.select(
         id_col,
         *[scores[lang].alias(f"score_{lang}") for lang in langs],
-        lang_pred_column(F.col(text_col)).alias("pred_lang"),
+        lang_pred_column(F.col(text_col), scores).alias("pred_lang"),
     )
 
 

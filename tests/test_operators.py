@@ -333,3 +333,21 @@ class TestConvert:
         assert sorted(map(tuple, back.collect())) == sorted(
             map(tuple, mk(spark, rows).collect())
         )
+
+
+class TestDeadSeriesGap:
+    def test_all_invalid_series_is_one_full_range_gap(self, spark):
+        # (ref get_trace_gaps on an all-NaN trace: whole trace is the gap)
+        rows = series("u", "H", [None, None, None, None])
+        rows += series("v", "H", [1, 1, 1, 1])  # healthy control
+        df = mk(spark, rows)
+        gaps = detect_gaps(df, 60.0, T0, T0 + 3 * MIN).collect()
+        by_series = {}
+        for g in gaps:
+            by_series.setdefault(g.url, []).append(g)
+        assert "v" not in by_series
+        assert len(by_series["u"]) == 1
+        g = by_series["u"][0]
+        assert (g.gap_start_us, g.gap_end_us, g.next_valid_us) == (
+            T0, T0 + 3 * MIN, T0 + 4 * MIN,
+        )

@@ -220,3 +220,69 @@ class TestStats:
         assert s["rows"] == 240 and s["valid_rows"] == 239
         assert s["t_min_us"] == T0 and s["t_max_us"] == T0 + 119 * MIN
         assert 1 <= s["approx_series"] <= 3  # HLL estimate of 2 urls
+
+
+class TestRefreshSemantics:
+    def test_per_series_gap_refilled(self, spark, store):
+        # hour slot already valid for url 'u' must NOT hide url 'w' whose
+        # minute data arrived late (union gap semantics across series)
+        store.write(mk(spark, minute_rows(1) + minute_rows(1, url="w")), "minute")
+        full = rollup_step(
+            store.read("minute"), MIN_HOUR,
+            range_start_us=T0, range_end_us=T0 + HOUR - MIN,
+        )
+        store.write(full.where(F.col("url") == "u"), "hour")  # only u's hour
+        m = R.run_as_update(
+            store, "minute", "hour", MIN_HOUR, hour_stamp(0), hour_stamp(0),
+            update_limit=0,
+        )
+        assert m["gaps_filled"] == 1
+        got = {r.url for r in store.read("hour").collect()}
+        assert got == {"u", "w"}
+
+    def test_no_input_slot_retried_after_data_lands(self, spark, store):
+        # run before minute data exists: nothing written, but the slot must
+        # not be poisoned — once data lands, the next run fills it
+        store.write(mk(spark, []), "minute")
+        m1 = R.run_as_update(
+            store, "minute", "hour", MIN_HOUR, hour_stamp(0), hour_stamp(0),
+            update_limit=0,
+        )
+        assert m1["rows_written"] == 0
+        store.write(mk(spark, minute_rows(1)), "minute")
+        m2 = R.run_as_update(
+            store, "minute", "hour", MIN_HOUR, hour_stamp(0), hour_stamp(0),
+            update_limit=0,
+        )
+        assert m2["rows_written"] >= 1
+        assert store.read("hour").count() == 1
+
+    def test_masked_null_slot_not_rechurned(self, spark, store):
+        # 30/60 minutes -> hour masked NULL; the NULL ROW counts as
+        # computed, so a second run does no work (no recompute loop)
+        store.write(mk(spark, minute_rows(1)[:30]), "minute")
+        m1 = R.run_as_update(
+            store, "minute", "hour", MIN_HOUR, hour_stamp(0), hour_stamp(0),
+            update_limit=0,
+        )
+        assert m1["gaps_filled"] == 1
+        rows = store.read("hour").collect()
+        assert len(rows) == 1 and rows[0].value is None
+        m2 = R.run_as_update(
+            store, "minute", "hour", MIN_HOUR, hour_stamp(0), hour_stamp(0),
+            update_limit=0,
+        )
+        assert m2["gaps_filled"] == 0 and m2["rows_written"] == 0
+
+    def test_unaligned_window_still_backfills(self, spark, store):
+        # window starting mid-hour: a gap at the first expected slot must
+        # still trigger the step-one-window-earlier recursion
+        store.write(mk(spark, minute_rows(3)), "minute")
+        start = hour_stamp(1) - 10 * MIN  # unaligned (01:19:30)
+        m = R.run_as_update(
+            store, "minute", "hour", MIN_HOUR, start, hour_stamp(2),
+            update_limit=1,
+        )
+        got = {r.t_us for r in store.read("hour").collect()}
+        # hours 1,2 from the window; hour 0 from the backfill recursion
+        assert hour_stamp(0) in got and hour_stamp(1) in got and hour_stamp(2) in got

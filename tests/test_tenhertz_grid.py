@@ -83,3 +83,18 @@ class TestSkewBalance:
         counts = [r["count"] for r in per_key]
         # anchor-level keys hash near-uniformly despite 60:1 row skew
         assert max(counts) < 3 * (sum(counts) / len(counts))
+
+
+class TestGridStartUnaligned:
+    def test_center_stamp_not_skipped(self):
+        # start between the hour anchor and its center stamp must land on
+        # THAT hour's stamp, not skip to the next hour (serving data loss)
+        t0 = 1578268800 * US  # 2020-01-06 00:00
+        start = t0 + 10 * 60 * US  # 00:10
+        assert grid_start_us(start, 3600.0) == t0 + (29 * 60 + 30) * US
+        # start just past the stamp rolls to the next hour's stamp
+        start2 = t0 + (29 * 60 + 31) * US
+        assert grid_start_us(start2, 3600.0) == t0 + 3600 * US + (29 * 60 + 30) * US
+        # day tier: start at 03:00 keeps the same day's 11:59:30
+        start3 = t0 + 3 * 3600 * US
+        assert grid_start_us(start3, 86400.0) == t0 + (11 * 3600 + 59 * 60 + 30) * US

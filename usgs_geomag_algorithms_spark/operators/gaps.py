@@ -77,7 +77,23 @@ def detect_gaps(
         F.lit(int(range_end_us)).alias("gap_end_us"),
         (F.lit(int(range_end_us)) + delta_us).alias("next_valid_us"),
     )
-    return interior.unionByName(lead).unionByName(trail)
+    # series present in range but with ZERO valid samples: the whole range
+    # is one gap (ref get_trace_gaps on an all-NaN trace) — without this, a
+    # fully-dead series would report "no gaps" to every monitoring/refill
+    # consumer
+    dead = (
+        df.where(t.between(int(range_start_us), int(range_end_us)))
+        .select(*series_cols)
+        .distinct()
+        .join(edges.select(*series_cols), series_cols, "left_anti")
+        .select(
+            *series_cols,
+            F.lit(int(range_start_us)).alias("gap_start_us"),
+            F.lit(int(range_end_us)).alias("gap_end_us"),
+            (F.lit(int(range_end_us)) + delta_us).alias("next_valid_us"),
+        )
+    )
+    return interior.unionByName(lead).unionByName(trail).unionByName(dead)
 
 
 def _merge_runs(gaps: DataFrame, part_cols: Sequence[str]) -> DataFrame:
@@ -142,7 +158,11 @@ def merge_gap_intervals(
     bucketed = gaps.select(
         F.floor(F.col("gap_start_us") / F.lit(int(bucket_us))).alias("_b"), *cols
     )
-    phase1 = _merge_runs(bucketed, ["_b"])
+    # phase1 feeds three consumers (reach aggregate, final branch,
+    # spanning branch); persist so the bucketed window runs once
+    from pyspark.storagelevel import StorageLevel
+
+    phase1 = _merge_runs(bucketed, ["_b"]).persist(StorageLevel.MEMORY_AND_DISK)
 
     # Per-bucket reach: the farthest next_valid any earlier bucket attains.
     # #buckets rows — the unpartitioned window here is over a tiny frame.

@@ -33,6 +33,38 @@ DAY_US = 86_400 * US
 DAY_STAMP_OFF_US = 43_170 * US
 
 
+def month_stamp_us(month_start_us: int, n_days: int) -> int:
+    """Center stamp of a calendar month: start + (days*86400-60)/2 s — the
+    ONE place the stamp arithmetic lives (the Spark expression in
+    ``rollup_month`` mirrors it; parity asserted in tests)."""
+    return month_start_us + (43_200 * n_days - 30) * US
+
+
+def months_in_range(start_us: int, end_us: int) -> list[tuple[int, int, int]]:
+    """(month_start_us, n_days, stamp_us) for every calendar month whose
+    center stamp lies in [start_us, end_us]. Driver-side: tiny. The
+    canonical month enumeration used by serving and refresh."""
+    import datetime as _dt
+
+    utc = _dt.timezone.utc
+    dt = _dt.datetime.fromtimestamp(start_us / 1e6, tz=utc)
+    cur = _dt.datetime(dt.year, dt.month, 1, tzinfo=utc)
+    out: list[tuple[int, int, int]] = []
+    while True:
+        nxt = _dt.datetime(
+            cur.year + (cur.month == 12), cur.month % 12 + 1, 1, tzinfo=utc
+        )
+        n_days = (nxt - cur).days
+        m0 = int(cur.timestamp() * 1e6)
+        stamp = month_stamp_us(m0, n_days)
+        if stamp > end_us:
+            break
+        if stamp >= start_us:
+            out.append((m0, n_days, stamp))
+        cur = nxt
+    return out
+
+
 def rollup_month(
     df: DataFrame,
     range_start_us: int | None = None,
@@ -58,11 +90,17 @@ def rollup_month(
     if range_start_us is None or range_end_us is None:
         lo, hi = df.select(F.min(t).alias("lo"), F.max(t).alias("hi")).first()
         if lo is None:
-            return df.select(
+            empty_cols = [
                 *series_cols,
                 t.cast("long").alias(ts_col),
                 v.cast("double").alias(value_col),
-            ).limit(0)
+            ]
+            if emit_coverage:
+                empty_cols += [
+                    F.lit(0.0).alias("weight_sum"),
+                    F.lit(0).cast("long").alias("n_valid"),
+                ]
+            return df.select(*empty_cols).limit(0)
         range_start_us = range_start_us if range_start_us is not None else lo
         range_end_us = range_end_us if range_end_us is not None else hi
 

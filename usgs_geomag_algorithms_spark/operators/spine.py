@@ -20,12 +20,17 @@ from ..tiers import US
 def grid_start_us(start_us: int, delta_s: float) -> int:
     """First valid sample time at/after ``start_us`` on the tier grid, with
     the center-stamp shift for hour/day tiers
-    (ref ``create_empty_trace``, TimeseriesUtility.py:49-57)."""
+    (ref ``create_empty_trace``, TimeseriesUtility.py:49-57).
+
+    The ceil happens in SHIFTED space: the smallest ``k*delta + shift``
+    that is ``>= start_us``. Ceiling to the raw grid first and then adding
+    the shift would skip a whole interval when ``start_us`` lands between
+    an anchor and its center stamp (e.g. hour tier, start 06:10 → the
+    valid 06:29:30 sample), silently dropping stored rows from padded
+    serving reads."""
     delta_us = int(round(delta_s * US))
-    t = -(-start_us // delta_us) * delta_us  # ceil to grid
-    if delta_s > 60.0:
-        t += (delta_us - 60 * US) // 2
-    return t
+    shift = (delta_us - 60 * US) // 2 if delta_s > 60.0 else 0
+    return -(-(start_us - shift) // delta_us) * delta_us + shift
 
 
 def time_spine(

@@ -53,29 +53,64 @@ def save_checkpoint(store: TierStore, tier_out: str, state: dict) -> None:
     os.replace(tmp, p)
 
 
-def find_output_gaps(
-    store: TierStore, tier_out: str, step: Step, start_us: int, end_us: int
-) -> list[tuple[int, int]]:
-    """Merged (across all series) gap intervals on the output grid within
-    [start_us, end_us]: grid slots where no series has a valid value.
-    One aggregate over the pruned output scan — O(distinct slots) rows."""
+def output_grid_bounds(step: Step, start_us: int, end_us: int) -> tuple[int, int]:
+    """First/last expected output stamps inside [start_us, end_us]."""
     out_us = step.out_us
-    # output grid slots stamped in range
     grid0 = -(-(start_us - step.stamp_offset_us) // out_us) * out_us + step.stamp_offset_us
     grid1 = (end_us - step.stamp_offset_us) // out_us * out_us + step.stamp_offset_us
+    return grid0, grid1
+
+
+def find_output_gaps(
+    store: TierStore,
+    tier_out: str,
+    step: Step,
+    start_us: int,
+    end_us: int,
+    tier_in: str | None = None,
+) -> list[tuple[int, int]]:
+    """Gap intervals on the output grid within [start_us, end_us].
+
+    Presence = an output ROW exists (even a masked NULL one) — the rollup
+    materializes NULL rows for eligible-but-undercovered windows, so
+    "computed but masked" is distinguishable from "never computed" and
+    legitimately-masked slots are not recomputed on every run.
+
+    With ``tier_in``, presence is checked PER SERIES (union semantics, the
+    reference's ``get_merged_gaps`` across channels): a slot is a gap when
+    any series that has input rows in the slot's window lacks an output
+    row. Without it, a slot that one series already covered would hide
+    another series' late-arriving data forever."""
+    grid0, grid1 = output_grid_bounds(step, start_us, end_us)
+    out_us = step.out_us
     if grid1 < grid0:
         return []
     expected = list(range(grid0, grid1 + 1, out_us))
     present: set[int] = set()
     if store.exists(tier_out):
-        rows = (
-            store.read(tier_out, grid0, grid1)
-            .where(F.col("value").isNotNull() & ~F.isnan("value"))
-            .select("t_us")
-            .distinct()
-            .collect()
-        )
-        present = {r.t_us for r in rows}
+        out_rows = store.read(tier_out, grid0, grid1)
+        if tier_in is not None and store.exists(tier_in):
+            in_lo, in_hi = step.input_interval_us(grid0, grid1)
+            spark = out_rows.sparkSession
+            slots_df = spark.createDataFrame(
+                [(t,) for t in expected], "t_us long"
+            )
+            expected_pairs = (
+                store.read(tier_in, in_lo, in_hi)
+                .select(*store.series_cols)
+                .distinct()
+                .crossJoin(F.broadcast(slots_df))
+            )
+            missing = expected_pairs.join(
+                out_rows.select(*store.series_cols, "t_us").distinct(),
+                [*store.series_cols, "t_us"],
+                "left_anti",
+            )
+            missing_slots = {r.t_us for r in missing.select("t_us").distinct().collect()}
+            present = set(expected) - missing_slots
+        else:
+            rows = out_rows.select("t_us").distinct().collect()
+            present = {r.t_us for r in rows}
     gaps: list[tuple[int, int]] = []
     cur: list[int] | None = None
     for t in expected:
@@ -152,12 +187,19 @@ def run_as_update(
         metrics["rows_written"] += n
 
     def process_window(w_start: int, w_end: int, depth: int) -> None:
-        gaps = find_output_gaps(store, tier_out, step, w_start, w_end)
+        gaps = find_output_gaps(store, tier_out, step, w_start, w_end, tier_in)
+        first_slot, _ = output_grid_bounds(step, w_start, w_end)
         for gap in gaps:
-            # backfill recursion: gap touching window start means older data
-            # may also be missing (ref :427-448)
-            if gap[0] <= w_start + step.stamp_offset_us and depth < update_limit:
-                process_window(w_start - window_us, w_start - step.out_us, depth + 1)
+            # backfill recursion: a gap at the window's FIRST expected slot
+            # means older data may also be missing (ref :427-448) — compare
+            # against the slot, not w_start + offset, or unaligned windows
+            # never recurse
+            if gap[0] <= first_slot and depth < update_limit:
+                # earlier window ends at the slot before this window's
+                # first slot (equals w_start - out_us when aligned)
+                process_window(
+                    w_start - window_us, first_slot - step.out_us, depth + 1
+                )
             slots = list(range(gap[0], gap[1] + 1, out_us))
             todo = [s for s in slots if s not in done_slots]
             if not todo:
@@ -174,34 +216,18 @@ def run_as_update(
                 recompute_run(run)
 
     process_window(start_us, end_us, 0)
+    # the slot checkpoint exists to resume a KILLED run; a completed run
+    # clears it so the next run re-evaluates gaps fresh (otherwise a slot
+    # attempted before its input landed would be skipped forever)
+    save_checkpoint(store, tier_out, {"completed": []})
     store.append_lineage(tier_out, [{"run_id": run_id, "metrics": metrics}])
     return metrics
 
 
 def _months_in_range(start_us: int, end_us: int) -> list[tuple[int, int, int]]:
-    """(month_start_us, n_days, stamp_us) for every calendar month whose
-    center stamp lies in [start_us, end_us]. Driver-side: tiny."""
-    import datetime as _dt
+    from ..operators.month import months_in_range
 
-    from ..operators.month import US as _US
-
-    utc = _dt.timezone.utc
-    dt = _dt.datetime.fromtimestamp(start_us / 1e6, tz=utc)
-    cur = _dt.datetime(dt.year, dt.month, 1, tzinfo=utc)
-    out: list[tuple[int, int, int]] = []
-    while True:
-        nxt = _dt.datetime(
-            cur.year + (cur.month == 12), cur.month % 12 + 1, 1, tzinfo=utc
-        )
-        n_days = (nxt - cur).days
-        m0 = int(cur.timestamp() * 1e6)
-        stamp = m0 + (43_200 * n_days - 30) * _US
-        if stamp > end_us:
-            break
-        if stamp >= start_us:
-            out.append((m0, n_days, stamp))
-        cur = nxt
-    return out
+    return months_in_range(start_us, end_us)
 
 
 def refresh_month(

@@ -23,26 +23,10 @@ REQUEST_LIMIT_SAMPLES = 345_600
 
 def month_stamps(start_us: int, end_us: int) -> list[int]:
     """Center stamps of every calendar month whose stamp falls inside the
-    range — the month tier's variable-width grid (driver-side: a few
-    dozen values even for a century)."""
-    import datetime as _dt
+    range — delegates to the canonical enumeration in operators/month.py."""
+    from ..operators.month import months_in_range
 
-    utc = _dt.timezone.utc
-    dt = _dt.datetime.fromtimestamp(start_us / 1e6, tz=utc)
-    cur = _dt.datetime(dt.year, dt.month, 1, tzinfo=utc)
-    out: list[int] = []
-    while True:
-        nxt = _dt.datetime(
-            cur.year + (cur.month == 12), cur.month % 12 + 1, 1, tzinfo=utc
-        )
-        n_days = (nxt - cur).days
-        stamp = int(cur.timestamp() * 1e6) + (43_200 * n_days - 30) * US
-        if stamp > end_us:
-            break
-        if stamp >= start_us:
-            out.append(stamp)
-        cur = nxt
-    return out
+    return [stamp for (_m0, _n, stamp) in months_in_range(start_us, end_us)]
 
 
 def get_timeseries(

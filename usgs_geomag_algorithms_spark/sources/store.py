@@ -80,20 +80,19 @@ class TierStore:
             self.write(df, tier)
             return
         new_part = self._partitioned(df)
-        touched = [
-            (r.p_date, r.p_bucket)
-            for r in new_part.select("p_date", "p_bucket").distinct().collect()
-        ]
-        if not touched:
+        # touched-partition keys as a broadcast semi-join, not an O(n)
+        # chained OR predicate: a wide refresh (a year x 16 buckets) would
+        # otherwise build a ~6k-term Catalyst OR tree (analyzer blowup),
+        # and the p_date terms would not prune the scan. The key list is
+        # still bounded (dates x buckets), so broadcast is always safe.
+        touched_keys = new_part.select("p_date", "p_bucket").distinct()
+        n_touched = touched_keys.count()
+        if n_touched == 0:
             return
-        existing = self.read(tier)
-        cond = F.lit(False)
-        for d, b in touched:
-            cond = cond | (
-                (F.col("p_date") == d) & (F.col("p_bucket") == b)
-            )
-        old_touched = self._partitioned(existing).where(cond).drop(
-            "p_date", "p_bucket"
+        old_touched = (
+            self._partitioned(self.read(tier))
+            .join(F.broadcast(touched_keys), ["p_date", "p_bucket"], "leftsemi")
+            .drop("p_date", "p_bucket")
         )
         merged = merge_last_wins(
             old_touched, df.select(*self.series_cols, "t_us", "value"),
@@ -184,6 +183,10 @@ class TierStore:
             )
         base = self.path(tier)
         before = len(glob.glob(f"{base}/*/*/*.parquet"))
+        if before == 0:
+            # a fully-expired or empty tier dir has no data files; reading
+            # it would fail schema inference — nothing to compact
+            return {"tier": tier, "files_before": 0, "files_after": 0}
         df = self.spark.read.parquet(base).select(
             *self.series_cols, "t_us", "value"
         )

@@ -56,7 +56,16 @@ def sqdist_streaming(
                 # drop already-processed slots (at-least-once file sources)
                 pdf = pdf[pdf[ts_col] >= st.next_start_us]
                 if pdf.empty:
-                    yield pd.DataFrame()
+                    # fully-replayed batch: emit a correctly-SHAPED empty
+                    # frame (a column-less one breaks the Arrow mapping)
+                    yield pd.DataFrame(
+                        {
+                            **{c: pd.Series(dtype=object) for c in series_cols},
+                            "channel_out": pd.Series(dtype=object),
+                            ts_col: pd.Series(dtype="int64"),
+                            value_col: pd.Series(dtype="float64"),
+                        }
+                    )
                     return
                 t0 = int(pdf[ts_col].iloc[0])
                 t1 = int(pdf[ts_col].iloc[-1])

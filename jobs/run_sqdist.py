@@ -73,7 +73,12 @@ def main(argv=None) -> int:
     params = HWParams(m=args.m, alpha=args.alpha, beta=args.beta, gamma=args.gamma)
 
     df = store.read(args.tier, start_us, end_us)
-    out = sqdist_apply(df, params, delta_s, states=states or None)
+    # explicit window: continuity is window-vs-state, and data missing at
+    # the window edges free-runs as a gap instead of wedging the series
+    out = sqdist_apply(
+        df, params, delta_s, states=states or None,
+        range_start_us=start_us, range_end_us=end_us,
+    )
     data, new_states = split_state_rows(out)
     n = data.count()
     if n:

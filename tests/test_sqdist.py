@@ -282,3 +282,88 @@ class TestRealtimeCli:
         st = json.loads(open(state).read())
         assert set(st) == {"u|H"}
         assert json.loads(st["u|H"])["next_start_us"] == T0 + n * MINU
+
+
+class TestWindowedApply:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "url string, channel string, t_us long, value double"
+        )
+
+    def test_boundary_gap_free_runs_instead_of_wedging(self, spark):
+        import numpy as np
+
+        from usgs_geomag_algorithms_spark.tiers import US
+
+        T0 = 1577836800 * US
+        MINU = 60 * US
+        p = HWParams(m=60, alpha=0.1, beta=0.0, gamma=0.2)
+        # window 1: full hour
+        w1 = self._mk(spark, [("u", "H", T0 + i * MINU, 10.0) for i in range(60)])
+        out1 = sqdist_apply(
+            w1, p, 60.0, range_start_us=T0, range_end_us=T0 + 59 * MINU
+        )
+        _, st1 = split_state_rows(out1)
+        # window 2: first 10 minutes MISSING (outage at the window start) —
+        # the old inference would raise; the explicit window free-runs
+        w2 = self._mk(
+            spark,
+            [("u", "H", T0 + i * MINU, 10.0) for i in range(70, 120)],
+        )
+        out2 = sqdist_apply(
+            w2, p, 60.0, states=st1,
+            range_start_us=T0 + 60 * MINU, range_end_us=T0 + 119 * MINU,
+        )
+        data, st2 = split_state_rows(out2)
+        dist = {r.t_us: r.value for r in data.collect() if r.channel == "H_Dist"}
+        assert len(dist) == 60  # all 60 slots emitted, gap slots included
+        from usgs_geomag_algorithms_spark.operators.sqdist import HWState
+        assert HWState.from_json(st2["u|H"]).next_start_us == T0 + 120 * MINU
+
+    def test_series_with_state_but_no_rows_free_runs_whole_window(self, spark):
+        from usgs_geomag_algorithms_spark.tiers import US
+
+        T0 = 1577836800 * US
+        MINU = 60 * US
+        p = HWParams(m=60, alpha=0.1, beta=0.0, gamma=0.2)
+        w1 = self._mk(spark, [("u", "H", T0 + i * MINU, 5.0) for i in range(60)])
+        _, st1 = split_state_rows(
+            sqdist_apply(w1, p, 60.0, range_start_us=T0, range_end_us=T0 + 59 * MINU)
+        )
+        # next window has NO rows for the series at all
+        empty = self._mk(spark, []).where("1=0")
+        out = sqdist_apply(
+            empty, p, 60.0, states=st1,
+            range_start_us=T0 + 60 * MINU, range_end_us=T0 + 119 * MINU,
+        )
+        data, st2 = split_state_rows(out)
+        assert data.count() == 240  # 4 channels x 60 free-run slots
+        from usgs_geomag_algorithms_spark.operators.sqdist import HWState
+        assert HWState.from_json(st2["u|H"]).next_start_us == T0 + 120 * MINU
+
+    def test_off_grid_rows_dropped_not_snapped(self, spark):
+        from usgs_geomag_algorithms_spark.tiers import US
+
+        T0 = 1577836800 * US
+        MINU = 60 * US
+        p = HWParams(m=60, alpha=0.1, beta=0.0, gamma=0.2)
+        rows = [("u", "H", T0 + i * MINU, 7.0) for i in range(60)]
+        rows.append(("u", "H", T0 + 90 * 1_000_000, 999.0))  # off-grid (t0+90s)
+        out = sqdist_apply(
+            self._mk(spark, rows), p, 60.0,
+            range_start_us=T0, range_end_us=T0 + 59 * MINU,
+        )
+        data, _ = split_state_rows(out)
+        # slot 1 (t0+60s) must hold the real 7.0-based decomposition, not
+        # be poisoned by the snapped 999 (dist at slot1 would spike)
+        dist = {r.t_us: r.value for r in data.collect() if r.channel == "H_Dist"}
+        assert abs(dist[T0 + MINU]) < 100
+
+    def test_state_shape_guards(self):
+        import numpy as np
+        import pytest
+
+        p = HWParams(m=60, alpha=0.1, beta=0.0, gamma=0.2)
+        bad = HWState(s0=[0.0] * 30)  # wrong seasonal length
+        with pytest.raises(ValueError, match="s0 must have length"):
+            holt_winters_additive(np.zeros(10), p, bad)

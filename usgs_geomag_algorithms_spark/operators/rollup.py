@@ -125,16 +125,27 @@ def rollup_step(
         numtaps = step.numtaps
         grouped = (
             df.where(t.between(range_start_us, range_end_us))
+            # drop off-grid samples defensively (same guard as the FIR
+            # path: the reference's dense-array view cannot see them, and
+            # a stray row would otherwise inflate the coverage count)
+            .where(F.pmod(t, F.lit(in_us)) == 0)
             .groupBy(*series_cols, anchor)
             .agg(
                 F.sum(F.when(valid, v)).alias("_vsum"),
                 F.count(F.when(valid, True)).alias("_nvalid"),
             )
         )
-        # uniform weights: weight_sum == n_valid/numtaps; the reference masks
-        # weight_sum < 1 - allowed_bad strictly -> integer predicate
-        # n_valid * 10 >= numtaps * 9 (exact, no fp boundary).
-        ok = F.col("_nvalid") * 10 >= numtaps * 9
+        # uniform weights: weight_sum == n_valid/numtaps; the reference
+        # masks weight_sum < 1 - allowed_bad strictly. Exact rational
+        # predicate (no fp boundary): valid iff n_valid*q >= numtaps*(q-p)
+        # with allowed_bad = p/q — for the default 0.1 this is the
+        # n_valid*10 >= numtaps*9 rule.
+        from fractions import Fraction
+
+        ab = Fraction(str(allowed_bad)).limit_denominator(1_000_000)
+        ok = F.col("_nvalid") * ab.denominator >= numtaps * (
+            ab.denominator - ab.numerator
+        )
         value_out = F.when(ok, F.col("_vsum") / F.col("_nvalid"))
         weight_sum = F.col("_nvalid") / F.lit(float(numtaps))
         # full window must fit in scanned range (window = [s, s+out-in])

@@ -94,6 +94,18 @@ def holt_winters_additive(
     n = len(yobs)
 
     st = state or HWState()
+    # state-shape guards (the reference's AlgorithmException checks,
+    # SqDistAlgorithm.py: "yhat0/s0/sigma0 must have length ..."): a
+    # mismatched resumed state would otherwise silently corrupt the
+    # seasonal array or IndexError mid-recurrence
+    if st.s0 is not None and len(st.s0) != m:
+        raise ValueError(f"s0 must have length m={m}, got {len(st.s0)}")
+    if st.yhat0 is not None and len(st.yhat0) != hstep:
+        raise ValueError(f"yhat0 must have length hstep={hstep}, got {len(st.yhat0)}")
+    if st.sigma0 is not None and len(st.sigma0) != hstep + 1:
+        raise ValueError(
+            f"sigma0 must have length hstep+1={hstep + 1}, got {len(st.sigma0)}"
+        )
     level = (
         st.l0
         if st.l0 is not None
@@ -281,50 +293,99 @@ def sqdist_apply(
     series_cols: Sequence[str] = ("url", "channel"),
     ts_col: str = "t_us",
     value_col: str = "value",
+    range_start_us: int | None = None,
+    range_end_us: int | None = None,
 ) -> DataFrame:
     """Distributed SqDist: one sequential recurrence per series via grouped
     Arrow ``applyInPandas``; parallelism across series.
 
     ``states`` maps series key (series cols joined with '|') to an
-    ``HWState`` JSON from a previous run; continuity (next_start/delta) is
-    enforced exactly like the reference (AlgorithmException analog ->
-    ValueError). Output: per-input-slot rows with channels suffixed
-    ``_Dist/_SQ/_SV/_Sigma`` plus one ``_state`` row per series whose
-    ``state_json`` the caller persists.
-    """
+    ``HWState`` JSON from a previous run. State travels to executors as a
+    cogrouped DataFrame keyed on the series — never a task closure, so
+    shipping stays proportional to per-partition series counts at
+    millions-of-series scale.
+
+    ``range_start_us``/``range_end_us`` declare the invocation window
+    explicitly (grid-aligned). With them, continuity is checked against
+    the WINDOW (the reference's misaligned-invocation AlgorithmException,
+    ``Controller.py``), while missing data anywhere in the window —
+    including at its edges — free-runs as a gap, exactly like the
+    reference's NaN-padded traces. Without them, bounds are inferred from
+    the present rows (in which case a gap touching a chunk edge is
+    indistinguishable from a shorter chunk).
+
+    Output: per-slot rows with channels suffixed ``_Dist/_SQ/_SV/_Sigma``
+    plus one ``_state`` row per series whose ``state_json`` the caller
+    persists. Off-grid input rows are dropped (the dense-grid contract)."""
     series_cols = list(series_cols)
     delta_us = int(round(delta_s * 1_000_000))
-    states = states or {}
     schema_prefix = ", ".join(f"{c} string" for c in series_cols)
     out_schema = (
         f"{schema_prefix}, {ts_col} long, {value_col} double, state_json string"
     )
     chan_idx = series_cols.index("channel") if "channel" in series_cols else None
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+    spark = df.sparkSession
+    state_rows = []
+    for key, js in (states or {}).items():
+        parts = key.rsplit("|", len(series_cols) - 1)
+        state_rows.append((*parts, js))
+    state_schema = (
+        ", ".join(f"{c} string" for c in series_cols) + ", prev_state string"
+    )
+    state_df = spark.createDataFrame(state_rows, state_schema)
+
+    def run(key, pdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        keyvals = dict(zip(series_cols, (str(k) for k in key)))
+        st = (
+            HWState.from_json(spdf["prev_state"].iloc[0])
+            if len(spdf)
+            else None
+        )
+        empty_out = pd.DataFrame(
+            {
+                **{c: pd.Series(dtype=object) for c in series_cols},
+                ts_col: pd.Series(dtype="int64"),
+                value_col: pd.Series(dtype="float64"),
+                "state_json": pd.Series(dtype=object),
+            }
+        )
         pdf = pdf.sort_values(ts_col)
-        key = "|".join(str(pdf[c].iloc[0]) for c in series_cols)
-        st = HWState.from_json(states[key]) if key in states else None
-        t0 = int(pdf[ts_col].iloc[0])
-        t1 = int(pdf[ts_col].iloc[-1])
+        if range_start_us is not None:
+            t0 = int(range_start_us)
+        elif len(pdf):
+            t0 = int(pdf[ts_col].iloc[0])
+        else:
+            return empty_out
+        if range_end_us is not None:
+            t1 = int(range_end_us)
+        elif len(pdf):
+            t1 = int(pdf[ts_col].iloc[-1])
+        else:
+            return empty_out
         if st is not None and st.next_start_us is not None:
             if st.delta_us != delta_us or t0 != st.next_start_us:
                 raise ValueError(
-                    f"Inconsistent SqDist state for {key}: "
-                    f"chunk starts {t0} delta {delta_us}, "
+                    f"Inconsistent SqDist state for {'|'.join(keyvals.values())}: "
+                    f"window starts {t0} delta {delta_us}, "
                     f"state expects {st.next_start_us} delta {st.delta_us}"
                 )
-        # densify to the grid (gaps -> NaN)
+        # densify to the grid (missing/edge slots -> NaN); drop off-grid
+        # rows rather than snapping them onto the wrong slot
         n = (t1 - t0) // delta_us + 1
         dense = np.full(n, np.nan)
-        idx = ((pdf[ts_col].to_numpy(np.int64) - t0) // delta_us).astype(np.int64)
-        vals = pdf[value_col].to_numpy(np.float64)
-        dense[idx] = vals
+        if len(pdf):
+            tvals = pdf[ts_col].to_numpy(np.int64)
+            on_grid = (
+                ((tvals - t0) % delta_us == 0) & (tvals >= t0) & (tvals <= t1)
+            )
+            idx = ((tvals[on_grid] - t0) // delta_us).astype(np.int64)
+            dense[idx] = pdf[value_col].to_numpy(np.float64)[on_grid]
         dist, sq, sv, sig, new_state = sqdist_decompose(dense, params, st)
         new_state.next_start_us = t1 + delta_us
         new_state.delta_us = delta_us
         ts = t0 + np.arange(n, dtype=np.int64) * delta_us
-        base_ch = pdf["channel"].iloc[0] if chan_idx is not None else "X"
+        base_ch = keyvals["channel"] if chan_idx is not None else "X"
         frames = []
         for suffix, arr in (
             ("_Dist", dist),
@@ -332,7 +393,7 @@ def sqdist_apply(
             ("_SV", sv),
             ("_Sigma", sig),
         ):
-            d = {c: pdf[c].iloc[0] for c in series_cols}
+            d = dict(keyvals)
             if chan_idx is not None:
                 d["channel"] = f"{base_ch}{suffix}"
             frames.append(
@@ -340,7 +401,7 @@ def sqdist_apply(
                     {**d, ts_col: ts, value_col: arr, "state_json": None}
                 )
             )
-        d = {c: pdf[c].iloc[0] for c in series_cols}
+        d = dict(keyvals)
         if chan_idx is not None:
             d["channel"] = f"{base_ch}{STATE_CHANNEL}"
         frames.append(
@@ -355,7 +416,11 @@ def sqdist_apply(
         )
         return pd.concat(frames, ignore_index=True)
 
-    return df.groupBy(*series_cols).applyInPandas(run, schema=out_schema)
+    return (
+        df.groupBy(*series_cols)
+        .cogroup(state_df.groupBy(*series_cols))
+        .applyInPandas(run, schema=out_schema)
+    )
 
 
 def split_state_rows(out: DataFrame, series_cols: Sequence[str] = ("url", "channel")):

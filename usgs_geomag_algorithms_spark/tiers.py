@@ -60,6 +60,18 @@ class Step:
 
     def __post_init__(self):
         windows.validate_step_window(self.window, self.type)
+        if self.type == "average":
+            # the rollup's average fast path is only equivalent to the
+            # masked-renormalized dot for a UNIFORM window spanning exactly
+            # out/in samples — reject custom steps that silently wouldn't be
+            w = np.asarray(self.window, dtype=np.float64)
+            expected = int(round(self.output_sample_period / self.input_sample_period))
+            if len(w) != expected:
+                raise ValueError(
+                    f"average step window must have out/in = {expected} taps, got {len(w)}"
+                )
+            if not np.allclose(w, w[0]):
+                raise ValueError("average step window must be uniform (boxcar)")
 
     @property
     def numtaps(self) -> int:

@@ -284,3 +284,44 @@ class TestResize:
         # the real-kernel call site is marked, not silently faked
         with pytest.raises(Exception):
             M.resize_media(joined, deterministic=False).collect()
+
+
+class TestEdgeCases:
+    def test_simhash_keeps_empty_docs(self, spark):
+        df = docs_df(spark, ["alpha beta", "", "   "])
+        out = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+        assert set(out) == {0, 1, 2}
+        assert out[1] == 0 and out[2] == 0
+
+    def test_lsh_bands_must_divide_k(self, spark):
+        import pytest
+
+        df = docs_df(spark, ["aaaa bbbb cccc"])
+        sigs = D.minhash_signatures(df, k=16)
+        with pytest.raises(ValueError, match="evenly divide"):
+            D.lsh_candidate_pairs(sigs, bands=5, k=16)
+        with pytest.raises(ValueError, match="evenly divide"):
+            D.lsh_candidate_pairs(sigs, bands=32, k=16)
+
+    def test_lsh_empty_corpus(self, spark):
+        sigs = spark.createDataFrame([], "doc_id long, minhash array<long>")
+        assert D.lsh_candidate_pairs(sigs, bands=4).count() == 0
+
+    def test_zero_vector_excluded_from_knn(self, spark):
+        rng = np.random.default_rng(21)
+        vecs = rng.normal(size=(10, 8)).astype(np.float32)
+        rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+        rows.append((99, [0.0] * 8))  # zero vector
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = S.cosine_topk(df, df.where(F.col("vec_id").isin([0, 99])), k=3).collect()
+        ids = {r.q_id for r in out} | {r.n_id for r in out}
+        assert 99 not in ids  # neither as query nor as neighbor
+        assert all(r.cosine is not None for r in out)
+
+    def test_ivf_training_on_duplicate_vectors(self, spark):
+        rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(20)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = S.train_ivf_centroids(df, n_centroids=4, sample_n=20)
+        assert len(cents) == 1  # degenerate sample collapses to one cell
+        out = S.ivf_topk(df, df.where(F.col("vec_id") < 2), k=2, centroids=cents)
+        assert out.count() == 4

@@ -62,7 +62,8 @@ def char_shingles(
     """Distinct character n-grams per document: explode positions 1..len-n+1
     (JVM-side sequence; no Python)."""
     return (
-        df.select(
+        df.where(F.col(text_col).isNotNull())
+        .select(
             id_col,
             F.explode(
                 F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
@@ -131,13 +132,29 @@ def minhash_digest(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 8, id_col: str = "doc_id"
+    sigs: DataFrame, bands: int = 8, id_col: str = "doc_id", k: int | None = None
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` equal bands, hash
     each band, self-join on (band_idx, band_hash) -> distinct (id_a < id_b)
     candidate pairs. Shuffle key is the band hash — hot buckets (boilerplate
-    shingles) are bounded by band width; AQE skew-join covers the rest."""
-    k = len(sigs.select("minhash").first()[0])
+    shingles) are bounded by band width; AQE skew-join covers the rest.
+
+    Pass ``k`` (the signature length) when known — otherwise it is probed
+    with a ``first()``, which runs the signature job eagerly at
+    plan-construction time. ``k`` must divide evenly into ``bands``: a
+    remainder would silently never hash the signature tail into any band,
+    and ``bands > k`` would hash empty slices (every doc in one bucket —
+    an all-pairs explosion)."""
+    if k is None:
+        row = sigs.select("minhash").first()
+        if row is None:
+            spark = sigs.sparkSession
+            return spark.createDataFrame([], "id_a long, id_b long")
+        k = len(row[0])
+    if bands <= 0 or k % bands != 0 or bands > k:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide the signature length ({k})"
+        )
     rows_per_band = k // bands
     banded = sigs.select(
         id_col,
@@ -204,11 +221,18 @@ def simhash(
     agg = toks.groupBy(id_col).agg(*aggs)
     sim = None
     for j in range(bits):
+        # NULL sums (token-less doc joined below) fall through to 0
         term = F.when(
             F.col(f"_s{j}") > 0, F.lit(1).cast("long") * F.lit(2 ** j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
-    return agg.select(id_col, sim.alias("simhash"))
+    # left join back so empty/whitespace-only docs keep a row (simhash 0)
+    # instead of silently vanishing from the output
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(id_col, sim.alias("simhash"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -277,7 +301,11 @@ def near_dup_pairs_verified(
     different shuffle keys — so it is persisted once here (the dominant
     cost: one explode + hash over every document). Deterministic end to
     end (fixed permutations, md5 band hashes) — exactly oracle-checkable
-    despite the candidate stage being an approximation."""
+    despite the candidate stage being an approximation.
+
+    The persisted relation lives until the session evicts it (or the
+    caller runs ``spark.catalog.clearCache()``); repeated invocations in
+    one long-lived session should clear between runs."""
     from pyspark.storagelevel import StorageLevel
 
     sh = char_shingles(df, n=shingle_n, text_col=text_col, id_col=id_col)
@@ -286,7 +314,7 @@ def near_dup_pairs_verified(
         df, k=k, shingle_n=shingle_n, text_col=text_col, id_col=id_col,
         seed=seed, shingles=sh,
     )
-    cands = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col)
+    cands = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col, k=k)
     return ngram_jaccard_pairs(
         df, cands, n=shingle_n, text_col=text_col, id_col=id_col, shingles=sh
     ).where(F.col("jaccard") >= threshold)

@@ -43,11 +43,11 @@ def attach_media_metadata(
     )
 
 
-def _fake_decode(payload: bytes, kind: str, feat_dim: int) -> tuple:
+def _fake_decode(digest: bytes, kind: str, feat_dim: int) -> tuple:
     """Deterministic stand-in for a real decoder: dimensions and a feature
-    vector derived from the payload digest. Replace with PIL/ffmpeg at
-    deploy time."""
-    digest = hashlib.sha256(payload).digest()
+    vector derived from the payload digest (computed ONCE by the caller —
+    hashing is the dominant per-byte cost of the stage). Replace with
+    PIL/ffmpeg at deploy time."""
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
     n_frames = 1 if kind == "image" else 1 + digest[2] % 32
@@ -72,17 +72,16 @@ def decode_media(
                 raise NotImplementedError(
                     "real media decoding requires PIL/ffmpeg; not in container"
                 )
+            digests = [hashlib.sha256(bytes(b)).digest() for b in pdf[payload_col]]
             out = {
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf[payload_col].map(len).astype("int64"),
-                "sha256": pdf[payload_col].map(
-                    lambda b: hashlib.sha256(bytes(b)).hexdigest()
-                ),
+                "sha256": [d.hex() for d in digests],
             }
             decoded = [
-                _fake_decode(bytes(b), k, feat_dim)
-                for b, k in zip(pdf[payload_col], pdf["kind"])
+                _fake_decode(d, k, feat_dim)
+                for d, k in zip(digests, pdf["kind"])
             ]
             out["width"] = pd.Series([d[0] for d in decoded], dtype="int32")
             out["height"] = pd.Series([d[1] for d in decoded], dtype="int32")

@@ -35,6 +35,25 @@ def _norm(a: str) -> F.Column:
     )
 
 
+def _nonzero(df: DataFrame, vec_col: str) -> DataFrame:
+    """Drop zero-norm vectors: their cosine is undefined (Spark returns
+    NULL on the 0/0 division) and a window rank would still hand them out
+    as top-k 'neighbors'."""
+    return df.where(_norm(vec_col) > 0)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k ranking: round-6 cosine desc, neighbor-id tie-break."""
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -48,21 +67,16 @@ def cosine_topk(
     is one scan of the corpus with a broadcast nested-loop of |Q| dot
     products per row — embarrassingly parallel, no shuffle until the final
     per-query top-k (k rows per query via window rank on the tiny result)."""
-    q = queries.select(
+    q = _nonzero(queries, vec_col).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = _nonzero(corpus, vec_col).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
     )
     joined = c.crossJoin(F.broadcast(q)).where(F.col("q_id") != F.col("n_id"))
-    sim = (_dot("q_vec", "n_vec") / (_norm("q_vec") * _norm("n_vec"))).alias("_sim")
+    sim = _dot("q_vec", "n_vec") / (_norm("q_vec") * _norm("n_vec"))
     scored = joined.select("q_id", "n_id", F.round(sim, 6).alias("cosine"))
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("q_id", "n_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def embedding_near_dups(
@@ -77,8 +91,7 @@ def embedding_near_dups(
     cosine >= threshold. ``n_planes=0`` is the exact all-pairs baseline
     (test scale); ``n_planes>0`` restricts candidates to shared hyperplane
     buckets — the 100 TB path where the join is bucket-local."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    corpus = _nonzero(corpus, vec_col)
     if n_planes > 0:
         ba = hyperplane_bucket(corpus, n_planes, id_col, vec_col, seed).select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
@@ -88,6 +101,8 @@ def embedding_near_dups(
         )
         joined = ba.join(bb, on="bucket").where(F.col("id_a") < F.col("id_b"))
     else:
+        a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         joined = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     sim = _dot("va", "vb") / (_norm("va") * _norm("vb"))
     return (
@@ -144,6 +159,8 @@ def train_ivf_centroids(
         .limit(int(sample_n))
         .collect()
     )
+    if not rows:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
     x = np.asarray([r[1] for r in rows], dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     k = min(int(n_centroids), len(x))
@@ -154,8 +171,11 @@ def train_ivf_centroids(
         d2 = np.min(
             [np.sum((x - c) ** 2, axis=1) for c in cents], axis=0
         )
-        probs = d2 / max(d2.sum(), 1e-12)
+        if d2.sum() <= 0:
+            break  # degenerate sample (all duplicates): fewer cells suffice
+        probs = d2 / d2.sum()
         cents.append(x[rng.choice(len(x), p=probs)])
+    k = len(cents)
     c = np.asarray(cents)
     for _ in range(int(n_iter)):
         assign = np.argmax(x @ c.T, axis=1)
@@ -227,6 +247,8 @@ def ivf_topk(
         centroids = train_ivf_centroids(
             corpus, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
         )
+    corpus = _nonzero(corpus, vec_col)
+    queries = _nonzero(queries, vec_col)
     cb = ivf_assign(corpus, centroids, 1, id_col, vec_col).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "cell"
     )
@@ -234,14 +256,9 @@ def ivf_topk(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "cell"
     )
     joined = cb.join(F.broadcast(qb), on="cell").where(F.col("q_id") != F.col("n_id"))
-    sim = (_dot("q_vec", "n_vec") / (_norm("q_vec") * _norm("n_vec"))).alias("_s")
+    sim = _dot("q_vec", "n_vec") / (_norm("q_vec") * _norm("n_vec"))
     scored = joined.select("q_id", "n_id", F.round(sim, 6).alias("cosine"))
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("q_id", "n_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def lsh_topk(
@@ -255,20 +272,15 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane bucket
     (equi-join on bucket — the scale path: shuffle is bucket-local)."""
-    cb = hyperplane_bucket(corpus, n_planes, id_col, vec_col, seed).select(
+    cb = hyperplane_bucket(_nonzero(corpus, vec_col), n_planes, id_col, vec_col, seed).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "bucket"
     )
-    qb = hyperplane_bucket(queries, n_planes, id_col, vec_col, seed).select(
+    qb = hyperplane_bucket(_nonzero(queries, vec_col), n_planes, id_col, vec_col, seed).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket"
     )
     joined = cb.join(F.broadcast(qb), on="bucket").where(
         F.col("q_id") != F.col("n_id")
     )
-    sim = (_dot("q_vec", "n_vec") / (_norm("q_vec") * _norm("n_vec"))).alias("_s")
+    sim = _dot("q_vec", "n_vec") / (_norm("q_vec") * _norm("n_vec"))
     scored = joined.select("q_id", "n_id", F.round(sim, 6).alias("cosine"))
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("q_id", "n_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)

@@ -41,7 +41,7 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.minhash_signatures(
         _docs(spark, sf_dir), k=K_MINHASH, shingle_n=SHINGLE_N
     )
-    return D.lsh_candidate_pairs(sigs, bands=4).orderBy("id_a", "id_b")
+    return D.lsh_candidate_pairs(sigs, bands=4, k=K_MINHASH).orderBy("id_a", "id_b")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,7 +134,7 @@ _SHINGLE_CTE = f"""
 pos AS (
     SELECT doc_id, text,
            unnest(generate_series(1, greatest(length(text) - {SHINGLE_N - 1}, 1))) AS i
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 ),
 sh AS (SELECT DISTINCT doc_id, substr(text, i, {SHINGLE_N}) AS s FROM pos),
 hv AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh)
@@ -173,10 +173,14 @@ bitsum AS (
     SELECT doc_id, j,
            sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
     FROM th, bits GROUP BY 1, 2
+),
+simagg AS (
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+    FROM bitsum GROUP BY doc_id
 )
-SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
-FROM bitsum GROUP BY doc_id
+SELECT d.doc_id, coalesce(a.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN simagg a ON a.doc_id = d.doc_id
 """
 
 

@@ -39,13 +39,25 @@ class TestMisc:
             schema="url string, t_us long, value double",
         )
         meta = spark.createDataFrame(
-            [("u", T0, T0, 10.0, 5.0)],
+            [("u", T0, T0 + MIN, 10.0, 5.0)],  # half-open [T0, T0+MIN)
             schema="url string, start_us long, end_us long, scale double, offset double",
         )
         got = {(r.url, r.t_us): r.value for r in apply_instrument_metadata(df, meta).collect()}
         assert got[("u", T0)] == 15.0       # scaled in range
-        assert got[("u", T0 + MIN)] == 1.0  # out of range -> identity
+        assert got[("u", T0 + MIN)] == 1.0  # epoch end is exclusive -> identity
         assert got[("v", T0)] == 1.0        # no metadata -> identity
+
+    def test_adjacent_epochs_no_duplicates(self, spark):
+        df = spark.createDataFrame(
+            [("u", T0 + MIN, 1.0)], schema="url string, t_us long, value double"
+        )
+        meta = spark.createDataFrame(
+            [("u", T0, T0 + MIN, 10.0, 0.0), ("u", T0 + MIN, T0 + 2 * MIN, 20.0, 0.0)],
+            schema="url string, start_us long, end_us long, scale double, offset double",
+        )
+        out = apply_instrument_metadata(df, meta).collect()
+        assert len(out) == 1            # boundary row matches exactly once
+        assert out[0].value == 20.0     # the epoch STARTING at the boundary
 
     def test_rename_channels(self, spark):
         df = spark.createDataFrame(

@@ -351,3 +351,74 @@ class TestDeadSeriesGap:
         assert (g.gap_start_us, g.gap_end_us, g.next_valid_us) == (
             T0, T0 + 3 * MIN, T0 + 4 * MIN,
         )
+
+
+class TestConvertRegression:
+    """Chained-withColumn late-binding bugs: conversions must be computed
+    from ORIGINAL columns in one select."""
+
+    def test_obs_to_mag_large_e(self, spark):
+        # E comparable to H: D must be atan2(e, h) of the ORIGINALS
+        rows = [("u", "H", T0, 100.0), ("u", "E", T0, 100.0)]
+        wide = pivot_channels(mk(spark, rows), ["H", "E"])
+        out = xyz_convert(wide, "obs", "mag").collect()[0]
+        np.testing.assert_almost_equal(out.D, math.atan2(100.0, 100.0))
+        np.testing.assert_almost_equal(out.H, math.hypot(100.0, 100.0))
+
+    def test_mag_to_obsd_with_declination_base(self, spark):
+        d0 = math.radians(8.0)
+        d = math.radians(20.0)
+        rows = [("u", "H", T0, 100.0), ("u", "D", T0, d)]
+        wide = pivot_channels(mk(spark, rows), ["H", "D"])
+        out = xyz_convert(wide, "mag", "obsd", d0=d0).collect()[0]
+        np.testing.assert_almost_equal(out.H, 100.0 * math.cos(d - d0))
+        np.testing.assert_almost_equal(out.D, d - d0)
+
+    def test_no_duplicate_columns(self, spark):
+        rows = [
+            ("u", "H", T0, 1.0), ("u", "D", T0, 0.1),
+            ("u", "Z", T0, 2.0), ("u", "F", T0, 3.0),
+        ]
+        wide = pivot_channels(mk(spark, rows), ["H", "D", "Z", "F"])
+        out = xyz_convert(wide, "mag", "geo")
+        assert len(out.columns) == len(set(out.columns))
+        assert out.columns.count("Z") == 1 and out.columns.count("F") == 1
+
+    def test_adjusted_inplace_outputs(self, spark):
+        # out_channels overlapping in_channels must apply every matrix row
+        # to the ORIGINAL inputs
+        rows = [
+            ("u", "H", T0, 2.0), ("u", "E", T0, 3.0),
+            ("u", "Z", T0, 4.0), ("u", "F", T0, 50.0),
+        ]
+        m = np.array([
+            [2.0, 0.0, 0.0, 0.0],
+            [1.0, 1.0, 0.0, 0.0],   # E_out = H_orig + E_orig = 5
+            [0.0, 0.0, 1.0, 0.0],
+            [0.0, 0.0, 0.0, 1.0],
+        ])
+        wide = pivot_channels(mk(spark, rows), ["H", "E", "Z", "F"])
+        out = adjusted(
+            wide, m, pier_correction=0.0,
+            in_channels=("H", "E", "Z", "F"), out_channels=("H", "E", "Z", "F"),
+        ).collect()[0]
+        assert out.H == 4.0
+        assert out.E == 5.0  # uses ORIGINAL H=2, not the transformed 4
+
+    def test_missing_required_channel_raises(self, spark):
+        rows = [("u", "H", T0, 1.0)]
+        wide = pivot_channels(mk(spark, rows), ["H"])
+        import pytest
+        with pytest.raises(ValueError, match="requires channels"):
+            xyz_convert(wide, "obs", "mag")
+
+
+class TestAverageDuplicateGuard:
+    def test_duplicate_rows_do_not_mask_missing_series(self, spark):
+        rows = [
+            ("u1", "H", T0, 1.0),
+            ("u1", "H", T0, 1.0),  # duplicate of the same series
+            # u2 absent at T0
+        ]
+        out = average_across_series(mk(spark, rows), n_series=2).collect()
+        assert out[0].value is None  # NOT the mean of u1's duplicates

@@ -53,12 +53,19 @@ def average_across_series(
     agg = df.groupBy(*group_cols, ts_col).agg(
         F.sum(F.when(valid, v)).alias("_vsum"),
         F.count(F.when(valid, True)).alias("_n"),
+        # count DISTINCT series with a valid value: a duplicate row from
+        # one series must not mask another series' gap (the NaN-propagation
+        # contract, ref AverageAlgorithm_test.py:47-83)
+        F.count_distinct(
+            F.when(valid, F.col(series_col))
+        ).alias("_n_series"),
     )
     return agg.select(
         F.lit(out_series).alias(series_col),
         *group_cols,
         F.col(ts_col),
-        F.when(F.col("_n") == n_series, F.col("_vsum") / F.col("_n")).alias(
-            value_col
-        ),
+        F.when(
+            (F.col("_n") == n_series) & (F.col("_n_series") == n_series),
+            F.col("_vsum") / F.col("_n"),
+        ).alias(value_col),
     )

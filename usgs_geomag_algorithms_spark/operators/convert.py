@@ -76,11 +76,11 @@ def xyz_convert(
     the informat's first two channels (+ passthrough Z, F). Only the first
     two channels are required (ref XYZAlgorithm.py:59-63)."""
     cols = {c: F.col(c) for c in wide.columns}
+    required = XYZ_CHANNELS[informat][:2] if informat in XYZ_CHANNELS else []
+    missing = [c for c in required if c not in cols]
+    if missing:
+        raise ValueError(f"informat {informat!r} requires channels {missing}")
 
-    def have(*names):
-        return all(n in cols for n in names)
-
-    out = wide
     if informat == "obs":
         h, e = cols["H"], cols["E"]
         H = C.mag_h_from_obs(h, e)
@@ -99,25 +99,31 @@ def xyz_convert(
     else:
         raise ValueError(f"unknown informat {informat}")
 
+    # Every output channel is computed in ONE select from expressions over
+    # the ORIGINAL columns. The previous chained-withColumn formulation was
+    # subtly wrong: F.col("H") binds by NAME at analysis time, so after
+    # withColumn("H", ...) replaced H, the next expression's F.col("H")
+    # resolved to the converted value (e.g. obs->mag D was computed from
+    # |(h,e)| instead of h whenever |E| was not << H).
     if outformat == "geo":
-        out = out.withColumn("X", C.geo_x_from_mag(H, D)).withColumn(
-            "Y", C.geo_y_from_mag(H, D)
-        )
+        chan = {"X": C.geo_x_from_mag(H, D), "Y": C.geo_y_from_mag(H, D)}
     elif outformat == "mag":
-        out = out.withColumn("H", H).withColumn("D", D)
+        chan = {"H": H, "D": D}
     elif outformat == "obs":
-        out = out.withColumn("E", C.obs_e_from_mag(H, D, d0)).withColumn(
-            "H", C.obs_h_from_mag(H, D, d0)
-        )
+        chan = {"H": C.obs_h_from_mag(H, D, d0), "E": C.obs_e_from_mag(H, D, d0)}
     elif outformat == "obsd":
-        out = out.withColumn("D", D - F.lit(d0)).withColumn(
-            "H", C.obs_h_from_mag(H, D, d0)
-        )
+        chan = {"H": C.obs_h_from_mag(H, D, d0), "D": D - F.lit(d0)}
     else:
         raise ValueError(f"unknown outformat {outformat}")
-    return out.select(
-        *[c for c in wide.columns if c not in ("X", "Y", "H", "D", "E")],
-        *[c for c in XYZ_CHANNELS[outformat] if c in out.columns],
+    for c in ("Z", "F"):
+        if c in cols:
+            chan[c] = cols[c]
+    passthrough = [
+        c for c in wide.columns if c not in ("X", "Y", "H", "D", "E", "Z", "F")
+    ]
+    return wide.select(
+        *passthrough,
+        *[chan[c].alias(c) for c in XYZ_CHANNELS[outformat] if c in chan],
     )
 
 
@@ -144,17 +150,18 @@ def adjusted(
     (``AdjustedMatrix.py:32-51``)."""
     m = np.asarray(matrix, dtype=float)
     h, e, z = (F.col(c) for c in in_channels[:3])
-    out = wide
+    # one select: all rows of the matrix apply to the ORIGINAL inputs even
+    # when out_channels overlaps in_channels (chained withColumn would feed
+    # already-transformed values into later rows)
+    chan = {}
     for i, name in enumerate(out_channels[:3]):
-        expr = (
+        chan[name] = (
             F.lit(float(m[i, 0])) * h
             + F.lit(float(m[i, 1])) * e
             + F.lit(float(m[i, 2])) * z
             + F.lit(float(m[i, 3]))
         )
-        out = out.withColumn(name, expr)
     if len(in_channels) > 3 and len(out_channels) > 3:
-        out = out.withColumn(
-            out_channels[3], F.col(in_channels[3]) + F.lit(float(pier_correction))
-        )
-    return out
+        chan[out_channels[3]] = F.col(in_channels[3]) + F.lit(float(pier_correction))
+    passthrough = [c for c in wide.columns if c not in chan]
+    return wide.select(*passthrough, *[v.alias(k) for k, v in chan.items()])

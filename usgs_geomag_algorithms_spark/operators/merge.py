@@ -23,6 +23,8 @@ def merge_last_wins(
 ) -> DataFrame:
     """Merge batches; later arguments win on overlap (valid values only)."""
     series_cols = list(series_cols)
+    if not batches:
+        raise ValueError("merge_last_wins requires at least one batch")
     tagged = None
     for seq, b in enumerate(batches):
         t = b.select(*series_cols, ts_col, value_col).withColumn(

@@ -41,7 +41,12 @@ def apply_instrument_metadata(
 ) -> DataFrame:
     """Join per-time-range instrument config (scale/offset) onto fact rows:
     ``meta(on, start_us, end_us, scale, offset)`` is small — broadcast range
-    join, no shuffle of the fact side."""
+    join, no shuffle of the fact side.
+
+    Epochs are HALF-OPEN ``[start_us, end_us)`` — the contiguous encoding
+    (next epoch starts where the previous ends) matches each fact row at
+    most once; inclusive ends would double-match boundary rows and
+    silently duplicate them."""
     m = F.broadcast(
         meta.select(
             F.col(on).alias("_m_key"),
@@ -55,7 +60,7 @@ def apply_instrument_metadata(
         m,
         (df[on] == F.col("_m_key"))
         & (F.col(ts_col) >= F.col("start_us"))
-        & (F.col(ts_col) <= F.col("end_us")),
+        & (F.col(ts_col) < F.col("end_us")),
         "left",
     )
     return joined.select(
@@ -97,5 +102,5 @@ def value_at(
         df.where(F.col(ts_col) <= int(t_us))
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_rn")
+        .select(*series_cols, ts_col, value_col)  # same schema as exact mode
     )

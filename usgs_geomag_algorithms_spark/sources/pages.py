@@ -47,6 +47,10 @@ def generate_pages(
     if n_hot is None:
         n_hot = max(1, n_urls // 8)
     n_samples = int(hours * 3600 // base_period_s)
+    if n_samples < 1:
+        raise ValueError(
+            f"hours={hours} yields no samples at base_period_s={base_period_s}"
+        )
 
     url = F.concat(
         F.lit("https://site"),

@@ -27,10 +27,9 @@ from pyspark.sql import SparkSession
 
 
 def iso_to_us(s: str) -> int:
-    dt = datetime.fromisoformat(s)
-    if dt.tzinfo is None:
-        dt = dt.replace(tzinfo=timezone.utc)
-    return int(dt.timestamp() * 1_000_000)
+    from usgs_geomag_algorithms_spark.tiers import iso_to_us as _iso
+
+    return _iso(s)
 
 
 def main(argv=None) -> int:
@@ -50,13 +49,18 @@ def main(argv=None) -> int:
     from usgs_geomag_algorithms_spark.plans import pipeline
     from usgs_geomag_algorithms_spark.sources.store import TierStore
 
-    spark = SparkSession.builder.getOrCreate()
+    from usgs_geomag_algorithms_spark.session import get_spark
+
+    spark = SparkSession.getActiveSession() or get_spark(app_name="run_cascade")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     store = TierStore(spark, args.store, n_buckets=args.n_buckets)
     try:
         start_us, end_us = iso_to_us(args.start), iso_to_us(args.end)
+        retention_now_us = (
+            iso_to_us(args.retention_now) if args.retention_now else None
+        )
     except ValueError as e:
-        ap.error(f"--start/--end must be ISO timestamps: {e}")
+        ap.error(f"--start/--end/--retention-now must be ISO timestamps: {e}")
 
     if args.mode == "build":
         if not args.pages:
@@ -73,9 +77,10 @@ def main(argv=None) -> int:
             store, start_us, end_us,
             update_limit=args.update_limit, run_id=args.run_id,
         )
-    if args.retention_now:
+    if retention_now_us is not None and args.mode != "maintain":
+        # maintain mode already ran retention inside pipeline.maintain
         metrics["retention_dropped"] = pipeline.apply_retention(
-            store, iso_to_us(args.retention_now)
+            store, retention_now_us
         )
     print(json.dumps(metrics, default=str))
     return 0

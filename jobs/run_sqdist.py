@@ -29,12 +29,9 @@ from pyspark.sql import SparkSession
 
 
 def iso_to_us(s: str) -> int:
-    from datetime import datetime, timezone
+    from usgs_geomag_algorithms_spark.tiers import iso_to_us as _iso
 
-    dt = datetime.fromisoformat(s)
-    if dt.tzinfo is None:
-        dt = dt.replace(tzinfo=timezone.utc)
-    return int(dt.timestamp() * 1_000_000)
+    return _iso(s)
 
 
 def main(argv=None) -> int:
@@ -62,7 +59,11 @@ def main(argv=None) -> int:
 
     spark = SparkSession.getActiveSession() or get_spark(app_name="sqdist")
     store = TierStore(spark, args.store)
-    delta_s = INTERVAL_SECONDS.get(args.tier, 60.0)
+    if args.tier not in INTERVAL_SECONDS:
+        ap.error(
+            f"--tier must be one of {sorted(INTERVAL_SECONDS)} (got {args.tier!r})"
+        )
+    delta_s = INTERVAL_SECONDS[args.tier]
     start_us, end_us = iso_to_us(args.start), iso_to_us(args.end)
 
     states = {}
@@ -75,14 +76,29 @@ def main(argv=None) -> int:
     df = store.read(args.tier, start_us, end_us)
     # explicit window: continuity is window-vs-state, and data missing at
     # the window edges free-runs as a gap instead of wedging the series
+    from pyspark.storagelevel import StorageLevel
+
     out = sqdist_apply(
         df, params, delta_s, states=states or None,
         range_start_us=start_us, range_end_us=end_us,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # one recurrence run, 3 consumers
     data, new_states = split_state_rows(out)
+    # engine gap convention: NaN (kernel) -> NULL on disk
+    from pyspark.sql import functions as F
+
+    data = data.withColumn(
+        "value", F.when(~F.isnan("value"), F.col("value"))
+    )
     n = data.count()
     if n:
-        data.write.mode("append").parquet(args.out)
+        # window-keyed overwrite: a crash between this write and the
+        # statefile advance below makes the rerun REPLACE the same
+        # partition instead of appending duplicates
+        (
+            data.write.mode("overwrite")
+            .parquet(f"{args.out}/window={start_us}")
+        )
+    out.unpersist()
     states.update(new_states)
     tmp = args.statefile + ".tmp"
     with open(tmp, "w") as f:

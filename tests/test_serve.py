@@ -131,3 +131,25 @@ class TestServeDerive:
         # H=1, D=d -> X=cos(d), Y=sin(d)
         np.testing.assert_almost_equal(got[("X", T0)], math.cos(d))
         np.testing.assert_almost_equal(got[("Y", T0)], math.sin(d))
+
+
+class TestShortWindow:
+    def test_padded_read_inside_one_hour_no_stamp(self, spark, tmp_path):
+        # hour-tier request [06:35, 06:50] contains no :29:30 stamp: the
+        # padded read must return an empty frame, not crash on an inverted
+        # sequence() (regression)
+        store = TierStore(spark, str(tmp_path / "t"), n_buckets=2)
+        HOUR = 3600 * US
+        stamp = T0 + 6 * HOUR + (29 * 60 + 30) * US
+        store.write(
+            spark.createDataFrame(
+                [("u", "text_len", stamp, 1.0)],
+                "url string, channel string, t_us long, value double",
+            ),
+            "hour",
+        )
+        out = get_timeseries(
+            store, "hour", T0 + 6 * HOUR + 35 * 60 * US,
+            T0 + 6 * HOUR + 50 * 60 * US,
+        )
+        assert out.count() == 0

@@ -35,7 +35,8 @@ def pack_segments(
     seg = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(int(segment_us)))).alias(
         "seg_start_us"
     )
-    schema_prefix = ", ".join(f"{c} string" for c in series_cols)
+    dtypes = dict(df.dtypes)
+    schema_prefix = ", ".join(f"{c} {dtypes[c]}" for c in series_cols)
     out_schema = (
         f"{schema_prefix}, seg_start_us long, n long, "
         "ts_codec binary, val_codec binary"
@@ -71,7 +72,8 @@ def unpack_segments(
 ) -> DataFrame:
     """Explode packed segments back to long rows (NaN -> NULL)."""
     series_cols = list(series_cols)
-    schema_prefix = ", ".join(f"{c} string" for c in series_cols)
+    dtypes = dict(segs.dtypes)
+    schema_prefix = ", ".join(f"{c} {dtypes[c]}" for c in series_cols)
     out_schema = f"{schema_prefix}, {ts_col} long, {value_col} double"
 
     def unpack(batches):

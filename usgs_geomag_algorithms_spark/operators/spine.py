@@ -46,6 +46,14 @@ def time_spine(
     (no driver loop, no shuffle beyond the key dedup)."""
     delta_us = int(round(delta_s * US))
     t0 = grid_start_us(start_us, delta_s)
+    if t0 > int(end_us):
+        # window too short to contain any stamp of this tier (e.g. an
+        # hour-tier request inside one hour that misses :29:30): the spine
+        # is legitimately empty — sequence() would throw on the inverted
+        # bounds
+        return df_keys.select(
+            "*", F.lit(None).cast("long").alias(ts_col)
+        ).where(F.lit(False))
     return df_keys.select(
         "*",
         F.explode(

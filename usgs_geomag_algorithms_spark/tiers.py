@@ -35,6 +35,17 @@ INTERVAL_SECONDS = {
 }
 
 
+def iso_to_us(ts: str) -> int:
+    """ISO-8601 -> epoch microseconds; naive timestamps are UTC (shared by
+    every job CLI so both entry points parse identically)."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(ts)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1_000_000)
+
+
 def get_delta_from_interval(name: str) -> float:
     return INTERVAL_SECONDS[name]
 

@@ -105,18 +105,24 @@ def q_rollup_day_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "t_us", F.round("value", 4).alias("value"))
 
 
-def q_rollup_hour_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hour tier over per-minute event *counts* on a 0-filled spine (count
-    semantics: absence = 0, so coverage is always complete)."""
+def _padded_minute_counts(spark: SparkSession, sf_dir: str, lo: int, hi: int) -> DataFrame:
+    """Per-minute event counts on the 0-filled spine (absence = 0) — the
+    count-semantics input shared by the hour and month count rollups."""
     ev = _events(spark, sf_dir)
-    lo, hi = _bounds(spark, sf_dir)
     counts = ev.select(
         "event_type",
         F.expr(f"(unix_micros(cast(ts as timestamp)) div {MIN_US}) * {MIN_US}").alias("t_us"),
     ).groupBy("event_type", "t_us").agg(F.count("*").cast("double").alias("value"))
-    padded = pad_to_spine(
+    return pad_to_spine(
         counts, lo, hi, 60.0, series_cols=("event_type",), fill_value=0.0
     )
+
+
+def q_rollup_hour_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour tier over per-minute event *counts* on a 0-filled spine (count
+    semantics: absence = 0, so coverage is always complete)."""
+    lo, hi = _bounds(spark, sf_dir)
+    padded = _padded_minute_counts(spark, sf_dir, lo, hi)
     out = rollup_step(
         padded, MIN_HOUR, range_start_us=lo, range_end_us=hi,
         series_cols=("event_type",),
@@ -132,15 +138,8 @@ def q_rollup_month_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from usgs_geomag_algorithms_spark.operators.month import rollup_month
 
-    ev = _events(spark, sf_dir)
     lo, hi = _bounds(spark, sf_dir)
-    counts = ev.select(
-        "event_type",
-        F.expr(f"(unix_micros(cast(ts as timestamp)) div {MIN_US}) * {MIN_US}").alias("t_us"),
-    ).groupBy("event_type", "t_us").agg(F.count("*").cast("double").alias("value"))
-    padded = pad_to_spine(
-        counts, lo, hi, 60.0, series_cols=("event_type",), fill_value=0.0
-    )
+    padded = _padded_minute_counts(spark, sf_dir, lo, hi)
     day = rollup_step(
         padded, MIN_DAY, range_start_us=lo, range_end_us=hi,
         series_cols=("event_type",),
@@ -224,14 +223,17 @@ def q_top_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2.8 sort/limit surface; deterministic tie-break on timestamp)."""
     from pyspark.sql import Window
 
-    sig = _minute_signal(spark, sf_dir)
+    sig = _minute_signal(spark, sf_dir).withColumn(
+        "value", F.round("value", 4)
+    )  # round BEFORE ranking: fp summation-order near-ties must not flip
+    # the rank-5 boundary between engines
     w = Window.partitionBy("event_type").orderBy(
         F.col("value").desc(), F.col("t_us").asc()
     )
     return (
         sig.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
-        .select("event_type", "t_us", F.round("value", 4).alias("value"), "rank")
+        .select("event_type", "t_us", "value", "rank")
     )
 
 
@@ -254,20 +256,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: content hash + first-doc-wins duplicate flag."""
-    from pyspark.sql import Window
+    """Exact dedup: content hash + first-doc-wins duplicate flag (delegates
+    to the engine operator so driver query and operator cannot drift)."""
+    from usgs_geomag_algorithms_spark.operators.dedup import exact_dedup
 
-    docs = _documents(spark, sf_dir)
-    w = Window.partitionBy("text_md5")
-    return (
-        docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("text_md5"))
-        .withColumn("keep_doc_id", F.min("doc_id").over(w))
-        .select(
-            "doc_id",
-            "text_md5",
-            (F.col("doc_id") != F.col("keep_doc_id")).alias("is_duplicate"),
-        )
-    )
+    return exact_dedup(_documents(spark, sf_dir))
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,7 +428,6 @@ SELECT event_type,
 FROM hour, bounds
 WHERE h_us >= lo_us AND h_us + {HOUR_US - MIN_US} <= hi_us
 """
-    day_us = 86_400_000_000
     month_value = f"""
 WITH bounds AS (
     SELECT (epoch_us(min(ts)) // {MIN_US}) * {MIN_US} AS lo_us,
@@ -487,10 +479,10 @@ WHERE m0 = epoch_us(date_trunc('month', make_timestamp(lo_us)))
 """
     top_minutes = f"""
 WITH {_MINUTE_CTE}
-SELECT event_type, t_us, round(v, 4) AS value, rank::INT AS rank FROM (
-    SELECT event_type, t_us, v,
+SELECT event_type, t_us, value, rank::INT AS rank FROM (
+    SELECT event_type, t_us, round(v, 4) AS value,
            row_number() OVER (PARTITION BY event_type
-                              ORDER BY v DESC, t_us ASC) AS rank
+                              ORDER BY round(v, 4) DESC, t_us ASC) AS rank
     FROM minute
 ) WHERE rank <= 5
 """

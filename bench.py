@@ -124,19 +124,25 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    missing = [n for n in BENCH_QUERIES if n not in qs]
+    if missing:
+        raise SystemExit(f"BENCH_QUERIES not in queries(): {missing}")
     # warmup: JVM + parquet footer caches
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        if name not in qs:
-            continue
         t = time.perf_counter()
-        qs[name](spark, sf_dir).count()
+        # noop sink: evaluates EVERY output column. A .count() action lets
+        # Catalyst prune all deterministic column work (verified: dedup's
+        # md5 window and text_quality's string math vanish from the plan),
+        # which times a bare row-count instead of the query.
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t
         timings[name] = round(dt, 3)
         total += dt
+        spark.catalog.clearCache()  # release per-query persisted frames
 
     cascade = bench_cascade(spark, sf)
     timings["cascade_pages_to_day"] = cascade["wall_sec"]

@@ -21,6 +21,10 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm(v):
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        v = float(v)  # Arrow surfaces DuckDB DECIMALs as Decimal objects
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -41,6 +45,11 @@ def main():
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"FAIL unknown query names: {sorted(unknown)}")
+            sys.exit(2)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -57,29 +66,29 @@ def main():
             print(f"OK?  {name}: rows={len(srows)} (no oracle; rows-only check)")
             continue
         try:
-            ddf = con.execute(oracles[name]).fetchdf()
+            # Arrow keeps NULL and float NaN distinct (fetchdf would fold
+            # DuckDB NULL doubles into NaN, conflating the engine's two
+            # different gap encodings)
+            dtab = con.execute(oracles[name]).arrow()
         except Exception as e:
             print(f"FAIL {name}: duckdb error {e}")
             failures += 1
             continue
-        dcols = sorted(ddf.columns.tolist())
+        dcols = sorted(dtab.column_names)
         if scols != dcols:
             print(f"FAIL {name}: columns spark={scols} duckdb={dcols}")
             failures += 1
             continue
-        if len(srows) != len(ddf):
-            print(f"FAIL {name}: rowcount spark={len(srows)} duckdb={len(ddf)}")
+        drows = dtab.to_pylist()
+        if len(srows) != len(drows):
+            print(f"FAIL {name}: rowcount spark={len(srows)} duckdb={len(drows)}")
             failures += 1
             continue
         sset = sorted(
             tuple(norm(row[c]) for c in scols) for row in (r.asDict() for r in srows)
         )
-        import pandas as pd
-
-        dd = ddf.astype(object).where(pd.notnull(ddf), None)
         dset = sorted(
-            tuple(norm(v) for v in (row[c] for c in dcols))
-            for row in dd.to_dict("records")
+            tuple(norm(row[c]) for c in dcols) for row in drows
         )
         if sset != dset:
             bad = [(a, b) for a, b in zip(sset, dset) if a != b][:3]

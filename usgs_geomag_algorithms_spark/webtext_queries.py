@@ -219,8 +219,8 @@ dots AS (
     WHERE a.q_id != b.n_id
     GROUP BY 1, 2
 ),
-nq AS (SELECT q_id, sum(x * x) AS s FROM eq GROUP BY 1),
-nc AS (SELECT n_id, sum(x * x) AS s FROM ec GROUP BY 1),
+nq AS (SELECT q_id, sum(x * x) AS s FROM eq GROUP BY 1 HAVING sum(x * x) > 0),
+nc AS (SELECT n_id, sum(x * x) AS s FROM ec GROUP BY 1 HAVING sum(x * x) > 0),
 scored AS (
     SELECT d.q_id, d.n_id,
            round(d.dot / (sqrt(nq.s) * sqrt(nc.s)), 6) AS cosine
@@ -247,7 +247,7 @@ dots AS (
     FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
     GROUP BY 1, 2
 ),
-norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM e GROUP BY 1)
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM e GROUP BY 1 HAVING sum(x * x) > 0)
 SELECT d.id_a, d.id_b, round(d.dot / (na.n * nb.n), 6) AS cosine
 FROM dots d
 JOIN norms na ON na.vec_id = d.id_a

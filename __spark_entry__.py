@@ -307,6 +307,167 @@ def q_rollup_fir_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "t_us", F.round("value", 4).alias("value"))
 
 
+DS_US = 100_000  # 10 Hz sample period
+DAY_US = 86_400_000_000
+
+
+def _tenhertz_signal(spark: SparkSession, sf_dir: str, lo: int, hi: int) -> DataFrame:
+    """Dense deterministic 10 Hz signal derived from the minute signal:
+    each present minute fans out to its 600 tenhertz slots with an exact
+    integer-arithmetic perturbation, and ~1/37 of slots are dropped as
+    gaps — dense enough to exercise the Blackman mask/renorm rules, exact
+    enough for a DuckDB oracle (same formula, same doubles)."""
+    sig = _minute_signal(spark, sf_dir).where(
+        F.col("t_us").between(lo, hi - 59 * 1_000_000 - 900_000)
+    )
+    return (
+        sig.select(
+            "event_type",
+            F.col("t_us").alias("m_us"),
+            "value",
+            F.explode(F.expr("sequence(0, 599)")).alias("s"),
+        )
+        .select(
+            "event_type",
+            (F.col("m_us") + F.col("s") * DS_US).alias("t_us"),
+            (F.col("value") + ((F.col("s") % 7) - 3) * 0.01).alias("value"),
+        )
+        .where(F.expr(f"(t_us div {DS_US}) % 37 != 0"))
+    )
+
+
+def q_rollup_blackman_second(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cascade's 10 Hz -> 1 s stage (STEPS[0]: Blackman 123-tap,
+    cutoff 0.25 Hz — ref geomagio/algorithm/FilterAlgorithm.py:21) over a
+    dense deterministic tenhertz signal: exercises the sub-second grid,
+    the 123-tap masked dot + renormalization, and the 10% rule against an
+    exact SQL oracle (first day of data only — the fan-out is x600)."""
+    from usgs_geomag_algorithms_spark.tiers import STEPS
+
+    lo, _ = _bounds(spark, sf_dir)
+    hi = lo + DAY_US
+    sig10 = _tenhertz_signal(spark, sf_dir, lo, hi)
+    out = rollup_step(
+        sig10, STEPS[0], range_start_us=lo, range_end_us=hi,
+        series_cols=("event_type",),
+    )
+    return out.select("event_type", "t_us", F.round("value", 4).alias("value"))
+
+
+#: reference SqDist unit-vector configurations (derived from
+#: test/algorithm_test/SQDistAlgorithm_test.py:11-200 — the same four
+#: configs pinned at 8 decimals in tests/test_sqdist.py): m=4,
+#: s0=sin(linspace(0, 2pi, 5)[:-1]), sigma0=[sqrt(0.5)], 12 samples.
+_SQDIST_GOLDEN_CONFIGS = {
+    "gap_trend": {"alpha": 1 / 12.0, "beta": 0.0, "gamma": 0.0, "obs": None},
+    "gap_seasonal": {"alpha": 0.0, "beta": 0.0, "gamma": 1 / 3.0, "obs": None},
+    "zero_level": {"alpha": 1 / 12.0, "beta": 0.0, "gamma": 0.0, "obs": 0.0},
+    "zero_seasonal": {"alpha": 0.0, "beta": 0.0, "gamma": 1 / 3.0, "obs": 0.0},
+}
+_SQDIST_T0 = 1577836800_000_000
+_SQDIST_N = 12
+
+
+def _sqdist_golden_init():
+    import numpy as np
+
+    from usgs_geomag_algorithms_spark.operators.sqdist import HWState
+
+    s0 = np.sin(np.linspace(0, 2 * np.pi, 5)[:-1]).tolist()
+    return HWState(s0=s0, l0=0.0, b0=0.0, sigma0=[float(np.sqrt(0.5))])
+
+
+def q_sqdist_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed SqDist over the reference's own unit-vector inputs
+    (gap forecasting with sigma growth, spike-free smoothing — ref
+    test/algorithm_test/SQDistAlgorithm_test.py): four configurations run
+    through the grouped-Arrow kernel; the oracle inlines the expected
+    vectors (validated at 8 decimals against the reference's published
+    arrays in tests/test_sqdist.py). sf-independent by construction."""
+    from usgs_geomag_algorithms_spark.operators.sqdist import (
+        HWParams,
+        sqdist_apply,
+    )
+
+    init = _sqdist_golden_init()
+    frames = []
+    for name, cfg in _SQDIST_GOLDEN_CONFIGS.items():
+        rows = [
+            (
+                name,
+                "X",
+                _SQDIST_T0 + i * 60_000_000,
+                cfg["obs"],
+            )
+            for i in range(_SQDIST_N)
+        ]
+        df = spark.createDataFrame(
+            rows, "series string, channel string, t_us long, value double"
+        )
+        p = HWParams(m=4, alpha=cfg["alpha"], beta=cfg["beta"], gamma=cfg["gamma"])
+        out = sqdist_apply(
+            df,
+            p,
+            delta_s=60.0,
+            states={f"{name}|X": init.to_json()},
+            series_cols=("series", "channel"),
+        )
+        frames.append(out.where(F.col("state_json").isNull()).drop("state_json"))
+    res = frames[0]
+    for f_ in frames[1:]:
+        res = res.unionByName(f_)
+    # engine gap convention: kernel NaN (e.g. Dist over gap slots) -> NULL;
+    # + 0.0 folds IEEE -0.0 to +0.0 (engines disagree on the sign of a
+    # rounded -1e-16)
+    v = F.when(~F.isnan("value"), F.col("value"))
+    return res.select(
+        "series", "channel", "t_us", (F.round(v, 6) + F.lit(0.0)).alias("value")
+    )
+
+
+def _sqdist_golden_sql() -> str:
+    """Inline expected vectors for q_sqdist_golden, produced by the NumPy
+    reference recurrence (tests/test_sqdist.py pins the SAME four configs
+    to the reference's published 8-decimal arrays, so these literals are
+    transitively reference-checked); values are emitted at full precision
+    and rounded in SQL, mirroring the Spark side's round(value, 6)."""
+    import numpy as np
+
+    from usgs_geomag_algorithms_spark.operators.sqdist import (
+        HWParams,
+        sqdist_decompose,
+    )
+
+    init = _sqdist_golden_init()
+    rows = []
+    for name, cfg in _SQDIST_GOLDEN_CONFIGS.items():
+        y = (
+            np.full(_SQDIST_N, np.nan)
+            if cfg["obs"] is None
+            else np.full(_SQDIST_N, float(cfg["obs"]))
+        )
+        p = HWParams(m=4, alpha=cfg["alpha"], beta=cfg["beta"], gamma=cfg["gamma"])
+        dist, sq, sv, sig, _ = sqdist_decompose(y, p, init)
+        for suffix, arr in (
+            ("_Dist", dist),
+            ("_SQ", sq),
+            ("_SV", sv),
+            ("_Sigma", sig),
+        ):
+            for i, val in enumerate(arr):
+                t = _SQDIST_T0 + i * 60_000_000
+                lit = "NULL" if np.isnan(val) else f"{float(val):.17g}"
+                rows.append(f"('{name}', 'X{suffix}', {t}, {lit})")
+    values = ",\n".join(rows)
+    return f"""
+SELECT series, channel, t_us,
+       round(CAST(value AS DOUBLE), 6) + 0.0 AS value
+FROM (VALUES
+{values}
+) AS t(series, channel, t_us, value)
+"""
+
+
 def q_sqdist_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt-Winters SQ/SV/Dist decomposition per event_type over the
     0-filled minute count signal (stateful sequential kernel; rows-only
@@ -358,7 +519,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "rollup_fir_gaussian": q_rollup_fir_gaussian,
+        "rollup_blackman_second": q_rollup_blackman_second,
         "sqdist_decompose": q_sqdist_decompose,
+        "sqdist_golden": q_sqdist_golden,
         "coverage_monitor": q_coverage_monitor,
         "merged_gaps": q_merged_gaps,
         "top_minutes": q_top_minutes,
@@ -653,9 +816,60 @@ SELECT event_type, k * {OUT} AS t_us,
 FROM grp, bounds
 WHERE k * {OUT} - {HW} >= lo_us AND k * {OUT} + {HW} <= hi_us
 """
+    from usgs_geomag_algorithms_spark.tiers import STEPS as _STEPS
+
+    wb = _STEPS[0].normalized_window
+    blits = ", ".join(f"{x:.17g}" for x in wb)
+    BHW = 6_100_000  # 100_000 us * (123-1)/2
+    BOUT = 1_000_000
+    blackman_second = f"""
+WITH {_MINUTE_CTE},
+m1 AS (
+    SELECT event_type, t_us AS m_us, v
+    FROM minute, bounds
+    WHERE t_us BETWEEN lo_us AND lo_us + {DAY_US} - 59900000
+),
+tenhz AS (
+    SELECT event_type, m_us + s.s * {DS_US} AS t_us,
+           v + ((s.s % 7) - 3) * 0.01 AS v
+    FROM m1, (SELECT unnest(generate_series(0, 599)) AS s) s
+    WHERE ((m_us + s.s * {DS_US}) // {DS_US}) % 37 != 0
+),
+expl AS (
+    SELECT event_type, t_us, v,
+           unnest(generate_series(
+               (t_us - {BHW} + {BOUT} - 1) // {BOUT},
+               (t_us + {BHW}) // {BOUT})) AS k
+    FROM tenhz
+),
+tap AS (
+    SELECT event_type, k, v,
+           ((t_us - (k * {BOUT} - {BHW})) // {DS_US}) AS tap
+    FROM expl
+),
+wgt AS (
+    SELECT event_type, k, v, ([{blits}])[tap + 1] AS w
+    FROM tap WHERE tap BETWEEN 0 AND 122
+),
+grp AS (
+    SELECT event_type, k,
+           sum(CASE WHEN v IS NOT NULL THEN w * v END) AS vsum,
+           sum(CASE WHEN v IS NOT NULL THEN w END) AS ws
+    FROM wgt GROUP BY 1, 2
+)
+SELECT event_type, k * {BOUT} AS t_us,
+       CASE WHEN ws >= 0.9 - 1e-9 THEN round(vsum / ws, 4) END AS value
+FROM grp, bounds
+WHERE k * {BOUT} - {BHW} >= lo_us AND k * {BOUT} + {BHW} <= lo_us + {DAY_US}
+"""
+
+    sqdist_golden = _sqdist_golden_sql()
+
     return {
         **WO,
         "rollup_fir_gaussian": fir_gaussian,
+        "rollup_blackman_second": blackman_second,
+        "sqdist_golden": sqdist_golden,
         "rollup_hour_value": hour_value,
         "rollup_day_value": day_value,
         "rollup_hour_count": hour_count,

@@ -40,7 +40,17 @@ def main(argv=None) -> int:
     ap.add_argument("--tier", default="minute")
     ap.add_argument("--start", required=True)
     ap.add_argument("--end", required=True)
-    ap.add_argument("--statefile", required=True)
+    ap.add_argument(
+        "--statefile",
+        help="JSON statefile (driver-side; small series counts / reference "
+        "CLI parity)",
+    )
+    ap.add_argument(
+        "--state-store",
+        help="name of a parquet state table inside --store: state is "
+        "cogrouped table-to-table and written back by executors — the "
+        "driver never materializes it (millions-of-series scale path)",
+    )
     ap.add_argument("--out", required=True, help="output parquet dir (append)")
     ap.add_argument("--alpha", type=float, default=0.1)
     ap.add_argument("--beta", type=float, default=0.0)
@@ -50,6 +60,7 @@ def main(argv=None) -> int:
 
     from usgs_geomag_algorithms_spark.operators.sqdist import (
         HWParams,
+        split_state_df,
         split_state_rows,
         sqdist_apply,
     )
@@ -66,12 +77,19 @@ def main(argv=None) -> int:
     delta_s = INTERVAL_SECONDS[args.tier]
     start_us, end_us = iso_to_us(args.start), iso_to_us(args.end)
 
-    states = {}
-    if os.path.exists(args.statefile):
-        with open(args.statefile) as f:
-            states = json.load(f)
+    if bool(args.statefile) == bool(args.state_store):
+        ap.error("exactly one of --statefile / --state-store is required")
 
     params = HWParams(m=args.m, alpha=args.alpha, beta=args.beta, gamma=args.gamma)
+
+    if args.state_store:
+        states = store.read_state(args.state_store)
+    else:
+        states = {}
+        if os.path.exists(args.statefile):
+            with open(args.statefile) as f:
+                states = json.load(f)
+        states = states or None
 
     df = store.read(args.tier, start_us, end_us)
     # explicit window: continuity is window-vs-state, and data missing at
@@ -79,33 +97,45 @@ def main(argv=None) -> int:
     from pyspark.storagelevel import StorageLevel
 
     out = sqdist_apply(
-        df, params, delta_s, states=states or None,
+        df, params, delta_s, states=states,
         range_start_us=start_us, range_end_us=end_us,
     ).persist(StorageLevel.MEMORY_AND_DISK)  # one recurrence run, 3 consumers
-    data, new_states = split_state_rows(out)
-    # engine gap convention: NaN (kernel) -> NULL on disk
     from pyspark.sql import functions as F
 
+    if args.state_store:
+        data, new_state_df = split_state_df(out)
+    else:
+        data, new_states = split_state_rows(out)
+    # engine gap convention: NaN (kernel) -> NULL on disk
     data = data.withColumn(
         "value", F.when(~F.isnan("value"), F.col("value"))
     )
     n = data.count()
     if n:
         # window-keyed overwrite: a crash between this write and the
-        # statefile advance below makes the rerun REPLACE the same
+        # state advance below makes the rerun REPLACE the same
         # partition instead of appending duplicates
         (
             data.write.mode("overwrite")
             .parquet(f"{args.out}/window={start_us}")
         )
-    out.unpersist()
-    states.update(new_states)
-    tmp = args.statefile + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(states, f, sort_keys=True)
-    os.replace(tmp, args.statefile)  # statefile advances only after data lands
+    if args.state_store:
+        # executor-side state writeback; atomic swap = advances only
+        # after the data landed, same contract as the statefile path
+        store.write_state(new_state_df, args.state_store)
+        n_series = store.read_state(args.state_store).count()
+        out.unpersist()
+    else:
+        out.unpersist()
+        states = dict(states or {})
+        states.update(new_states)
+        n_series = len(new_states)
+        tmp = args.statefile + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(states, f, sort_keys=True)
+        os.replace(tmp, args.statefile)  # advances only after data lands
 
-    print(json.dumps({"rows": n, "series": len(new_states)}))
+    print(json.dumps({"rows": n, "series": n_series}))
     return 0
 
 

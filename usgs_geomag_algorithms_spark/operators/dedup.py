@@ -148,8 +148,11 @@ def lsh_candidate_pairs(
     if k is None:
         row = sigs.select("minhash").first()
         if row is None:
-            spark = sigs.sparkSession
-            return spark.createDataFrame([], "id_a long, id_b long")
+            # empty-corpus schema must match the non-empty path for any
+            # id_col type (a hardcoded long would break downstream joins)
+            return sigs.select(
+                F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b")
+            ).limit(0)
         k = len(row[0])
     if bands <= 0 or k % bands != 0 or bands > k:
         raise ValueError(
@@ -303,13 +306,14 @@ def near_dup_pairs_verified(
     end (fixed permutations, md5 band hashes) — exactly oracle-checkable
     despite the candidate stage being an approximation.
 
-    The persisted relation lives until the session evicts it (or the
-    caller runs ``spark.catalog.clearCache()``); repeated invocations in
-    one long-lived session should clear between runs."""
-    from pyspark.storagelevel import StorageLevel
-
+    The shared relation is a *lazy local checkpoint*, not a ``persist``:
+    a persist would sit in the CacheManager until ``clearCache()`` — a
+    storage leak in a long-lived session — while checkpoint blocks are
+    released by the ContextCleaner as soon as the result DataFrame is
+    garbage-collected. Exchange reuse can't do it: the two consumers
+    shuffle on different keys."""
     sh = char_shingles(df, n=shingle_n, text_col=text_col, id_col=id_col)
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = sh.localCheckpoint(eager=False)
     sigs = minhash_signatures(
         df, k=k, shingle_n=shingle_n, text_col=text_col, id_col=id_col,
         seed=seed, shingles=sh,

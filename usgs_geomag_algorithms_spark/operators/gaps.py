@@ -159,10 +159,12 @@ def merge_gap_intervals(
         F.floor(F.col("gap_start_us") / F.lit(int(bucket_us))).alias("_b"), *cols
     )
     # phase1 feeds three consumers (reach aggregate, final branch,
-    # spanning branch); persist so the bucketed window runs once
-    from pyspark.storagelevel import StorageLevel
-
-    phase1 = _merge_runs(bucketed, ["_b"]).persist(StorageLevel.MEMORY_AND_DISK)
+    # spanning branch). NOT persisted: a persist here would live in the
+    # CacheManager until clearCache (a leak in a long-lived session), and
+    # the three branches share an identical hash-partition(_b) exchange
+    # that ReuseExchange dedupes — only the cheap in-bucket window re-runs
+    # per branch, over the already-small gap relation.
+    phase1 = _merge_runs(bucketed, ["_b"])
 
     # Per-bucket reach: the farthest next_valid any earlier bucket attains.
     # #buckets rows — the unpartitioned window here is over a tiny frame.

@@ -86,17 +86,23 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     n_planes: int = 0,
     seed: int = 42,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine) with
     cosine >= threshold. ``n_planes=0`` is the exact all-pairs baseline
     (test scale); ``n_planes>0`` restricts candidates to shared hyperplane
-    buckets — the 100 TB path where the join is bucket-local."""
+    buckets — the 100 TB path where the join is bucket-local. Explicit
+    ``planes`` literals make the bucketing exactly oracle-checkable."""
     corpus = _nonzero(corpus, vec_col)
     if n_planes > 0:
-        ba = hyperplane_bucket(corpus, n_planes, id_col, vec_col, seed).select(
+        ba = hyperplane_bucket(
+            corpus, n_planes, id_col, vec_col, seed, planes
+        ).select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
         )
-        bb = hyperplane_bucket(corpus, n_planes, id_col, vec_col, seed).select(
+        bb = hyperplane_bucket(
+            corpus, n_planes, id_col, vec_col, seed, planes
+        ).select(
             F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
         )
         joined = ba.join(bb, on="bucket").where(F.col("id_a") < F.col("id_b"))
@@ -111,23 +117,54 @@ def embedding_near_dups(
     )
 
 
+def md5_sign_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 hyperplane normals from md5 — engine-independent
+    (hashlib here, reproducible as literals in any SQL dialect), so a
+    bucketed ANN/near-dup query can be checked by an exact DuckDB oracle
+    carrying the same literal matrix."""
+    import hashlib
+
+    planes = []
+    for i in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed + i},{d}".encode()).digest()
+            row.append(1.0 if h[0] % 2 else -1.0)
+        planes.append(row)
+    return planes
+
+
 def hyperplane_bucket(
     df: DataFrame,
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
-    """Sign-random-projection bucket id per vector: plane i's normal has
-    components sign-derived from xxhash64(i, dim) — deterministic, computed
-    JVM-side as an aggregate over the zipped (value, dim) array."""
+    """Sign-random-projection bucket id per vector.
+
+    Default: plane i's normal has components sign-derived from
+    xxhash64(i, dim) — deterministic, computed JVM-side as an aggregate
+    over the zipped (value, dim) array. With ``planes`` (e.g. from
+    :func:`md5_sign_planes`), the normals are plan-time literal arrays
+    instead — constant-folded into codegen like ``ivf_assign``'s
+    centroids, and exactly reproducible by an external SQL oracle."""
     bucket = None
     for i in range(n_planes):
-        proj = F.expr(
-            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1),"
-            f" (x, d) -> cast(x as double) * (cast(pmod(xxhash64({seed + i}, d), 2) as double) * 2.0 - 1.0)),"
-            f" cast(0.0 as double), (acc, v) -> acc + v)"
-        )
+        if planes is not None:
+            lits = ", ".join(f"{x:.17g}D" for x in planes[i])
+            proj = F.expr(
+                f"aggregate(zip_with({vec_col}, array({lits}),"
+                f" (x, y) -> cast(x as double) * y), cast(0.0 as double),"
+                f" (acc, v) -> acc + v)"
+            )
+        else:
+            proj = F.expr(
+                f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1),"
+                f" (x, d) -> cast(x as double) * (cast(pmod(xxhash64({seed + i}, d), 2) as double) * 2.0 - 1.0)),"
+                f" cast(0.0 as double), (acc, v) -> acc + v)"
+            )
         bit = F.when(proj > 0, F.lit(2 ** i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return df.select(id_col, vec_col, bucket.cast("long").alias("bucket"))

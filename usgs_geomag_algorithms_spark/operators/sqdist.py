@@ -289,7 +289,7 @@ def sqdist_apply(
     df: DataFrame,
     params: HWParams,
     delta_s: float,
-    states: dict[str, str] | None = None,
+    states: dict[str, str] | DataFrame | None = None,
     series_cols: Sequence[str] = ("url", "channel"),
     ts_col: str = "t_us",
     value_col: str = "value",
@@ -299,10 +299,13 @@ def sqdist_apply(
     """Distributed SqDist: one sequential recurrence per series via grouped
     Arrow ``applyInPandas``; parallelism across series.
 
-    ``states`` maps series key (series cols joined with '|') to an
-    ``HWState`` JSON from a previous run. State travels to executors as a
-    cogrouped DataFrame keyed on the series — never a task closure, so
-    shipping stays proportional to per-partition series counts at
+    ``states`` is either a DataFrame ``(series_cols..., state_json)`` —
+    the scale path: state stays table-to-table, cogrouped on the series
+    key, and never touches the driver — or (small-scale/CLI convenience) a
+    dict mapping series key (series cols joined with '|') to an
+    ``HWState`` JSON. Either way state reaches executors as a cogrouped
+    DataFrame keyed on the series — never a task closure — so shipping
+    stays proportional to per-partition series counts at
     millions-of-series scale.
 
     ``range_start_us``/``range_end_us`` declare the invocation window
@@ -326,14 +329,19 @@ def sqdist_apply(
     chan_idx = series_cols.index("channel") if "channel" in series_cols else None
 
     spark = df.sparkSession
-    state_rows = []
-    for key, js in (states or {}).items():
-        parts = key.rsplit("|", len(series_cols) - 1)
-        state_rows.append((*parts, js))
     state_schema = (
         ", ".join(f"{c} string" for c in series_cols) + ", prev_state string"
     )
-    state_df = spark.createDataFrame(state_rows, state_schema)
+    if isinstance(states, DataFrame):
+        state_df = states.select(
+            *series_cols, F.col("state_json").alias("prev_state")
+        )
+    else:
+        state_rows = []
+        for key, js in (states or {}).items():
+            parts = key.rsplit("|", len(series_cols) - 1)
+            state_rows.append((*parts, js))
+        state_df = spark.createDataFrame(state_rows, state_schema)
 
     def run(key, pdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
         keyvals = dict(zip(series_cols, (str(k) for k in key)))
@@ -423,8 +431,38 @@ def sqdist_apply(
     )
 
 
+def split_state_df(
+    out: DataFrame, series_cols: Sequence[str] = ("url", "channel")
+) -> tuple[DataFrame, DataFrame]:
+    """Separate data rows from state rows — fully distributed.
+
+    Returns ``(data_df, state_df)`` where ``state_df`` has columns
+    ``(series_cols..., state_json)`` with the ``_state`` channel suffix
+    stripped back to the base channel. Nothing is collected: at
+    millions-of-series scale the state set is itself a table, persisted
+    via ``TierStore.write_state`` and fed back to the next invocation's
+    ``sqdist_apply(states=...)`` cogroup — the driver never holds state
+    (ref statefile semantics, ``SqDistAlgorithm.py:122-167``, scaled out).
+    """
+    series_cols = list(series_cols)
+    data = out.where(F.col("state_json").isNull()).drop("state_json")
+    st = out.where(F.col("state_json").isNotNull())
+    if "channel" in series_cols:
+        st = st.withColumn(
+            "channel",
+            F.expr(
+                f"substring(channel, 1, length(channel) - {len(STATE_CHANNEL)})"
+            ),
+        )
+    return data, st.select(*series_cols, "state_json")
+
+
 def split_state_rows(out: DataFrame, series_cols: Sequence[str] = ("url", "channel")):
-    """Separate data rows from state rows; returns (data_df, {key: json})."""
+    """Separate data rows from state rows; returns (data_df, {key: json}).
+
+    Driver-side convenience for small series counts (CLI statefile mode);
+    the scale path is ``split_state_df`` which never materializes state on
+    the driver."""
     series_cols = list(series_cols)
     data = out.where(F.col("state_json").isNull()).drop("state_json")
     st_rows = out.where(F.col("state_json").isNotNull()).collect()

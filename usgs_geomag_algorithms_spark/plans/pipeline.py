@@ -111,6 +111,13 @@ def apply_retention(
     for tier, keep in retention_us.items():
         if store.exists(tier):
             dropped[tier] = store.expire_before(tier, now_us - keep)
+        # packed siblings share the tier's retention horizon: segment
+        # p_date partitions drop on the same cutoff (write_packed keeps
+        # the same partition spec precisely so this applies unchanged)
+        if store.exists(f"{tier}_packed"):
+            dropped[f"{tier}_packed"] = store.expire_before(
+                f"{tier}_packed", now_us - keep
+            )
     return dropped
 
 

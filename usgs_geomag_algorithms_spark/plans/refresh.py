@@ -41,8 +41,67 @@ def load_checkpoint(store: TierStore, tier_out: str) -> dict:
     p = _checkpoint_path(store, tier_out)
     if os.path.exists(p):
         with open(p) as f:
-            return json.load(f)
-    return {"completed": []}
+            state = json.load(f)
+        # legacy flat slot lists -> run-length encoding (the checkpoint for
+        # a year-long minute backfill is a handful of [start,end] pairs,
+        # not 525k integers)
+        if "completed" in state and "completed_runs" not in state:
+            slots = sorted(state.pop("completed"))
+            runs: list[list[int]] = []
+            for s in slots:
+                if runs and s - runs[-1][1] <= _LEGACY_RUN_GAP_US:
+                    runs[-1][1] = s
+                else:
+                    runs.append([s, s])
+            state["completed_runs"] = runs
+        return state
+    return {"completed_runs": []}
+
+
+#: legacy-conversion adjacency: slots within a day are one run (exact
+#: adjacency is re-established by the out_us-aware helpers below)
+_LEGACY_RUN_GAP_US = 86_400 * 1_000_000
+
+
+def _insert_run(runs: list[list[int]], new: tuple[int, int], out_us: int) -> list[list[int]]:
+    """Insert [s,e] into a sorted run list, merging runs that touch
+    (adjacent slots are ``out_us`` apart)."""
+    out: list[list[int]] = []
+    s, e = int(new[0]), int(new[1])
+    placed = False
+    for rs, re in runs:
+        if re + out_us < s or rs > e + out_us:
+            if not placed and rs > e + out_us:
+                out.append([s, e])
+                placed = True
+            out.append([rs, re])
+        else:
+            s, e = min(s, rs), max(e, re)
+    if not placed:
+        out.append([s, e])
+    out.sort()
+    return out
+
+
+def _subtract_runs(
+    gap: tuple[int, int], runs: list[list[int]], out_us: int
+) -> list[tuple[int, int]]:
+    """Slots of ``gap`` not covered by ``runs``, as contiguous [s,e]
+    sub-intervals (all on the stamped out_us grid)."""
+    s, e = gap
+    parts: list[tuple[int, int]] = []
+    cur = s
+    for rs, re in runs:
+        if re < cur or rs > e:
+            continue
+        if rs > cur:
+            parts.append((cur, min(rs - out_us, e)))
+        cur = max(cur, re + out_us)
+        if cur > e:
+            break
+    if cur <= e:
+        parts.append((cur, e))
+    return [p for p in parts if p[0] <= p[1]]
 
 
 def save_checkpoint(store: TierStore, tier_out: str, state: dict) -> None:
@@ -78,53 +137,96 @@ def find_output_gaps(
 
     With ``tier_in``, presence is checked PER SERIES (union semantics, the
     reference's ``get_merged_gaps`` across channels): a slot is a gap when
-    any series that has input rows in the slot's window lacks an output
-    row. Without it, a slot that one series already covered would hide
-    another series' late-arriving data forever."""
+    a series with input rows inside THAT slot's filter window lacks an
+    output row there. Restricting to the slot's own window (not the whole
+    refresh range) means a series covering only part of the window flags
+    only its own slots — partial-coverage series don't re-trigger
+    recompute of slots they never could produce.
+
+    Everything is computed as one Spark plan; the driver materializes only
+    the merged gap INTERVALS (bounded by the number of gaps, never the
+    number of slots — a year-long minute window is 525k slots but
+    typically a handful of gap runs)."""
     grid0, grid1 = output_grid_bounds(step, start_us, end_us)
     out_us = step.out_us
     if grid1 < grid0:
         return []
-    expected = list(range(grid0, grid1 + 1, out_us))
-    present: set[int] = set()
-    if store.exists(tier_out):
-        out_rows = store.read(tier_out, grid0, grid1)
-        if tier_in is not None and store.exists(tier_in):
-            in_lo, in_hi = step.input_interval_us(grid0, grid1)
-            spark = out_rows.sparkSession
-            slots_df = spark.createDataFrame(
-                [(t,) for t in expected], "t_us long"
+    spark = store.spark
+    n_slots = (grid1 - grid0) // out_us + 1
+    slots = spark.range(n_slots).select(
+        (F.lit(grid0) + F.col("id") * out_us).cast("long").alias("t_us")
+    )
+    have_out = store.exists(tier_out)
+    if tier_in is not None and store.exists(tier_in):
+        in_lo, in_hi = step.input_interval_us(grid0, grid1)
+        src = store.read(tier_in, in_lo, in_hi)
+        # candidate stamped slots per input row: a row at t contributes to
+        # output anchors a with a+lo_off <= t <= a+hi_off, i.e. a in
+        # [t-hi_off, t-lo_off] — a tiny explode (window/out ratio, e.g.
+        # 2.5 slots/row for Gaussian-91, 1 for boxcars). Integer `div`
+        # arithmetic: epoch-us doubles would round near the 2^53 edge.
+        lo_off, hi_off = step.window_lo_offset_us, step.window_hi_offset_us
+        stamp_off = step.stamp_offset_us
+        first_a = f"(((t_us - {hi_off}) + {out_us - 1}) div {out_us}) * {out_us}"
+        last_a = f"((t_us - {lo_off}) div {out_us}) * {out_us}"
+        expected_pairs = (
+            # same off-grid guard as rollup_step: a row the rollup cannot
+            # see must not flag an expected slot (it would re-recompute
+            # forever)
+            src.where(F.pmod(F.col("t_us"), F.lit(step.in_us)) == 0)
+            .where(F.expr(f"{first_a} <= {last_a}"))
+            .select(
+                *store.series_cols,
+                F.explode(
+                    F.expr(
+                        f"sequence({first_a}, {last_a}, {out_us})"
+                    )
+                ).alias("_a"),
             )
-            expected_pairs = (
-                store.read(tier_in, in_lo, in_hi)
-                .select(*store.series_cols)
+            .select(
+                *store.series_cols,
+                (F.col("_a") + stamp_off).cast("long").alias("t_us"),
+            )
+            .where(F.col("t_us").between(grid0, grid1))
+            .distinct()
+        )
+        if have_out:
+            out_pairs = (
+                store.read(tier_out, grid0, grid1)
+                .select(*store.series_cols, "t_us")
                 .distinct()
-                .crossJoin(F.broadcast(slots_df))
             )
             missing = expected_pairs.join(
-                out_rows.select(*store.series_cols, "t_us").distinct(),
-                [*store.series_cols, "t_us"],
-                "left_anti",
+                out_pairs, [*store.series_cols, "t_us"], "left_anti"
             )
-            missing_slots = {r.t_us for r in missing.select("t_us").distinct().collect()}
-            present = set(expected) - missing_slots
         else:
-            rows = out_rows.select("t_us").distinct().collect()
-            present = {r.t_us for r in rows}
-    gaps: list[tuple[int, int]] = []
-    cur: list[int] | None = None
-    for t in expected:
-        if t not in present:
-            if cur is None:
-                cur = [t, t]
-            else:
-                cur[1] = t
-        elif cur is not None:
-            gaps.append((cur[0], cur[1]))
-            cur = None
-    if cur is not None:
-        gaps.append((cur[0], cur[1]))
-    return gaps
+            missing = expected_pairs
+        missing_slots = missing.select("t_us").distinct()
+    elif have_out:
+        present = store.read(tier_out, grid0, grid1).select("t_us").distinct()
+        missing_slots = slots.join(present, "t_us", "left_anti")
+    else:
+        missing_slots = slots
+    # interval-merge the missing slots (island detection) Spark-side;
+    # return only the run boundaries
+    from pyspark.sql import Window
+
+    w = Window.orderBy("t_us")
+    runs = (
+        missing_slots.withColumn(
+            "_new",
+            F.when(F.col("t_us") - F.lag("t_us").over(w) == out_us, 0).otherwise(1),
+        )
+        .withColumn(
+            "_grp",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("_grp")
+        .agg(F.min("t_us").alias("s"), F.max("t_us").alias("e"))
+        .orderBy("s")
+        .collect()
+    )
+    return [(r.s, r.e) for r in runs]
 
 
 def run_as_update(
@@ -143,16 +245,20 @@ def run_as_update(
     already in the checkpoint are skipped."""
     run_id = run_id or f"run-{int(time.time() * 1000)}"
     ckpt = load_checkpoint(store, tier_out)
-    # checkpoint granularity = output grid slot (stable across runs, unlike
-    # gap extents which merge/shrink as data lands)
-    done_slots: set[int] = set(ckpt.get("completed", []))
+    # checkpoint granularity = run-length-encoded [start,end] slot
+    # intervals on the output grid (stable across runs, unlike gap extents
+    # which merge/shrink as data lands; bounded by gap COUNT, so a
+    # year-long minute backfill checkpoints a few pairs, not 525k slots)
+    done_runs: list[list[int]] = [
+        [int(a), int(b)] for a, b in ckpt.get("completed_runs", [])
+    ]
     metrics = {"run_id": run_id, "gaps_filled": 0, "rows_written": 0, "skipped": 0}
 
     window_us = end_us - start_us + step.out_us
     out_us = step.out_us
 
-    def recompute_run(slots: list[int]) -> None:
-        gap = (slots[0], slots[-1])
+    def recompute_run(gap: tuple[int, int]) -> None:
+        nonlocal done_runs
         in_lo, in_hi = step.input_interval_us(gap[0], gap[1])
         src = store.read(tier_in, in_lo, in_hi)
         out = rollup_step(
@@ -161,10 +267,11 @@ def run_as_update(
             range_start_us=in_lo,
             range_end_us=in_hi,
             series_cols=store.series_cols,
-        )
+        ).persist()  # one execution feeds both the count and the upsert
         n = out.count()
         if n > 0:
             store.upsert(out, tier_out)
+        out.unpersist()
         store.append_lineage(
             tier_out,
             [
@@ -180,8 +287,8 @@ def run_as_update(
                 }
             ],
         )
-        done_slots.update(slots)
-        ckpt["completed"] = sorted(done_slots)
+        done_runs = _insert_run(done_runs, gap, out_us)
+        ckpt["completed_runs"] = done_runs
         save_checkpoint(store, tier_out, ckpt)
         metrics["gaps_filled"] += 1
         metrics["rows_written"] += n
@@ -200,26 +307,18 @@ def run_as_update(
                 process_window(
                     w_start - window_us, first_slot - step.out_us, depth + 1
                 )
-            slots = list(range(gap[0], gap[1] + 1, out_us))
-            todo = [s for s in slots if s not in done_slots]
+            todo = _subtract_runs(gap, done_runs, out_us)
             if not todo:
                 metrics["skipped"] += 1
                 continue
-            # regroup remaining slots into contiguous runs
-            run: list[int] = []
-            for s in todo:
-                if run and s - run[-1] != out_us:
-                    recompute_run(run)
-                    run = []
-                run.append(s)
-            if run:
-                recompute_run(run)
+            for sub in todo:
+                recompute_run(sub)
 
     process_window(start_us, end_us, 0)
     # the slot checkpoint exists to resume a KILLED run; a completed run
     # clears it so the next run re-evaluates gaps fresh (otherwise a slot
     # attempted before its input landed would be skipped forever)
-    save_checkpoint(store, tier_out, {"completed": []})
+    save_checkpoint(store, tier_out, {"completed_runs": []})
     store.append_lineage(tier_out, [{"run_id": run_id, "metrics": metrics}])
     return metrics
 
@@ -245,7 +344,7 @@ def refresh_month(
     the month list is plan-time driver arithmetic, the recompute is one
     partition-pruned day-tier scan covering the affected months, and the
     upsert is the same last-wins merge — idempotent like the slot path."""
-    from ..operators.month import DAY_STAMP_OFF_US, DAY_US, rollup_month
+    from ..operators.month import DAY_STAMP_OFF_US, DAY_US, US, rollup_month
 
     run_id = run_id or f"run-{int(time.time() * 1000)}"
     months = _months_in_range(start_us, end_us)
@@ -255,14 +354,34 @@ def refresh_month(
     if force:
         todo = months
     else:
-        have = {
+        # union semantics, same as find_output_gaps: a month stamp is todo
+        # when ANY series with day data in that month lacks a month-tier
+        # row at the stamp — a series whose days land after another series
+        # already materialized the month still triggers recompute
+        all_lo = months[0][0] + DAY_STAMP_OFF_US
+        all_hi = months[-1][0] + (months[-1][1] - 1) * DAY_US + DAY_STAMP_OFF_US
+        day_rows = store.read("day", all_lo, all_hi)
+        m0 = F.unix_micros(F.date_trunc("MONTH", F.timestamp_micros(F.col("t_us"))))
+        n_days = F.dayofmonth(F.last_day(F.timestamp_micros(m0))).cast("long")
+        stamp = (m0 + n_days * F.lit(43_200 * US) - F.lit(30 * US)).cast("long")
+        expected_pairs = day_rows.select(
+            *store.series_cols, stamp.alias("t_us")
+        ).distinct()
+        out_pairs = (
+            store.read("month", months[0][2], months[-1][2])
+            .select(*store.series_cols, "t_us")
+            .distinct()
+        )
+        missing = {
             r.t_us
-            for r in store.read("month", months[0][2], months[-1][2])
+            for r in expected_pairs.join(
+                out_pairs, [*store.series_cols, "t_us"], "left_anti"
+            )
             .select("t_us")
             .distinct()
             .collect()
         }
-        todo = [m for m in months if m[2] not in have]
+        todo = [m for m in months if m[2] in missing]
         metrics["skipped"] = len(months) - len(todo)
     if not todo:
         store.append_lineage("month", [{"run_id": run_id, "metrics": metrics}])

@@ -33,6 +33,45 @@ from ..operators.merge import merge_last_wins
 DATA_COLS = ("url", "channel", "t_us", "value")
 
 
+def _atomic_swap_dirs(live: str, staged: str) -> None:
+    """Replace directory ``live`` with ``staged`` without any window in
+    which ``live`` is missing.
+
+    Uses Linux ``renameat2(RENAME_EXCHANGE)`` (atomic swap; the staged dir
+    ends up holding the old contents and is removed afterwards). Falls back
+    to rename-aside (live -> live.__old__, staged -> live) on kernels/
+    filesystems without RENAME_EXCHANGE — crash-safe in every interleaving
+    (the data always exists under one of the two names; a crash never
+    deletes anything that was not already replaced)."""
+    import ctypes
+    import shutil
+
+    swapped = False
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        AT_FDCWD = -100
+        RENAME_EXCHANGE = 2
+        rc = libc.renameat2(
+            AT_FDCWD,
+            os.fsencode(staged),
+            AT_FDCWD,
+            os.fsencode(live),
+            RENAME_EXCHANGE,
+        )
+        swapped = rc == 0
+    except Exception:
+        swapped = False
+    if swapped:
+        shutil.rmtree(staged)  # now holds the pre-swap contents
+        return
+    old = live + ".__old__"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(live, old)
+    os.rename(staged, live)
+    shutil.rmtree(old)
+
+
 class TierStore:
     def __init__(
         self,
@@ -204,13 +243,16 @@ class TierStore:
         # rewrite into a sibling dir, then swap (a scan must never overlap
         # an in-place overwrite of its own input files)
         tmp = f"{base}.__compact__"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)  # leftover from a crashed compact
         (
             compacted.write.mode("overwrite")
             .partitionBy("p_date", "p_bucket")
             .parquet(tmp)
         )
-        shutil.rmtree(base)
-        os.rename(tmp, base)
+        # atomic exchange: no window with the tier missing, and a crash at
+        # any point leaves the tier readable under its live name
+        _atomic_swap_dirs(base, tmp)
         after = len(glob.glob(f"{base}/*/*/*.parquet"))
         return {"tier": tier, "files_before": before, "files_after": after}
 
@@ -313,6 +355,82 @@ class TierStore:
                 shutil.rmtree(os.path.join(base, name))
                 dropped.append(name)
         return dropped
+
+    # --------------------------------------------------------- state tiers
+    #
+    # Per-series operator state (e.g. SqDist Holt-Winters JSON) as a
+    # parquet table keyed by the series — the reference's statefile
+    # (``SqDistAlgorithm.py:122-167``) scaled out to millions of series:
+    # state flows executor<->disk, never through the driver.
+    #
+    # Layout is SNAPSHOT-VERSIONED (the Iceberg pattern): each write lands
+    # a complete new generation ``v<n>/`` and atomically advances the
+    # ``_CURRENT`` pointer (os.replace). Readers resolve the pointer at
+    # plan time and keep reading their generation's immutable files even
+    # while a writer lands the next one — no FileNotFound races against
+    # lazy downstream plans — and a crash mid-write leaves the previous
+    # generation current (the statefile advance-after-data-lands
+    # contract). The last ``keep`` generations are retained; state rows
+    # are tiny. Single-writer per state name.
+
+    STATE_KEEP_GENERATIONS = 3
+
+    def state_path(self, name: str) -> str:
+        return f"{self.root}/_state_{name}"
+
+    def _state_current(self, name: str) -> str | None:
+        ptr = f"{self.state_path(name)}/_CURRENT"
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            return f.read().strip() or None
+
+    def write_state(self, state_df: DataFrame, name: str) -> None:
+        """Merge ``state_df`` into the state table as a new generation:
+        last-wins on the series key; series absent from ``state_df`` keep
+        their old state."""
+        import shutil
+
+        base = self.state_path(name)
+        os.makedirs(base, exist_ok=True)
+        cur = self._state_current(name)
+        new = state_df.select(*self.series_cols, "state_json")
+        if cur is not None:
+            prev = self.read_state(name)
+            keep = prev.join(
+                new.select(*self.series_cols), self.series_cols, "left_anti"
+            )
+            merged = keep.unionByName(new)
+            n_next = int(cur[1:]) + 1
+        else:
+            merged = new
+            n_next = 1
+        gen = f"v{n_next:08d}"
+        (
+            merged.repartition(max(1, self.n_buckets // 4), *self.series_cols)
+            .write.mode("overwrite")
+            .parquet(f"{base}/{gen}")
+        )
+        tmp = f"{base}/_CURRENT.tmp"
+        with open(tmp, "w") as f:
+            f.write(gen)
+        os.replace(tmp, f"{base}/_CURRENT")  # atomic pointer advance
+        for d in sorted(os.listdir(base)):
+            if d.startswith("v") and int(d[1:]) <= n_next - self.STATE_KEEP_GENERATIONS:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+    def read_state(self, name: str) -> DataFrame:
+        """Per-series state table ``(series_cols..., state_json)`` at the
+        current generation; empty frame when no state exists yet."""
+        cur = self._state_current(name)
+        cols = ", ".join(f"{c} string" for c in self.series_cols)
+        if cur is None:
+            return self.spark.createDataFrame(
+                [], schema=f"{cols}, state_json string"
+            )
+        return self.spark.read.parquet(f"{self.state_path(name)}/{cur}").select(
+            *self.series_cols, "state_json"
+        )
 
     # ----------------------------------------------------- lineage & metrics
     def append_lineage(self, tier: str, records: list[dict]) -> None:

@@ -88,6 +88,28 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bucketed near-dup config: 4 md5-sign planes over the 64-dim embeddings
+#: (16 buckets at sf0.01's 500 vectors keeps buckets populated); literal
+#: plane matrix shared verbatim with the DuckDB oracle
+NEAR_DUP_PLANES_N = 4
+EMB_DIM = 64
+
+
+def q_embedding_near_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dups through the BUCKETED (100 TB) path: candidates
+    restricted to shared hyperplane sign-buckets, so the join is
+    bucket-local instead of all-pairs. The md5-derived literal plane
+    matrix makes the approximate stage deterministic and exactly
+    oracle-checkable (same trick as near_dup_verified)."""
+    planes = S.md5_sign_planes(NEAR_DUP_PLANES_N, EMB_DIM)
+    return S.embedding_near_dups(
+        _emb(spark, sf_dir),
+        threshold=NEAR_DUP_THRESHOLD,
+        n_planes=NEAR_DUP_PLANES_N,
+        planes=planes,
+    )
+
+
 NEAR_DUP_JACCARD = 0.3
 
 
@@ -248,6 +270,49 @@ dots AS (
     GROUP BY 1, 2
 ),
 norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM e GROUP BY 1 HAVING sum(x * x) > 0)
+SELECT d.id_a, d.id_b, round(d.dot / (na.n * nb.n), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.id_a
+JOIN norms nb ON nb.vec_id = d.id_b
+WHERE round(d.dot / (na.n * nb.n), 6) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+def _near_dup_bucketed_sql() -> str:
+    from .operators.similarity import md5_sign_planes
+
+    planes = md5_sign_planes(NEAR_DUP_PLANES_N, EMB_DIM)
+    rows = ", ".join(
+        f"({p}, {d}, {planes[p][d]:.1f})"
+        for p in range(NEAR_DUP_PLANES_N)
+        for d in range(EMB_DIM)
+    )
+    return f"""
+WITH planes(plane, i, s) AS (VALUES {rows}),
+e AS (
+    SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+           generate_subscripts(embedding, 1) - 1 AS i
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM e GROUP BY 1 HAVING sum(x * x) > 0),
+proj AS (
+    SELECT e.vec_id, p.plane, sum(e.x * p.s) AS pr
+    FROM e JOIN planes p ON p.i = e.i
+    JOIN norms nz ON nz.vec_id = e.vec_id
+    GROUP BY 1, 2
+),
+bkt AS (
+    SELECT vec_id,
+           sum(CASE WHEN pr > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS b
+    FROM proj GROUP BY 1
+),
+dots AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+    FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+    JOIN bkt xa ON xa.vec_id = a.vec_id
+    JOIN bkt xb ON xb.vec_id = b.vec_id AND xa.b = xb.b
+    GROUP BY 1, 2
+)
 SELECT d.id_a, d.id_b, round(d.dot / (na.n * nb.n), 6) AS cosine
 FROM dots d
 JOIN norms na ON na.vec_id = d.id_a
@@ -430,6 +495,7 @@ QUERIES = {
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_near_dups_bucketed": q_embedding_near_dups_bucketed,
     "token_count": q_token_count,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -444,6 +510,7 @@ ORACLES = {
     "ngram_jaccard_adjacent": _jaccard_sql(),
     "knn_cosine": _knn_sql(),
     "embedding_near_dups": _near_dup_sql(),
+    "embedding_near_dups_bucketed": _near_dup_bucketed_sql(),
     "token_count": _token_count_sql(),
     "lang_id": _lang_id_sql(),
     "quality_score": _quality_sql(),

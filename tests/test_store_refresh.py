@@ -196,14 +196,18 @@ class TestCompaction:
         store.write(mk(spark, minute_rows(4)).repartition(8), "minute")
         base = store.path("minute")
         before_rows = sorted(map(tuple, store.read("minute").collect()))
-        before_files = len(glob.glob(f"{base}/*/*/*.parquet"))
+        before_files = len(store._load_manifest(base)["files"])
         m = store.compact("minute")
         assert m["files_after"] < before_files
         after_rows = sorted(map(tuple, store.read("minute").collect()))
         assert after_rows == before_rows
-        # one file per (p_date, p_bucket) partition at target=1
-        for pdir in glob.glob(f"{base}/p_date=*/p_bucket=*"):
-            assert len(glob.glob(f"{pdir}/*.parquet")) == 1
+        # one LIVE file per (p_date, p_bucket) partition at target=1
+        # (replaced files linger on disk until trash GC — snapshot grace)
+        live = store._load_manifest(base)["files"]
+        per_part = {}
+        for f in live:
+            per_part.setdefault(glob.os.path.dirname(f), []).append(f)
+        assert per_part and all(len(v) == 1 for v in per_part.values())
 
     def test_compact_rejects_packed_tiers(self, spark, store):
         store.write_packed(mk(spark, minute_rows(1)), "minute")

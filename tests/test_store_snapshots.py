@@ -1,0 +1,111 @@
+"""Snapshot-manifest isolation: readers planned against one snapshot keep
+working while writes / compaction / retention land — the Iceberg contract
+the store replicates on plain parquet (store.py module docstring)."""
+
+import glob
+import os
+
+import pytest
+
+from usgs_geomag_algorithms_spark.sources.store import TierStore
+from usgs_geomag_algorithms_spark.tiers import US
+
+T0 = 1578268800 * US  # 2020-01-06
+MIN = 60 * US
+HOUR = 3600 * US
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, channel string, t_us long, value double"
+    )
+
+
+def minute_rows(hours, url="u"):
+    return [
+        (url, "text_len", T0 + i * MIN, float(i)) for i in range(hours * 60)
+    ]
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TierStore(spark, str(tmp_path / "t"), n_buckets=2)
+
+
+class TestSnapshotIsolation:
+    def test_read_during_compact(self, spark, store):
+        store.write(mk(spark, minute_rows(3)).repartition(8), "minute")
+        old_reader = store.read("minute")  # plans against snapshot v1
+        expected = sorted(map(tuple, old_reader.collect()))
+        store.compact("minute")  # flips to v2; v1 files -> trash
+        # the pre-compact plan still executes: its files are on disk
+        assert sorted(map(tuple, old_reader.collect())) == expected
+        # and a fresh read sees identical data through the new snapshot
+        assert sorted(map(tuple, store.read("minute").collect())) == expected
+
+    def test_read_during_partition_overwrite(self, spark, store):
+        store.write(mk(spark, minute_rows(2)), "minute")
+        old_reader = store.read("minute")
+        expected = sorted(map(tuple, old_reader.collect()))
+        # overwrite hour 0's partitions with changed values
+        patch = mk(
+            spark,
+            [("u", "text_len", T0 + i * MIN, 999.0) for i in range(60)],
+        )
+        store.write(patch, "minute")
+        # pre-write reader still sees the OLD snapshot, completely
+        assert sorted(map(tuple, old_reader.collect())) == expected
+        new = {r.t_us: r.value for r in store.read("minute").collect()}
+        assert new[T0] == 999.0
+
+    def test_retention_is_metadata_only(self, spark, store):
+        rows = [("u", "c", T0 + d * 86400 * US, 1.0) for d in range(4)]
+        store.write(mk(spark, rows), "day")
+        old_reader = store.read("day")
+        dropped = store.expire_before("day", T0 + 2 * 86400 * US)
+        assert len(dropped) == 2
+        assert store.read("day").count() == 2
+        # expired files linger physically (trash grace): the pre-drop
+        # reader still delivers all four rows
+        assert old_reader.count() == 4
+
+    def test_trash_gc_after_grace(self, spark, store):
+        store.write(mk(spark, minute_rows(1)).repartition(4), "minute")
+        base = store.path("minute")
+        v1_files = set(store._load_manifest(base)["files"])
+        store.compact("minute")  # v2: v1 files trashed
+        assert all(os.path.exists(f"{base}/{f}") for f in v1_files)
+        # two more versions -> grace (2) expires for v1's trash (upsert =
+        # merge, so untouched slots survive the partition rewrite)
+        store.upsert(mk(spark, [("u", "text_len", T0, 5.0)]), "minute")  # v3
+        store.upsert(mk(spark, [("u", "text_len", T0, 6.0)]), "minute")  # v4
+        on_disk = {
+            os.path.relpath(p, base)
+            for p in glob.glob(f"{base}/*/*/*.parquet")
+        }
+        assert not (v1_files & on_disk)
+        # data still intact through the live snapshot
+        vals = {r.t_us: r.value for r in store.read("minute").collect()}
+        assert vals[T0] == 6.0 and len(vals) == 60
+
+    def test_crash_orphans_are_collected(self, spark, store):
+        store.write(mk(spark, minute_rows(1)), "minute")
+        base = store.path("minute")
+        pdir = glob.glob(f"{base}/p_date=*/p_bucket=*")[0]
+        orphan = os.path.join(pdir, "part-orphan-from-crash.zstd.parquet")
+        real = glob.glob(f"{pdir}/*.parquet")[0]
+        import shutil
+
+        shutil.copy(real, orphan)  # debris of a write that never committed
+        before = sorted(map(tuple, store.read("minute").collect()))
+        # orphan invisible to reads (manifest-scoped scan)
+        assert sorted(map(tuple, store.read("minute").collect())) == before
+        store.write(mk(spark, [("u", "text_len", T0, 7.0)]), "minute")
+        assert not os.path.exists(orphan)
+
+    def test_manifest_version_advances(self, spark, store):
+        store.write(mk(spark, minute_rows(1)), "minute")
+        base = store.path("minute")
+        v1 = store._load_manifest(base)["version"]
+        store.write(mk(spark, [("u", "text_len", T0, 1.0)]), "minute")
+        assert store._load_manifest(base)["version"] == v1 + 1

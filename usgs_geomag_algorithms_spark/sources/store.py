@@ -1,22 +1,36 @@
-"""Tier table store: partitioned-parquet tables with Iceberg-style layout.
+"""Tier table store: partitioned parquet with an Iceberg-style snapshot
+manifest.
 
-The Iceberg jars are not in this container, so the store implements the same
-operational surface on plain parquet:
+The Iceberg jars are not in this container, so the store implements the
+same operational surface on plain parquet plus a tiny manifest layer:
 
 - partition spec ``(p_date, p_bucket)`` — days(bucket_ts) × bucket(url-hash)
   — the layout the 100 TB deployment would declare as an Iceberg partition
   spec; ``p_bucket`` spreads hot domains (salting knob ``n_buckets``)
-- dynamic partition overwrite (Spark's ``partitionOverwriteMode=dynamic``)
-  stands in for ``MERGE INTO``: refresh rewrites exactly the touched
-  (day × bucket) partitions, idempotently
-- retention = partition directory drops (Iceberg ``expire``/partition drop)
+- **snapshot manifest** (``_manifest.json`` per tier, atomically replaced):
+  the set of LIVE data files at the current version. Writers only ever
+  APPEND uniquely-named files and then flip the manifest; replaced files
+  move to a trash list and are physically deleted only after a grace of
+  ``GC_GRACE_VERSIONS`` more versions — so a reader that resolved the
+  manifest keeps valid file paths while any number of writes, compactions,
+  or retention drops land (Iceberg's snapshot-isolation contract, scaled
+  down; at 10^12 rows the same roles are played by Iceberg manifests +
+  ``expire_snapshots``). Single writer per tier, as with Iceberg's
+  optimistic-lock simplification.
+- partition overwrite = append new files + manifest flip excluding the
+  touched partitions' old files (``MERGE INTO`` refresh semantics,
+  idempotent)
+- retention = manifest drop of expired ``p_date`` partitions (metadata-only;
+  files follow via trash GC)
 - upsert = read-modify-write of the touched partitions with last-wins merge
   (the reference's ``put_timeseries`` merge behavior,
   ``geomagio/TimeseriesFactory.py:249-288``)
 
-Reads prune on the partition column: a time-range query touches only its
-``p_date`` directories (verified in tests via the file-source plan).
-"""
+Reads prune twice: the manifest file list is pruned driver-side on the
+``p_date`` path component before Spark ever sees it, and the surviving
+scan still carries the partition-column predicates (verified in tests via
+the file-source plan). Packed segment tiers keep the legacy directory
+layout (whole-dir rewrite; documented non-concurrent)."""
 
 from __future__ import annotations
 
@@ -87,9 +101,81 @@ class TierStore:
         os.makedirs(self.root, exist_ok=True)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    #: versions a replaced file stays on disk after leaving the manifest
+    #: (readers planned against older snapshots keep valid paths meanwhile)
+    GC_GRACE_VERSIONS = 2
+
     # ------------------------------------------------------------ layout
     def path(self, tier: str) -> str:
         return f"{self.root}/{tier}"
+
+    # --------------------------------------------------------- manifest
+    def _manifest_path(self, base: str) -> str:
+        return f"{base}/_manifest.json"
+
+    def _load_manifest(self, base: str) -> dict | None:
+        p = self._manifest_path(base)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _save_manifest(self, base: str, m: dict) -> None:
+        tmp = self._manifest_path(base) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, sort_keys=True)
+        os.replace(tmp, self._manifest_path(base))  # atomic snapshot flip
+
+    @staticmethod
+    def _list_parquet(base: str) -> set[str]:
+        out = set()
+        for root, _dirs, files in os.walk(base):
+            rel = os.path.relpath(root, base)
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    out.add(fn if rel == "." else f"{rel}/{fn}")
+        return out
+
+    def _gc_trash(self, base: str, m: dict) -> None:
+        """Physically delete trashed files whose grace has expired, and any
+        on-disk orphan from a crashed write (present but neither live nor
+        trashed)."""
+        cutoff = m["version"] - self.GC_GRACE_VERSIONS
+        kept = {}
+        for f, ver in m.get("trash", {}).items():
+            if ver <= cutoff:
+                try:
+                    os.remove(os.path.join(base, f))
+                except FileNotFoundError:
+                    pass
+            else:
+                kept[f] = ver
+        m["trash"] = kept
+        known = set(m["files"]) | set(kept)
+        for f in self._list_parquet(base) - known:
+            try:
+                os.remove(os.path.join(base, f))
+            except FileNotFoundError:
+                pass
+
+    def _commit_append(
+        self, base: str, m: dict | None, new_files: set[str], replaced: list[str]
+    ) -> dict:
+        """Advance the manifest one version: ``new_files`` become live,
+        ``replaced`` move to trash, expired trash is collected."""
+        m = m or {"version": 0, "files": [], "trash": {}}
+        version = m["version"] + 1
+        live = [f for f in m["files"] if f not in set(replaced)]
+        trash = dict(m.get("trash", {}))
+        trash.update({f: version for f in replaced})
+        out = {
+            "version": version,
+            "files": sorted(live + sorted(new_files)),
+            "trash": trash,
+        }
+        self._gc_trash(base, out)
+        self._save_manifest(base, out)
+        return out
 
     def _partitioned(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -103,14 +189,31 @@ class TierStore:
 
     # ------------------------------------------------------------- write
     def write(self, df: DataFrame, tier: str) -> None:
-        """Dynamic-partition overwrite: only the (p_date, p_bucket)
-        partitions present in ``df`` are replaced."""
+        """Partition overwrite through the snapshot manifest: new files are
+        APPENDED (never clobbering live ones), then one atomic manifest
+        flip makes them current and retires the touched (p_date, p_bucket)
+        partitions' old files to trash. Readers planned against the prior
+        snapshot keep valid paths for ``GC_GRACE_VERSIONS`` more writes."""
+        base = self.path(tier)
+        os.makedirs(base, exist_ok=True)
+        m = self._load_manifest(base)
+        before = self._list_parquet(base)
+        if m is None and before:
+            # adopt a legacy (pre-manifest) directory: every existing file
+            # is live at version 0, so untouched partitions survive
+            m = {"version": 0, "files": sorted(before), "trash": {}}
         (
             self._partitioned(df)
-            .write.mode("overwrite")
+            .write.mode("append")
             .partitionBy("p_date", "p_bucket")
-            .parquet(self.path(tier))
+            .parquet(base)
         )
+        new_files = self._list_parquet(base) - before
+        touched = {os.path.dirname(f) for f in new_files}
+        replaced = (
+            [f for f in m["files"] if os.path.dirname(f) in touched] if m else []
+        )
+        self._commit_append(base, m, new_files, replaced)
 
     def upsert(self, df: DataFrame, tier: str) -> None:
         """Read-modify-write merge into existing partitions (last-wins, new
@@ -150,6 +253,13 @@ class TierStore:
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], schema=self._schema())
 
+    @staticmethod
+    def _pdate_of(relpath: str):
+        for part in relpath.split("/"):
+            if part.startswith("p_date="):
+                return part.split("=", 1)[1]
+        return None
+
     def read(
         self,
         tier: str,
@@ -157,23 +267,47 @@ class TierStore:
         end_us: int | None = None,
     ) -> DataFrame:
         base = self.path(tier)
-        # a tier written from an empty frame has no data files; reads must
-        # still succeed with the fixed schema
-        has_data = any(
-            True
-            for root, _dirs, files in os.walk(base)
-            for f in files
-            if f.endswith(".parquet")
-        ) if os.path.exists(base) else False
-        if not has_data:
+        if not os.path.exists(base):
             return self._empty()
-        df = self.spark.read.parquet(base)
+        m = self._load_manifest(base)
+        d0 = (
+            time.strftime("%Y-%m-%d", time.gmtime(start_us // US))
+            if start_us is not None
+            else None
+        )
+        d1 = (
+            time.strftime("%Y-%m-%d", time.gmtime(end_us // US))
+            if end_us is not None
+            else None
+        )
+        if m is not None:
+            # snapshot read: exactly the manifest's live files, pruned on
+            # the p_date path component before Spark ever lists anything
+            files = [
+                f
+                for f in m["files"]
+                if (pd := self._pdate_of(f)) is None
+                or ((d0 is None or pd >= d0) and (d1 is None or pd <= d1))
+            ]
+            if not files:
+                return self._empty()
+            df = self.spark.read.option("basePath", base).parquet(
+                *[f"{base}/{f}" for f in files]
+            )
+        else:
+            # legacy directory read (tier written by an external tool)
+            has_data = any(
+                True
+                for _root, _dirs, fs in os.walk(base)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            if not has_data:
+                return self._empty()
+            df = self.spark.read.parquet(base)
         if start_us is not None:
-            # partition-pruning predicate on p_date plus the exact t_us range
-            d0 = time.strftime("%Y-%m-%d", time.gmtime(start_us // US))
             df = df.where(F.col("p_date") >= d0).where(F.col("t_us") >= int(start_us))
         if end_us is not None:
-            d1 = time.strftime("%Y-%m-%d", time.gmtime(end_us // US))
             df = df.where(F.col("p_date") <= d1).where(F.col("t_us") <= int(end_us))
         return df.select(*self.series_cols, "t_us", "value")
 
@@ -209,26 +343,29 @@ class TierStore:
         cluster scale unbounded file counts degrade scan planning, so
         compaction is a first-class maintenance op.
 
-        Values are unchanged (asserted in tests); the rewrite is one
-        dynamic-partition overwrite reusing the store's own layout."""
-        import glob
-
-        import shutil
-
+        Values are unchanged and CONCURRENT READERS ARE SAFE (both
+        asserted in tests): the rewrite appends new files beside the old
+        ones and flips the snapshot manifest; a reader that planned
+        against the previous snapshot keeps reading its (still on-disk)
+        files until trash GC, ``GC_GRACE_VERSIONS`` flips later."""
         if tier.endswith("_packed"):
             raise ValueError(
                 "compact() operates on long-layout tiers; packed tiers are "
                 "rewritten by write_packed"
             )
         base = self.path(tier)
-        before = len(glob.glob(f"{base}/*/*/*.parquet"))
-        if before == 0:
-            # a fully-expired or empty tier dir has no data files; reading
-            # it would fail schema inference — nothing to compact
+        if not os.path.exists(base):
             return {"tier": tier, "files_before": 0, "files_after": 0}
-        df = self.spark.read.parquet(base).select(
-            *self.series_cols, "t_us", "value"
-        )
+        m = self._load_manifest(base)
+        if m is None:
+            files = self._list_parquet(base)
+            if not files:
+                return {"tier": tier, "files_before": 0, "files_after": 0}
+            m = {"version": 0, "files": sorted(files), "trash": {}}
+        before = len(m["files"])
+        if before == 0:
+            return {"tier": tier, "files_before": 0, "files_after": 0}
+        df = self.read(tier)
         part = self._partitioned(df)
         if target_files_per_partition <= 1:
             # hash-repartition on the partition cols: every (p_date,
@@ -240,21 +377,19 @@ class TierStore:
                 F.lit(int(target_files_per_partition)),
             )
             compacted = part.repartition(F.col("p_date"), F.col("p_bucket"), salt)
-        # rewrite into a sibling dir, then swap (a scan must never overlap
-        # an in-place overwrite of its own input files)
-        tmp = f"{base}.__compact__"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)  # leftover from a crashed compact
+        pre = self._list_parquet(base)
         (
-            compacted.write.mode("overwrite")
+            compacted.write.mode("append")
             .partitionBy("p_date", "p_bucket")
-            .parquet(tmp)
+            .parquet(base)
         )
-        # atomic exchange: no window with the tier missing, and a crash at
-        # any point leaves the tier readable under its live name
-        _atomic_swap_dirs(base, tmp)
-        after = len(glob.glob(f"{base}/*/*/*.parquet"))
-        return {"tier": tier, "files_before": before, "files_after": after}
+        new_files = self._list_parquet(base) - pre
+        self._commit_append(base, m, new_files, list(m["files"]))
+        return {
+            "tier": tier,
+            "files_before": before,
+            "files_after": len(new_files),
+        }
 
     # ----------------------------------------------------- packed segments
     def write_packed(
@@ -341,14 +476,31 @@ class TierStore:
 
     # --------------------------------------------------------- retention
     def expire_before(self, tier: str, cutoff_us: int) -> list[str]:
-        """Retention: drop whole day partitions older than the cutoff —
-        a metadata-only delete (Iceberg partition drop analog)."""
+        """Retention: drop whole day partitions older than the cutoff.
+
+        Manifest tiers do a true metadata-only delete (one manifest flip;
+        the expired files follow via trash GC — Iceberg's partition drop +
+        ``expire_snapshots`` pair), so in-flight readers are unaffected.
+        Legacy/packed directory tiers fall back to directory removal."""
         import shutil
 
         cutoff_date = time.strftime("%Y-%m-%d", time.gmtime(cutoff_us // US))
-        dropped = []
+        dropped: list[str] = []
         base = self.path(tier)
         if not os.path.exists(base):
+            return dropped
+        m = self._load_manifest(base)
+        if m is not None:
+            expired = [
+                f
+                for f in m["files"]
+                if (pd := self._pdate_of(f)) is not None and pd < cutoff_date
+            ]
+            if expired:
+                self._commit_append(base, m, set(), expired)
+            dropped = sorted(
+                {f"p_date={self._pdate_of(f)}" for f in expired}
+            )
             return dropped
         for name in sorted(os.listdir(base)):
             if name.startswith("p_date=") and name.split("=", 1)[1] < cutoff_date:

@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "rollup_hour_value",
     "rollup_hour_count",
     "rollup_fir_gaussian",
+    "rollup_blackman_second",
     "dbdt_minute",
     "average_across_types",
     "gap_detect_minute",
@@ -40,6 +41,7 @@ BENCH_QUERIES = [
     "simhash",
     "knn_cosine",
     "knn_ivf",
+    "embedding_near_dups_bucketed",
     "rollup_month_value",
     "near_dup_verified",
     "curate_corpus",

@@ -290,3 +290,113 @@ class TestRefreshSemantics:
         got = {r.t_us for r in store.read("hour").collect()}
         # hours 1,2 from the window; hour 0 from the backfill recursion
         assert hour_stamp(0) in got and hour_stamp(1) in got and hour_stamp(2) in got
+
+
+class TestYearScaleRefresh:
+    """The wide-window shape: a YEAR of minute->hour refresh (8,784
+    expected hour slots; the gap audit spans 527k minute slots) must stay
+    bounded on the driver — gap discovery returns merged intervals only,
+    the checkpoint is run-length encoded, and each gap's rollup executes
+    exactly once (one lineage record per gap, counted)."""
+
+    def test_year_window_two_islands(self, spark, store, tmp_path):
+        import json
+
+        YEAR_HOURS = 366 * 24  # 2020 is a leap year
+        # two small data islands far apart: day 10 and day 300
+        d10 = [
+            ("u", "c", T0 + (10 * 24 * 60 + i) * MIN, float(i)) for i in range(180)
+        ]
+        d300 = [
+            ("u", "c", T0 + (300 * 24 * 60 + i) * MIN, float(i)) for i in range(120)
+        ]
+        store.write(mk(spark, d10 + d300), "minute")
+
+        lo, hi = hour_stamp(0), hour_stamp(YEAR_HOURS - 1)
+        gaps = R.find_output_gaps(store, "hour", MIN_HOUR, lo, hi, "minute")
+        # the driver sees merged INTERVALS (2 islands -> 2 gaps), never
+        # the 8,784-slot expected list
+        assert len(gaps) == 2
+        assert gaps[0][0] == hour_stamp(10 * 24) and gaps[0][1] == hour_stamp(
+            10 * 24 + 2
+        )
+        assert gaps[1][0] == hour_stamp(300 * 24)
+
+        metrics = R.run_as_update(
+            store, "minute", "hour", MIN_HOUR, lo, hi, update_limit=0
+        )
+        assert metrics["gaps_filled"] == 2
+        # exactly one rollup execution per gap: one lineage record each
+        recs = [r for r in store.read_lineage("hour") if "gap_start_us" in r]
+        assert len(recs) == 2
+        got = {r.t_us for r in store.read("hour").collect()}
+        assert got == {
+            hour_stamp(10 * 24),
+            hour_stamp(10 * 24 + 1),
+            hour_stamp(10 * 24 + 2),
+            hour_stamp(300 * 24),
+            hour_stamp(300 * 24 + 1),
+        }
+        # converged: a re-run over the same year finds nothing
+        m2 = R.run_as_update(
+            store, "minute", "hour", MIN_HOUR, lo, hi, update_limit=0
+        )
+        assert m2["gaps_filled"] == 0 and m2["rows_written"] == 0
+
+    def test_checkpoint_is_run_length_encoded(self, spark, store, monkeypatch):
+        import json
+        import os
+
+        store.write(mk(spark, minute_rows(6)), "minute")
+        calls = {"n": 0}
+        orig = R.rollup_step
+
+        def failing(*a, **k):
+            calls["n"] += 1
+            if calls["n"] > 1:
+                raise RuntimeError("injected kill")
+            return orig(*a, **k)
+
+        monkeypatch.setattr(R, "rollup_step", failing)
+        # two separate pre-existing holes -> two gaps; second recompute dies
+        full = rollup_step(
+            store.read("minute"), MIN_HOUR,
+            range_start_us=T0, range_end_us=T0 + 6 * HOUR - MIN,
+        )
+        pre = full.where(
+            F.col("t_us").isin([hour_stamp(1), hour_stamp(4)])
+        )
+        store.write(pre, "hour")
+        with pytest.raises(RuntimeError, match="injected kill"):
+            R.run_as_update(
+                store, "minute", "hour", MIN_HOUR,
+                hour_stamp(0), hour_stamp(5), update_limit=0,
+            )
+        ckpt = json.load(
+            open(os.path.join(store.root, "_checkpoint_hour.json"))
+        )
+        # killed mid-run: completed work is interval pairs, not slot lists
+        assert "completed_runs" in ckpt and "completed" not in ckpt
+        assert ckpt["completed_runs"] == [[hour_stamp(0), hour_stamp(0)]]
+        monkeypatch.setattr(R, "rollup_step", orig)
+        # resume completes the remaining gaps and skips the finished one
+        m = R.run_as_update(
+            store, "minute", "hour", MIN_HOUR,
+            hour_stamp(0), hour_stamp(5), update_limit=0,
+        )
+        got = {r.t_us for r in store.read("hour").collect()}
+        assert got == {hour_stamp(h) for h in range(6)}
+
+    def test_legacy_flat_checkpoint_converts(self, spark, store):
+        import json
+        import os
+
+        path = os.path.join(store.root, "_checkpoint_hour.json")
+        slots = [hour_stamp(h) for h in range(3)] + [hour_stamp(7)]
+        with open(path, "w") as f:
+            json.dump({"completed": slots}, f)
+        ckpt = R.load_checkpoint(store, "hour", MIN_HOUR.out_us)
+        assert ckpt["completed_runs"] == [
+            [hour_stamp(0), hour_stamp(2)],
+            [hour_stamp(7), hour_stamp(7)],
+        ]

@@ -15,7 +15,7 @@ while true; do
     if python -c "exit(0 if $R2 >= $THRESH else 1)"; then
       touch /tmp/bench_running.lock
       echo "$(date +%T) host clean, running scaling bench"
-      python tools/bench_scaling.py /root/testdata/sf0.1
+      SPARK_GRAFT_SCALE_N=${SCALE_N:-4} SPARK_GRAFT_SCALE_REST=${SCALE_REST:-240} python tools/bench_scaling.py /root/testdata/sf0.1
       rc=$?
       rm -f /tmp/bench_running.lock
       echo "$(date +%T) bench done rc=$rc"

@@ -37,30 +37,26 @@ def _checkpoint_path(store: TierStore, tier_out: str) -> str:
     return f"{store.root}/_checkpoint_{tier_out}.json"
 
 
-def load_checkpoint(store: TierStore, tier_out: str) -> dict:
+def load_checkpoint(store: TierStore, tier_out: str, out_us: int | None = None) -> dict:
     p = _checkpoint_path(store, tier_out)
     if os.path.exists(p):
         with open(p) as f:
             state = json.load(f)
         # legacy flat slot lists -> run-length encoding (the checkpoint for
         # a year-long minute backfill is a handful of [start,end] pairs,
-        # not 525k integers)
+        # not 525k integers); slots exactly out_us apart form one run
         if "completed" in state and "completed_runs" not in state:
+            gap = out_us if out_us is not None else 1
             slots = sorted(state.pop("completed"))
             runs: list[list[int]] = []
             for s in slots:
-                if runs and s - runs[-1][1] <= _LEGACY_RUN_GAP_US:
+                if runs and s - runs[-1][1] <= gap:
                     runs[-1][1] = s
                 else:
                     runs.append([s, s])
             state["completed_runs"] = runs
         return state
     return {"completed_runs": []}
-
-
-#: legacy-conversion adjacency: slots within a day are one run (exact
-#: adjacency is re-established by the out_us-aware helpers below)
-_LEGACY_RUN_GAP_US = 86_400 * 1_000_000
 
 
 def _insert_run(runs: list[list[int]], new: tuple[int, int], out_us: int) -> list[list[int]]:
@@ -244,7 +240,7 @@ def run_as_update(
     ref ``Controller.py:427-448``). Oldest gaps fill first. Resumable: gaps
     already in the checkpoint are skipped."""
     run_id = run_id or f"run-{int(time.time() * 1000)}"
-    ckpt = load_checkpoint(store, tier_out)
+    ckpt = load_checkpoint(store, tier_out, step.out_us)
     # checkpoint granularity = run-length-encoded [start,end] slot
     # intervals on the output grid (stable across runs, unlike gap extents
     # which merge/shrink as data lands; bounded by gap COUNT, so a

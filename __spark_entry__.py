@@ -498,6 +498,195 @@ def q_sqdist_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic calibration fixture: 16 synthetic readings whose
+#: ordinates/absolutes are exact small rationals (identical doubles in
+#: Spark, NumPy, and SQL literals); the fit MATH is pinned to the
+#: reference's own fixtures in tests/test_affine.py / test_residual.py —
+#: these queries check the grouped-Arrow Spark fan-out against the same
+#: NumPy kernels, driver-visible.
+def _affine_fixture():
+    n = 16
+    h = [20000.0 + (i * 7 % 5) * 0.25 for i in range(n)]
+    e = [-50.0 + (i * 3 % 7) * 0.5 for i in range(n)]
+    z = [47000.0 + (i * 11 % 13) * 0.125 for i in range(n)]
+    # absolutes = rotated/translated ordinates plus a deterministic wobble
+    x = [0.99 * h[i] - 0.12 * e[i] + 100.0 + (i % 3) * 0.01 for i in range(n)]
+    y = [0.12 * h[i] + 0.99 * e[i] - 40.0 + (i % 4) * 0.01 for i in range(n)]
+    zz = [z[i] + 550.0 + (i % 5) * 0.01 for i in range(n)]
+    w = [float(1 + (i % 4)) for i in range(n)]
+    return (h, e, z), (x, y, zz), w
+
+
+_AFFINE_KINDS = (
+    "least_sq",
+    "translate_origins",
+    "rescale_3d",
+    "rotation_translation_xy",
+    "svd",
+    "qr_factorization",
+)
+
+
+def q_affine_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-matrix generation through the Spark fan-out: each
+    constrained fit runs as one grouped-Arrow group over the same
+    deterministic readings; output one row per (transform, cell)."""
+    import pandas as pd
+
+    from usgs_geomag_algorithms_spark.functions.affine import solve_affine
+
+    o, a, w = _affine_fixture()
+    rows = []
+    for kind in _AFFINE_KINDS:
+        for i in range(len(w)):
+            rows.append(
+                (kind, i, o[0][i], o[1][i], o[2][i], a[0][i], a[1][i], a[2][i], w[i])
+            )
+    df = spark.createDataFrame(
+        rows,
+        "kind string, i int, h double, e double, z double, x double, "
+        "y double, zz double, w double",
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        # fp summation order must match the oracle's NumPy run exactly:
+        # grouped-Arrow delivery order is not guaranteed
+        pdf = pdf.sort_values("i")
+        m = solve_affine(
+            pdf["kind"].iloc[0],
+            [pdf["h"], pdf["e"], pdf["z"]],
+            [pdf["x"], pdf["y"], pdf["zz"]],
+            pdf["w"].to_numpy(),
+        )
+        flat = m.ravel()
+        return pd.DataFrame(
+            {
+                "kind": pdf["kind"].iloc[0],
+                "cell": range(16),
+                "value": flat,
+            }
+        )
+
+    out = df.groupBy("kind").applyInPandas(
+        fit, schema="kind string, cell int, value double"
+    )
+    return out.select(
+        "kind", "cell", (F.round("value", 6) + F.lit(0.0)).alias("value")
+    )
+
+
+def _affine_oracle_sql() -> str:
+    import numpy as np
+
+    from usgs_geomag_algorithms_spark.functions.affine import solve_affine
+
+    o, a, w = _affine_fixture()
+    rows = []
+    for kind in _AFFINE_KINDS:
+        m = solve_affine(kind, np.array(o), np.array(a), np.array(w))
+        for cell, val in enumerate(m.ravel()):
+            rows.append(f"('{kind}', {cell}, {float(val):.17g})")
+    values = ",\n".join(rows)
+    return f"""
+SELECT kind, cell, round(CAST(value AS DOUBLE), 6) + 0.0 AS value
+FROM (VALUES
+{values}
+) AS t(kind, cell, value)
+"""
+
+
+def _residual_fixture():
+    """Three deterministic theodolite sessions (measurement geometry like
+    the reference's BOU sessions; exact-decimal inputs)."""
+    sessions = []
+    for k in range(3):
+        base_angle = 270.5 + k * 0.125
+        ms = [
+            ("FirstMarkUp", 101.25, 0.0, None, None, None, None),
+            ("FirstMarkDown", 281.25, 0.0, None, None, None, None),
+            ("SecondMarkUp", 101.25, 0.0, None, None, None, None),
+            ("SecondMarkDown", 281.25, 0.0, None, None, None, None),
+            ("WestDown", base_angle, 0.5 + k * 0.25, 20830.0 + k, -73.25, 46900.0, 51840.0),
+            ("EastDown", base_angle - 180.0, -0.25, 20831.0 + k, -73.5, 46901.0, 51841.0),
+            ("WestUp", base_angle + 0.5, 0.125, 20832.0 + k, -73.75, 46902.0, 51842.0),
+            ("EastUp", base_angle - 179.5, -0.5, 20833.0 + k, -74.0, 46903.0, 51843.0),
+            ("SouthDown", 246.5 + k * 0.25, -0.5, 20830.5, -73.0, 46904.0, 51844.5),
+            ("NorthUp", 66.25, 0.25, 20831.5, -73.125, 46905.0, 51845.5),
+            ("SouthUp", 113.5, 0.5, 20832.5, -73.25, 46906.0, 51846.5),
+            ("NorthDown", 293.75, -0.25, 20833.5, -73.375, 46907.0, 51847.5),
+        ]
+        sessions.append(
+            {
+                "id": f"s{k}",
+                "azimuth": 199.125 + k * 0.0625,
+                "hemisphere": 1,
+                "pier_correction": -22.0,
+                "measurements": ms,
+            }
+        )
+    return sessions
+
+
+def q_residual_absolutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-method absolutes through the Spark fan-out: one grouped-
+    Arrow group per observation session."""
+    from usgs_geomag_algorithms_spark.functions.residual import (
+        absolutes_by_session,
+    )
+
+    rows = []
+    for s in _residual_fixture():
+        for m in s["measurements"]:
+            rows.append(
+                (s["id"], s["azimuth"], s["hemisphere"], s["pier_correction"], *m)
+            )
+    df = spark.createDataFrame(
+        rows,
+        "session_id string, azimuth double, hemisphere int, "
+        "pier_correction double, mtype string, angle double, residual double, "
+        "h double, e double, z double, f double",
+    )
+    out = absolutes_by_session(df)
+    return out.select(
+        "session_id",
+        "element",
+        (F.round("absolute", 6) + F.lit(0.0)).alias("absolute"),
+        (F.round("baseline", 6) + F.lit(0.0)).alias("baseline"),
+        F.col("shift").cast("double").alias("shift"),
+    )
+
+
+def _residual_oracle_sql() -> str:
+    from usgs_geomag_algorithms_spark.functions.residual import (
+        Obs,
+        calculate_absolutes,
+    )
+
+    rows = []
+    for s in _residual_fixture():
+        res = calculate_absolutes(
+            [Obs(m[0], *m[1:]) for m in s["measurements"]],
+            azimuth=s["azimuth"],
+            hemisphere=s["hemisphere"],
+            pier_correction=s["pier_correction"],
+        )
+        for el, a in res["absolutes"].items():
+            rows.append(
+                f"('{s['id']}', '{el}', {float(a['absolute']):.17g}, "
+                f"{float(a['baseline']):.17g}, {float(a['shift']):.1f})"
+            )
+    values = ",\n".join(rows)
+    return f"""
+SELECT session_id, element,
+       round(CAST(absolute AS DOUBLE), 6) + 0.0 AS absolute,
+       round(CAST(baseline AS DOUBLE), 6) + 0.0 AS baseline,
+       CAST(shift AS DOUBLE) AS shift
+FROM (VALUES
+{values}
+) AS t(session_id, element, absolute, baseline, shift)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hour-tier rollup of the events minute signal at sf0.001."""
     return q_rollup_hour_value(spark, "/root/testdata/sf0.001")
@@ -522,6 +711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_blackman_second": q_rollup_blackman_second,
         "sqdist_decompose": q_sqdist_decompose,
         "sqdist_golden": q_sqdist_golden,
+        "affine_transforms": q_affine_transforms,
+        "residual_absolutes": q_residual_absolutes,
         "coverage_monitor": q_coverage_monitor,
         "merged_gaps": q_merged_gaps,
         "top_minutes": q_top_minutes,
@@ -870,6 +1061,8 @@ WHERE k * {BOUT} - {BHW} >= lo_us AND k * {BOUT} + {BHW} <= lo_us + {DAY_US}
         "rollup_fir_gaussian": fir_gaussian,
         "rollup_blackman_second": blackman_second,
         "sqdist_golden": sqdist_golden,
+        "affine_transforms": _affine_oracle_sql(),
+        "residual_absolutes": _residual_oracle_sql(),
         "rollup_hour_value": hour_value,
         "rollup_day_value": day_value,
         "rollup_hour_count": hour_count,

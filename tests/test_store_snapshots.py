@@ -109,3 +109,31 @@ class TestSnapshotIsolation:
         v1 = store._load_manifest(base)["version"]
         store.write(mk(spark, [("u", "text_len", T0, 1.0)]), "minute")
         assert store._load_manifest(base)["version"] == v1 + 1
+
+
+class TestUpsertScanScope:
+    def test_read_partitions_scans_only_touched_files(self, spark, store):
+        rows = [
+            ("u", "c", T0 + d * 86400 * US + i * MIN, 1.0)
+            for d in range(4)
+            for i in range(3)
+        ]
+        store.write(mk(spark, rows), "minute")
+        base = store.path("minute")
+        keys = {("2020-01-07", b) for b in range(store.n_buckets)}
+        df = store._read_partitions("minute", keys)
+        files = df.inputFiles()
+        assert files and all("p_date=2020-01-07" in f for f in files)
+        assert df.count() == 3
+
+    def test_upsert_prunes_and_merges(self, spark, store):
+        rows = [
+            ("u", "c", T0 + d * 86400 * US, float(d)) for d in range(4)
+        ]
+        store.write(mk(spark, rows), "day")
+        store.upsert(
+            mk(spark, [("u", "c", T0 + 86400 * US, 99.0)]), "day"
+        )
+        got = {r.t_us: r.value for r in store.read("day").collect()}
+        assert got[T0 + 86400 * US] == 99.0
+        assert len(got) == 4  # untouched days intact

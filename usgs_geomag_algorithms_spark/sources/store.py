@@ -217,30 +217,53 @@ class TierStore:
 
     def upsert(self, df: DataFrame, tier: str) -> None:
         """Read-modify-write merge into existing partitions (last-wins, new
-        data preferred, gaps never clobber values) — the MERGE INTO analog."""
+        data preferred, gaps never clobber values) — the MERGE INTO analog.
+
+        The old-side scan is pruned to the TOUCHED partitions before Spark
+        sees a single file: the touched (p_date, p_bucket) keys are
+        collected (bounded: dates x buckets) and the manifest's file list
+        is filtered to those directories driver-side — a one-day upsert
+        into a years-deep tier reads one day, not the tier (the scan-scope
+        property Iceberg's MERGE INTO gets from its manifests). The
+        remaining semi-join guards the legacy no-manifest path, where only
+        directory listing is available."""
         if not self.exists(tier):
             self.write(df, tier)
             return
         new_part = self._partitioned(df)
-        # touched-partition keys as a broadcast semi-join, not an O(n)
-        # chained OR predicate: a wide refresh (a year x 16 buckets) would
-        # otherwise build a ~6k-term Catalyst OR tree (analyzer blowup),
-        # and the p_date terms would not prune the scan. The key list is
-        # still bounded (dates x buckets), so broadcast is always safe.
-        touched_keys = new_part.select("p_date", "p_bucket").distinct()
-        n_touched = touched_keys.count()
-        if n_touched == 0:
+        # keys collected, not joined: the key list is what prunes the scan
+        keys = {
+            (r.p_date, r.p_bucket)
+            for r in new_part.select("p_date", "p_bucket").distinct().collect()
+        }
+        if not keys:
             return
-        old_touched = (
-            self._partitioned(self.read(tier))
-            .join(F.broadcast(touched_keys), ["p_date", "p_bucket"], "leftsemi")
-            .drop("p_date", "p_bucket")
-        )
+        old_touched = self._read_partitions(tier, keys)
         merged = merge_last_wins(
             old_touched, df.select(*self.series_cols, "t_us", "value"),
             series_cols=self.series_cols,
         )
         self.write(merged, tier)
+
+    def _read_partitions(self, tier: str, keys: set) -> DataFrame:
+        """Read exactly the given (p_date, p_bucket) partitions of a tier
+        (manifest file-list pruning; directory pruning on legacy tiers)."""
+        base = self.path(tier)
+        dirs = {f"p_date={d}/p_bucket={b}" for d, b in keys}
+        m = self._load_manifest(base)
+        if m is not None:
+            files = [f for f in m["files"] if os.path.dirname(f) in dirs]
+            if not files:
+                return self._empty()
+            df = self.spark.read.option("basePath", base).parquet(
+                *[f"{base}/{f}" for f in files]
+            )
+        else:
+            paths = [f"{base}/{d}" for d in dirs if os.path.exists(f"{base}/{d}")]
+            if not paths:
+                return self._empty()
+            df = self.spark.read.option("basePath", base).parquet(*paths)
+        return df.select(*self.series_cols, "t_us", "value")
 
     # -------------------------------------------------------------- read
     def exists(self, tier: str) -> bool:

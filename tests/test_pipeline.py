@@ -94,3 +94,57 @@ class TestMaintain:
                 rows, "url string, channel string, t_us long, value double"
             ).collect())
         )
+
+
+class TestSparkSubmit:
+    def test_pyfiles_cluster_submission(self, spark, tmp_path):
+        """The north-rule deployment shape, for real: build the
+        deterministic --py-files archive, copy the job OUTSIDE the repo
+        (so the package can only come from the archive), and run it
+        through actual spark-submit. Asserts the job builds tiers and the
+        store is readable back in-process."""
+        import os
+        import shutil
+        import subprocess
+        import sys
+
+        import pyspark
+
+        from tools.make_pyfiles import build
+        from usgs_geomag_algorithms_spark.sources.pages import generate_pages
+        from usgs_geomag_algorithms_spark.sources.store import TierStore
+
+        pages = str(tmp_path / "pages")
+        generate_pages(spark, n_urls=3, hours=2.0, n_hot=3).write.parquet(pages)
+        zip_path = str(tmp_path / "pkg.zip")
+        build(zip_path)
+        job = str(tmp_path / "run_cascade.py")
+        shutil.copy(
+            os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                         "jobs", "run_cascade.py"),
+            job,
+        )
+        submit = os.path.join(
+            os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+        )
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        env["PYSPARK_PYTHON"] = sys.executable
+        out = subprocess.run(
+            [
+                submit, "--master", "local[4]", "--py-files", zip_path, job,
+                "--pages", pages, "--store", str(tmp_path / "t"),
+                "--start", "2020-01-06T00:00:00",
+                "--end", "2020-01-06T01:59:59",
+                "--channels", "text_len",
+            ],
+            capture_output=True, text=True, timeout=280,
+            cwd=str(tmp_path), env=env,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        import json as _json
+
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        metrics = _json.loads(line)
+        assert metrics["tiers"]["minute"] > 0
+        store = TierStore(spark, str(tmp_path / "t"))
+        assert store.read("minute").count() == metrics["tiers"]["minute"]

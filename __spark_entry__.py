@@ -636,13 +636,14 @@ def q_residual_absolutes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = []
     for s in _residual_fixture():
-        for m in s["measurements"]:
+        for seq, m in enumerate(s["measurements"]):
             rows.append(
-                (s["id"], s["azimuth"], s["hemisphere"], s["pier_correction"], *m)
+                (s["id"], seq, s["azimuth"], s["hemisphere"],
+                 s["pier_correction"], *m)
             )
     df = spark.createDataFrame(
         rows,
-        "session_id string, azimuth double, hemisphere int, "
+        "session_id string, seq int, azimuth double, hemisphere int, "
         "pier_correction double, mtype string, angle double, residual double, "
         "h double, e double, z double, f double",
     )

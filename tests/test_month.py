@@ -141,3 +141,30 @@ class TestRefreshMonth:
         assert m["gaps_filled"] == 1
         got = [r.value for r in store.read("month").collect()]
         assert got == [2.0]
+
+
+class TestMonthStampCol:
+    def test_column_matches_scalar(self, spark):
+        """month_stamp_col is the one Spark mirror of month_stamp_us."""
+        from pyspark.sql import functions as F
+
+        from usgs_geomag_algorithms_spark.operators.month import (
+            month_stamp_col,
+            month_stamp_us,
+            months_in_range,
+        )
+
+        US = 1_000_000
+        lo = 1577836800 * US  # 2020-01 (leap year)
+        hi = lo + 400 * 86400 * US
+        months = months_in_range(lo, hi)
+        # an arbitrary in-month timestamp maps to that month's stamp
+        rows = [(m0 + 5 * 86400 * US + 12345 * US, month_stamp_us(m0, nd))
+                for m0, nd, _s in months]
+        df = spark.createDataFrame(rows, "t_us long, want long")
+        bad = (
+            df.select("want", month_stamp_col(F.col("t_us")).alias("got"))
+            .where(F.col("got") != F.col("want"))
+            .count()
+        )
+        assert bad == 0

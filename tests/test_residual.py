@@ -129,17 +129,17 @@ class TestSparkFanout:
         sessions = load_sessions()[:6]
         rows = []
         for i, s in enumerate(sessions):
-            for m in s["measurements"]:
+            for seq, m in enumerate(s["measurements"]):
                 rows.append(
                     (
-                        f"s{i}", s["azimuth"], s["hemisphere"],
+                        f"s{i}", seq, s["azimuth"], s["hemisphere"],
                         s["pier_correction"], m.mtype, m.angle, m.residual,
                         m.h, m.e, m.z, m.f,
                     )
                 )
         df = spark.createDataFrame(
             rows,
-            "session_id string, azimuth double, hemisphere int, "
+            "session_id string, seq int, azimuth double, hemisphere int, "
             "pier_correction double, mtype string, angle double, "
             "residual double, h double, e double, z double, f double",
         )

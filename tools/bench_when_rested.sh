@@ -9,8 +9,11 @@ cd /root/repo
 THRESH=${THRESH:-0.92}
 TARGET_EFF=${TARGET_EFF:-0.8}
 MAX_TRIES=${MAX_TRIES:-8}
+MAX_POLLS=${MAX_POLLS:-200}
 tries=0
-while [ $tries -lt $MAX_TRIES ]; do
+polls=0
+while [ $tries -lt $MAX_TRIES ] && [ $polls -lt $MAX_POLLS ]; do
+  polls=$((polls+1))
   if [ -f /tmp/bench_pause ]; then sleep 60; continue; fi
   R1=$(python tools/throttle_probe.py 6 | python -c 'import json,sys; print(json.load(sys.stdin)["sustained_ratio"])')
   echo "$(date +%T) probe1=$R1"
@@ -36,5 +39,5 @@ while [ $tries -lt $MAX_TRIES ]; do
   fi
   sleep 150
 done
-echo "$(date +%T) gave up after $MAX_TRIES attempts"
+echo "$(date +%T) gave up (attempts=$tries polls=$polls)"
 exit 1

@@ -93,7 +93,9 @@ def iqr_keep_mask(
     series = np.asarray(series, dtype=float)
     weights = np.asarray(weights, dtype=float)
     good = (weights > 0).astype(bool)
-    if good.size <= 1:
+    if good.size <= 1 or not good.any():
+        # nothing weighted: no quantiles to take (the caller's
+        # no-valid-observations guard reports it)
         return good
     prev = ~good
     while not np.array_equal(prev, good):
@@ -544,6 +546,10 @@ def affines_by_observatory(
     import pandas as pd
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        # grouped-Arrow delivery order is not guaranteed; sort so the fit
+        # (lstsq row order, weighted averages, quantile tie-breaks) is
+        # bit-deterministic across runs
+        pdf = pdf.sort_values("time", kind="mergesort")
         rs = [
             CalReading(
                 time=float(row.time),

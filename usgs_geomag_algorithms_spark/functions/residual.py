@@ -236,12 +236,18 @@ def calculate_absolutes(
 # ------------------------------------------------------------ Spark layer
 def absolutes_by_session(df):
     """Compute absolutes for EVERY observation session in one grouped-Arrow
-    job. Input: long measurement frame ``(session_id, azimuth, hemisphere,
-    pier_correction, mtype, angle, residual, h, e, z, f)``; output one row
-    per (session, element) with absolute/baseline/shift."""
+    job. Input: long measurement frame ``(session_id, seq, azimuth,
+    hemisphere, pier_correction, mtype, angle, residual, h, e, z, f)``
+    where ``seq`` is the within-session measurement order — the session
+    math is order-sensitive (the WestDown reference is the FIRST such
+    measurement; the scale value uses the first/last NorthDownScale pair)
+    and grouped-Arrow delivery order is not guaranteed, so rows are sorted
+    on ``seq`` before calculation. Output: one row per (session, element)
+    with absolute/baseline/shift."""
     import pandas as pd
 
     def calc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq", kind="mergesort")
         ms = [
             Obs(
                 mtype=row.mtype,

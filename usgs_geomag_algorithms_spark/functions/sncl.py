@@ -200,7 +200,11 @@ def channel_code_col(
 
 
 def location_code_col(element: Column, data_type: str) -> Column:
-    """The :func:`location_code` mapping as a Catalyst expression."""
+    """The :func:`location_code` mapping as a Catalyst expression
+    (including the raw 2-letter location passthrough, resolved at plan
+    time since ``data_type`` is a literal)."""
+    if len(data_type) == 2:
+        return F.lit(data_type)
     end = F.lit("0")
     for suffix, c in _SUFFIX_LOC.items():
         end = F.when(element.contains(suffix), F.lit(c)).otherwise(end)

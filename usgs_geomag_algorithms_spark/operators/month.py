@@ -35,9 +35,19 @@ DAY_STAMP_OFF_US = 43_170 * US
 
 def month_stamp_us(month_start_us: int, n_days: int) -> int:
     """Center stamp of a calendar month: start + (days*86400-60)/2 s — the
-    ONE place the stamp arithmetic lives (the Spark expression in
-    ``rollup_month`` mirrors it; parity asserted in tests)."""
+    ONE place the stamp arithmetic lives (``month_stamp_col`` is its one
+    Spark mirror; parity asserted in tests)."""
     return month_start_us + (43_200 * n_days - 30) * US
+
+
+def month_stamp_col(t_us):
+    """Column form of :func:`month_stamp_us` for any epoch-us timestamp
+    column: the center stamp of the calendar month containing it. Shared
+    by ``rollup_month`` and the refresh gap audit so the stamp convention
+    has exactly one Spark expression."""
+    m0 = F.unix_micros(F.date_trunc("MONTH", F.timestamp_micros(t_us)))
+    n_days = F.dayofmonth(F.last_day(F.timestamp_micros(m0))).cast("long")
+    return (m0 + n_days * F.lit(43_200 * US) - F.lit(30 * US)).cast("long")
 
 
 def months_in_range(start_us: int, end_us: int) -> list[tuple[int, int, int]]:

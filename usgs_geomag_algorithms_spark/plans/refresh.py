@@ -354,14 +354,13 @@ def refresh_month(
         # when ANY series with day data in that month lacks a month-tier
         # row at the stamp — a series whose days land after another series
         # already materialized the month still triggers recompute
+        from ..operators.month import month_stamp_col
+
         all_lo = months[0][0] + DAY_STAMP_OFF_US
         all_hi = months[-1][0] + (months[-1][1] - 1) * DAY_US + DAY_STAMP_OFF_US
         day_rows = store.read("day", all_lo, all_hi)
-        m0 = F.unix_micros(F.date_trunc("MONTH", F.timestamp_micros(F.col("t_us"))))
-        n_days = F.dayofmonth(F.last_day(F.timestamp_micros(m0))).cast("long")
-        stamp = (m0 + n_days * F.lit(43_200 * US) - F.lit(30 * US)).cast("long")
         expected_pairs = day_rows.select(
-            *store.series_cols, stamp.alias("t_us")
+            *store.series_cols, month_stamp_col(F.col("t_us")).alias("t_us")
         ).distinct()
         out_pairs = (
             store.read("month", months[0][2], months[-1][2])

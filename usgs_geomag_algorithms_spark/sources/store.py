@@ -136,10 +136,10 @@ class TierStore:
                     out.add(fn if rel == "." else f"{rel}/{fn}")
         return out
 
-    def _gc_trash(self, base: str, m: dict) -> None:
-        """Physically delete trashed files whose grace has expired, and any
-        on-disk orphan from a crashed write (present but neither live nor
-        trashed)."""
+    def _gc_trash(self, base: str, m: dict, listing: set[str] | None = None) -> None:
+        """Physically delete trashed files whose grace has expired, and —
+        when a directory ``listing`` is provided — any on-disk orphan from
+        a crashed write (present but neither live nor trashed)."""
         cutoff = m["version"] - self.GC_GRACE_VERSIONS
         kept = {}
         for f, ver in m.get("trash", {}).items():
@@ -151,18 +151,27 @@ class TierStore:
             else:
                 kept[f] = ver
         m["trash"] = kept
-        known = set(m["files"]) | set(kept)
-        for f in self._list_parquet(base) - known:
-            try:
-                os.remove(os.path.join(base, f))
-            except FileNotFoundError:
-                pass
+        if listing is not None:
+            known = set(m["files"]) | set(kept)
+            for f in listing - known:
+                try:
+                    os.remove(os.path.join(base, f))
+                except FileNotFoundError:
+                    pass
 
     def _commit_append(
-        self, base: str, m: dict | None, new_files: set[str], replaced: list[str]
+        self,
+        base: str,
+        m: dict | None,
+        new_files: set[str],
+        replaced: list[str],
+        listing: set[str] | None = None,
     ) -> dict:
         """Advance the manifest one version: ``new_files`` become live,
-        ``replaced`` move to trash, expired trash is collected."""
+        ``replaced`` move to trash, expired trash is collected.
+        ``listing`` (the post-write directory walk, when the caller
+        already has it) also sweeps crashed-write orphans — no extra
+        walk."""
         m = m or {"version": 0, "files": [], "trash": {}}
         version = m["version"] + 1
         live = [f for f in m["files"] if f not in set(replaced)]
@@ -173,7 +182,7 @@ class TierStore:
             "files": sorted(live + sorted(new_files)),
             "trash": trash,
         }
-        self._gc_trash(base, out)
+        self._gc_trash(base, out, listing)
         self._save_manifest(base, out)
         return out
 
@@ -208,12 +217,17 @@ class TierStore:
             .partitionBy("p_date", "p_bucket")
             .parquet(base)
         )
-        new_files = self._list_parquet(base) - before
+        after = self._list_parquet(base)
+        new_files = after - before
         touched = {os.path.dirname(f) for f in new_files}
         replaced = (
             [f for f in m["files"] if os.path.dirname(f) in touched] if m else []
         )
-        self._commit_append(base, m, new_files, replaced)
+        # the post-write listing doubles as the orphan sweep — a write is
+        # exactly two directory walks (the pre-write set distinguishes
+        # crash debris from this write's files; Iceberg pays the same
+        # role's cost in manifest IO)
+        self._commit_append(base, m, new_files, replaced, listing=after)
 
     def upsert(self, df: DataFrame, tier: str) -> None:
         """Read-modify-write merge into existing partitions (last-wins, new
@@ -406,8 +420,9 @@ class TierStore:
             .partitionBy("p_date", "p_bucket")
             .parquet(base)
         )
-        new_files = self._list_parquet(base) - pre
-        self._commit_append(base, m, new_files, list(m["files"]))
+        after = self._list_parquet(base)
+        new_files = after - pre
+        self._commit_append(base, m, new_files, list(m["files"]), listing=after)
         return {
             "tier": tier,
             "files_before": before,

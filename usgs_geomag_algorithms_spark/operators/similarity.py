@@ -306,13 +306,20 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane bucket
-    (equi-join on bucket — the scale path: shuffle is bucket-local)."""
-    cb = hyperplane_bucket(_nonzero(corpus, vec_col), n_planes, id_col, vec_col, seed).select(
+    (equi-join on bucket — the scale path: shuffle is bucket-local).
+    Explicit ``planes`` literals (see :func:`md5_sign_planes`) make the
+    bucketing exactly oracle-checkable."""
+    cb = hyperplane_bucket(
+        _nonzero(corpus, vec_col), n_planes, id_col, vec_col, seed, planes
+    ).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "bucket"
     )
-    qb = hyperplane_bucket(_nonzero(queries, vec_col), n_planes, id_col, vec_col, seed).select(
+    qb = hyperplane_bucket(
+        _nonzero(queries, vec_col), n_planes, id_col, vec_col, seed, planes
+    ).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket"
     )
     joined = cb.join(F.broadcast(qb), on="bucket").where(

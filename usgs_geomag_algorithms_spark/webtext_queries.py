@@ -64,10 +64,15 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed ANN variant (rows-only check: approximation is by design)."""
+    """Bucketed ANN variant: md5-derived literal sign planes make the
+    approximate candidate stage deterministic, so the whole query is
+    exactly oracle-checked despite being an approximation by design."""
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
-    return S.lsh_topk(emb, queries, k=KNN_K, n_planes=4)
+    return S.lsh_topk(
+        emb, queries, k=KNN_K, n_planes=4,
+        planes=S.md5_sign_planes(4, EMB_DIM),
+    )
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,7 +283,10 @@ WHERE round(d.dot / (na.n * nb.n), 6) >= {NEAR_DUP_THRESHOLD}
 """
 
 
-def _near_dup_bucketed_sql() -> str:
+def _bucket_cte() -> str:
+    """Shared DuckDB fragment: per-vector md5-sign-plane bucket ids
+    (plus unnested components and nonzero norms), literal-identical to
+    the Spark side's plane matrix."""
     from .operators.similarity import md5_sign_planes
 
     planes = md5_sign_planes(NEAR_DUP_PLANES_N, EMB_DIM)
@@ -287,8 +295,7 @@ def _near_dup_bucketed_sql() -> str:
         for p in range(NEAR_DUP_PLANES_N)
         for d in range(EMB_DIM)
     )
-    return f"""
-WITH planes(plane, i, s) AS (VALUES {rows}),
+    return f"""planes(plane, i, s) AS (VALUES {rows}),
 e AS (
     SELECT vec_id, unnest(embedding)::DOUBLE AS x,
            generate_subscripts(embedding, 1) - 1 AS i
@@ -305,7 +312,12 @@ bkt AS (
     SELECT vec_id,
            sum(CASE WHEN pr > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS b
     FROM proj GROUP BY 1
-),
+)"""
+
+
+def _near_dup_bucketed_sql() -> str:
+    return f"""
+WITH {_bucket_cte()},
 dots AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
     FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
@@ -318,6 +330,73 @@ FROM dots d
 JOIN norms na ON na.vec_id = d.id_a
 JOIN norms nb ON nb.vec_id = d.id_b
 WHERE round(d.dot / (na.n * nb.n), 6) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+def _knn_lsh_sql() -> str:
+    return f"""
+WITH {_bucket_cte()},
+cand AS (
+    SELECT qb.vec_id AS q_id, cb.vec_id AS n_id
+    FROM bkt qb JOIN bkt cb ON qb.b = cb.b AND qb.vec_id != cb.vec_id
+    WHERE qb.vec_id < {N_QUERY_VECS}
+),
+dots AS (
+    SELECT c.q_id, c.n_id, sum(a.x * b.x) AS dot
+    FROM cand c
+    JOIN e a ON a.vec_id = c.q_id
+    JOIN e b ON b.vec_id = c.n_id AND b.i = a.i
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT d.q_id, d.n_id, round(d.dot / (nq.n * nc.n), 6) AS cosine
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.q_id
+    JOIN norms nc ON nc.vec_id = d.n_id
+),
+ranked AS (
+    SELECT q_id, n_id, cosine,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cosine DESC, n_id ASC) AS rank
+    FROM scored
+)
+SELECT q_id, n_id, cosine, rank::INT AS rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def _lsh_pairs_sql() -> str:
+    """The MinHash banding candidate stage alone (the verified pipeline's
+    cand CTE): deterministic md5 band hashes make the 'approximate'
+    candidate set exactly reproducible."""
+    perms = minhash_perms(K_MINHASH)
+    mins = ",\n           ".join(
+        f"min((h * {a} + {b}) % {MINHASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    rows_per_band = K_MINHASH // 4
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band, md5({concat}) AS bhash FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"m{b * rows_per_band + j}::VARCHAR" for j in range(rows_per_band)
+            ),
+        )
+        for b in range(4)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM hv GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bhash = b.bhash
+           AND a.doc_id < b.doc_id
 """
 
 
@@ -517,5 +596,8 @@ ORACLES = {
     "doc_fingerprint": _fingerprint_sql(),
     "curate_corpus": _curate_sql(),
     "near_dup_verified": _near_dup_verified_sql(),
-    # lsh_pairs / knn_lsh / knn_ivf: approximate-by-design -> rows-only check
+    "knn_lsh": _knn_lsh_sql(),
+    "lsh_pairs": _lsh_pairs_sql(),
+    # knn_ivf stays rows-only: its coarse centroids are trained from the
+    # data (seeded k-means) — not expressible as a fixed SQL oracle
 }

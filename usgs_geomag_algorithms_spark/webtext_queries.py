@@ -77,10 +77,40 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means coarse cell) ANN variant — the partition-pruned scale
-    path (rows-only check: approximation is by design)."""
+    path (rows-only check: centroids are TRAINED from the data, so no
+    fixed SQL oracle exists; the same plan shape is exactly checked by
+    knn_ivf_fixed below)."""
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
     return S.ivf_topk(emb, queries, k=KNN_K, n_centroids=8, n_probe=3)
+
+
+IVF_FIXED_CELLS = 8
+IVF_FIXED_PROBE = 2
+
+
+def _ivf_fixed_centroids():
+    """Deterministic literal centroid matrix (md5-sign unit directions,
+    normalized) — engine-independent, so the IVF assignment/probe PLAN is
+    exactly oracle-checkable even though production centroids are
+    k-means-trained."""
+    import numpy as np
+
+    c = np.array(S.md5_sign_planes(IVF_FIXED_CELLS, EMB_DIM, seed=7))
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in c]
+
+
+def q_knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF through the map-only literal-centroid assignment + cell-local
+    probe join, with a fixed deterministic centroid matrix: the 100 TB
+    partition-pruned ANN plan, exactly oracle-checked."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return S.ivf_topk(
+        emb, queries, k=KNN_K, centroids=_ivf_fixed_centroids(),
+        n_probe=IVF_FIXED_PROBE,
+    )
 
 
 NEAR_DUP_THRESHOLD = 0.4
@@ -400,6 +430,64 @@ JOIN bands b ON a.band = b.band AND a.bhash = b.bhash
 """
 
 
+def _knn_ivf_fixed_sql() -> str:
+    cent = _ivf_fixed_centroids()
+    rows = ", ".join(
+        f"({cell}, {i}, {cent[cell][i]:.17g})"
+        for cell in range(IVF_FIXED_CELLS)
+        for i in range(EMB_DIM)
+    )
+    return f"""
+WITH cent(cell, i, c) AS (VALUES {rows}),
+e AS (
+    SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+           generate_subscripts(embedding, 1) - 1 AS i
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM e GROUP BY 1 HAVING sum(x * x) > 0),
+cdots AS (
+    SELECT e.vec_id, ct.cell, sum(e.x * ct.c) AS d
+    FROM e JOIN cent ct ON ct.i = e.i
+    JOIN norms nz ON nz.vec_id = e.vec_id
+    GROUP BY 1, 2
+),
+cells AS (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rc
+    FROM cdots
+),
+cand AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS n_id
+    FROM cells q JOIN cells c ON c.cell = q.cell AND c.rc = 1
+    WHERE q.rc <= {IVF_FIXED_PROBE} AND q.vec_id < {N_QUERY_VECS}
+      AND c.vec_id != q.vec_id
+),
+dots AS (
+    SELECT DISTINCT ca.q_id, ca.n_id FROM cand ca
+),
+pdots AS (
+    SELECT d.q_id, d.n_id, sum(a.x * b.x) AS dot
+    FROM dots d
+    JOIN e a ON a.vec_id = d.q_id
+    JOIN e b ON b.vec_id = d.n_id AND b.i = a.i
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT p.q_id, p.n_id, round(p.dot / (nq.n * nc.n), 6) AS cosine
+    FROM pdots p
+    JOIN norms nq ON nq.vec_id = p.q_id
+    JOIN norms nc ON nc.vec_id = p.n_id
+),
+ranked AS (
+    SELECT q_id, n_id, cosine,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cosine DESC, n_id ASC) AS rank
+    FROM scored
+)
+SELECT q_id, n_id, cosine, rank::INT AS rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
 def _occ(word: str) -> str:
     needle = f" {word} "
     return (
@@ -573,6 +661,7 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_fixed": q_knn_ivf_fixed,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_near_dups_bucketed": q_embedding_near_dups_bucketed,
     "token_count": q_token_count,
@@ -597,6 +686,7 @@ ORACLES = {
     "curate_corpus": _curate_sql(),
     "near_dup_verified": _near_dup_verified_sql(),
     "knn_lsh": _knn_lsh_sql(),
+    "knn_ivf_fixed": _knn_ivf_fixed_sql(),
     "lsh_pairs": _lsh_pairs_sql(),
     # knn_ivf stays rows-only: its coarse centroids are trained from the
     # data (seeded k-means) — not expressible as a fixed SQL oracle

@@ -171,6 +171,31 @@ class TestBulkColumns:
         bad = out.where(F.col("got") != F.col("want")).collect()
         assert not bad, bad
 
+    def test_multi_suffix_precedence_matches_plain(self, spark):
+        # an element carrying TWO suffixes must encode identically in the
+        # scalar and bulk paths: first-match precedence (_Volt > _Bin >
+        # _Temp; _Sat > _Dist > _SQ > _SV), not last-match
+        els = [
+            "H_Temp_Volt", "H_Volt_Temp", "H_Bin_Temp", "H_Temp_Bin",
+            "H_Volt_Bin", "H_Dist_Sat", "H_SV_Dist", "H_SQ_Sat", "H_SV_SQ",
+        ]
+        rows = [
+            (el, channel_code(el, "minute", "variation"),
+             location_code(el, "variation"))
+            for el in els
+        ]
+        df = spark.createDataFrame(rows, "element string, want_ch string, want_loc string")
+        out = df.select(
+            "want_ch", "want_loc",
+            channel_code_col(F.col("element"), "minute", "variation").alias("got_ch"),
+            location_code_col(F.col("element"), "variation").alias("got_loc"),
+        )
+        bad = out.where(
+            (F.col("got_ch") != F.col("want_ch"))
+            | (F.col("got_loc") != F.col("want_loc"))
+        ).collect()
+        assert not bad, bad
+
     def test_no_python_in_plan(self, spark):
         df = spark.createDataFrame([("H",), ("E-E",)], "element string")
         plan = (

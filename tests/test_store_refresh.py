@@ -400,3 +400,27 @@ class TestYearScaleRefresh:
             [hour_stamp(0), hour_stamp(2)],
             [hour_stamp(7), hour_stamp(7)],
         ]
+
+
+class TestEpochEdgeAnchors:
+    """Anchor arithmetic in find_output_gaps must use floor/ceil semantics,
+    not truncate-toward-zero `div` — pre-1970 (negative-epoch) synthetic
+    timestamps otherwise mis-enumerate expected slots near t=0."""
+
+    def test_gap_anchors_shift_invariant_across_epoch_zero(self, spark, store):
+        step = STEPS[1]  # second->minute firfilter (hw=45s): signed offsets
+        SEC = US
+        # a data island straddling epoch 0: t in [-180s, +180s)
+        rows0 = [("u", "c", (i - 180) * SEC, 1.0) for i in range(360)]
+        shift = T0  # multiple of out_us
+        rows1 = [(u, c, t + shift, v) for (u, c, t, v) in rows0]
+        store.write(mk(spark, rows0), "sec_neg")
+        store.write(mk(spark, rows1), "sec_pos")
+        g0 = R.find_output_gaps(
+            store, "min_neg", step, -180 * SEC, 180 * SEC, "sec_neg"
+        )
+        g1 = R.find_output_gaps(
+            store, "min_pos", step, shift - 180 * SEC, shift + 180 * SEC, "sec_pos"
+        )
+        assert g0, "expected at least one gap interval"
+        assert g0 == [(s - shift, e - shift) for s, e in g1]

@@ -346,6 +346,25 @@ class TestPpmNative:
         assert np.array_equal(ppm_decode(withc), img)
         assert ppm_decode(b"not an image") is None
 
+    def test_malformed_payloads_return_none(self):
+        import numpy as np
+
+        from usgs_geomag_algorithms_spark.operators.multimodal import (
+            ppm_decode,
+            ppm_encode,
+        )
+
+        img = (np.arange(5 * 7 * 3, dtype=np.uint8)).reshape(5, 7, 3)
+        good = ppm_encode(img)
+        # truncated pixel data, zero/negative dims, dims exceeding the
+        # payload — all route to None (fallback path) instead of raising
+        assert ppm_decode(good[:-1]) is None
+        assert ppm_decode(b"P6\n0 5\n255\n") is None
+        assert ppm_decode(b"P6\n7 0\n255\n") is None
+        assert ppm_decode(b"P6\n9999 9999\n255\n" + img.tobytes()) is None
+        assert ppm_decode(b"P6\n7 5\n255\n") is None
+        assert ppm_decode(b"P6\n7\n") is None  # header cut short
+
     def test_bilinear_constant_and_gradient(self):
         import numpy as np
 

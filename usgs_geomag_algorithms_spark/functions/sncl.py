@@ -185,9 +185,13 @@ def channel_code_col(
         cond = element == el
         val = F.lit(prefix + code)
         pre = F.when(cond, val) if pre is None else pre.when(cond, val)
-    kind = F.lit("F")
+    # chained .when() preserves the scalar function's first-match
+    # precedence (_Volt > _Bin > _Temp) for multi-suffix element names
+    kind = None
     for suffix, k in _SUFFIX_KIND.items():
-        kind = F.when(element.contains(suffix), F.lit(k)).otherwise(kind)
+        cond = element.contains(suffix)
+        kind = F.when(cond, F.lit(k)) if kind is None else kind.when(cond, F.lit(k))
+    kind = kind.otherwise(F.lit("F"))
     last = F.split(element, "_").getItem(0)
     if data_type == "variation":
         for a, b in _VARIATION_ALIAS.items():
@@ -205,10 +209,11 @@ def location_code_col(element: Column, data_type: str) -> Column:
     time since ``data_type`` is a literal)."""
     if len(data_type) == 2:
         return F.lit(data_type)
-    end = F.lit("0")
+    end = None
     for suffix, c in _SUFFIX_LOC.items():
-        end = F.when(element.contains(suffix), F.lit(c)).otherwise(end)
-    return F.concat(F.lit(DATA_TYPE_PREFIX[data_type]), end)
+        cond = element.contains(suffix)
+        end = F.when(cond, F.lit(c)) if end is None else end.when(cond, F.lit(c))
+    return F.concat(F.lit(DATA_TYPE_PREFIX[data_type]), end.otherwise(F.lit("0")))
 
 
 def element_from_codes_col(channel: Column, location: Column) -> Column:

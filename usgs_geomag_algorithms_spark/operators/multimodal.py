@@ -75,6 +75,10 @@ def ppm_decode(payload: bytes) -> np.ndarray | None:
     if len(fields) < 3 or fields[2] != 255:
         return None
     w, h = fields[0], fields[1]
+    # malformed/truncated payloads route to the fallback branches instead
+    # of raising inside mapInPandas and failing the whole job
+    if w <= 0 or h <= 0 or n - i < w * h * 3:
+        return None
     pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
     return pix.reshape(h, w, 3)
 

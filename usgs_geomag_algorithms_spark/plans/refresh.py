@@ -159,12 +159,17 @@ def find_output_gaps(
         # candidate stamped slots per input row: a row at t contributes to
         # output anchors a with a+lo_off <= t <= a+hi_off, i.e. a in
         # [t-hi_off, t-lo_off] — a tiny explode (window/out ratio, e.g.
-        # 2.5 slots/row for Gaussian-91, 1 for boxcars). Integer `div`
-        # arithmetic: epoch-us doubles would round near the 2^53 edge.
+        # 2.5 slots/row for Gaussian-91, 1 for boxcars). Pure integer
+        # arithmetic: epoch-us doubles would round near the 2^53 edge, and
+        # `div` truncates toward zero — wrong for t_us within a filter
+        # half-width of epoch 0. pmod is always non-negative, so
+        # floor(x/d)*d = x - pmod(x,d) and ceil(x/d)*d = (x+d-1) -
+        # pmod(x+d-1,d) hold for negative x too.
         lo_off, hi_off = step.window_lo_offset_us, step.window_hi_offset_us
         stamp_off = step.stamp_offset_us
-        first_a = f"(((t_us - {hi_off}) + {out_us - 1}) div {out_us}) * {out_us}"
-        last_a = f"((t_us - {lo_off}) div {out_us}) * {out_us}"
+        _fx = f"((t_us - {hi_off}) + {out_us - 1})"
+        first_a = f"({_fx} - pmod({_fx}, {out_us}))"
+        last_a = f"((t_us - {lo_off}) - pmod(t_us - {lo_off}, {out_us}))"
         expected_pairs = (
             # same off-grid guard as rollup_step: a row the rollup cannot
             # see must not flag an expected slot (it would re-recompute

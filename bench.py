@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "simhash",
     "knn_cosine",
     "knn_ivf",
+    "knn_ivf_bcast",
     "embedding_near_dups_bucketed",
     "rollup_month_value",
     "near_dup_verified",

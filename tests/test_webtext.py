@@ -161,6 +161,32 @@ class TestIvf:
         b = S.train_ivf_centroids(df, n_centroids=4, sample_n=64, seed=9)
         assert a == b
 
+    def test_broadcast_assign_matches_literal_at_large_c(self, spark):
+        # C=256 >> MAX_LITERAL_CELLS: the broadcast-data path must produce
+        # results identical to the literal-folded path (forced by raising
+        # the threshold) — same doubles, same fold order, same tie-break
+        rng = np.random.default_rng(15)
+        df, _ = self._clustered(spark, rng, n_clusters=8, per=16, dim=8)
+        cents = [rng.normal(size=8).tolist() for _ in range(256)]
+        lit = S.ivf_assign(df, cents, n_probe=3, max_literal_cells=10_000)
+        bc = S.ivf_assign(df, cents, n_probe=3)  # default threshold: 64 < 256
+        assert sorted(
+            (r.vec_id, r.cell) for r in lit.collect()
+        ) == sorted((r.vec_id, r.cell) for r in bc.collect())
+
+    def test_broadcast_assign_no_corpus_exchange(self, spark):
+        # the large-C plan must stay map-only on the corpus: the centroid
+        # matrix arrives via broadcast, never via a corpus-side shuffle
+        rng = np.random.default_rng(16)
+        df, _ = self._clustered(spark, rng, n_clusters=4, per=8, dim=8)
+        cents = [rng.normal(size=8).tolist() for _ in range(128)]
+        out = S.ivf_assign(df, cents, n_probe=2)
+        out.collect()  # AQE: final plan only after execution
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "Python" not in plan  # pure JVM, like the literal path
+
 
 class TestTextOps:
     def test_token_count(self, spark):

@@ -113,6 +113,40 @@ def q_knn_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: large-C IVF config: 96 cells > similarity.MAX_LITERAL_CELLS, so the
+#: assignment runs through the broadcast-matrix plan (centroids ship as
+#: data, plan size O(1) in C) — the production-cell-count path
+IVF_BCAST_CELLS = 96
+IVF_BCAST_PROBE = 2
+IVF_BCAST_SEED = 11
+
+
+def _ivf_bcast_centroids():
+    """md5-sign directions again, but 96 of them: every component is ±1,
+    so the unit-normalized rows are exactly ±1/8 — reproducible in DuckDB
+    straight from md5() parity, no literal matrix in the SQL at all."""
+    import numpy as np
+
+    c = np.array(S.md5_sign_planes(IVF_BCAST_CELLS, EMB_DIM, seed=IVF_BCAST_SEED))
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return [[float(x) for x in row] for row in c]
+
+
+def q_knn_ivf_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the LARGE-C broadcast assignment path
+    (C=96 > MAX_LITERAL_CELLS): the centroid matrix crosses as a broadcast
+    one-row array<array<double>>, the corpus side stays map-only/
+    shuffle-free, and the whole assignment+probe+score plan is exactly
+    oracle-checked — closing the literal-plan-size ceiling flagged in
+    round 2."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return S.ivf_topk(
+        emb, queries, k=KNN_K, centroids=_ivf_bcast_centroids(),
+        n_probe=IVF_BCAST_PROBE,
+    )
+
+
 NEAR_DUP_THRESHOLD = 0.4
 
 
@@ -437,8 +471,30 @@ def _knn_ivf_fixed_sql() -> str:
         for cell in range(IVF_FIXED_CELLS)
         for i in range(EMB_DIM)
     )
+    return _knn_ivf_oracle_body(
+        f"cent(cell, i, c) AS (VALUES {rows})", IVF_FIXED_PROBE
+    )
+
+
+def _knn_ivf_bcast_sql() -> str:
+    """Large-C IVF oracle: the centroid matrix is REGENERATED in SQL —
+    md5 low-nibble parity gives the ±1 sign (matching md5_sign_planes:
+    h[0] % 2 on the digest's first byte), and the 64-dim all-±1 rows
+    normalize to exactly ±0.125, so no VALUES literals are needed even at
+    C=96 (where the literal form would be ~200 KB of SQL)."""
+    cent = f"""cent AS (
+    SELECT t1.cell::INT AS cell, t2.i::INT AS i,
+           CASE WHEN strpos('13579bdf',
+                substr(md5((t1.cell + {IVF_BCAST_SEED})::VARCHAR || ',' || t2.i::VARCHAR), 2, 1)) > 0
+                THEN 0.125 ELSE -0.125 END AS c
+    FROM range({IVF_BCAST_CELLS}) t1(cell), range({EMB_DIM}) t2(i)
+)"""
+    return _knn_ivf_oracle_body(cent, IVF_BCAST_PROBE)
+
+
+def _knn_ivf_oracle_body(cent_cte: str, probe: int) -> str:
     return f"""
-WITH cent(cell, i, c) AS (VALUES {rows}),
+WITH {cent_cte},
 e AS (
     SELECT vec_id, unnest(embedding)::DOUBLE AS x,
            generate_subscripts(embedding, 1) - 1 AS i
@@ -459,7 +515,7 @@ cells AS (
 cand AS (
     SELECT q.vec_id AS q_id, c.vec_id AS n_id
     FROM cells q JOIN cells c ON c.cell = q.cell AND c.rc = 1
-    WHERE q.rc <= {IVF_FIXED_PROBE} AND q.vec_id < {N_QUERY_VECS}
+    WHERE q.rc <= {probe} AND q.vec_id < {N_QUERY_VECS}
       AND c.vec_id != q.vec_id
 ),
 dots AS (
@@ -662,6 +718,7 @@ QUERIES = {
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_fixed": q_knn_ivf_fixed,
+    "knn_ivf_bcast": q_knn_ivf_bcast,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_near_dups_bucketed": q_embedding_near_dups_bucketed,
     "token_count": q_token_count,
@@ -687,6 +744,7 @@ ORACLES = {
     "near_dup_verified": _near_dup_verified_sql(),
     "knn_lsh": _knn_lsh_sql(),
     "knn_ivf_fixed": _knn_ivf_fixed_sql(),
+    "knn_ivf_bcast": _knn_ivf_bcast_sql(),
     "lsh_pairs": _lsh_pairs_sql(),
     # knn_ivf stays rows-only: its coarse centroids are trained from the
     # data (seeded k-means) — not expressible as a fixed SQL oracle

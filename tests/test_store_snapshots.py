@@ -137,3 +137,82 @@ class TestUpsertScanScope:
         got = {r.t_us: r.value for r in store.read("day").collect()}
         assert got[T0 + 86400 * US] == 99.0
         assert len(got) == 4  # untouched days intact
+
+
+class TestConcurrentWriterGuard:
+    """Single-writer-per-tier is now ENFORCED, not assumed: a racing
+    writer fails loudly (ConcurrentWriterError) and never costs the first
+    writer's committed files."""
+
+    def test_lock_held_rejects_second_writer(self, spark, store):
+        from usgs_geomag_algorithms_spark.sources.store import (
+            ConcurrentWriterError,
+        )
+
+        store.write(mk(spark, minute_rows(1)), "minute")
+        expected = sorted(map(tuple, store.read("minute").collect()))
+        # writer A mid-commit: its lock is on disk
+        lock = store._lock_path(store.path("minute"))
+        with open(lock, "w") as f:
+            f.write("pid=12345 at=0")
+        with pytest.raises(ConcurrentWriterError, match="single-writer"):
+            store.write(mk(spark, minute_rows(1, url="v")), "minute")
+        # nothing was committed or lost under the failed attempt
+        assert sorted(map(tuple, store.read("minute").collect())) == expected
+        assert store.force_unlock("minute")
+        store.write(mk(spark, minute_rows(1, url="v")), "minute")
+        assert store.read("minute").count() == 2 * len(expected)
+
+    def test_stale_upsert_aborts_and_loses_nothing(self, spark, store):
+        """The interleaving the round-2 verdict called out: upsert B plans
+        its read-modify-write against snapshot v_n, writer A lands a commit
+        (v_n+1), then B tries to flip. B must abort loudly; A's committed
+        rows must all survive."""
+        from unittest import mock
+
+        from usgs_geomag_algorithms_spark.sources.store import (
+            ConcurrentWriterError,
+        )
+
+        store.write(mk(spark, minute_rows(1)), "minute")
+
+        real_read_partitions = store._read_partitions
+        def read_then_interleave(tier, keys):
+            out = real_read_partitions(tier, keys)
+            out.collect()  # force B's read before A's interleaved commit
+            # writer A commits while B is merging (distinct url -> new
+            # partition files beside B's target partitions)
+            store.write(mk(spark, minute_rows(1, url="interleaved")), tier)
+            return out
+
+        rows_b = [("u", "text_len", T0 + i * MIN, -1.0) for i in range(10)]
+        with mock.patch.object(
+            store, "_read_partitions", side_effect=read_then_interleave
+        ):
+            with pytest.raises(ConcurrentWriterError, match="advanced"):
+                store.upsert(mk(spark, rows_b), "minute")
+
+        got = store.read("minute")
+        # A's interleaved commit fully present, B's stale merge absent
+        assert got.where("url = 'interleaved'").count() == 60
+        assert got.where("value = -1.0").count() == 0
+        assert got.count() == 120
+        # the aborted writer released the lock: a retry now succeeds
+        store.upsert(mk(spark, rows_b), "minute")
+        assert store.read("minute").where("value = -1.0").count() == 10
+
+    def test_commit_cas_detects_bypassing_writer(self, spark, store):
+        """Even a writer that slipped past the lockfile (second store
+        instance on a filesystem without O_EXCL) is caught by the version
+        CAS at flip time."""
+        from usgs_geomag_algorithms_spark.sources.store import (
+            ConcurrentWriterError,
+        )
+
+        store.write(mk(spark, minute_rows(1)), "minute")
+        base = store.path("minute")
+        m = store._load_manifest(base)
+        # another writer advances the on-disk manifest under us
+        store._save_manifest(base, {**m, "version": m["version"] + 1})
+        with pytest.raises(ConcurrentWriterError, match="aborting the flip"):
+            store._commit_append(base, m, set(), [])

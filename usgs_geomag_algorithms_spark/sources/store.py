@@ -47,6 +47,14 @@ from ..operators.merge import merge_last_wins
 DATA_COLS = ("url", "channel", "t_us", "value")
 
 
+class ConcurrentWriterError(RuntimeError):
+    """Two writers raced a tier commit. The store is single-writer per
+    tier (Iceberg's optimistic-commit simplification): a second manifest
+    flip computed from a stale snapshot would silently drop the first
+    writer's files, so the race is DETECTED and fails loudly instead —
+    nothing committed is ever lost."""
+
+
 def _atomic_swap_dirs(live: str, staged: str) -> None:
     """Replace directory ``live`` with ``staged`` without any window in
     which ``live`` is missing.
@@ -113,6 +121,57 @@ class TierStore:
     def _manifest_path(self, base: str) -> str:
         return f"{base}/_manifest.json"
 
+    def _lock_path(self, base: str) -> str:
+        return f"{base}/_commit.lock"
+
+    def _commit_lock(self, base: str):
+        """Exclusive tier-commit guard: O_CREAT|O_EXCL lockfile held across
+        load-manifest → append-files → manifest-flip. A second writer gets
+        an immediate ``ConcurrentWriterError`` naming the holder instead of
+        a silent last-flip-wins file loss. A crashed holder's lock is
+        released with :meth:`force_unlock` (the error message says so) —
+        deliberately manual, since auto-breaking by TTL reintroduces the
+        race it exists to prevent."""
+        from contextlib import contextmanager
+
+        lock = self._lock_path(base)
+
+        @contextmanager
+        def _held():
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    with open(lock) as f:
+                        holder = f.read().strip() or "?"
+                except OSError:
+                    holder = "?"
+                raise ConcurrentWriterError(
+                    f"commit lock {lock} is held ({holder}); the store is "
+                    f"single-writer per tier. If the holder crashed, release "
+                    f"it with TierStore.force_unlock()."
+                ) from None
+            try:
+                os.write(fd, f"pid={os.getpid()} at={time.time():.0f}".encode())
+                os.close(fd)
+                yield
+            finally:
+                try:
+                    os.remove(lock)
+                except FileNotFoundError:
+                    pass
+
+        return _held()
+
+    def force_unlock(self, tier: str) -> bool:
+        """Release a commit lock left behind by a crashed writer. Returns
+        True when a lock was removed."""
+        try:
+            os.remove(self._lock_path(self.path(tier)))
+            return True
+        except FileNotFoundError:
+            return False
+
     def _load_manifest(self, base: str) -> dict | None:
         p = self._manifest_path(base)
         if not os.path.exists(p):
@@ -171,7 +230,24 @@ class TierStore:
         ``replaced`` move to trash, expired trash is collected.
         ``listing`` (the post-write directory walk, when the caller
         already has it) also sweeps crashed-write orphans — no extra
-        walk."""
+        walk.
+
+        Version CAS: the flip is only valid against the snapshot the
+        mutation was computed from — if the on-disk manifest advanced in
+        the meantime (a concurrent writer slipped past the lock, e.g. via
+        a second store instance on a shared filesystem without O_EXCL
+        semantics), committing would orphan that writer's files, so the
+        commit aborts loudly instead."""
+        on_disk = self._load_manifest(base)
+        base_version = (m or {}).get("version", 0)
+        disk_version = (on_disk or {}).get("version", 0)
+        if disk_version != base_version:
+            raise ConcurrentWriterError(
+                f"manifest at {base} advanced v{base_version} -> "
+                f"v{disk_version} under this commit; aborting the flip "
+                f"(no committed file is lost — this writer's appended "
+                f"files are swept as orphans by the next commit)"
+            )
         m = m or {"version": 0, "files": [], "trash": {}}
         version = m["version"] + 1
         live = [f for f in m["files"] if f not in set(replaced)]
@@ -197,37 +273,58 @@ class TierStore:
         )
 
     # ------------------------------------------------------------- write
-    def write(self, df: DataFrame, tier: str) -> None:
+    def write(
+        self, df: DataFrame, tier: str, _expected_version: int | None = None
+    ) -> None:
         """Partition overwrite through the snapshot manifest: new files are
         APPENDED (never clobbering live ones), then one atomic manifest
         flip makes them current and retires the touched (p_date, p_bucket)
         partitions' old files to trash. Readers planned against the prior
-        snapshot keep valid paths for ``GC_GRACE_VERSIONS`` more writes."""
+        snapshot keep valid paths for ``GC_GRACE_VERSIONS`` more writes.
+
+        The whole load→append→flip runs under the tier commit lock; a
+        concurrent writer raises :class:`ConcurrentWriterError` instead of
+        racing the flip. ``_expected_version`` (used by :meth:`upsert`)
+        additionally pins the snapshot the caller's read-modify-write was
+        BASED on — if another commit landed between the read and this
+        write, the merge is stale and aborts before touching disk."""
         base = self.path(tier)
         os.makedirs(base, exist_ok=True)
-        m = self._load_manifest(base)
-        before = self._list_parquet(base)
-        if m is None and before:
-            # adopt a legacy (pre-manifest) directory: every existing file
-            # is live at version 0, so untouched partitions survive
-            m = {"version": 0, "files": sorted(before), "trash": {}}
-        (
-            self._partitioned(df)
-            .write.mode("append")
-            .partitionBy("p_date", "p_bucket")
-            .parquet(base)
-        )
-        after = self._list_parquet(base)
-        new_files = after - before
-        touched = {os.path.dirname(f) for f in new_files}
-        replaced = (
-            [f for f in m["files"] if os.path.dirname(f) in touched] if m else []
-        )
-        # the post-write listing doubles as the orphan sweep — a write is
-        # exactly two directory walks (the pre-write set distinguishes
-        # crash debris from this write's files; Iceberg pays the same
-        # role's cost in manifest IO)
-        self._commit_append(base, m, new_files, replaced, listing=after)
+        with self._commit_lock(base):
+            m = self._load_manifest(base)
+            if _expected_version is not None:
+                current = (m or {}).get("version", 0)
+                if current != _expected_version:
+                    raise ConcurrentWriterError(
+                        f"tier {tier!r} advanced v{_expected_version} -> "
+                        f"v{current} since this read-modify-write planned "
+                        f"its read; re-run the upsert against the current "
+                        f"snapshot"
+                    )
+            before = self._list_parquet(base)
+            if m is None and before:
+                # adopt a legacy (pre-manifest) directory: every existing
+                # file is live at version 0, so untouched partitions survive
+                m = {"version": 0, "files": sorted(before), "trash": {}}
+            (
+                self._partitioned(df)
+                .write.mode("append")
+                .partitionBy("p_date", "p_bucket")
+                .parquet(base)
+            )
+            after = self._list_parquet(base)
+            new_files = after - before
+            touched = {os.path.dirname(f) for f in new_files}
+            replaced = (
+                [f for f in m["files"] if os.path.dirname(f) in touched]
+                if m
+                else []
+            )
+            # the post-write listing doubles as the orphan sweep — a write
+            # is exactly two directory walks (the pre-write set
+            # distinguishes crash debris from this write's files; Iceberg
+            # pays the same role's cost in manifest IO)
+            self._commit_append(base, m, new_files, replaced, listing=after)
 
     def upsert(self, df: DataFrame, tier: str) -> None:
         """Read-modify-write merge into existing partitions (last-wins, new
@@ -252,12 +349,18 @@ class TierStore:
         }
         if not keys:
             return
+        # pin the snapshot this merge reads from: if another writer lands a
+        # commit between here and our flip, the merge is stale and write()
+        # aborts loudly instead of clobbering the interleaved commit
+        read_version = (self._load_manifest(self.path(tier)) or {}).get(
+            "version", 0
+        )
         old_touched = self._read_partitions(tier, keys)
         merged = merge_last_wins(
             old_touched, df.select(*self.series_cols, "t_us", "value"),
             series_cols=self.series_cols,
         )
-        self.write(merged, tier)
+        self.write(merged, tier, _expected_version=read_version)
 
     def _read_partitions(self, tier: str, keys: set) -> DataFrame:
         """Read exactly the given (p_date, p_bucket) partitions of a tier
@@ -393,36 +496,41 @@ class TierStore:
         base = self.path(tier)
         if not os.path.exists(base):
             return {"tier": tier, "files_before": 0, "files_after": 0}
-        m = self._load_manifest(base)
-        if m is None:
-            files = self._list_parquet(base)
-            if not files:
+        with self._commit_lock(base):
+            m = self._load_manifest(base)
+            if m is None:
+                files = self._list_parquet(base)
+                if not files:
+                    return {"tier": tier, "files_before": 0, "files_after": 0}
+                m = {"version": 0, "files": sorted(files), "trash": {}}
+            before = len(m["files"])
+            if before == 0:
                 return {"tier": tier, "files_before": 0, "files_after": 0}
-            m = {"version": 0, "files": sorted(files), "trash": {}}
-        before = len(m["files"])
-        if before == 0:
-            return {"tier": tier, "files_before": 0, "files_after": 0}
-        df = self.read(tier)
-        part = self._partitioned(df)
-        if target_files_per_partition <= 1:
-            # hash-repartition on the partition cols: every (p_date,
-            # p_bucket) lands whole in one task -> one file per partition
-            compacted = part.repartition(F.col("p_date"), F.col("p_bucket"))
-        else:
-            salt = F.pmod(
-                F.xxhash64(*self.series_cols, F.col("t_us")),
-                F.lit(int(target_files_per_partition)),
+            df = self.read(tier)
+            part = self._partitioned(df)
+            if target_files_per_partition <= 1:
+                # hash-repartition on the partition cols: every (p_date,
+                # p_bucket) lands whole in one task -> one file per partition
+                compacted = part.repartition(F.col("p_date"), F.col("p_bucket"))
+            else:
+                salt = F.pmod(
+                    F.xxhash64(*self.series_cols, F.col("t_us")),
+                    F.lit(int(target_files_per_partition)),
+                )
+                compacted = part.repartition(
+                    F.col("p_date"), F.col("p_bucket"), salt
+                )
+            pre = self._list_parquet(base)
+            (
+                compacted.write.mode("append")
+                .partitionBy("p_date", "p_bucket")
+                .parquet(base)
             )
-            compacted = part.repartition(F.col("p_date"), F.col("p_bucket"), salt)
-        pre = self._list_parquet(base)
-        (
-            compacted.write.mode("append")
-            .partitionBy("p_date", "p_bucket")
-            .parquet(base)
-        )
-        after = self._list_parquet(base)
-        new_files = after - pre
-        self._commit_append(base, m, new_files, list(m["files"]), listing=after)
+            after = self._list_parquet(base)
+            new_files = after - pre
+            self._commit_append(
+                base, m, new_files, list(m["files"]), listing=after
+            )
         return {
             "tier": tier,
             "files_before": before,
@@ -527,15 +635,17 @@ class TierStore:
         base = self.path(tier)
         if not os.path.exists(base):
             return dropped
-        m = self._load_manifest(base)
-        if m is not None:
-            expired = [
-                f
-                for f in m["files"]
-                if (pd := self._pdate_of(f)) is not None and pd < cutoff_date
-            ]
-            if expired:
-                self._commit_append(base, m, set(), expired)
+        if self._load_manifest(base) is not None:
+            with self._commit_lock(base):
+                m = self._load_manifest(base)
+                expired = [
+                    f
+                    for f in m["files"]
+                    if (pd := self._pdate_of(f)) is not None
+                    and pd < cutoff_date
+                ]
+                if expired:
+                    self._commit_append(base, m, set(), expired)
             dropped = sorted(
                 {f"p_date={self._pdate_of(f)}" for f in expired}
             )

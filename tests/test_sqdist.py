@@ -4,6 +4,7 @@ continuity, and the distributed applyInPandas operator."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 from numpy.testing import assert_almost_equal
 
 from usgs_geomag_algorithms_spark.operators.sqdist import (
@@ -367,3 +368,83 @@ class TestWindowedApply:
         bad = HWState(s0=[0.0] * 30)  # wrong seasonal length
         with pytest.raises(ValueError, match="s0 must have length"):
             holt_winters_additive(np.zeros(10), p, bad)
+
+
+class TestEstimateBySeries:
+    """Distributed parameter estimation (the last driver-side SqDist step
+    scaled out): one grouped-Arrow fit per series, bit-identical to the
+    driver-side estimate_parameters on the same data."""
+
+    def _series_df(self, spark, n_series=100, n=36):
+        rows, local = [], {}
+        for s in range(n_series):
+            rng = np.random.default_rng(1000 + s)
+            amp = 0.5 + (s % 7) * 0.3
+            y = amp * np.sin(np.arange(n) * 2 * np.pi / M) + rng.normal(
+                0, 0.05 + 0.01 * (s % 5), n
+            )
+            url = f"u{s:03d}"
+            local[(url, "H")] = y
+            # shuffled insertion order: the fit must not depend on row order
+            for i in rng.permutation(n):
+                rows.append((url, "H", T0 + int(i) * 60 * US, float(y[i])))
+        df = spark.createDataFrame(
+            rows, schema="url string, channel string, t_us long, value double"
+        )
+        return df, local
+
+    def test_hundred_series_match_driver_fit_bitwise(self, spark):
+        from usgs_geomag_algorithms_spark.operators.sqdist import (
+            estimate_by_series,
+            estimate_parameters,
+        )
+
+        df, local = self._series_df(spark, n_series=100)
+        got = {
+            (r.url, r.channel): (r.alpha, r.beta, r.gamma, r.rmse, r.n_obs)
+            for r in estimate_by_series(df, m=M, max_iter=40).collect()
+        }
+        assert len(got) == 100
+        for key, y in local.items():
+            a, b, g, r = estimate_parameters(y, M, max_iter=40)
+            assert got[key] == (a, b, g, r, len(y)), key
+
+    def test_params_df_feeds_apply(self, spark):
+        from usgs_geomag_algorithms_spark.operators.sqdist import (
+            estimate_by_series,
+            sqdist_apply,
+            split_state_rows,
+        )
+
+        df, local = self._series_df(spark, n_series=6)
+        fits = estimate_by_series(df, m=M, max_iter=30)
+        # drop one series from the params table: it must fall back to the
+        # global params
+        params_df = fits.where("url != 'u000'")
+        template = HWParams(m=M, alpha=0.3, beta=0.1, gamma=0.3)
+        out, _ = split_state_rows(
+            sqdist_apply(df, template, 60.0, params_df=params_df)
+        )
+        got = {
+            (r.url, r.channel, r.t_us): r.value
+            for r in out.collect()
+        }
+        fit_rows = {r.url: (r.alpha, r.beta, r.gamma) for r in fits.collect()}
+        for url in ("u001", "u004"):
+            a, b, g = fit_rows[url]
+            per = HWParams(m=M, alpha=a, beta=b, gamma=g)
+            sub = df.where(F.col("url") == url)
+            exp, _ = split_state_rows(sqdist_apply(sub, per, 60.0))
+            for r in exp.collect():
+                assert np.isclose(
+                    got[(r.url, r.channel, r.t_us)], r.value,
+                    atol=0, rtol=0, equal_nan=True,
+                ), (url, r.channel, r.t_us)
+        # the uncovered series equals a run with the template params
+        sub = df.where(F.col("url") == "u000")
+        exp, _ = split_state_rows(sqdist_apply(sub, template, 60.0))
+        for r in exp.collect():
+            assert np.isclose(
+                got[(r.url, r.channel, r.t_us)], r.value,
+                atol=0, rtol=0, equal_nan=True,
+            )

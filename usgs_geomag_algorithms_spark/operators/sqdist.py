@@ -282,6 +282,50 @@ def estimate_parameters(
     return float(best[0]), float(best[1]), float(best[2]), float(min(vals))
 
 
+def estimate_by_series(
+    df: DataFrame,
+    m: int,
+    series_cols: Sequence[str] = ("url", "channel"),
+    ts_col: str = "t_us",
+    value_col: str = "value",
+    alpha0: float = 0.3,
+    beta0: float = 0.1,
+    gamma0: float = 0.3,
+    max_iter: int = 120,
+) -> DataFrame:
+    """Distributed per-series parameter estimation: one bounded
+    Nelder-Mead fit of (alpha, beta, gamma) per series via grouped-Arrow
+    ``applyInPandas`` — the reference fits per observatory
+    (``SqDistAlgorithm.estimate_parameters``, :613-744); here millions of
+    url channels fit in parallel, each group running the exact same
+    :func:`estimate_parameters` the driver-side call uses (groups sort by
+    timestamp first, so the fp summation order — and therefore the fit —
+    is bit-identical to a local run on the same series).
+
+    Output: one row per series ``(series..., alpha, beta, gamma, rmse,
+    n_obs)`` — a params table for :func:`sqdist_apply`'s ``params_df``."""
+    series_cols = list(series_cols)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        y = pdf[value_col].to_numpy(dtype=np.float64)
+        a, b, g, r = estimate_parameters(y, m, alpha0, beta0, gamma0, max_iter)
+        out = {c: [pdf[c].iloc[0]] for c in series_cols}
+        out.update(
+            alpha=[a], beta=[b], gamma=[g], rmse=[r], n_obs=[len(y)]
+        )
+        return pd.DataFrame(out)
+
+    prefix = ", ".join(f"{c} string" for c in series_cols)
+    return df.groupBy(*series_cols).applyInPandas(
+        fit,
+        schema=(
+            f"{prefix}, alpha double, beta double, gamma double, "
+            f"rmse double, n_obs long"
+        ),
+    )
+
+
 STATE_CHANNEL = "_state"
 
 
@@ -295,9 +339,19 @@ def sqdist_apply(
     value_col: str = "value",
     range_start_us: int | None = None,
     range_end_us: int | None = None,
+    params_df: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed SqDist: one sequential recurrence per series via grouped
     Arrow ``applyInPandas``; parallelism across series.
+
+    ``params_df`` (optional) is a per-series smoothing-parameter table
+    ``(series_cols..., alpha, beta, gamma)`` — typically the output of
+    :func:`estimate_by_series` — overriding ``params``' global values for
+    the series it covers (``params`` still supplies m/phi/zthresh/hstep/
+    smooth and the fallback for uncovered series). It rides the SAME
+    cogrouped side as the state table, so per-series parameters reach
+    executors keyed by series like everything else — never a task closure,
+    never the driver.
 
     ``states`` is either a DataFrame ``(series_cols..., state_json)`` —
     the scale path: state stays table-to-table, cogrouped on the series
@@ -342,14 +396,37 @@ def sqdist_apply(
             parts = key.rsplit("|", len(series_cols) - 1)
             state_rows.append((*parts, js))
         state_df = spark.createDataFrame(state_rows, state_schema)
+    if params_df is not None:
+        state_df = state_df.join(
+            params_df.select(
+                *series_cols,
+                F.col("alpha").cast("double"),
+                F.col("beta").cast("double"),
+                F.col("gamma").cast("double"),
+            ),
+            series_cols,
+            "full_outer",
+        )
 
     def run(key, pdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
         keyvals = dict(zip(series_cols, (str(k) for k in key)))
         st = (
             HWState.from_json(spdf["prev_state"].iloc[0])
-            if len(spdf)
+            if len(spdf) and pd.notna(spdf["prev_state"].iloc[0])
             else None
         )
+        p = params
+        if "alpha" in spdf.columns and len(spdf) and pd.notna(
+            spdf["alpha"].iloc[0]
+        ):
+            from dataclasses import replace
+
+            p = replace(
+                params,
+                alpha=float(spdf["alpha"].iloc[0]),
+                beta=float(spdf["beta"].iloc[0]),
+                gamma=float(spdf["gamma"].iloc[0]),
+            )
         empty_out = pd.DataFrame(
             {
                 **{c: pd.Series(dtype=object) for c in series_cols},
@@ -389,7 +466,7 @@ def sqdist_apply(
             )
             idx = ((tvals[on_grid] - t0) // delta_us).astype(np.int64)
             dense[idx] = pdf[value_col].to_numpy(np.float64)[on_grid]
-        dist, sq, sv, sig, new_state = sqdist_decompose(dense, params, st)
+        dist, sq, sv, sig, new_state = sqdist_decompose(dense, p, st)
         new_state.next_start_us = t1 + delta_us
         new_state.delta_us = delta_us
         ts = t0 + np.arange(n, dtype=np.int64) * delta_us

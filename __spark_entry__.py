@@ -237,6 +237,73 @@ def q_top_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: instrument-metadata config for the calculated-channel query: two
+#: half-open epochs per input channel (epoch 2 starts at the span
+#: midpoint), each with its own (scale, offset) — the reference's
+#: volt/bin metadata shape (MiniSeedFactory.py:417-448)
+CALC_META = {
+    "click": ((100.0, 1.5), (98.5, 2.0)),
+    "view": ((0.25, -3.0), (0.26, -2.5)),
+}
+CALC_COMPONENTS = (
+    {"channel": "U_Volt", "scale": 1.0, "offset": 0.0},
+    {"channel": "U_Bin", "scale": 0.5, "offset": 0.0},
+)
+
+
+def q_calculated_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calculated channel over interval instrument metadata — the volt/bin
+    -> nT path (ref ``MiniSeedFactory.py:231-299`` scaling composed with
+    ``:417-448`` per-time-range config): minute signals for two event
+    types are scaled by a BROADCAST half-open interval join (no fact-side
+    shuffle), pivoted wide, and combined as Σ(channel*scale + offset).
+
+    The input is the per-minute COUNT signal (exact integers in any
+    engine), so every downstream double op is bit-deterministic and the
+    oracle compares exactly — the avg signal's summation-order ulp noise
+    would be amplified ~100× by the volt scale and flip 4-dp roundings."""
+    from usgs_geomag_algorithms_spark.operators.misc import (
+        apply_instrument_metadata,
+        calculated_channel,
+    )
+
+    ev = _events(spark, sf_dir)
+    sig = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_type",
+            F.expr(
+                f"(unix_micros(cast(ts as timestamp)) div {MIN_US}) * {MIN_US}"
+            ).alias("t_us"),
+        )
+        .groupBy("event_type", "t_us")
+        .agg(F.count("*").cast("double").alias("value"))
+    )
+    lo, hi = _bounds(spark, sf_dir)
+    mid = ((lo + (hi - lo) // 2) // MIN_US) * MIN_US
+    meta_rows = []
+    for et, ((s1, o1), (s2, o2)) in CALC_META.items():
+        meta_rows.append((et, lo, mid, s1, o1))
+        meta_rows.append((et, mid, hi + MIN_US, s2, o2))
+    meta = spark.createDataFrame(
+        meta_rows,
+        "event_type string, start_us long, end_us long, scale double, offset double",
+    )
+    scaled = apply_instrument_metadata(sig, meta, on="event_type")
+    wide = scaled.groupBy("t_us").agg(
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("value"))
+        ).alias("U_Volt"),
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("value"))
+        ).alias("U_Bin"),
+    )
+    out = calculated_channel(wide, "value", CALC_COMPONENTS)
+    return out.select(
+        "t_us", (F.round("value", 4) + F.lit(0.0)).alias("value")
+    )
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style relational sanity over lineitem."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -706,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "average_across_types": q_average_across_types,
         "gap_detect_minute": q_gap_detect_minute,
         "q1_pricing_summary": q1_pricing_summary,
+        "calculated_channel": q_calculated_channel,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "rollup_fir_gaussian": q_rollup_fir_gaussian,
@@ -956,6 +1024,53 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
+    meta_union = "\n    UNION ALL\n".join(
+        f"    SELECT '{et}', {bound_lo}, {bound_hi}, {s:.17g}, {o:.17g} FROM mid"
+        for et, epochs in CALC_META.items()
+        for (bound_lo, bound_hi), (s, o) in zip(
+            (("lo_us", "m_us"), ("m_us", f"hi_us + {MIN_US}")), epochs
+        )
+    )
+    calc_scale = {c["channel"]: c for c in CALC_COMPONENTS}
+    calculated_channel = f"""
+WITH {_MINUTE_CTE},
+mid AS (
+    SELECT ((lo_us + (hi_us - lo_us) // 2) // {MIN_US}) * {MIN_US} AS m_us,
+           lo_us, hi_us
+    FROM bounds
+),
+meta(event_type, start_us, end_us, scale, "off") AS (
+{meta_union}
+),
+mcount AS (
+    SELECT event_type,
+           (epoch_us(ts) // {MIN_US}) * {MIN_US} AS t_us,
+           count(*)::DOUBLE AS v
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY 1, 2
+),
+scaled AS (
+    SELECT mi.event_type, mi.t_us,
+           mi.v * coalesce(mt.scale, 1.0) + coalesce(mt."off", 0.0) AS v
+    FROM mcount mi
+    LEFT JOIN meta mt
+      ON mt.event_type = mi.event_type
+     AND mi.t_us >= mt.start_us AND mi.t_us < mt.end_us
+),
+wide AS (
+    SELECT t_us,
+           max(CASE WHEN event_type = 'click' THEN v END) AS u_volt,
+           max(CASE WHEN event_type = 'view' THEN v END) AS u_bin
+    FROM scaled GROUP BY 1
+)
+SELECT t_us,
+       round((u_volt * {calc_scale['U_Volt']['scale']:.17g}
+              + {calc_scale['U_Volt']['offset']:.17g})
+             + (u_bin * {calc_scale['U_Bin']['scale']:.17g}
+                + {calc_scale['U_Bin']['offset']:.17g}), 4) + 0.0 AS value
+FROM wide
+"""
     dedup_exact = """
 SELECT doc_id, md5(text) AS text_md5,
        doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
@@ -1072,6 +1187,7 @@ WHERE k * {BOUT} - {BHW} >= lo_us AND k * {BOUT} + {BHW} <= lo_us + {DAY_US}
         "average_across_types": average_across,
         "gap_detect_minute": gap_detect,
         "q1_pricing_summary": q1,
+        "calculated_channel": calculated_channel,
         "dedup_exact": dedup_exact,
         "text_quality": text_quality,
         "coverage_monitor": coverage_monitor,

@@ -91,9 +91,142 @@ def ppm_encode(img: np.ndarray) -> bytes:
     ).tobytes()
 
 
+# ------------------------------------------------------ real PNG codec
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_decode(payload: bytes) -> np.ndarray | None:
+    """Pure-stdlib PNG decode — non-interlaced 8-bit truecolor RGB/RGBA:
+    chunk walk, zlib inflate, and NumPy unfiltering of all five scanline
+    filter types (None/Sub/Up/Average/Paeth). Returns (H, W, 3|4) uint8;
+    anything else (palette, grayscale, 16-bit, interlaced, malformed)
+    returns None and routes to the caller's fallback branches."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        return None
+    i, n = 8, len(payload)
+    w = h = channels = None
+    idat: list[bytes] = []
+    while i + 8 <= n:
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if len(data) < length:
+            return None
+        if ctype == b"IHDR":
+            if length != 13:
+                return None
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+                return None
+            channels = 3 if color == 2 else 4
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + data + crc
+    if not w or not h or channels is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        return None
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    if (ftypes > 4).any():
+        return None
+    out = np.zeros((h, stride), np.uint8)
+    bpp = channels
+    zero = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = int(ftypes[y])
+        line = rows[y, 1:].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else zero
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: per-channel running sum along x
+            rec = np.cumsum(line.reshape(w, bpp), axis=0).reshape(stride)
+        elif f == 2:  # Up
+            rec = line + prior
+        else:  # Average (3) / Paeth (4): left-dependence -> walk pixels,
+            # vectorized across the pixel's channels
+            rec = np.empty(stride, np.int32)
+            left = np.zeros(bpp, np.int32)
+            for x in range(0, stride, bpp):
+                pr = prior[x : x + bpp]
+                if f == 3:
+                    px = line[x : x + bpp] + ((left + pr) >> 1)
+                else:
+                    ul = (
+                        out[y - 1, x - bpp : x].astype(np.int32)
+                        if y and x
+                        else np.zeros(bpp, np.int32)
+                    )
+                    p = left + pr - ul
+                    pa, pb, pc = (
+                        np.abs(p - left),
+                        np.abs(p - pr),
+                        np.abs(p - ul),
+                    )
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, pr, ul)
+                    )
+                    px = line[x : x + bpp] + pred
+                left = px & 0xFF
+                rec[x : x + bpp] = left
+        out[y] = (rec & 0xFF).astype(np.uint8)
+    return out.reshape(h, w, channels)
+
+
+def png_encode(img: np.ndarray) -> bytes:
+    """(H, W, 3|4) uint8 -> non-interlaced 8-bit truecolor PNG (filter 0
+    scanlines, one zlib stream) — stdlib struct/zlib only."""
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+    channels = img.shape[2] if img.ndim == 3 else 1
+    if channels not in (3, 4):
+        raise ValueError("png_encode expects (H, W, 3|4) uint8")
+    color = 2 if channels == 3 else 6
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    body = np.ascontiguousarray(img, dtype=np.uint8).reshape(h, w * channels)
+    scanlines = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(payload: bytes) -> tuple[np.ndarray | None, str | None]:
+    """Try every native codec: returns (pixels, format) or (None, None)."""
+    img = ppm_decode(payload)
+    if img is not None:
+        return img, "ppm"
+    img = png_decode(payload)
+    if img is not None:
+        return img, "png"
+    return None, None
+
+
 def bilinear_resize(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
-    """Pure-NumPy bilinear resample to (target_h, target_w, 3), uint8 —
-    vectorized over the whole image (edge-clamped sample grid)."""
+    """Pure-NumPy bilinear resample to (target_h, target_w, C), uint8 —
+    vectorized over the whole image (edge-clamped sample grid); channel
+    count (3 or 4) is preserved."""
     h, w = img.shape[:2]
     ys = (np.arange(target_h) + 0.5) * h / target_h - 0.5
     xs = (np.arange(target_w) + 0.5) * w / target_w - 0.5
@@ -110,12 +243,16 @@ def bilinear_resize(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
-def _ppm_features(img: np.ndarray, feat_dim: int) -> np.ndarray:
-    """Real per-channel statistics: mean and std of R/G/B scaled to
-    [0, 1], padded/truncated to ``feat_dim``."""
-    flat = img.reshape(-1, 3).astype(np.float64) / 255.0
+def _pixel_features(img: np.ndarray, feat_dim: int) -> np.ndarray:
+    """Real per-channel statistics: mean and std of each channel scaled
+    to [0, 1], padded/truncated to ``feat_dim``."""
+    c = img.shape[2]
+    flat = img.reshape(-1, c).astype(np.float64) / 255.0
     feats = np.concatenate([flat.mean(axis=0), flat.std(axis=0)])
     return np.resize(feats, feat_dim).astype(np.float32)
+
+
+_ppm_features = _pixel_features  # back-compat alias
 
 
 def _fake_decode(digest: bytes, kind: str, feat_dim: int) -> tuple:
@@ -152,7 +289,7 @@ def decode_media(
             }
             decoded = []
             for b, d, k in zip(pdf[payload_col], digests, pdf["kind"]):
-                img = ppm_decode(bytes(b))
+                img, _fmt = decode_image(bytes(b))
                 if img is not None:
                     # the REAL path: parsed header, pixel statistics
                     decoded.append(
@@ -160,15 +297,16 @@ def decode_media(
                             img.shape[1],
                             img.shape[0],
                             1,
-                            _ppm_features(img, feat_dim),
+                            _pixel_features(img, feat_dim),
                         )
                     )
                 elif deterministic:
                     decoded.append(_fake_decode(d, k, feat_dim))
                 else:
                     raise NotImplementedError(
-                        "decoding compressed media requires PIL/ffmpeg; "
-                        "not in container (PPM/P6 decodes natively)"
+                        "decoding JPEG/audio/video requires PIL/ffmpeg; "
+                        "not in container (PPM/P6 and 8-bit truecolor "
+                        "PNG decode natively)"
                     )
             out["width"] = pd.Series([d[0] for d in decoded], dtype="int32")
             out["height"] = pd.Series([d[1] for d in decoded], dtype="int32")
@@ -217,11 +355,13 @@ def resize_media(
         for pdf in batches:
             resized = []
             for b in pdf[payload_col]:
-                img = ppm_decode(bytes(b))
+                img, fmt = decode_image(bytes(b))
                 if img is not None:
-                    # REAL path: bilinear resample + re-encode
+                    # REAL path: bilinear resample + re-encode in the
+                    # source container format
+                    small = bilinear_resize(img, target_w, target_h)
                     resized.append(
-                        ppm_encode(bilinear_resize(img, target_w, target_h))
+                        ppm_encode(small) if fmt == "ppm" else png_encode(small)
                     )
                 elif deterministic:
                     resized.append(
@@ -233,8 +373,9 @@ def resize_media(
                     )
                 else:
                     raise NotImplementedError(
-                        "resizing compressed media requires PIL; not in "
-                        "container (PPM/P6 resizes natively)"
+                        "resizing JPEG/audio/video requires PIL; not in "
+                        "container (PPM/P6 and 8-bit truecolor PNG "
+                        "resize natively)"
                     )
             yield pd.DataFrame(
                 {
@@ -265,6 +406,26 @@ def synthetic_ppm(spark, n: int = 16, w: int = 24, h: int = 16) -> DataFrame:
             axis=-1,
         )
         rows.append((i, "image", bytearray(ppm_encode(img))))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+
+
+def synthetic_png(spark, n: int = 16, w: int = 24, h: int = 16) -> DataFrame:
+    """Real PNG images (RGB for even ids, RGBA for odd) for exercising the
+    native decode/resize path end to end."""
+    rows = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        planes = [
+            (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+            np.full((h, w), (i * 37) % 256, dtype=np.uint8),
+        ]
+        if i % 2:
+            planes.append(((xx + yy + i) % 256).astype(np.uint8))
+        img = np.stack(planes, axis=-1)
+        rows.append((i, "image", bytearray(png_encode(img))))
     return spark.createDataFrame(
         rows, "media_id long, kind string, payload binary"
     )

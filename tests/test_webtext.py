@@ -598,3 +598,128 @@ class TestPngNative:
             # RGBA alternates with RGB; the container format is preserved
             assert img.shape == (8, 8, 4 if r.media_id % 2 else 3)
             assert np.array_equal(img, local[r.media_id])
+
+
+class TestWavNative:
+    """Pure-stdlib WAV (PCM) codec: decode, waveform features, linear
+    resample, re-encode — the real audio path beside the image codecs."""
+
+    def test_roundtrip_mono_and_stereo(self):
+        import numpy as np
+
+        from usgs_geomag_algorithms_spark.operators.multimodal import (
+            wav_decode,
+            wav_encode,
+        )
+
+        rng = np.random.default_rng(7)
+        for ch in (1, 2):
+            s = np.clip(rng.normal(0, 0.3, size=(500, ch)), -1, 1)
+            dec = wav_decode(wav_encode(s, 8000))
+            assert dec is not None
+            out, rate = dec
+            assert rate == 8000 and out.shape == (500, ch)
+            # 16-bit quantization: within 1 LSB
+            assert np.abs(out - s).max() <= 1.0 / 32768 + 1e-12
+
+    def test_eight_bit_and_word_alignment(self):
+        import struct
+
+        import numpy as np
+
+        from usgs_geomag_algorithms_spark.operators.multimodal import (
+            wav_decode,
+        )
+
+        # hand-built 8-bit mono file with an ODD-length data chunk (the
+        # RIFF pad byte after it must not break chunk walking)
+        data = bytes([128, 255, 0, 64, 192])  # 5 samples, odd length
+        fmt = struct.pack("<HHIIHH", 1, 1, 4000, 4000, 1, 8)
+        LIST = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        chunks = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data + b"\x00"
+            + LIST
+        )
+        payload = b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+        out, rate = wav_decode(payload)
+        assert rate == 4000 and out.shape == (5, 1)
+        assert np.allclose(
+            out[:, 0] * 128.0 + 128.0, [128, 255, 0, 64, 192]
+        )
+
+    def test_unsupported_returns_none(self):
+        import struct
+
+        import numpy as np
+
+        from usgs_geomag_algorithms_spark.operators.multimodal import (
+            wav_decode,
+            wav_encode,
+        )
+
+        good = wav_encode(np.zeros((10, 1)), 8000)
+        assert wav_decode(b"not audio") is None
+        assert wav_decode(good[:20]) is None  # truncated
+        # IEEE-float format (3) is out of scope -> None, not raise
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        chunks = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        )
+        assert wav_decode(b"RIFF" + struct.pack("<I", len(chunks)) + chunks) is None
+
+    def test_resample_kernel_preserves_tone(self):
+        import numpy as np
+
+        from usgs_geomag_algorithms_spark.operators.multimodal import (
+            resample_audio_kernel,
+        )
+
+        rate, target = 8000, 16000
+        t = np.arange(800) / rate
+        s = np.sin(2 * np.pi * 100 * t)[:, None]
+        out = resample_audio_kernel(s, rate, target)
+        assert out.shape == (1600, 1)
+        # a 100 Hz tone linearly upsampled 2x stays a 100 Hz tone
+        # (the final sample sits past the source grid and edge-clamps)
+        t2 = np.arange(1600) / target
+        err = np.abs(out[:, 0] - np.sin(2 * np.pi * 100 * t2))
+        assert err[:-1].max() < 0.01 and err[-1] < 0.05
+
+    def test_spark_decode_and_resample_real_path(self, spark):
+        import numpy as np
+
+        from usgs_geomag_algorithms_spark.operators.multimodal import (
+            attach_media_metadata,
+            decode_media,
+            resample_audio,
+            resample_audio_kernel,
+            synthetic_wav,
+            wav_decode,
+        )
+
+        media = attach_media_metadata(synthetic_wav(spark, n=6, rate=8000))
+        dec = decode_media(media, deterministic=False).collect()
+        assert len(dec) == 6
+        for r in dec:
+            # (width, height, n_frames) carry (rate, channels, samples)
+            assert r.width == 8000
+            assert r.height == (2 if r.media_id % 2 else 1)
+            assert r.n_frames == 2000
+            assert 0.1 < r.feature[0] < 0.9  # RMS of a ~0.5-amp tone
+        out = resample_audio(
+            media, target_rate=16000, deterministic=False
+        ).collect()
+        local = {
+            r.media_id: wav_decode(bytes(r.payload))
+            for r in media.select("media_id", "payload").collect()
+        }
+        for r in out:
+            samples, rate = wav_decode(bytes(r.resampled))
+            assert rate == 16000
+            src, src_rate = local[r.media_id]
+            exp = resample_audio_kernel(src, src_rate, 16000)
+            assert samples.shape == exp.shape
+            # equal up to the 16-bit re-quantization of the encode
+            assert np.abs(samples - exp).max() <= 1.0 / 32768 + 1e-12

@@ -4,15 +4,16 @@ Image/audio/video payloads ride as ``binary`` columns with a struct of
 metadata; decode / feature-extraction / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages.
 
-Payloads that are **PPM (P6) images get a REAL pure-NumPy codec**: header
-parse, pixel decode, per-channel feature stats, bilinear resize, and
-re-encode — a genuinely functional image path with zero external
-libraries. Compressed formats (JPEG/PNG/audio/video) remain STUBBED
-(no pillow/ffmpeg in this container): ``deterministic=True`` produces a
-seeded fake decode (hash-derived dimensions + features) so the Spark-side
-plumbing — schema, batch iteration, partitioning — is real and tested;
-``deterministic=False`` raises NotImplementedError at the library call
-site.
+REAL pure-stdlib/NumPy codecs cover: **PPM (P6)** and **non-interlaced
+8-bit truecolor PNG** images (decode, pixel stats, bilinear resize,
+re-encode) and **WAV (PCM 8/16-bit) audio** (decode, waveform stats,
+linear resample, re-encode) — genuinely functional paths with zero
+external libraries. The remaining compressed formats (JPEG, lossy
+audio, video) are STUBBED (no pillow/ffmpeg in this container):
+``deterministic=True`` produces a seeded fake decode (hash-derived
+dimensions + features) so the Spark-side plumbing — schema, batch
+iteration, partitioning — is real and tested; ``deterministic=False``
+raises NotImplementedError at the library call site.
 """
 
 from __future__ import annotations
@@ -212,6 +213,155 @@ def png_encode(img: np.ndarray) -> bytes:
     )
 
 
+# ------------------------------------------------------ real WAV codec
+def wav_decode(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Pure-stdlib WAV (RIFF, PCM 8/16-bit) decode: returns
+    ``(samples, sample_rate)`` with samples float64 in [-1, 1] shaped
+    ``(n_samples, n_channels)``; None for anything else (float/ADPCM,
+    24-bit, truncated, non-RIFF)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + clen]
+        if len(body) < clen:
+            return None
+        if cid == b"fmt ":
+            if clen < 16:
+                return None
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
+    if audio_fmt != 1 or channels < 1 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        usable = len(data) - len(data) % (2 * channels)
+        x = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64) / 32768.0
+    else:  # 8-bit PCM is unsigned
+        usable = len(data) - len(data) % channels
+        x = (
+            np.frombuffer(data[:usable], dtype=np.uint8).astype(np.float64)
+            - 128.0
+        ) / 128.0
+    if x.size == 0:
+        return None
+    return x.reshape(-1, channels), int(rate)
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n_samples, n_channels) float in [-1, 1] -> 16-bit PCM WAV."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    pcm = np.clip(np.rint(s * 32768.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    channels = s.shape[1]
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,
+        channels,
+        int(sample_rate),
+        int(sample_rate) * channels * 2,
+        channels * 2,
+        16,
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def resample_audio_kernel(
+    samples: np.ndarray, rate: int, target_rate: int
+) -> np.ndarray:
+    """Linear-interpolation resample to ``target_rate`` — vectorized
+    (np.interp per channel on the continuous time grid)."""
+    n = samples.shape[0]
+    dur = n / rate
+    m = max(int(round(dur * target_rate)), 1)
+    t_src = np.arange(n) / rate
+    t_dst = np.arange(m) / target_rate
+    return np.stack(
+        [np.interp(t_dst, t_src, samples[:, c]) for c in range(samples.shape[1])],
+        axis=1,
+    )
+
+
+def _audio_features(samples: np.ndarray, feat_dim: int) -> np.ndarray:
+    """Real waveform statistics: per-channel RMS and zero-crossing rate,
+    padded/truncated to ``feat_dim``."""
+    rms = np.sqrt(np.mean(samples**2, axis=0))
+    zcr = np.mean(np.abs(np.diff(np.signbit(samples), axis=0)), axis=0)
+    return np.resize(np.concatenate([rms, zcr]), feat_dim).astype(np.float32)
+
+
+RESAMPLE_SCHEMA = (
+    "media_id long, sample_rate int, n_samples int, target_rate int, "
+    "resampled binary"
+)
+
+
+def resample_audio(
+    decoded_with_payload: DataFrame,
+    target_rate: int = 16_000,
+    payload_col: str = "payload",
+    deterministic: bool = True,
+) -> DataFrame:
+    """Audio resample plan: Arrow-batched ``mapInPandas`` producing a new
+    16-bit PCM WAV payload at ``target_rate``. WAV payloads take the REAL
+    linear-interpolation kernel; other audio containers follow the same
+    stub contract as :func:`resize_media`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rates, counts, blobs = [], [], []
+            for b in pdf[payload_col]:
+                dec = wav_decode(bytes(b))
+                if dec is not None:
+                    samples, rate = dec
+                    out = resample_audio_kernel(samples, rate, target_rate)
+                    rates.append(rate)
+                    counts.append(samples.shape[0])
+                    blobs.append(wav_encode(out, target_rate))
+                elif deterministic:
+                    digest = hashlib.sha256(bytes(b)).digest()
+                    rates.append(8000)
+                    counts.append(len(b))
+                    blobs.append((digest * (target_rate // 256 + 1))[: target_rate // 8])
+                else:
+                    raise NotImplementedError(
+                        "resampling lossy audio requires ffmpeg; not in "
+                        "container (PCM WAV resamples natively)"
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(counts, dtype="int32"),
+                    "target_rate": pd.Series(
+                        [target_rate] * len(pdf), dtype="int32"
+                    ),
+                    "resampled": blobs,
+                }
+            )
+
+    return decoded_with_payload.mapInPandas(batches, schema=RESAMPLE_SCHEMA)
+
+
 def decode_image(payload: bytes) -> tuple[np.ndarray | None, str | None]:
     """Try every native codec: returns (pixels, format) or (None, None)."""
     img = ppm_decode(payload)
@@ -289,9 +439,11 @@ def decode_media(
             }
             decoded = []
             for b, d, k in zip(pdf[payload_col], digests, pdf["kind"]):
-                img, _fmt = decode_image(bytes(b))
+                raw = bytes(b)
+                img, _fmt = decode_image(raw)
+                wav = wav_decode(raw) if img is None else None
                 if img is not None:
-                    # the REAL path: parsed header, pixel statistics
+                    # the REAL image path: parsed header, pixel statistics
                     decoded.append(
                         (
                             img.shape[1],
@@ -300,13 +452,25 @@ def decode_media(
                             _pixel_features(img, feat_dim),
                         )
                     )
+                elif wav is not None:
+                    # the REAL audio path: (width, height, n_frames) carry
+                    # (sample_rate, n_channels, n_samples)
+                    samples, rate = wav
+                    decoded.append(
+                        (
+                            rate,
+                            samples.shape[1],
+                            min(samples.shape[0], 2**31 - 1),
+                            _audio_features(samples, feat_dim),
+                        )
+                    )
                 elif deterministic:
                     decoded.append(_fake_decode(d, k, feat_dim))
                 else:
                     raise NotImplementedError(
-                        "decoding JPEG/audio/video requires PIL/ffmpeg; "
-                        "not in container (PPM/P6 and 8-bit truecolor "
-                        "PNG decode natively)"
+                        "decoding JPEG/lossy-audio/video requires "
+                        "PIL/ffmpeg; not in container (PPM/P6, 8-bit "
+                        "truecolor PNG, and PCM WAV decode natively)"
                     )
             out["width"] = pd.Series([d[0] for d in decoded], dtype="int32")
             out["height"] = pd.Series([d[1] for d in decoded], dtype="int32")
@@ -426,6 +590,26 @@ def synthetic_png(spark, n: int = 16, w: int = 24, h: int = 16) -> DataFrame:
             planes.append(((xx + yy + i) % 256).astype(np.uint8))
         img = np.stack(planes, axis=-1)
         rows.append((i, "image", bytearray(png_encode(img))))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+
+
+def synthetic_wav(
+    spark, n: int = 8, rate: int = 8000, seconds: float = 0.25
+) -> DataFrame:
+    """Real PCM WAV clips (per-id sine + harmonic, stereo for odd ids)."""
+    rows = []
+    for i in range(n):
+        t = np.arange(int(rate * seconds)) / rate
+        f0 = 220.0 * (1 + i % 5)
+        left = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.2 * np.sin(
+            2 * np.pi * 2 * f0 * t
+        )
+        ch = [left, 0.3 * np.sin(2 * np.pi * 1.5 * f0 * t)] if i % 2 else [left]
+        rows.append(
+            (i, "audio", bytearray(wav_encode(np.stack(ch, axis=1), rate)))
+        )
     return spark.createDataFrame(
         rows, "media_id long, kind string, payload binary"
     )

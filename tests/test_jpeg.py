@@ -1,0 +1,166 @@
+"""Pure-NumPy baseline JPEG codec: Huffman tables against the spec's
+canonical codes, IDCT against the naive O(N^4) definition, round trips at
+4:4:4 / 4:2:0 / grayscale / restart markers, scope rejections, and the
+Spark decode+resize path with deterministic=False."""
+
+import struct
+import zlib  # noqa: F401  (parallel structure with the PNG tests)
+
+import numpy as np
+import pytest
+
+from usgs_geomag_algorithms_spark.operators.jpeg_codec import (
+    DC_LUMA,
+    _A,
+    build_huffman,
+    jpeg_decode,
+    jpeg_encode,
+)
+
+
+def smooth_img(h=41, w=55):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (128 + 100 * np.sin(xx / 15)).astype(np.uint8),
+            (128 + 100 * np.cos(yy / 11)).astype(np.uint8),
+            (128 + 60 * np.sin((xx + yy) / 13)).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+
+
+class TestJpegMath:
+    def test_huffman_canonical_matches_spec(self):
+        # Annex K DC luminance: the well-known canonical codewords
+        t = build_huffman(*DC_LUMA)
+        inv = {sym: (ln, code) for (ln, code), sym in t.items()}
+        assert inv[0] == (2, 0b00)
+        assert inv[1] == (3, 0b010)
+        assert inv[5] == (3, 0b110)
+        assert inv[6] == (4, 0b1110)
+        assert inv[11] == (9, 0b111111110)
+
+    def test_idct_matches_naive_definition(self):
+        # x[n,m] = sum_{u,v} c(u)c(v)/4 X[u,v] cos((2n+1)u pi/16) cos(...)
+        rng = np.random.default_rng(2)
+        X = rng.normal(0, 50, (8, 8))
+        fast = _A.T @ X @ _A
+        naive = np.zeros((8, 8))
+        for n in range(8):
+            for m in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv / 4 * X[u, v]
+                            * np.cos((2 * n + 1) * u * np.pi / 16)
+                            * np.cos((2 * m + 1) * v * np.pi / 16)
+                        )
+                naive[n, m] = s
+        assert np.allclose(fast, naive, atol=1e-10)
+
+
+class TestJpegRoundTrip:
+    def test_rgb_444_quality_ladder(self):
+        img = smooth_img()
+        prev_size = None
+        for q, max_err in ((100, 4), (90, 12), (75, 24)):
+            enc = jpeg_encode(img, quality=q)
+            dec = jpeg_decode(enc)
+            assert dec is not None and dec.shape == img.shape
+            err = np.abs(dec.astype(int) - img.astype(int))
+            assert err.max() <= max_err, (q, err.max())
+            if prev_size is not None:
+                assert len(enc) < prev_size  # lower quality, fewer bytes
+            prev_size = len(enc)
+
+    def test_420_and_restart_markers(self):
+        img = smooth_img()
+        base = jpeg_decode(jpeg_encode(img, quality=92, subsampling="420"))
+        with_rst = jpeg_decode(
+            jpeg_encode(img, quality=92, subsampling="420", restart_interval=3)
+        )
+        # restart markers change the byte stream, not the pixels
+        assert np.array_equal(base, with_rst)
+        err = np.abs(base.astype(int) - img.astype(int))
+        assert err.mean() < 8 and err.max() < 40  # chroma-subsample loss
+
+    def test_grayscale(self):
+        g = smooth_img()[..., 0]
+        dec = jpeg_decode(jpeg_encode(g, quality=95))
+        assert dec.shape == (*g.shape, 3)
+        assert np.abs(dec[..., 0].astype(int) - g.astype(int)).max() <= 8
+        # gray replicated into all three channels
+        assert np.array_equal(dec[..., 0], dec[..., 1])
+
+    def test_odd_dimensions_edge_padding(self):
+        img = smooth_img(h=9, w=13)  # forces partial MCUs in both axes
+        dec = jpeg_decode(jpeg_encode(img, quality=98, subsampling="420"))
+        assert dec.shape == img.shape
+
+
+class TestJpegScope:
+    def test_non_jpeg_and_truncated(self):
+        img = smooth_img(16, 16)
+        good = jpeg_encode(img)
+        assert jpeg_decode(b"not a jpeg") is None
+        assert jpeg_decode(good[: len(good) // 3]) is None
+        corrupt = bytearray(good)
+        corrupt[10] = 0x00  # break the APP0 walk
+        assert jpeg_decode(bytes(corrupt[:20])) is None
+
+    def test_progressive_rejected(self):
+        # minimal SOI + SOF2 header: out of baseline scope -> None
+        sof2 = struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0])
+        payload = (
+            b"\xff\xd8"
+            + b"\xff\xc2" + struct.pack(">H", len(sof2) + 2) + sof2
+            + b"\xff\xd9"
+        )
+        assert jpeg_decode(payload) is None
+
+
+class TestJpegSpark:
+    def test_spark_decode_and_resize_real_path(self, spark):
+        from usgs_geomag_algorithms_spark.operators.jpeg_codec import (
+            jpeg_decode as jd,
+        )
+        from usgs_geomag_algorithms_spark.operators.multimodal import (
+            attach_media_metadata,
+            bilinear_resize,
+            decode_media,
+            resize_media,
+            synthetic_jpeg,
+        )
+
+        media = attach_media_metadata(synthetic_jpeg(spark, n=6, w=32, h=24))
+        dec = decode_media(media, deterministic=False).collect()
+        assert len(dec) == 6
+        for r in dec:
+            assert (r.width, r.height, r.n_frames) == (32, 24, 1)
+            assert 0.2 < r.feature[0] < 0.8  # real pixel stats
+        out = resize_media(
+            decode_media(media, deterministic=False).join(
+                media.select("media_id", "payload"), "media_id"
+            ),
+            target_w=8,
+            target_h=8,
+            deterministic=False,
+        ).collect()
+        local = {
+            r.media_id: bilinear_resize(jd(bytes(r.payload)), 8, 8)
+            for r in media.select("media_id", "payload").collect()
+        }
+        for r in out:
+            img = jd(bytes(r.resized))  # format preserved: still a JPEG
+            assert img is not None and img.shape == (8, 8, 3)
+            # resize -> re-encode(q90) -> decode: near the local kernel
+            # (the re-encode is honestly lossy; smooth content stays close)
+            diff = np.abs(img.astype(int) - local[r.media_id].astype(int))
+            # two lossy hops for 4:2:0 sources (decode-upsample + q90
+            # re-encode); bound the mean, and tighter on luma-ish green
+            assert diff.mean() < 16, (r.media_id, diff.mean())
+            assert diff[..., 1].mean() < 12, (r.media_id, diff[..., 1].mean())

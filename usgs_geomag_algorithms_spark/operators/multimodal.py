@@ -4,12 +4,13 @@ Image/audio/video payloads ride as ``binary`` columns with a struct of
 metadata; decode / feature-extraction / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages.
 
-REAL pure-stdlib/NumPy codecs cover: **PPM (P6)** and **non-interlaced
-8-bit truecolor PNG** images (decode, pixel stats, bilinear resize,
-re-encode) and **WAV (PCM 8/16-bit) audio** (decode, waveform stats,
-linear resample, re-encode) — genuinely functional paths with zero
-external libraries. The remaining compressed formats (JPEG, lossy
-audio, video) are STUBBED (no pillow/ffmpeg in this container):
+REAL pure-stdlib/NumPy codecs cover: **PPM (P6)**, **non-interlaced
+8-bit truecolor PNG**, and **baseline JPEG** images (decode, pixel
+stats, bilinear resize, re-encode — see ``jpeg_codec.py``) and **WAV
+(PCM 8/16-bit) audio** (decode, waveform stats, linear resample,
+re-encode) — genuinely functional paths with zero external libraries.
+The remaining formats (progressive JPEG, lossy audio, video) are
+STUBBED (no pillow/ffmpeg in this container):
 ``deterministic=True`` produces a seeded fake decode (hash-derived
 dimensions + features) so the Spark-side plumbing — schema, batch
 iteration, partitioning — is real and tested; ``deterministic=False``
@@ -364,12 +365,18 @@ def resample_audio(
 
 def decode_image(payload: bytes) -> tuple[np.ndarray | None, str | None]:
     """Try every native codec: returns (pixels, format) or (None, None)."""
+    from .jpeg_codec import jpeg_decode
+
     img = ppm_decode(payload)
     if img is not None:
         return img, "ppm"
     img = png_decode(payload)
     if img is not None:
         return img, "png"
+    if payload[:2] == b"\xff\xd8":
+        img = jpeg_decode(payload)
+        if img is not None:
+            return img, "jpeg"
     return None, None
 
 
@@ -468,9 +475,10 @@ def decode_media(
                     decoded.append(_fake_decode(d, k, feat_dim))
                 else:
                     raise NotImplementedError(
-                        "decoding JPEG/lossy-audio/video requires "
-                        "PIL/ffmpeg; not in container (PPM/P6, 8-bit "
-                        "truecolor PNG, and PCM WAV decode natively)"
+                        "decoding progressive-JPEG/lossy-audio/video "
+                        "requires PIL/ffmpeg; not in container (PPM/P6, "
+                        "8-bit truecolor PNG, baseline JPEG, and PCM WAV "
+                        "decode natively)"
                     )
             out["width"] = pd.Series([d[0] for d in decoded], dtype="int32")
             out["height"] = pd.Series([d[1] for d in decoded], dtype="int32")
@@ -524,9 +532,14 @@ def resize_media(
                     # REAL path: bilinear resample + re-encode in the
                     # source container format
                     small = bilinear_resize(img, target_w, target_h)
-                    resized.append(
-                        ppm_encode(small) if fmt == "ppm" else png_encode(small)
-                    )
+                    if fmt == "ppm":
+                        resized.append(ppm_encode(small))
+                    elif fmt == "jpeg":
+                        from .jpeg_codec import jpeg_encode
+
+                        resized.append(jpeg_encode(small, quality=90))
+                    else:
+                        resized.append(png_encode(small))
                 elif deterministic:
                     resized.append(
                         (hashlib.sha256(
@@ -537,9 +550,9 @@ def resize_media(
                     )
                 else:
                     raise NotImplementedError(
-                        "resizing JPEG/audio/video requires PIL; not in "
-                        "container (PPM/P6 and 8-bit truecolor PNG "
-                        "resize natively)"
+                        "resizing progressive-JPEG/audio/video requires "
+                        "PIL; not in container (PPM/P6, 8-bit truecolor "
+                        "PNG, and baseline JPEG resize natively)"
                     )
             yield pd.DataFrame(
                 {
@@ -590,6 +603,32 @@ def synthetic_png(spark, n: int = 16, w: int = 24, h: int = 16) -> DataFrame:
             planes.append(((xx + yy + i) % 256).astype(np.uint8))
         img = np.stack(planes, axis=-1)
         rows.append((i, "image", bytearray(png_encode(img))))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+
+
+def synthetic_jpeg(
+    spark, n: int = 8, w: int = 32, h: int = 24, quality: int = 92
+) -> DataFrame:
+    """Real baseline JPEGs (smooth per-id gradients; 4:2:0 for odd ids)."""
+    from .jpeg_codec import jpeg_encode
+
+    rows = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                (128 + 100 * np.sin(xx / (12.0 + i))).astype(np.uint8),
+                (128 + 100 * np.cos(yy / (10.0 + i))).astype(np.uint8),
+                (128 + 60 * np.sin((xx + yy) / 17.0)).astype(np.uint8),
+            ],
+            axis=-1,
+        )
+        payload = jpeg_encode(
+            img, quality=quality, subsampling="420" if i % 2 else "444"
+        )
+        rows.append((i, "image", bytearray(payload)))
     return spark.createDataFrame(
         rows, "media_id long, kind string, payload binary"
     )

@@ -195,6 +195,17 @@ class TestTextOps:
         assert out[0].n_tokens_ws == 3 and out[1].n_tokens_ws == 1
         assert out[0].n_chars == 13
         assert out[0].n_tokens_bpe_est == 4  # ceil(13/4)
+        # real BPE-ish regex: "one"," two"," three" -> 3; "single" -> 1
+        assert out[0].n_tokens_bpe == 3 and out[1].n_tokens_bpe == 1
+
+    def test_bpe_regex_tokenization_shapes(self, spark):
+        # contractions split off, digit runs and punctuation runs separate,
+        # space attaches to the following token (GPT-2 pre-tokenizer shape)
+        df = docs_df(spark, ["it's 2024, really?!", "a b"])
+        out = {r.doc_id: r for r in T.token_count(df).collect()}
+        # "it" "'s" " 2024" "," " really" "?!" -> 6
+        assert out[0].n_tokens_bpe == 6
+        assert out[1].n_tokens_bpe == 2
 
     def test_lang_id(self, spark):
         df = docs_df(

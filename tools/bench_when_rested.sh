@@ -53,7 +53,10 @@ while [ $tries -lt $MAX_TRIES ] && [ $polls -lt $MAX_POLLS ]; do
         echo "$OUT"
         EFF=$(echo "$OUT" | python -c 'import json,sys; print(json.load(sys.stdin)["scaling_efficiency"])')
         echo "$(date +%T) attempt $tries efficiency=$EFF"
-        if python -c "exit(0 if $EFF >= $TARGET_EFF else 1)"; then
+        # accept only a PHYSICALLY PLAUSIBLE pass: super-linear (> 1.05)
+        # means the small-N leg ran into a throttle window mid-measurement
+        # — that's an invalid sample, not a good one
+        if python -c "exit(0 if $TARGET_EFF <= $EFF <= 1.05 else 1)"; then
           echo "$(date +%T) target met"
           exit 0
         fi

@@ -15,16 +15,35 @@ LANG_MARKERS = {
 }
 
 
+#: GPT-2-style pre-tokenizer pattern, restricted to constructs shared by
+#: Java regex and RE2 (no lookahead, ASCII classes): contraction
+#: suffixes, space-prefixed letter runs, space-prefixed digit runs,
+#: space-prefixed punctuation runs, residual whitespace. Alternation is
+#: leftmost-FIRST in both engines, so match counts agree exactly.
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
 def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Whitespace tokens + a BPE-ish proxy (ceil of chars/4 per token is a
-    common rough token estimate) — both as plain expressions."""
+    """Whitespace tokens, a REAL BPE-ish regex tokenization count (the
+    GPT-2 pre-tokenizer shape — what a BPE vocabulary merges within), and
+    the chars/4 quick estimate — all plain column expressions."""
     n_ws = F.size(F.split(F.col(text_col), r"\s+"))
     n_chars = F.length(text_col)
+    # pattern passed as a literal COLUMN (not an SQL string literal): the
+    # leading quote in the contraction branch needs no escaping this way
+    n_bpe = F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(BPE_TOKEN_PATTERN), F.lit(0)
+        )
+    ).cast("long")
     bpe_ish = F.ceil(n_chars.cast("double") / 4.0).cast("long")
     return df.select(
         id_col,
         n_chars.cast("long").alias("n_chars"),
         n_ws.cast("long").alias("n_tokens_ws"),
+        n_bpe.alias("n_tokens_bpe"),
         bpe_ish.alias("n_tokens_bpe_est"),
     )
 

@@ -583,10 +583,17 @@ FROM scored
 
 
 def _token_count_sql() -> str:
-    return """
+    # the BPE pattern reaches DuckDB's RE2 via a dollar-quoted literal
+    # (the contraction branch starts with a single quote); alternation is
+    # leftmost-first in RE2 and Java alike, so counts agree exactly
+    from .operators.textops import BPE_TOKEN_PATTERN
+
+    return f"""
 SELECT doc_id,
        length(text)::BIGINT AS n_chars,
        len(string_split_regex(text, '\\s+'))::BIGINT AS n_tokens_ws,
+       len(regexp_extract_all(text, $rx${BPE_TOKEN_PATTERN}$rx$))::BIGINT
+           AS n_tokens_bpe,
        ceil(length(text)::DOUBLE / 4.0)::BIGINT AS n_tokens_bpe_est
 FROM documents
 """

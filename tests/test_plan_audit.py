@@ -104,3 +104,22 @@ class TestJoinPlans:
         assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
         # the fact side must not shuffle for this join
         assert "Exchange hashpartitioning" not in p
+
+
+class TestCalculatedChannelPlan:
+    def test_driver_query_plan_broadcasts_and_stays_jvm(self, spark):
+        """The calculated_channel driver query end to end: metadata joins
+        by broadcast (no fact-side shuffle for the join), the only hash
+        exchanges are the two aggregations (minute count + pivot), and
+        nothing crosses to Python."""
+        import __spark_entry__ as entrymod
+
+        out = entrymod.q_calculated_channel(spark, "/root/testdata/sf0.001")
+        out.collect()
+        p = phys(out)
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+        for node in PY_NODES:
+            assert node not in p
+        import re
+
+        assert len(re.findall(r"Exchange hashpartitioning", p)) <= 4

@@ -734,3 +734,87 @@ class TestWavNative:
             assert samples.shape == exp.shape
             # equal up to the 16-bit re-quantization of the encode
             assert np.abs(samples - exp).max() <= 1.0 / 32768 + 1e-12
+
+
+class TestTrainingDataOps:
+    def test_repetition_signals_counts(self, spark):
+        df = docs_df(spark, ["a b a b a b", "x y z w"])
+        out = {r.doc_id: r for r in T.repetition_signals(df).collect()}
+        # doc 0: 2-grams [a b]x3 [b a]x2; 3-grams [a b a]x2 [b a b]x2
+        assert (out[0].n_2grams, out[0].top_2gram_count, out[0].dup_2gram_count) == (5, 3, 5)
+        assert (out[0].n_3grams, out[0].top_3gram_count, out[0].dup_3gram_count) == (4, 2, 4)
+        # doc 1: all grams unique
+        assert (out[1].n_2grams, out[1].top_2gram_count, out[1].dup_2gram_count) == (3, 1, 0)
+        assert (out[1].n_3grams, out[1].top_3gram_count, out[1].dup_3gram_count) == (2, 1, 0)
+
+    def test_repetition_short_docs(self, spark):
+        df = docs_df(spark, ["only two", "single"])
+        rows = {r.doc_id: r for r in T.repetition_signals(df).collect()}
+        # 2-word doc: one 2-gram, NULL 3-gram columns
+        assert rows[0].n_2grams == 1 and rows[0].n_3grams is None
+        assert rows[0].dup_3gram_count is None
+        # 1-word doc emits nothing
+        assert 1 not in rows
+
+    def test_contamination_hits(self, spark):
+        df = docs_df(
+            spark,
+            [
+                "a b c d e f",       # doc 0: benchmark (even id)
+                "a b c q r s",       # doc 1: shares 3-gram "a b c" with doc 0
+                "m n o p q r",       # doc 2: benchmark
+                "zz qq ww ee rr",    # doc 3: clean
+            ],
+        )
+        out = {r.doc_id: r for r in T.contamination(df, n=3, bench_mod=2).collect()}
+        assert set(out) == {1}
+        assert out[1].n_hit_grams == 1 and out[1].n_bench_docs == 1
+
+    def test_stratified_sample_rates_and_determinism(self, spark):
+        from usgs_geomag_algorithms_spark.operators.curate import (
+            stratified_sample,
+        )
+
+        rows = [(i, "t", ("s0", "s1", "s2")[i % 3]) for i in range(3000)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        rates = {"s0": 0.0, "s1": 0.5, "s2": 1.0}
+        kept = stratified_sample(df, rates).select("doc_id", "source")
+        by_src = {
+            r.source: r.c
+            for r in kept.groupBy("source").agg(F.count("*").alias("c")).collect()
+        }
+        assert "s0" not in by_src            # rate 0 -> dropped
+        assert by_src["s2"] == 1000          # rate 1 -> all kept
+        assert 400 < by_src["s1"] < 600      # ~Binomial(1000, 0.5)
+        # deterministic and resharding-safe: same ids after repartition
+        ids_a = {r.doc_id for r in kept.collect()}
+        ids_b = {
+            r.doc_id
+            for r in stratified_sample(df.repartition(7), rates).collect()
+        }
+        assert ids_a == ids_b
+        # unknown stratum defaults to dropped
+        df2 = spark.createDataFrame(
+            [(1, "t", "mystery")], "doc_id long, text string, source string"
+        )
+        assert stratified_sample(df2, rates).count() == 0
+
+    def test_stratified_sample_map_only_plan(self, spark):
+        from usgs_geomag_algorithms_spark.operators.curate import (
+            stratified_sample,
+        )
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.lit("t").alias("text"),
+            F.concat(F.lit("s"), (F.col("id") % 3)).alias("source"),
+        )
+        plan = (
+            stratified_sample(df, {"s0": 0.5, "s1": 0.25})
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # rides the scan: no shuffle, no join

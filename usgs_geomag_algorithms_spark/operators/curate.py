@@ -16,6 +16,45 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .textops import lang_pred_column, quality_columns
 
 
+def sample_uniform(col: F.Column) -> F.Column:
+    """Deterministic uniform(0,1) from a key: first 8 md5 hex chars as a
+    32-bit integer over 2^32 — a dyadic rational, so ``u < rate``
+    compares bit-identically in any engine (DuckDB:
+    ``('0x'||substr(md5(k),1,8))::BIGINT / 4294967296.0``)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        / F.lit(4294967296.0)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Deterministic stratified (domain-mixing) sample: keep each row
+    with its stratum's rate, decided by a content-free hash of the id.
+
+    This is the domain-reweighting primitive of a pretraining data build
+    (e.g. up/down-sampling web vs reference vs code sources): rates are a
+    small literal map folded into ONE ``element_at(map, stratum)``
+    expression, so the plan is map-only — no shuffle, no join, no Python;
+    at 100 TB it rides the scan for free and is reproducible run-to-run
+    (resharding-safe: the decision depends on the id, not the partition).
+    Unknown strata default to rate 0.0 (dropped).
+    """
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in kv]
+    )
+    rate = F.coalesce(
+        F.element_at(rate_map, F.col(stratum_col)), F.lit(0.0)
+    )
+    return df.where(sample_uniform(F.col(id_col)) < rate)
+
+
 def curate(
     df: DataFrame,
     lang: str = "en",

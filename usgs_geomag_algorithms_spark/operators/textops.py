@@ -140,6 +140,105 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def word_ngrams(words: F.Column, n: int) -> F.Column:
+    """Word n-grams of a split-text array as a JVM-side expression
+    (1-based ``element_at`` over a guarded ``sequence`` — ``sequence``
+    DESCENDS when start>stop, so short docs must short-circuit to [])."""
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(words, i - (n - 1 - j)) for j in range(n)]
+    )
+    return F.when(
+        F.size(words) >= n,
+        F.transform(F.sequence(F.lit(n), F.size(words)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition counters: per doc, total /
+    top / duplicated word-2-gram and 3-gram instance counts.
+
+    All-integer outputs so the driver oracle is bit-exact (ratios like
+    ``top_2gram_count / n_2grams`` are one division away and inherit
+    exactness).  Plan: ONE corpus scan explodes both gram sizes as tagged
+    (n, gram) structs -> count per (doc, n, gram) with map-side partial
+    aggregation -> per-doc conditional roll-up.  A single shuffle keyed
+    by (doc, n, gram) spreads hot grams across docs — no skew pile-up at
+    100 TB, explode factor bounded by document length, and the 3-gram
+    pass rides the 2-gram scan for free (vs. a naive two-scan two-join
+    plan).  Docs long enough for 2-grams but not 3-grams carry NULL
+    3-gram columns; docs under 2 words emit nothing.
+    """
+    words = F.split(F.col(text_col), " ")
+    tag = lambda n: F.transform(
+        word_ngrams(words, n),
+        lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+    )
+    counts = (
+        df.select(id_col, F.explode(F.concat(tag(2), tag(3))).alias("t"))
+        .select(id_col, "t.n", "t.gram")
+        .groupBy(id_col, "n", "gram")
+        .count()
+    )
+
+    def rollup(n: int):
+        here = F.col("n") == n
+        return [
+            F.sum(F.when(here, F.col("count")))
+            .cast("long")
+            .alias(f"n_{n}grams"),
+            F.max(F.when(here, F.col("count")))
+            .cast("long")
+            .alias(f"top_{n}gram_count"),
+            F.when(
+                F.max(F.when(here, F.col("count"))).isNotNull(),
+                F.coalesce(
+                    F.sum(
+                        F.when(here & (F.col("count") > 1), F.col("count"))
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .cast("long")
+            .alias(f"dup_{n}gram_count"),
+        ]
+
+    return counts.groupBy(id_col).agg(*rollup(2), *rollup(3))
+
+
+def contamination(
+    df: DataFrame,
+    n: int = 5,
+    bench_mod: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination screen: corpus documents sharing any word
+    n-gram with the benchmark slice (here ``doc_id % bench_mod == 0`` —
+    in production a separate benchmark table).
+
+    The benchmark side is tiny by construction, so it broadcasts: the
+    corpus scan stays shuffle-free until the final per-doc count, which
+    is bounded by hit cardinality.  Counts (distinct contaminated grams,
+    distinct benchmark docs matched) are integers -> exact oracle.
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = df.select(
+        id_col, F.explode(word_ngrams(words, n)).alias("gram")
+    ).distinct()
+    is_bench = F.col(id_col) % bench_mod == 0
+    bench = grams.where(is_bench).select(
+        F.col(id_col).alias("bench_id"), "gram"
+    )
+    corpus = grams.where(~is_bench)
+    hits = corpus.join(F.broadcast(bench), "gram")
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("gram").cast("long").alias("n_hit_grams"),
+        F.countDistinct("bench_id").cast("long").alias("n_bench_docs"),
+    )
+
+
 def fingerprint(
     df: DataFrame,
     n: int = 8,

@@ -716,6 +716,109 @@ WHERE l.pred_lang = 'en' AND q.quality_score >= {CURATE_MIN_QUALITY}
 """
 
 
+# ---------------------------------------------------------- training-data ops
+#: benchmark-contamination screen config: 4-grams, every 50th doc is "benchmark"
+CONTAM_N = 4
+CONTAM_MOD = 50
+
+#: stratified (domain-mixing) sample rates — dyadic rationals so the
+#: ``u < rate`` comparison is bit-identical in Spark and DuckDB
+STRATA_RATES = {f"src{i}": (i % 5) / 4.0 for i in range(20)}
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import contamination
+
+    return contamination(_docs(spark, sf_dir), n=CONTAM_N, bench_mod=CONTAM_MOD)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.curate import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), STRATA_RATES).select(
+        "doc_id", "source"
+    )
+
+
+def _gram_expr(n: int) -> str:
+    """DuckDB word-n-gram at 1-based start index i: ws[i] .. ws[i+n-1]."""
+    return " || ' ' || ".join(
+        f"ws[i + {j}]" if j else "ws[i]" for j in range(n)
+    )
+
+
+def _gram_cte(n: int, name: str) -> str:
+    return f"""wd_{name} AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+ix_{name} AS (
+    SELECT doc_id, ws, unnest(generate_series(1, len(ws) - {n - 1})) AS i
+    FROM wd_{name}
+),
+{name} AS (
+    SELECT doc_id, {_gram_expr(n)} AS gram FROM ix_{name}
+)"""
+
+
+def _repetition_sql() -> str:
+    def agg(n: int) -> str:
+        return f"""a{n} AS (
+    SELECT doc_id,
+           sum(c)::BIGINT AS n_{n}grams,
+           max(c)::BIGINT AS top_{n}gram_count,
+           coalesce(sum(CASE WHEN c > 1 THEN c END), 0)::BIGINT
+               AS dup_{n}gram_count
+    FROM (SELECT doc_id, gram, count(*) AS c FROM g{n} GROUP BY 1, 2)
+    GROUP BY 1
+)"""
+
+    # a2 anchors the LEFT JOIN: any doc with a 3-gram has a 2-gram, so
+    # this matches the Spark single-pass semantics (NULL 3-gram columns
+    # for 2-word docs) exactly.
+    return f"""
+WITH {_gram_cte(2, 'g2')},
+{_gram_cte(3, 'g3')},
+{agg(2)},
+{agg(3)}
+SELECT a2.doc_id, n_2grams, top_2gram_count, dup_2gram_count,
+       n_3grams, top_3gram_count, dup_3gram_count
+FROM a2 LEFT JOIN a3 ON a2.doc_id = a3.doc_id
+"""
+
+
+def _contamination_sql() -> str:
+    return f"""
+WITH {_gram_cte(CONTAM_N, 'gn')},
+dg AS (SELECT DISTINCT doc_id, gram FROM gn),
+bench AS (
+    SELECT doc_id AS bench_id, gram FROM dg WHERE doc_id % {CONTAM_MOD} = 0
+),
+corpus AS (SELECT doc_id, gram FROM dg WHERE doc_id % {CONTAM_MOD} != 0)
+SELECT c.doc_id,
+       count(DISTINCT c.gram)::BIGINT AS n_hit_grams,
+       count(DISTINCT b.bench_id)::BIGINT AS n_bench_docs
+FROM corpus c JOIN bench b ON c.gram = b.gram
+GROUP BY 1
+"""
+
+
+def _stratified_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in STRATA_RATES.items()
+    )
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
+      < (CASE source {cases} ELSE 0.0 END)
+"""
+
+
 QUERIES = {
     "minhash_signature": q_minhash_signature,
     "lsh_pairs": q_lsh_pairs,
@@ -734,6 +837,9 @@ QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "curate_corpus": q_curate_corpus,
     "near_dup_verified": q_near_dup_verified,
+    "repetition_signals": q_repetition_signals,
+    "contamination": q_contamination,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES = {
@@ -753,6 +859,9 @@ ORACLES = {
     "knn_ivf_fixed": _knn_ivf_fixed_sql(),
     "knn_ivf_bcast": _knn_ivf_bcast_sql(),
     "lsh_pairs": _lsh_pairs_sql(),
+    "repetition_signals": _repetition_sql(),
+    "contamination": _contamination_sql(),
+    "stratified_sample": _stratified_sql(),
     # knn_ivf stays rows-only: its coarse centroids are trained from the
     # data (seeded k-means) — not expressible as a fixed SQL oracle
 }

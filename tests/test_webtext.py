@@ -818,3 +818,67 @@ class TestTrainingDataOps:
             .toString()
         )
         assert "Exchange" not in plan  # rides the scan: no shuffle, no join
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction(self, spark):
+        from usgs_geomag_algorithms_spark.operators.pii import pii_scrub
+
+        df = docs_df(
+            spark,
+            [
+                "write to alice.smith+x@ex-a.co.uk or bob@b.io today",
+                "call 555-123-4567 or 303.555.1234 now",
+                "server at 10.0.0.1 and 192.168.255.3",
+                "ssn 123-45-6789 leaked",
+                "nothing sensitive here",
+            ],
+        )
+        out = {r.doc_id: r for r in pii_scrub(df).collect()}
+        assert out[0].n_email == 2 and out[0].n_phone == 0
+        assert out[0].clean_text == "write to <EMAIL> or <EMAIL> today"
+        assert out[1].n_phone == 2
+        assert out[1].clean_text == "call <PHONE> or <PHONE> now"
+        assert out[2].n_ipv4 == 2
+        assert out[2].clean_text == "server at <IP> and <IP>"
+        assert out[3].n_ssn == 1 and out[3].n_phone == 0
+        assert out[3].clean_text == "ssn <SSN> leaked"
+        assert out[4].clean_text == "nothing sensitive here"
+        assert (out[4].n_email, out[4].n_ssn, out[4].n_phone, out[4].n_ipv4) \
+            == (0, 0, 0, 0)
+
+    def test_map_only_plan(self, spark):
+        from usgs_geomag_algorithms_spark.operators.pii import pii_scrub
+
+        df = spark.range(10).select(
+            F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+        )
+        plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+class TestCorpusWordStats:
+    def test_two_pass_frequencies(self, spark):
+        from usgs_geomag_algorithms_spark.operators.textops import (
+            corpus_word_stats,
+        )
+
+        # corpus freqs: the=3, cat=2, dog=1, sat=2
+        df = docs_df(spark, ["the cat sat", "the dog sat", "the cat"])
+        out = {r.doc_id: r for r in corpus_word_stats(df, rare_below=2).collect()}
+        assert (out[0].n_words, out[0].n_types) == (3, 3)
+        assert (out[0].min_freq, out[0].max_freq, out[0].freq_sum) == (2, 3, 7)
+        assert out[0].n_rare == 0
+        assert out[1].min_freq == 1 and out[1].n_rare == 1  # dog
+        assert (out[2].n_words, out[2].freq_sum) == (2, 5)
+
+    def test_repeated_word_counts_instances(self, spark):
+        from usgs_geomag_algorithms_spark.operators.textops import (
+            corpus_word_stats,
+        )
+
+        df = docs_df(spark, ["a a b"])
+        r = corpus_word_stats(df).collect()[0]
+        # 'a' freq=2 counted per instance: freq_sum = 2 + 2 + 1
+        assert (r.n_words, r.n_types, r.freq_sum, r.n_rare) == (3, 2, 5, 3)

@@ -239,6 +239,50 @@ def contamination(
     )
 
 
+def corpus_word_stats(
+    df: DataFrame,
+    rare_below: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-informed document scoring: join each document's words back
+    against the corpus-wide word-frequency table (the two-pass pattern
+    behind KenLM-style perplexity gates — here with all-integer outputs
+    so the driver oracle is bit-exact; a log-prob is one ``ln`` away).
+
+    Per doc: instance/type counts, min/max/sum of corpus frequency over
+    word instances, and how many instances are corpus-rare
+    (``freq < rare_below``).
+
+    Scale: the vocabulary of a 100 TB corpus has billions of types, so
+    the frequency table is NOT broadcast — both the count and the
+    words->vocab join shuffle on the word key, where stopword skew is
+    AQE's bread and butter (sorted-merge sides split per key); the final
+    roll-up shuffles on doc_id.  Three shuffles total, each keyed by a
+    high-cardinality column.
+    """
+    words = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("freq"))
+    return (
+        words.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.countDistinct("word").cast("long").alias("n_types"),
+            F.min("freq").cast("long").alias("min_freq"),
+            F.max("freq").cast("long").alias("max_freq"),
+            F.sum("freq").cast("long").alias("freq_sum"),
+            F.coalesce(
+                F.sum(F.when(F.col("freq") < rare_below, F.lit(1))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+
+
 def fingerprint(
     df: DataFrame,
     n: int = 8,

@@ -746,6 +746,104 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: corpus-rare threshold for corpus_word_stats
+RARE_BELOW = 3
+
+
+def q_corpus_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import corpus_word_stats
+
+    return corpus_word_stats(_docs(spark, sf_dir), rare_below=RARE_BELOW)
+
+
+def _pii_enriched_spark(df: DataFrame) -> DataFrame:
+    """Deterministically splice synthetic PII into the corpus (the
+    driver's documents are PII-free by construction) — mirrored
+    expression-for-expression by :func:`_pii_enriched_sql_expr`."""
+    d = F.col("doc_id")
+
+    def maybe(mod: int, expr) -> F.Column:
+        return F.when(d % mod == 0, expr).otherwise(F.lit(""))
+
+    return df.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            maybe(5, F.concat(F.lit(" reach user"), d.cast("string"),
+                              F.lit("@example.com"))),
+            maybe(7, F.format_string(" call 555-%03d-%04d now",
+                                     d % 1000, d % 10000)),
+            maybe(11, F.format_string(" from 10.0.%d.%d", d % 256, d % 100)),
+            maybe(13, F.format_string(" ssn %03d-%02d-%04d",
+                                      d % 1000, d % 100, d % 10000)),
+        ).alias("text"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pii import pii_scrub
+
+    return pii_scrub(_pii_enriched_spark(_docs(spark, sf_dir)))
+
+
+_PII_ENRICH_SQL = """
+SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 5 = 0
+          THEN ' reach user' || doc_id::VARCHAR || '@example.com'
+          ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+          THEN printf(' call 555-%03d-%04d now', doc_id % 1000, doc_id % 10000)
+          ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+          THEN printf(' from 10.0.%d.%d', doc_id % 256, doc_id % 100)
+          ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+          THEN printf(' ssn %03d-%02d-%04d',
+                      doc_id % 1000, doc_id % 100, doc_id % 10000)
+          ELSE '' END AS text
+FROM documents
+"""
+
+
+def _pii_sql() -> str:
+    from .operators.pii import PII_PATTERNS
+
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    clean = "text"
+    for _, pat, token in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH enr AS ({_PII_ENRICH_SQL})
+SELECT doc_id,
+       {counts},
+       {clean} AS clean_text
+FROM enr
+"""
+
+
+def _corpus_word_stats_sql() -> str:
+    return f"""
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+v AS (SELECT word, count(*) AS freq FROM w GROUP BY 1)
+SELECT doc_id,
+       count(*)::BIGINT AS n_words,
+       count(DISTINCT w.word)::BIGINT AS n_types,
+       min(freq)::BIGINT AS min_freq,
+       max(freq)::BIGINT AS max_freq,
+       sum(freq)::BIGINT AS freq_sum,
+       coalesce(sum(CASE WHEN freq < {RARE_BELOW} THEN 1 END), 0)::BIGINT
+           AS n_rare
+FROM w JOIN v USING (word)
+GROUP BY 1
+"""
+
+
 def _gram_expr(n: int) -> str:
     """DuckDB word-n-gram at 1-based start index i: ws[i] .. ws[i+n-1]."""
     return " || ' ' || ".join(
@@ -840,6 +938,8 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "contamination": q_contamination,
     "stratified_sample": q_stratified_sample,
+    "pii_scrub": q_pii_scrub,
+    "corpus_word_stats": q_corpus_word_stats,
 }
 
 ORACLES = {
@@ -862,6 +962,8 @@ ORACLES = {
     "repetition_signals": _repetition_sql(),
     "contamination": _contamination_sql(),
     "stratified_sample": _stratified_sql(),
+    "pii_scrub": _pii_sql(),
+    "corpus_word_stats": _corpus_word_stats_sql(),
     # knn_ivf stays rows-only: its coarse centroids are trained from the
     # data (seeded k-means) — not expressible as a fixed SQL oracle
 }

@@ -48,11 +48,21 @@ DATA_COLS = ("url", "channel", "t_us", "value")
 
 
 class ConcurrentWriterError(RuntimeError):
-    """Two writers raced a tier commit. The store is single-writer per
-    tier (Iceberg's optimistic-commit simplification): a second manifest
-    flip computed from a stale snapshot would silently drop the first
-    writer's files, so the race is DETECTED and fails loudly instead —
-    nothing committed is ever lost."""
+    """Two writers raced a tier commit. A second manifest flip computed
+    from a stale snapshot would silently drop the first writer's files,
+    so the race is DETECTED: disjoint-partition commits are rebased and
+    land anyway (Iceberg's optimistic commit), overlapping upserts are
+    recomputed against the fresh snapshot and retried, and only an
+    unresolvable race (lock-wait exhausted, retries exhausted, or a bare
+    ``write`` whose overlap semantics the store can't re-derive) fails
+    loudly — nothing committed is ever lost."""
+
+
+class StaleSnapshotError(ConcurrentWriterError):
+    """A read-modify-write planned against snapshot v_n found v_m > v_n
+    at flip time WITH overlapping touched partitions — the merge result
+    is stale. :meth:`TierStore.upsert` catches this and retries the
+    whole merge against the fresh snapshot (bounded attempts)."""
 
 
 def _atomic_swap_dirs(live: str, staged: str) -> None:
@@ -101,11 +111,19 @@ class TierStore:
         root: str,
         n_buckets: int = 16,
         series_cols: Sequence[str] = ("url", "channel"),
+        lock_wait_s: float = 0.0,
+        upsert_retries: int = 3,
     ):
         self.spark = spark
         self.root = root.rstrip("/")
         self.n_buckets = n_buckets
         self.series_cols = list(series_cols)
+        #: how long a commit waits for another writer's lock before
+        #: raising (0 = fail immediately — single-writer deployments want
+        #: the loud failure; multi-writer jobs set a wait and queue)
+        self.lock_wait_s = lock_wait_s
+        #: bounded optimistic-commit retries for upsert on stale snapshots
+        self.upsert_retries = upsert_retries
         os.makedirs(self.root, exist_ok=True)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -126,31 +144,39 @@ class TierStore:
 
     def _commit_lock(self, base: str):
         """Exclusive tier-commit guard: O_CREAT|O_EXCL lockfile held across
-        load-manifest → append-files → manifest-flip. A second writer gets
-        an immediate ``ConcurrentWriterError`` naming the holder instead of
-        a silent last-flip-wins file loss. A crashed holder's lock is
-        released with :meth:`force_unlock` (the error message says so) —
-        deliberately manual, since auto-breaking by TTL reintroduces the
-        race it exists to prevent."""
+        load-manifest → append-files → manifest-flip. A second writer
+        polls for up to ``lock_wait_s`` (committers queue, like Iceberg's
+        commit lock), then raises ``ConcurrentWriterError`` naming the
+        holder instead of a silent last-flip-wins file loss. A crashed
+        holder's lock is released with :meth:`force_unlock` (the error
+        message says so) — deliberately manual, since auto-breaking by
+        TTL reintroduces the race it exists to prevent."""
         from contextlib import contextmanager
 
         lock = self._lock_path(base)
 
         @contextmanager
         def _held():
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
+            deadline = time.monotonic() + self.lock_wait_s
+            while True:
                 try:
-                    with open(lock) as f:
-                        holder = f.read().strip() or "?"
-                except OSError:
-                    holder = "?"
-                raise ConcurrentWriterError(
-                    f"commit lock {lock} is held ({holder}); the store is "
-                    f"single-writer per tier. If the holder crashed, release "
-                    f"it with TierStore.force_unlock()."
-                ) from None
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    if time.monotonic() < deadline:
+                        time.sleep(0.1)
+                        continue
+                    try:
+                        with open(lock) as f:
+                            holder = f.read().strip() or "?"
+                    except OSError:
+                        holder = "?"
+                    raise ConcurrentWriterError(
+                        f"commit lock {lock} is held ({holder}); the store "
+                        f"is single-writer per tier (set lock_wait_s to "
+                        f"queue). If the holder crashed, release it with "
+                        f"TierStore.force_unlock()."
+                    ) from None
             try:
                 os.write(fd, f"pid={os.getpid()} at={time.time():.0f}".encode())
                 os.close(fd)
@@ -272,9 +298,23 @@ class TierStore:
             ),
         )
 
+    @staticmethod
+    def _changed_dirs(old_m: dict | None, new_m: dict | None) -> set[str]:
+        """Partition dirs whose LIVE file set differs between snapshots —
+        the partitions intervening commits actually modified."""
+
+        def by_dir(m):
+            d: dict[str, set] = {}
+            for f in (m or {}).get("files", []):
+                d.setdefault(os.path.dirname(f), set()).add(f)
+            return d
+
+        a, b = by_dir(old_m), by_dir(new_m)
+        return {k for k in set(a) | set(b) if a.get(k) != b.get(k)}
+
     # ------------------------------------------------------------- write
     def write(
-        self, df: DataFrame, tier: str, _expected_version: int | None = None
+        self, df: DataFrame, tier: str, _based_on: dict | None = None
     ) -> None:
         """Partition overwrite through the snapshot manifest: new files are
         APPENDED (never clobbering live ones), then one atomic manifest
@@ -282,25 +322,28 @@ class TierStore:
         partitions' old files to trash. Readers planned against the prior
         snapshot keep valid paths for ``GC_GRACE_VERSIONS`` more writes.
 
-        The whole load→append→flip runs under the tier commit lock; a
-        concurrent writer raises :class:`ConcurrentWriterError` instead of
-        racing the flip. ``_expected_version`` (used by :meth:`upsert`)
-        additionally pins the snapshot the caller's read-modify-write was
-        BASED on — if another commit landed between the read and this
-        write, the merge is stale and aborts before touching disk."""
+        The whole load→append→flip runs under the tier commit lock.
+        ``_based_on`` (used by :meth:`upsert`) pins the snapshot the
+        caller's read-modify-write was BASED on; if other commits landed
+        since, the commit is validated Iceberg-style at PARTITION
+        granularity: when the intervening changes are disjoint from the
+        partitions this write touches, the commit rebases onto the
+        current snapshot and lands anyway; on overlap it raises
+        :class:`StaleSnapshotError` (the merge result is stale — the
+        appended files are swept as orphans by the next commit) and
+        :meth:`upsert` recomputes and retries."""
         base = self.path(tier)
         os.makedirs(base, exist_ok=True)
         with self._commit_lock(base):
             m = self._load_manifest(base)
-            if _expected_version is not None:
+            conflict_dirs: set[str] = set()
+            if _based_on is not None:
                 current = (m or {}).get("version", 0)
-                if current != _expected_version:
-                    raise ConcurrentWriterError(
-                        f"tier {tier!r} advanced v{_expected_version} -> "
-                        f"v{current} since this read-modify-write planned "
-                        f"its read; re-run the upsert against the current "
-                        f"snapshot"
-                    )
+                based = (_based_on or {}).get("version", 0)
+                if current != based:
+                    # rebase onto the current snapshot; overlap with the
+                    # dirs we actually touch is checked after the append
+                    conflict_dirs = self._changed_dirs(_based_on, m)
             before = self._list_parquet(base)
             if m is None and before:
                 # adopt a legacy (pre-manifest) directory: every existing
@@ -315,6 +358,15 @@ class TierStore:
             after = self._list_parquet(base)
             new_files = after - before
             touched = {os.path.dirname(f) for f in new_files}
+            overlap = conflict_dirs & touched
+            if overlap:
+                raise StaleSnapshotError(
+                    f"tier {tier!r} advanced past the snapshot this "
+                    f"read-modify-write was based on, and the intervening "
+                    f"commits modified {len(overlap)} of the partitions it "
+                    f"touches ({sorted(overlap)[:3]}…); the merge is stale "
+                    f"— recompute against the current snapshot and retry"
+                )
             replaced = (
                 [f for f in m["files"] if os.path.dirname(f) in touched]
                 if m
@@ -349,18 +401,31 @@ class TierStore:
         }
         if not keys:
             return
-        # pin the snapshot this merge reads from: if another writer lands a
-        # commit between here and our flip, the merge is stale and write()
-        # aborts loudly instead of clobbering the interleaved commit
-        read_version = (self._load_manifest(self.path(tier)) or {}).get(
-            "version", 0
-        )
-        old_touched = self._read_partitions(tier, keys)
-        merged = merge_last_wins(
-            old_touched, df.select(*self.series_cols, "t_us", "value"),
-            series_cols=self.series_cols,
-        )
-        self.write(merged, tier, _expected_version=read_version)
+        # optimistic commit (Iceberg MERGE INTO semantics): pin the
+        # snapshot the merge reads from; if another writer lands a commit
+        # before our flip, write() validates at partition granularity —
+        # disjoint commits rebase and land, overlapping ones raise
+        # StaleSnapshotError and the WHOLE merge recomputes against the
+        # fresh snapshot (bounded retries). Nothing committed is ever
+        # clobbered by a stale merge.
+        last: StaleSnapshotError | None = None
+        for _ in range(max(1, self.upsert_retries)):
+            read_manifest = self._load_manifest(self.path(tier)) or {
+                "version": 0,
+                "files": [],
+                "trash": {},
+            }
+            old_touched = self._read_partitions(tier, keys)
+            merged = merge_last_wins(
+                old_touched, df.select(*self.series_cols, "t_us", "value"),
+                series_cols=self.series_cols,
+            )
+            try:
+                self.write(merged, tier, _based_on=read_manifest)
+                return
+            except StaleSnapshotError as e:
+                last = e
+        raise last
 
     def _read_partitions(self, tier: str, keys: set) -> DataFrame:
         """Read exactly the given (p_date, p_bucket) partitions of a tier

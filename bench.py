@@ -49,6 +49,11 @@ BENCH_QUERIES = [
     "curate_corpus",
     "top_minutes",
     "text_quality",
+    "repetition_signals",
+    "contamination",
+    "stratified_sample",
+    "pii_scrub",
+    "corpus_word_stats",
 ]
 
 

@@ -264,3 +264,115 @@ class TestLambdaReconcile:
                 assert full.get(t) == got[t]
             else:
                 np.testing.assert_almost_equal(got[t], full[t], decimal=9)
+
+
+class TestStreamingDedup:
+    def test_exact_dup_dropped_at_ingest(self, spark, tmp_path):
+        from usgs_geomag_algorithms_spark.streaming.dedup_stream import (
+            streaming_exact_dedup,
+        )
+
+        rows = [
+            (0, "the same document body", T0),
+            (1, "the same document body", T0 + 30 * US),   # dup, later ts
+            (2, "a different document", T0 + 60 * US),
+            (3, "the same document body", T0 + 90 * US),   # dup again
+            (4, "a different document", T0 + 120 * US),    # dup of 2
+        ]
+        df = spark.createDataFrame(
+            [(i, t, us // US) for i, t, us in rows],
+            "doc_id long, text string, epoch_s long",
+        ).select(
+            "doc_id", "text", F.col("epoch_s").cast("timestamp").alias("event_ts")
+        )
+        path = str(tmp_path / "docs")
+        df.coalesce(1).write.parquet(path)
+
+        stream = spark.readStream.schema(
+            spark.read.parquet(path).schema
+        ).parquet(path)
+        out = streaming_exact_dedup(stream, watermark="10 minutes")
+        got = drain(out, spark, "dedup_stream").collect()
+        # one survivor per distinct content hash
+        assert len(got) == 2
+        assert {r.text for r in got} == {
+            "the same document body", "a different document",
+        }
+        # the survivor carries the dedup identity column
+        assert all(len(r.content_hash) == 64 for r in got)
+
+    def test_state_bounded_by_watermark_eviction(self, spark, tmp_path):
+        """The reason this scales to an unbounded firehose: state rows
+        are EVICTED as the watermark passes their horizon (asserted via
+        the state-operator metrics), so state is O(rate x horizon) —
+        plain dropDuplicates would grow forever. Dedup WITHIN the
+        horizon is guaranteed; a re-arrival beyond it is unspecified
+        (Spark may still drop it best-effort), which is why exact
+        cross-horizon dedup stays a batch job."""
+        from usgs_geomag_algorithms_spark.streaming.dedup_stream import (
+            streaming_exact_dedup,
+        )
+
+        import glob
+        import os as _os
+        import shutil
+
+        schema = "doc_id long, text string, epoch_s long"
+        src = str(tmp_path / "src")
+        _os.makedirs(src)
+        batches = [
+            [(0, "recurring body", T0 // US),
+             (1, "recurring body", T0 // US + 60)],  # in-horizon dup
+            # 2 h later: advances the watermark far past batch 0's
+            # 10 min horizon -> doc 0's state row must be evicted
+            [(2, "advance the watermark", T0 // US + 7200)],
+            [(3, "advance more", T0 // US + 14400)],
+        ]
+        for i, rows in enumerate(batches):
+            staged = str(tmp_path / f"b{i}")
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                staged
+            )
+            dst = f"{src}/b{i}.parquet"
+            shutil.copy(glob.glob(staged + "/*.parquet")[0], dst)
+            # FileStreamSource orders by mtime: one file per micro-batch
+            _os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, epoch_s long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select(
+                "doc_id", "text",
+                F.col("epoch_s").cast("timestamp").alias("event_ts"),
+            )
+        )
+        out = streaming_exact_dedup(stream, watermark="10 minutes")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_evict")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        ids = sorted(
+            r.doc_id
+            for r in spark.sql("SELECT doc_id FROM dedup_evict").collect()
+        )
+        # in-horizon duplicate (doc 1) guaranteed dropped; survivors kept
+        assert ids == [0, 2, 3]
+        removed = sum(
+            p["stateOperators"][0]["numRowsRemoved"]
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+        final_rows = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in q.recentProgress
+            if p["stateOperators"]
+        ][-1]
+        assert removed >= 1            # horizon-passed state was evicted
+        assert final_rows < len(ids)   # state does NOT accumulate history

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "embedding_near_dups_bucketed",
     "rollup_month_value",
     "near_dup_verified",
+    "dedup_clusters",
     "curate_corpus",
     "top_minutes",
     "text_quality",

@@ -63,6 +63,79 @@ class TestDedup:
         assert out[(0, 2)] == 0.0
 
 
+class TestConnectedComponents:
+    @staticmethod
+    def _union_find(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for v in range(n_nodes):
+            r = find(v)
+            comp.setdefault(r, []).append(v)
+        return {v: min(members) for members in comp.values() for v in members}
+
+    def test_path_graph_worst_case_diameter(self, spark):
+        # a 64-node chain: neighbor-min alone needs 63 rounds — pointer
+        # jumping must close it within the default max_iter
+        edges = [(i, i + 1) for i in range(63)]
+        pairs = spark.createDataFrame(edges, schema="id_a long, id_b long")
+        out = {r.id: r.component for r in D.connected_components(pairs).collect()}
+        assert out == {i: 0 for i in range(64)}
+
+    def test_random_graph_matches_union_find(self, spark):
+        import random
+
+        rng = random.Random(7)
+        n = 200
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, schema="id_a long, id_b long")
+        out = {r.id: r.component for r in D.connected_components(pairs).collect()}
+        expected = self._union_find(n, edges)
+        touched = {v for e in edges for v in e}
+        assert out == {v: expected[v] for v in touched}
+
+    def test_near_dup_clusters_end_to_end(self, spark):
+        a = "the quick brown fox jumps over the lazy dog again and again today"
+        texts = [a, a, a.replace("today", "tonite"), "zzz qqq www unrelated",
+                 "entirely different content about spark plans"]
+        df = docs_df(spark, texts)
+        out = {r.doc_id: (r.cluster_id, r.is_canonical)
+               for r in D.near_dup_clusters(df, threshold=0.3).collect()}
+        assert len(out) == len(texts)          # one row per doc, singletons kept
+        assert out[0] == (0, True)
+        assert out[1] == (0, False)            # exact dup of 0
+        assert out[2] == (0, False)            # near dup joins the cluster
+        assert out[3] == (3, True)
+        assert out[4] == (4, True)
+        kept = sorted(d for d, (_, canon) in out.items() if canon)
+        assert kept == [0, 3, 4]
+
+    def test_transitive_chain_one_cluster(self, spark):
+        # a ~ b and b ~ c but a !~ c directly: transitivity must still
+        # put all three in one cluster
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+        b = base.replace("zeta", "zzzz").replace("eta ", "ee12 ")
+        c = b.replace("alpha", "aaaa").replace("beta", "bb34")
+        df = docs_df(spark, [base, b, c])
+        pairs = {(r.id_a, r.id_b): r.jaccard
+                 for r in D.near_dup_pairs_verified(df, threshold=0.5).collect()}
+        out = {r.doc_id: r.cluster_id
+               for r in D.near_dup_clusters(df, threshold=0.5).collect()}
+        if (0, 1) in pairs and (1, 2) in pairs:
+            assert out == {0: 0, 1: 0, 2: 0}
+
+
 class TestSimilarity:
     def test_bruteforce_topk_exact(self, spark):
         rng = np.random.default_rng(5)

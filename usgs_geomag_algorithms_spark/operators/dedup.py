@@ -322,3 +322,136 @@ def near_dup_pairs_verified(
     return ngram_jaccard_pairs(
         df, cands, n=shingle_n, text_col=text_col, id_col=id_col, shingles=sh
     ).where(F.col("jaccard") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected edge list -> (id, component)
+    where ``component`` is the minimum node id in each component.
+
+    Iterative min-label propagation with pointer jumping — the scalable
+    DataFrame form of union-find (cf. "Connected Components in MapReduce
+    and Beyond", Kiveris et al. 2014; GraphX runs the same label-propagation
+    shape). Each round:
+
+      1. neighbor-min:  label(v) <- min(label(v), min_{u~v} label(u))
+         (one join edges x labels + one groupBy — shuffle keyed on node id)
+      2. pointer jump:  label(v) <- min(label(v), label(label(v)))
+         (labels self-join — halves pointer-chain depth each round)
+
+    Labels are monotone non-increasing and bounded below by the component
+    minimum; at fixpoint every edge has equal labels on both ends, so each
+    component is uniformly labeled with its min id. Neighbor-min alone
+    needs O(diameter) rounds (a chain of verified near-dups can be long);
+    the pointer jump cuts that to O(log diameter).
+
+    Scale shape: the edge list is the *verified near-dup pairs* — orders of
+    magnitude smaller than the corpus — and every round is two joins
+    shuffling on node id. Each round's labels are eagerly
+    ``localCheckpoint``-ed: without it the lineage (and Catalyst plan)
+    doubles per iteration and planning time explodes around round ~10; with
+    it the per-round plan is constant-size and old checkpoint blocks are
+    freed by the ContextCleaner. Driver traffic is one boolean
+    (converged-yet) per round — no labels ever reach the driver."""
+    sym = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(
+        pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    edges = sym.distinct().localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("component").alias("_nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nl").alias("_nbr_min"))
+            .withColumnRenamed("src", "id")
+        )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce("_nbr_min", "component")
+            ).alias("component"),
+        )
+        jumped = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("id").alias("_pid"), F.col("component").alias("_pl")
+                ),
+                F.col("x.component") == F.col("_pid"),
+                "left",
+            )
+            .select(
+                F.col("x.id").alias("id"),
+                F.least(
+                    F.col("x.component"), F.coalesce("_pl", F.col("x.component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.join(
+                labels.select("id", F.col("component").alias("_old")), "id"
+            )
+            .where(F.col("component") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    k: int = 16,
+    shingle_n: int = 8,
+    bands: int = 4,
+    threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    max_iter: int = 30,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidates -> exact
+    Jaccard verification -> connected components -> canonical selection.
+
+    Output: one row per input document — (id_col, cluster_id,
+    is_canonical). ``cluster_id`` is the minimum doc id of the document's
+    near-dup component (its own id for singletons); ``is_canonical`` marks
+    the one kept representative per cluster, so
+    ``where(is_canonical)`` IS the deduplicated corpus manifest.
+
+    Deterministic end to end (fixed permutations, md5 band hashes, min-id
+    canonicalization) — exactly oracle-checkable against a recursive-CTE
+    transitive closure."""
+    pairs = near_dup_pairs_verified(
+        df, k=k, shingle_n=shingle_n, bands=bands, threshold=threshold,
+        text_col=text_col, id_col=id_col, seed=seed,
+    )
+    comp = connected_components(pairs, max_iter=max_iter)
+    return (
+        df.select(id_col)
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
+    )

@@ -193,6 +193,18 @@ def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end to end: LSH-verified pairs -> connected
+    components (min-label propagation + pointer jumping) -> canonical
+    selection. ``where(is_canonical)`` is the deduplicated corpus
+    manifest; exactly oracle-checked against a recursive-CTE transitive
+    closure in DuckDB."""
+    return D.near_dup_clusters(
+        _docs(spark, sf_dir), k=K_MINHASH, shingle_n=SHINGLE_N, bands=4,
+        threshold=NEAR_DUP_JACCARD,
+    )
+
+
 CURATE_MIN_QUALITY = 0.7
 
 
@@ -698,6 +710,34 @@ WHERE round(coalesce(cm.n_common, 0)
 """
 
 
+def _dedup_clusters_sql() -> str:
+    """Ground-truth clustering: the verified-pair query wrapped in a
+    recursive transitive closure (UNION recursion terminates because the
+    reachable-label set is finite), components labeled by min id."""
+    ver = _near_dup_verified_sql()
+    return f"""
+WITH RECURSIVE ver AS (
+{ver}
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM ver
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM ver
+),
+reach(id, lab) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst
+),
+comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster_id,
+       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d
+LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
 def _curate_sql() -> str:
     lang_sql = _lang_id_sql()
     quality_sql = _quality_sql()
@@ -935,6 +975,7 @@ QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "curate_corpus": q_curate_corpus,
     "near_dup_verified": q_near_dup_verified,
+    "dedup_clusters": q_dedup_clusters,
     "repetition_signals": q_repetition_signals,
     "contamination": q_contamination,
     "stratified_sample": q_stratified_sample,
@@ -955,6 +996,7 @@ ORACLES = {
     "doc_fingerprint": _fingerprint_sql(),
     "curate_corpus": _curate_sql(),
     "near_dup_verified": _near_dup_verified_sql(),
+    "dedup_clusters": _dedup_clusters_sql(),
     "knn_lsh": _knn_lsh_sql(),
     "knn_ivf_fixed": _knn_ivf_fixed_sql(),
     "knn_ivf_bcast": _knn_ivf_bcast_sql(),

@@ -237,6 +237,45 @@ def q_top_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: inactivity gap separating user-activity sessions (30 min, in us)
+SESSION_GAP_US = 1_800_000_000
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization of the raw (irregular) event stream per user — the
+    islands dual of gap detection, via Spark's native merging
+    session-window aggregation (operators/sessions.py)."""
+    from usgs_geomag_algorithms_spark.operators.sessions import sessionize
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    return sessionize(
+        ev, gap=f"{SESSION_GAP_US} microseconds", key_col="user_id", ts_col="ts"
+    )
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rollup of the session table (count / events / active time)."""
+    from usgs_geomag_algorithms_spark.operators.sessions import (
+        session_stats,
+        sessionize,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    return session_stats(
+        sessionize(
+            ev,
+            gap=f"{SESSION_GAP_US} microseconds",
+            key_col="user_id",
+            ts_col="ts",
+        ),
+        key_col="user_id",
+    )
+
+
 #: instrument-metadata config for the calculated-channel query: two
 #: half-open epochs per input channel (epoch 2 starts at the span
 #: midpoint), each with its own (scale, offset) — the reference's
@@ -785,6 +824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_monitor": q_coverage_monitor,
         "merged_gaps": q_merged_gaps,
         "top_minutes": q_top_minutes,
+        "user_sessions": q_user_sessions,
+        "session_stats": q_session_stats,
     }
 
 
@@ -1172,6 +1213,48 @@ WHERE k * {BOUT} - {BHW} >= lo_us AND k * {BOUT} + {BHW} <= lo_us + {DAY_US}
 
     sqdist_golden = _sqdist_golden_sql()
 
+    # gaps-and-islands ground truth for the session-window operator:
+    # brk marks a new session when the inter-event gap EXCEEDS the gap
+    # duration (Spark session_window merges at diff == gap — inclusive
+    # boundary, pinned by test_sessions.py); all outputs are integers so
+    # the hash compare is exact
+    user_sessions = f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS t_us FROM events
+),
+marks AS (
+    SELECT user_id, t_us,
+           CASE WHEN t_us - lag(t_us)
+                    OVER (PARTITION BY user_id ORDER BY t_us)
+                    > {SESSION_GAP_US} THEN 1 ELSE 0 END AS brk
+    FROM e
+),
+islands AS (
+    SELECT user_id, t_us,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY t_us
+                          ROWS UNBOUNDED PRECEDING) AS sess
+    FROM marks
+)
+SELECT user_id,
+       min(t_us) AS session_start_us,
+       max(t_us) AS session_end_us,
+       count(*) AS n_events,
+       max(t_us) - min(t_us) AS duration_us,
+       CASE WHEN count(*) > 1
+            THEN (max(t_us) - min(t_us)) // (count(*) - 1) END AS mean_gap_us
+FROM islands GROUP BY user_id, sess
+"""
+
+    session_stats_sql = f"""
+WITH sessions AS ({user_sessions})
+SELECT user_id,
+       count(*) AS n_sessions,
+       sum(n_events)::BIGINT AS total_events,
+       sum(duration_us)::BIGINT AS active_us,
+       round(sum(n_events) / count(*), 4) AS events_per_session
+FROM sessions GROUP BY user_id
+"""
+
     return {
         **WO,
         "rollup_fir_gaussian": fir_gaussian,
@@ -1193,4 +1276,6 @@ WHERE k * {BOUT} - {BHW} >= lo_us AND k * {BOUT} + {BHW} <= lo_us + {DAY_US}
         "coverage_monitor": coverage_monitor,
         "merged_gaps": merged_gaps,
         "top_minutes": top_minutes,
+        "user_sessions": user_sessions,
+        "session_stats": session_stats_sql,
     }

@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "curate_corpus",
     "top_minutes",
+    "user_sessions",
+    "session_stats",
     "text_quality",
     "repetition_signals",
     "contamination",

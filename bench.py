@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "rollup_month_value",
     "near_dup_verified",
     "dedup_clusters",
+    "bm25_topk",
     "curate_corpus",
     "top_minutes",
     "user_sessions",

@@ -261,6 +261,49 @@ class TestIvf:
         assert "Python" not in plan  # pure JVM, like the literal path
 
 
+class TestBm25:
+    def test_matches_reference_formula(self, spark):
+        import math
+
+        texts = [
+            "spark join window join",
+            "spark table scan",
+            "window window window join",
+            "nothing relevant here at all",
+        ]
+        terms, k1, b = ["spark", "join"], 1.2, 0.75
+        out = {
+            r.doc_id: (r.score, r.rank)
+            for r in T.bm25_topk(
+                docs_df(spark, texts), terms, k=10, k1=k1, b=b
+            ).collect()
+        }
+
+        docs = [t.lower().split() for t in texts]
+        n = len(docs)
+        avgdl = sum(len(d) for d in docs) / n
+        expected = {}
+        for i, d in enumerate(docs):
+            s = 0.0
+            for t in terms:
+                tf = d.count(t)
+                dfq = sum(1 for dd in docs if t in dd)
+                idf = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+                s += idf * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(d) / avgdl)))
+            if round(s, 4) > 0:
+                expected[i] = round(s, 4)
+        ranked = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert out == {
+            d: (s, r + 1) for r, (d, s) in enumerate(ranked)
+        }
+
+    def test_topk_limit_and_determinism(self, spark):
+        texts = ["spark spark"] * 5 + ["other text"]
+        out = T.bm25_topk(docs_df(spark, texts), ["spark"], k=3).collect()
+        assert [r.rank for r in out] == [1, 2, 3]
+        assert [r.doc_id for r in out] == [0, 1, 2]  # tie-break on id
+
+
 class TestTextOps:
     def test_token_count(self, spark):
         df = docs_df(spark, ["one two three", "single"])

@@ -307,3 +307,91 @@ def fingerprint(
             ).alias("fingerprint"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval for a bag-of-terms query -> top-k documents.
+
+    Standard Okapi BM25 with the Lucene-style non-negative idf:
+    ``idf(t) = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))``,
+    ``score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``.
+
+    Plan shape (scale-first):
+      1. one corpus scan computes per-doc ``dl`` (whitespace token count)
+         and per-term ``tf`` as |terms| array-filter expressions — all
+         JVM-side, no explode (no |terms|-fold row amplification);
+      2. corpus stats (N, avgdl, per-term df) reduce to ONE row, re-joined
+         by broadcast cross join — no shuffle of the corpus side;
+      3. scores are rounded to 4 dp BEFORE ranking (summation-order and
+         libm-ulp noise must not flip rank boundaries between engines);
+         the deterministic (score desc, id asc) top-k goes through
+         ``orderBy().limit(k)`` — Spark plans it as TakeOrderedAndProject
+         (per-partition top-k, merge of k-row heaps), NOT a global sort,
+         so no unpartitioned window ever sees the corpus; ``rank`` is a
+         window over the k surviving rows only.
+
+    avgdl is exact in both engines (integer token counts sum exactly), so
+    every downstream double is deterministic; ln() is the one libm call —
+    identical to the last ulp for these argument ranges in practice, and
+    shielded by the pre-rank rounding.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+
+    def _tf(term):
+        # one-arg lambda only: a second (defaulted) parameter would make
+        # Spark bind it as the (element, index) higher-order form
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = df.select(
+        id_col,
+        F.size(toks).cast("long").alias("dl"),
+        *[_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count("*").alias("_n"),
+        F.avg("dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"_tf{i}").cast("double")
+        term_score = idf * (
+            tf
+            * F.lit(k1 + 1.0)
+            / (
+                tf
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.col("_avgdl")
+                )
+            )
+        )
+        score = term_score if score is None else score + term_score
+    top = (
+        scored.select(id_col, "dl", F.round(score, 4).alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -193,6 +193,21 @@ def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ("spark", "join", "window")
+BM25_K = 20
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Okapi, Lucene-style idf) for a fixed
+    bag-of-terms query — single corpus scan + broadcast one-row stats +
+    TakeOrderedAndProject top-k."""
+    return T.bm25_topk(
+        _docs(spark, sf_dir), terms=list(BM25_TERMS), k=BM25_K,
+        k1=BM25_K1, b=BM25_B,
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering end to end: LSH-verified pairs -> connected
     components (min-label propagation + pointer jumping) -> canonical
@@ -710,6 +725,49 @@ WHERE round(coalesce(cm.n_common, 0)
 """
 
 
+def _bm25_sql() -> str:
+    """Same arithmetic tree as the Spark plan (left-associative term sum,
+    Python-repr'd float literals) so every double matches to the bit before
+    the 4-dp pre-rank rounding."""
+    k1p1, one_b = repr(BM25_K1 + 1.0), repr(1.0 - BM25_B)
+    k1, b = repr(BM25_K1), repr(BM25_B)
+    tf_cols = ",\n           ".join(
+        "len(list_filter(string_split_regex(lower(text), '\\s+'),"
+        f" x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score = " + ".join(
+        f"(ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {k1p1} / (tf{i} + {k1} * ({one_b} + {b} * dl / avgdl))))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           len(string_split_regex(lower(text), '\\s+')) AS dl,
+           {tf_cols}
+    FROM documents
+),
+stats AS (
+    SELECT count(*) AS n, avg(dl) AS avgdl, {df_cols} FROM base
+),
+scored AS (
+    SELECT doc_id, dl, round({score}, 4) AS score
+    FROM base, stats
+),
+ranked AS (
+    SELECT doc_id, dl, score,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored WHERE score > 0
+)
+SELECT doc_id, dl, score, rank FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
 def _dedup_clusters_sql() -> str:
     """Ground-truth clustering: the verified-pair query wrapped in a
     recursive transitive closure (UNION recursion terminates because the
@@ -976,6 +1034,7 @@ QUERIES = {
     "curate_corpus": q_curate_corpus,
     "near_dup_verified": q_near_dup_verified,
     "dedup_clusters": q_dedup_clusters,
+    "bm25_topk": q_bm25_topk,
     "repetition_signals": q_repetition_signals,
     "contamination": q_contamination,
     "stratified_sample": q_stratified_sample,
@@ -997,6 +1056,7 @@ ORACLES = {
     "curate_corpus": _curate_sql(),
     "near_dup_verified": _near_dup_verified_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
+    "bm25_topk": _bm25_sql(),
     "knn_lsh": _knn_lsh_sql(),
     "knn_ivf_fixed": _knn_ivf_fixed_sql(),
     "knn_ivf_bcast": _knn_ivf_bcast_sql(),

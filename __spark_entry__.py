@@ -237,6 +237,33 @@ def q_top_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_hour_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution rollup: exact hourly p50/p95 of the per-minute event
+    RATE per event_type — the burstiness monitor
+    (operators/rollup.py::quantile_rollup; bounded groups make the exact
+    sort-based percentile affordable). The signal is count-based on
+    purpose: interpolating INTEGER order statistics keeps every
+    intermediate double far from 4-dp rounding boundaries, whereas
+    avg-of-2-decimal values times dyadic fracs lands exactly on 5-decimal
+    halves where Spark's and DuckDB's round() disagree (probed in round 3)."""
+    from usgs_geomag_algorithms_spark.operators.rollup import quantile_rollup
+
+    ev = _events(spark, sf_dir)
+    rate = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"(unix_micros(cast(ts as timestamp)) div {MIN_US}) * {MIN_US}"
+            ).alias("t_us"),
+        )
+        .groupBy("event_type", "t_us")
+        .agg(F.count("*").cast("double").alias("value"))
+    )
+    return quantile_rollup(
+        rate, HOUR_US, ps=(0.5, 0.95), series_cols=("event_type",)
+    )
+
+
 #: inactivity gap separating user-activity sessions (30 min, in us)
 SESSION_GAP_US = 1_800_000_000
 
@@ -826,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_minutes": q_top_minutes,
         "user_sessions": q_user_sessions,
         "session_stats": q_session_stats,
+        "rollup_hour_pctl": q_rollup_hour_pctl,
     }
 
 
@@ -1245,6 +1273,44 @@ SELECT user_id,
 FROM islands GROUP BY user_id, sess
 """
 
+    # DuckDB's quantile_cont interpolates lo + (hi-lo)*frac; Spark's exact
+    # percentile computes lo*(ceil(pos)-pos) + hi*(pos-floor(pos)) — equal
+    # in R but one ulp apart in fp, enough to flip a 4-dp round. The oracle
+    # replicates Spark's formula over a sorted list (probed bitwise in this
+    # session; integral pos short-circuits to the element itself).
+    def _pctl_expr(p: str) -> str:
+        # p MUST be cast to DOUBLE: a bare 0.95 literal is DECIMAL in
+        # DuckDB and the whole position arithmetic goes exact-decimal
+        # (pos = 2.85, not the double 2.849999...96 Spark computes)
+        pos = f"({p}::DOUBLE * (n - 1))"
+        return f"""round(CASE
+           WHEN floor({pos}) = ceil({pos})
+           THEN l[{pos}::BIGINT + 1]
+           ELSE l[floor({pos})::BIGINT + 1] * (ceil({pos}) - {pos})
+                + l[ceil({pos})::BIGINT + 1] * ({pos} - floor({pos}))
+           END, 4)"""
+
+    rollup_hour_pctl = f"""
+WITH rate AS (
+    SELECT event_type,
+           (epoch_us(ts) // {MIN_US}) * {MIN_US} AS t_us,
+           count(*)::DOUBLE AS v
+    FROM events GROUP BY 1, 2
+),
+sorted AS (
+    SELECT event_type,
+           (t_us // {HOUR_US}) * {HOUR_US} AS t_us,
+           list(v ORDER BY v) AS l,
+           count(*) AS n
+    FROM rate GROUP BY 1, 2
+)
+SELECT event_type, t_us,
+       {_pctl_expr('0.5')} AS p50,
+       {_pctl_expr('0.95')} AS p95,
+       n AS n_values
+FROM sorted
+"""
+
     session_stats_sql = f"""
 WITH sessions AS ({user_sessions})
 SELECT user_id,
@@ -1278,4 +1344,5 @@ FROM sessions GROUP BY user_id
         "top_minutes": top_minutes,
         "user_sessions": user_sessions,
         "session_stats": session_stats_sql,
+        "rollup_hour_pctl": rollup_hour_pctl,
     }

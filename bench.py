@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "knn_ivf_bcast",
     "embedding_near_dups_bucketed",
     "rollup_month_value",
+    "rollup_hour_pctl",
     "near_dup_verified",
     "dedup_clusters",
     "bm25_topk",

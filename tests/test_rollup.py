@@ -192,3 +192,55 @@ class TestPandasVariantParity:
                 assert b[k] is None
             else:
                 np.testing.assert_almost_equal(a[k], b[k], decimal=9)
+
+
+class TestQuantileRollup:
+    def _sig(self, spark, vals, series="a", t0=0):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            [(series, t0 + i * 60_000_000, float(v) if v == v else None)
+             for i, v in enumerate(vals)],
+            "series string, t_us long, value double",
+        ).select("series", "t_us",
+                 F.coalesce("value", F.lit(float("nan"))).alias("value"))
+
+    def test_matches_numpy_linear(self, spark):
+        from usgs_geomag_algorithms_spark.operators.rollup import quantile_rollup
+
+        rng = np.random.default_rng(3)
+        vals = rng.normal(50, 10, 60)
+        out = quantile_rollup(self._sig(spark, vals), 3_600_000_000).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.p50 == pytest.approx(np.percentile(vals, 50), abs=1e-4)
+        assert r.p95 == pytest.approx(np.percentile(vals, 95), abs=1e-4)
+        assert r.n_values == 60
+
+    def test_nan_and_null_masked(self, spark):
+        from usgs_geomag_algorithms_spark.operators.rollup import quantile_rollup
+
+        vals = [1.0, float("nan"), 3.0, 5.0]
+        r = quantile_rollup(self._sig(spark, vals), 3_600_000_000).collect()[0]
+        assert r.n_values == 3
+        assert r.p50 == 3.0
+
+    def test_windows_split(self, spark):
+        from usgs_geomag_algorithms_spark.operators.rollup import quantile_rollup
+
+        sig = self._sig(spark, range(120))  # two hours of minutes
+        out = {r.t_us: r.p50 for r in quantile_rollup(sig, 3_600_000_000).collect()}
+        assert out == {0: 29.5, 3_600_000_000: 89.5}
+
+    def test_approx_percentile_agrees_on_bounded_groups(self, spark):
+        # the unbounded-group path recommended in the docstring: sketch
+        # result within tolerance of the exact aggregate on tier-sized groups
+        from pyspark.sql import functions as F
+
+        rng = np.random.default_rng(9)
+        vals = rng.normal(100, 25, 1440)
+        sig = self._sig(spark, vals)
+        approx = sig.agg(
+            F.percentile_approx("value", 0.95, 10_000).alias("a")
+        ).first().a
+        assert approx == pytest.approx(np.percentile(vals, 95), rel=0.01)

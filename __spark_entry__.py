@@ -237,6 +237,36 @@ def q_top_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event enriched with the user's most
+    recent view event at-or-before it (operators/asof.py union-and-carry
+    plan — one shuffle on user_id, no range-join row amplification);
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    from usgs_geomag_algorithms_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "t_us", "event_id", "value"
+    )
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id", "t_us", "event_id", "value"
+    )
+    return asof_join(
+        left,
+        right,
+        on=["user_id"],
+        ts_col="t_us",
+        right_cols=["event_id", "value"],
+        tie_col="event_id",
+    )
+
+
 def q_rollup_hour_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution rollup: exact hourly p50/p95 of the per-minute event
     RATE per event_type — the burstiness monitor
@@ -854,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "session_stats": q_session_stats,
         "rollup_hour_pctl": q_rollup_hour_pctl,
+        "purchase_asof_view": q_purchase_asof_view,
     }
 
 
@@ -1311,6 +1342,32 @@ SELECT event_type, t_us,
 FROM sorted
 """
 
+    purchase_asof_view = """
+WITH e AS (
+    SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t_us
+    FROM events
+),
+l AS (
+    SELECT user_id, t_us, event_id, value FROM e
+    WHERE event_type = 'purchase'
+),
+r0 AS (
+    SELECT user_id, t_us, event_id, value FROM e
+    WHERE event_type = 'view'
+),
+r AS (
+    SELECT user_id, t_us, event_id, value FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, t_us ORDER BY event_id DESC
+        ) AS rn FROM r0
+    ) WHERE rn = 1
+)
+SELECT l.user_id, l.t_us, l.event_id, l.value,
+       r.event_id AS event_id_r, r.value AS value_r, r.t_us AS t_us_r
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.t_us >= r.t_us
+"""
+
     session_stats_sql = f"""
 WITH sessions AS ({user_sessions})
 SELECT user_id,
@@ -1345,4 +1402,5 @@ FROM sessions GROUP BY user_id
         "user_sessions": user_sessions,
         "session_stats": session_stats_sql,
         "rollup_hour_pctl": rollup_hour_pctl,
+        "purchase_asof_view": purchase_asof_view,
     }

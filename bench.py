@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "gap_detect_minute",
     "q1_pricing_summary",
     "calculated_channel",
+    "purchase_asof_view",
     "dedup_exact",
     "minhash_signature",
     "simhash",

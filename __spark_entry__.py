@@ -237,6 +237,60 @@ def q_top_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minute_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, minute) event count — the integer rate signal
+    shared by the percentile tier and the anomaly monitor (integer inputs
+    keep every downstream double bit-identical across engines)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"(unix_micros(cast(ts as timestamp)) div {MIN_US}) * {MIN_US}"
+            ).alias("t_us"),
+        )
+        .groupBy("event_type", "t_us")
+        .agg(F.count("*").alias("v"))
+    )
+
+
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score spike detection on the per-minute event rate
+    (operators/anomaly.py — the declarative analog of SqDist's sigma
+    spike gate; exact integer-sum variance, no order-dependent Welford)."""
+    from usgs_geomag_algorithms_spark.operators.anomaly import rolling_zscore
+
+    return rolling_zscore(
+        _minute_rate(spark, sf_dir),
+        window=60,
+        min_points=30,
+        threshold=3.0,
+        series_cols=("event_type",),
+    )
+
+
+def q_active_users_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user count per hour (two-phase partial-distinct
+    aggregate — Catalyst rewrites count(DISTINCT) into an expand +
+    per-(hour,user) partial so no reducer sees a whole hour's raw rows;
+    the unbounded-cardinality path is approx_count_distinct, HLL-sketch,
+    parity-tested in tests/test_anomaly.py)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            F.expr(
+                f"(unix_micros(cast(ts as timestamp)) div {HOUR_US}) * {HOUR_US}"
+            ).alias("t_us"),
+            "user_id",
+        )
+        .groupBy("t_us")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
 def q_purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event enriched with the user's most
     recent view event at-or-before it (operators/asof.py union-and-carry
@@ -278,16 +332,8 @@ def q_rollup_hour_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves where Spark's and DuckDB's round() disagree (probed in round 3)."""
     from usgs_geomag_algorithms_spark.operators.rollup import quantile_rollup
 
-    ev = _events(spark, sf_dir)
-    rate = (
-        ev.select(
-            "event_type",
-            F.expr(
-                f"(unix_micros(cast(ts as timestamp)) div {MIN_US}) * {MIN_US}"
-            ).alias("t_us"),
-        )
-        .groupBy("event_type", "t_us")
-        .agg(F.count("*").cast("double").alias("value"))
+    rate = _minute_rate(spark, sf_dir).select(
+        "event_type", "t_us", F.col("v").cast("double").alias("value")
     )
     return quantile_rollup(
         rate, HOUR_US, ps=(0.5, 0.95), series_cols=("event_type",)
@@ -885,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "rollup_hour_pctl": q_rollup_hour_pctl,
         "purchase_asof_view": q_purchase_asof_view,
+        "rate_anomaly": q_rate_anomaly,
+        "active_users_hour": q_active_users_hour,
     }
 
 
@@ -1342,6 +1390,39 @@ SELECT event_type, t_us,
 FROM sorted
 """
 
+    # exact-integer trailing variance: (Σv² − (Σv)²/n)/(n−1) with BIGINT
+    # window sums (order-independent), same expression tree as Spark;
+    # stddev()/var_samp() on either engine are order-dependent Welford
+    # accumulators and can NOT be oracle-matched
+    rate_anomaly = f"""
+WITH rate AS (
+    SELECT event_type,
+           (epoch_us(ts) // {MIN_US}) * {MIN_US} AS t_us,
+           count(*) AS v
+    FROM events GROUP BY 1, 2
+),
+trail AS (
+    SELECT event_type, t_us, v,
+           (sum(v) OVER w)::BIGINT AS s1,
+           (sum(v * v) OVER w)::BIGINT AS s2,
+           count(v) OVER w AS n
+    FROM rate
+    WINDOW w AS (PARTITION BY event_type ORDER BY t_us
+                 ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING)
+),
+z_t AS (
+    SELECT event_type, t_us, v, n,
+           CASE WHEN n >= 30 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+                THEN round((v - s1 / n)
+                           / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4)
+           END AS z
+    FROM trail
+)
+SELECT event_type, t_us, v, n AS n_trail, z,
+       CASE WHEN z IS NOT NULL THEN abs(z) >= 3.0 END AS is_anomaly
+FROM z_t
+"""
+
     purchase_asof_view = """
 WITH e AS (
     SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t_us
@@ -1403,4 +1484,11 @@ FROM sessions GROUP BY user_id
         "session_stats": session_stats_sql,
         "rollup_hour_pctl": rollup_hour_pctl,
         "purchase_asof_view": purchase_asof_view,
+        "rate_anomaly": rate_anomaly,
+        "active_users_hour": f"""
+SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS t_us,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY 1
+""",
     }

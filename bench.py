@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "embedding_near_dups_bucketed",
     "rollup_month_value",
     "rollup_hour_pctl",
+    "rate_anomaly",
+    "active_users_hour",
     "near_dup_verified",
     "dedup_clusters",
     "bm25_topk",

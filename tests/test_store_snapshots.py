@@ -309,3 +309,54 @@ class TestConcurrentWriterGuard:
         store._save_manifest(base, {**m, "version": m["version"] + 1})
         with pytest.raises(ConcurrentWriterError, match="aborting the flip"):
             store._commit_append(base, m, set(), [])
+
+
+class TestTimeTravel:
+    def test_version_as_of_reads_history(self, spark, store):
+        store.write(mk(spark, minute_rows(1)), "minute")          # v0? first commit
+        v1 = store.versions("minute")[-1]
+        # upsert changes minute 0's value and appends a new hour
+        patch = [("u", "text_len", T0, 999.0)] + minute_rows(1, url="w")
+        store.upsert(mk(spark, patch), "minute")
+        v2 = store.versions("minute")[-1]
+        assert v2 > v1
+
+        old = store.read("minute", as_of_version=v1)
+        assert old.where("url = 'w'").count() == 0
+        assert old.where(f"url = 'u' AND t_us = {T0}").first().value == 0.0
+
+        cur = store.read("minute")
+        assert cur.where("url = 'w'").count() == 60
+        assert cur.where(f"url = 'u' AND t_us = {T0}").first().value == 999.0
+        # current read == explicit current-version read
+        assert sorted(map(tuple, cur.collect())) == sorted(
+            map(tuple, store.read("minute", as_of_version=v2).collect())
+        )
+
+    def test_expired_version_raises(self, spark, store):
+        from usgs_geomag_algorithms_spark.sources.store import TimeTravelError
+
+        store.write(mk(spark, minute_rows(1)), "minute")
+        first = store.versions("minute")[-1]
+        # advance GC_GRACE_VERSIONS + 1 commits so `first` ages out
+        for i in range(TierStore.GC_GRACE_VERSIONS + 1):
+            store.upsert(
+                mk(spark, [("u", "text_len", T0 + i * MIN, float(100 + i))]),
+                "minute",
+            )
+        assert first not in store.versions("minute")
+        with pytest.raises(TimeTravelError):
+            store.read("minute", as_of_version=first)
+        with pytest.raises(TimeTravelError):
+            store.read("minute", as_of_version=99999)
+
+    def test_time_travel_survives_compact_and_gc_window(self, spark, store):
+        store.write(mk(spark, minute_rows(2)).repartition(8), "minute")
+        v1 = store.versions("minute")[-1]
+        before = sorted(map(tuple, store.read("minute").collect()))
+        store.compact("minute")
+        # v1's files are trashed but inside the grace window: the old
+        # snapshot must still read consistently
+        assert sorted(
+            map(tuple, store.read("minute", as_of_version=v1).collect())
+        ) == before

@@ -65,6 +65,12 @@ class StaleSnapshotError(ConcurrentWriterError):
     whole merge against the fresh snapshot (bounded attempts)."""
 
 
+class TimeTravelError(RuntimeError):
+    """The requested snapshot version is unresolvable: it never existed,
+    or it aged past ``GC_GRACE_VERSIONS`` and its files may have been
+    physically collected."""
+
+
 def _atomic_swap_dirs(live: str, staged: str) -> None:
     """Replace directory ``live`` with ``staged`` without any window in
     which ``live`` is missing.
@@ -139,6 +145,9 @@ class TierStore:
     def _manifest_path(self, base: str) -> str:
         return f"{base}/_manifest.json"
 
+    def _manifest_version_path(self, base: str, version: int) -> str:
+        return f"{base}/_manifests/v{version}.json"
+
     def _lock_path(self, base: str) -> str:
         return f"{base}/_commit.lock"
 
@@ -206,6 +215,26 @@ class TierStore:
             return json.load(f)
 
     def _save_manifest(self, base: str, m: dict) -> None:
+        # version-history copy FIRST (Iceberg metadata-file analog): time
+        # travel resolves these; written before the flip so a crash
+        # between the two writes can only lose the (unreferenced) history
+        # entry, never leave a current manifest without its snapshot
+        vp = self._manifest_version_path(base, m["version"])
+        os.makedirs(os.path.dirname(vp), exist_ok=True)
+        with open(vp + ".tmp", "w") as f:
+            json.dump(m, f, sort_keys=True)
+        os.replace(vp + ".tmp", vp)
+        # prune history beyond the trash grace: those versions may
+        # reference physically deleted files and must not resolve
+        cutoff = m["version"] - self.GC_GRACE_VERSIONS
+        hist_dir = os.path.dirname(vp)
+        for fn in os.listdir(hist_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    if int(fn[1:-5]) < cutoff:
+                        os.remove(os.path.join(hist_dir, fn))
+                except ValueError:
+                    pass
         tmp = self._manifest_path(base) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f, sort_keys=True)
@@ -465,16 +494,49 @@ class TierStore:
                 return part.split("=", 1)[1]
         return None
 
+    def versions(self, tier: str) -> list[int]:
+        """Resolvable snapshot versions (ascending) — the time-travel
+        window: current and up to ``GC_GRACE_VERSIONS`` predecessors."""
+        hist = os.path.join(self.path(tier), "_manifests")
+        if not os.path.isdir(hist):
+            return []
+        out = []
+        for fn in os.listdir(hist):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    out.append(int(fn[1:-5]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
     def read(
         self,
         tier: str,
         start_us: int | None = None,
         end_us: int | None = None,
+        as_of_version: int | None = None,
     ) -> DataFrame:
+        """Snapshot read; ``as_of_version`` time-travels to an earlier
+        manifest (Iceberg ``VERSION AS OF``): replaced files stay on disk
+        for ``GC_GRACE_VERSIONS`` commits, so any version listed by
+        :meth:`versions` resolves to a consistent historical view.
+        Older versions raise :class:`TimeTravelError`."""
         base = self.path(tier)
         if not os.path.exists(base):
+            if as_of_version is not None:
+                raise TimeTravelError(f"no such tier {tier!r}")
             return self._empty()
-        m = self._load_manifest(base)
+        if as_of_version is not None:
+            vp = self._manifest_version_path(base, as_of_version)
+            if not os.path.exists(vp):
+                raise TimeTravelError(
+                    f"tier {tier!r} snapshot v{as_of_version} is not "
+                    f"resolvable (resolvable: {self.versions(tier)})"
+                )
+            with open(vp) as f:
+                m = json.load(f)
+        else:
+            m = self._load_manifest(base)
         d0 = (
             time.strftime("%Y-%m-%d", time.gmtime(start_us // US))
             if start_us is not None

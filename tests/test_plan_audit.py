@@ -123,3 +123,69 @@ class TestCalculatedChannelPlan:
         import re
 
         assert len(re.findall(r"Exchange hashpartitioning", p)) <= 4
+
+
+class TestNewOpPlans:
+    """Round-3 operators: the scale-critical plan shapes asserted."""
+
+    def test_bm25_topk_uses_take_ordered(self, spark):
+        from usgs_geomag_algorithms_spark.operators.textops import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(i, f"spark join doc {i}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        out = bm25_topk(docs, ["spark", "join"], k=5)
+        out.collect()
+        p = phys(out)
+        # global ordering must be the per-partition top-k merge, never a
+        # full Sort exchange of the scored corpus
+        assert "TakeOrderedAndProject" in p
+        assert all(n not in p for n in PY_NODES)
+
+    def test_sessionize_single_exchange(self, spark):
+        from usgs_geomag_algorithms_spark.operators.sessions import sessionize
+
+        ev = spark.createDataFrame(
+            [(i % 7, i * 1_000_000) for i in range(200)],
+            "user_id long, us long",
+        ).selectExpr("user_id", "timestamp_micros(us) AS ts")
+        out = sessionize(ev, gap="30 seconds")
+        out.collect()
+        p = phys(out).split("== Initial Plan ==")[0]
+        assert p.count("Exchange hashpartitioning") == 1
+        assert "MergingSessions" in p  # native session-window operator
+        assert all(n not in p for n in PY_NODES)
+
+    def test_rolling_zscore_single_exchange_no_python(self, spark):
+        from usgs_geomag_algorithms_spark.operators.anomaly import rolling_zscore
+
+        sig = spark.createDataFrame(
+            [("a", i * 60_000_000, i % 13) for i in range(300)],
+            "series string, t_us long, v long",
+        )
+        out = rolling_zscore(sig, window=60)
+        out.collect()
+        p = phys(out).split("== Initial Plan ==")[0]
+        assert p.count("Exchange hashpartitioning") == 1
+        assert all(n not in p for n in PY_NODES)
+
+    def test_asof_join_single_exchange(self, spark):
+        from usgs_geomag_algorithms_spark.operators.asof import asof_join
+
+        l = spark.createDataFrame(
+            [(i % 5, i * 10, float(i)) for i in range(100)],
+            "k long, t_us long, lv double",
+        )
+        r = spark.createDataFrame(
+            [(i % 5, i * 7, i, float(i)) for i in range(100)],
+            "k long, t_us long, rid long, rv double",
+        )
+        out = asof_join(l, r, on=["k"], ts_col="t_us",
+                        right_cols=["rid", "rv"])
+        out.collect()
+        p = phys(out).split("== Initial Plan ==")[0]
+        # the union-and-carry window: one key shuffle, no join operator
+        assert "Join" not in p
+        assert p.count("Exchange hashpartitioning") == 1
+        assert all(n not in p for n in PY_NODES)

@@ -132,3 +132,53 @@ class TestStreamingSessions:
         for k, v in got.items():
             assert batch[k] == v, k
         assert len(got) >= len(batch) * 0.5
+
+
+class TestSessionizeProperty:
+    def test_random_streams_match_islands_reference(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        GAP_US = 60_000_000
+
+        @settings(max_examples=12, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=1, max_value=3),
+                    st.integers(min_value=0, max_value=600_000_000),
+                ),
+                min_size=1,
+                max_size=60,
+            )
+        )
+        def check(rows):
+            base = int(T0.timestamp()) * 1_000_000
+            df = spark.createDataFrame(
+                [(u, base + off) for u, off in rows], "user_id long, us long"
+            ).select("user_id", F.timestamp_micros("us").alias("ts"))
+            got = sorted(
+                (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+                for r in sessionize(df, gap="60 seconds").collect()
+            )
+
+            # islands reference: merge iff diff <= gap (inclusive boundary)
+            expect = []
+            byuser = {}
+            for u, off in rows:
+                byuser.setdefault(u, []).append(base + off)
+            for u, ts in byuser.items():
+                ts.sort()
+                start = prev = ts[0]
+                n = 1
+                for t in ts[1:]:
+                    if t - prev <= GAP_US:
+                        prev = t
+                        n += 1
+                    else:
+                        expect.append((u, start, prev, n))
+                        start = prev = t
+                        n = 1
+                expect.append((u, start, prev, n))
+            assert got == sorted(expect)
+
+        check()

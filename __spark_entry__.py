@@ -379,6 +379,97 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gapfill_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill the sparse per-minute event rate per event_type with
+    LOCF + exact-rational linear interpolation (operators/gapfill.py —
+    the serving-side densification the reference's NaN-pad merge
+    explicitly leaves to consumers, TimeseriesUtility.py:486-494)."""
+    from usgs_geomag_algorithms_spark.operators.gapfill import gapfill
+
+    return gapfill(
+        _minute_rate(spark, sf_dir),
+        MIN_US,
+        series_cols=("event_type",),
+        value_col="v",
+    )
+
+
+#: counter wrap modulus for the counter_increase_hour query — small
+#: enough that the sf0.01 cumulative byte-ish counter wraps (resets)
+#: many times, large enough that most samples are plain increments
+COUNTER_MOD = 100_000
+
+
+def _counter_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic cumulative-counter fixture: per event_type, the
+    running sum of integer cents wrapped mod COUNTER_MOD — a monotone
+    counter with resets, totally ordered by (ts, event_id)."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    step = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.pmod(F.sum(step).over(w), F.lit(COUNTER_MOD)).alias("counter"),
+    )
+
+
+def q_counter_increase_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly increase of a cumulative counter with reset handling
+    (operators/counters.py — PromQL ``increase()`` semantics as one
+    lag-window + bucketed aggregation; integer-exact oracle)."""
+    from usgs_geomag_algorithms_spark.operators.counters import (
+        counter_increase,
+    )
+
+    return counter_increase(
+        _counter_samples(spark, sf_dir),
+        HOUR_US,
+        series_cols=("event_type",),
+        counter_col="counter",
+        order_cols=("event_id",),
+    )
+
+
+def q_ltob_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-triangle-one-bucket visual downsample of the minute rate
+    to one point per hour (operators/downsample.py — the parallel LTOB
+    variant of LTTB; BIGINT triangle areas make the pick bit-exact)."""
+    from usgs_geomag_algorithms_spark.operators.downsample import (
+        ltob_downsample,
+    )
+
+    return ltob_downsample(
+        _minute_rate(spark, sf_dir),
+        HOUR_US,
+        series_cols=("event_type",),
+        value_col="v",
+    )
+
+
+def q_rollup_hour_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram tier: per (event_type, hour), fixed-bin counts of the
+    per-minute rate (operators/rollup.py::histogram_rollup — the
+    mergeable distribution sketch beside the exact-percentile tier)."""
+    from usgs_geomag_algorithms_spark.operators.rollup import (
+        histogram_rollup,
+    )
+
+    rate = _minute_rate(spark, sf_dir).select(
+        "event_type", "t_us", F.col("v").cast("double").alias("value")
+    )
+    return histogram_rollup(
+        rate, HOUR_US, bin_width=2.0, n_bins=8, series_cols=("event_type",)
+    )
+
+
 #: instrument-metadata config for the calculated-channel query: two
 #: half-open epochs per input channel (epoch 2 starts at the span
 #: midpoint), each with its own (scale, offset) — the reference's
@@ -933,6 +1024,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_asof_view": q_purchase_asof_view,
         "rate_anomaly": q_rate_anomaly,
         "active_users_hour": q_active_users_hour,
+        "gapfill_minute": q_gapfill_minute,
+        "counter_increase_hour": q_counter_increase_hour,
+        "ltob_hour": q_ltob_hour,
+        "rollup_hour_hist": q_rollup_hour_hist,
     }
 
 
@@ -1459,6 +1554,121 @@ SELECT user_id,
 FROM sessions GROUP BY user_id
 """
 
+    _RATE_CTE = f"""
+rate AS (
+    SELECT event_type,
+           (epoch_us(ts) // {MIN_US}) * {MIN_US} AS t_us,
+           count(*) AS v
+    FROM events GROUP BY 1, 2
+)"""
+
+    # exact-rational interpolation: numerator/denominator are BIGINTs in
+    # SLOT units, so the single int->double division is IEEE
+    # correctly-rounded and bit-identical on both engines (no rounding)
+    gapfill_minute = f"""
+WITH {_RATE_CTE},
+spans AS (
+    SELECT event_type, min(t_us) AS lo, max(t_us) AS hi FROM rate GROUP BY 1
+),
+spine AS (
+    SELECT event_type, unnest(generate_series(lo, hi, {MIN_US})) AS t_us
+    FROM spans
+),
+dense AS (
+    SELECT s.event_type, s.t_us, r.v
+    FROM spine s LEFT JOIN rate r USING (event_type, t_us)
+),
+filled AS (
+    SELECT event_type, t_us, v,
+           last_value(v IGNORE NULLS) OVER wb AS v_locf,
+           last_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS)
+               OVER wb AS prev_t,
+           first_value(v IGNORE NULLS) OVER wf AS next_v,
+           first_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS)
+               OVER wf AS next_t
+    FROM dense
+    WINDOW wb AS (PARTITION BY event_type ORDER BY t_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY event_type ORDER BY t_us
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, t_us, v, v_locf,
+       (t_us - prev_t) // {MIN_US} AS locf_age,
+       CASE WHEN (next_t - prev_t) // {MIN_US} = 0 THEN v::DOUBLE
+            ELSE (v_locf * ((next_t - prev_t) // {MIN_US}
+                            - (t_us - prev_t) // {MIN_US})
+                  + next_v * ((t_us - prev_t) // {MIN_US}))::DOUBLE
+                 / ((next_t - prev_t) // {MIN_US})::DOUBLE
+       END AS v_interp
+FROM filled
+"""
+
+    counter_increase_hour = f"""
+WITH c AS (
+    SELECT event_type, event_id, epoch_us(ts) AS raw_us,
+           ((sum(round(value * 100)::BIGINT) OVER (
+                PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) % {COUNTER_MOD}) + {COUNTER_MOD}) % {COUNTER_MOD} AS counter
+    FROM events
+),
+d AS (
+    SELECT event_type, raw_us, counter,
+           counter - lag(counter) OVER (
+               PARTITION BY event_type ORDER BY raw_us, event_id
+           ) AS delta
+    FROM c
+),
+contrib AS (
+    SELECT event_type, (raw_us // {HOUR_US}) * {HOUR_US} AS t_us,
+           CASE WHEN delta IS NULL THEN NULL
+                WHEN delta < 0 THEN counter ELSE delta END AS inc,
+           CASE WHEN delta IS NULL THEN NULL
+                ELSE (delta < 0)::INT END AS reset
+    FROM d
+)
+SELECT event_type, t_us,
+       coalesce(sum(inc), 0)::BIGINT AS increase,
+       count(inc)::BIGINT AS n_samples,
+       coalesce(sum(reset), 0)::BIGINT AS n_resets
+FROM contrib GROUP BY 1, 2
+"""
+
+    ltob_hour = f"""
+WITH {_RATE_CTE},
+nb AS (
+    SELECT event_type, t_us, v,
+           lag(t_us) OVER w AS pt, lag(v) OVER w AS pv,
+           lead(t_us) OVER w AS nt, lead(v) OVER w AS nv
+    FROM rate
+    WINDOW w AS (PARTITION BY event_type ORDER BY t_us)
+),
+cand AS (
+    SELECT event_type, (t_us // {HOUR_US}) * {HOUR_US} AS bucket,
+           t_us AS pt_us, v,
+           coalesce(abs((pt - nt) * (v - pv) - (pt - t_us) * (nv - pv)),
+                    -1)::BIGINT AS tri_area2
+    FROM nb
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY event_type, bucket
+        ORDER BY tri_area2 DESC, pt_us ASC
+    ) AS rn FROM cand
+)
+SELECT event_type, bucket AS t_us, pt_us, v, tri_area2
+FROM ranked WHERE rn = 1
+"""
+
+    rollup_hour_hist = f"""
+WITH {_RATE_CTE}
+SELECT event_type,
+       (t_us // {HOUR_US}) * {HOUR_US} AS t_us,
+       least(greatest(floor(v::DOUBLE / 2.0::DOUBLE), 0), 7)::INT AS bin,
+       count(*)::BIGINT AS n
+FROM rate GROUP BY 1, 2, 3
+"""
+
     return {
         **WO,
         "rollup_fir_gaussian": fir_gaussian,
@@ -1485,6 +1695,10 @@ FROM sessions GROUP BY user_id
         "rollup_hour_pctl": rollup_hour_pctl,
         "purchase_asof_view": purchase_asof_view,
         "rate_anomaly": rate_anomaly,
+        "gapfill_minute": gapfill_minute,
+        "counter_increase_hour": counter_increase_hour,
+        "ltob_hour": ltob_hour,
+        "rollup_hour_hist": rollup_hour_hist,
         "active_users_hour": f"""
 SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS t_us,
        count(DISTINCT user_id) AS n_users,

@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "stratified_sample",
     "pii_scrub",
     "corpus_word_stats",
+    "gapfill_minute",
+    "counter_increase_hour",
+    "ltob_hour",
+    "rollup_hour_hist",
 ]
 
 

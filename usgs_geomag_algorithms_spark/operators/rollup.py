@@ -273,3 +273,43 @@ def quantile_rollup(
         ],
         "n_values",
     )
+
+
+def histogram_rollup(
+    sig: DataFrame,
+    out_us: int,
+    bin_width: float,
+    n_bins: int,
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "t_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed-bin histogram tier: per (series, window), the count of
+    samples per value bin — the mergeable distribution sketch that sits
+    beside :func:`quantile_rollup` (exact order statistics, bounded
+    groups) in the rollup family.  Unlike a quantile, histogram counts
+    COMPOSE across windows and tiers by plain addition, so hour
+    histograms roll into day histograms without touching raw samples —
+    the property that makes this the 100 TB-scale distribution store
+    (one map-side-combined aggregation, shuffle bounded by
+    series x windows x bins, never by sample count).
+
+    ``bin = clamp(floor(value / bin_width), 0, n_bins-1)`` — values
+    below 0 clamp into bin 0, values at/above the top edge into the
+    overflow bin ``n_bins-1``.  Integer counts -> bit-exact oracle.
+    Empty bins emit no row (sparse representation; the dense form is one
+    gapfill away).
+    """
+    series_cols = list(series_cols)
+    raw = F.floor(F.col(value_col) / F.lit(float(bin_width)))
+    bin_ = F.least(
+        F.greatest(raw, F.lit(0)), F.lit(int(n_bins) - 1)
+    ).cast("int")
+    return (
+        sig.groupBy(
+            *series_cols,
+            F.expr(f"({ts_col} div {out_us}) * {out_us}").alias(ts_col),
+            bin_.alias("bin"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )

@@ -470,6 +470,72 @@ def q_rollup_hour_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ohlc_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick reduction of the minute rate per hour
+    (operators/stats.py::ohlc_rollup — min_by/max_by open/close picks
+    inside one map-side-combined aggregation)."""
+    from usgs_geomag_algorithms_spark.operators.stats import ohlc_rollup
+
+    return ohlc_rollup(
+        _minute_rate(spark, sf_dir), HOUR_US, series_cols=("event_type",)
+    )
+
+
+def _gauge_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular gauge fixture: per event_type, one sample per distinct
+    event timestamp (ties resolved to the highest event_id — a total
+    order both engines replicate), level = integer cents."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type", "t_us").orderBy(
+        F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "event_id")
+    )
+
+
+def q_twa_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted average of an irregular gauge per hour
+    (operators/stats.py::time_weighted_avg — TimescaleDB
+    ``time_weight('locf')`` semantics; BIGINT value-microsecond sums,
+    one exact int->double division)."""
+    from usgs_geomag_algorithms_spark.operators.stats import (
+        time_weighted_avg,
+    )
+
+    return time_weighted_avg(
+        _gauge_samples(spark, sf_dir), HOUR_US, series_cols=("event_type",)
+    )
+
+
+def q_corr_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly Pearson correlation between the click and view minute
+    rates (operators/stats.py::window_corr — the cross-channel analytic
+    of the Average/DeltaF family; BIGINT sufficient statistics, the
+    identical IEEE expression tree on both engines — Spark's corr() is
+    an order-dependent streaming moment and can NOT be oracle-matched)."""
+    from usgs_geomag_algorithms_spark.operators.stats import window_corr
+
+    rate = _minute_rate(spark, sf_dir)
+    click = rate.where(F.col("event_type") == "click").select(
+        "t_us", F.col("v").alias("x")
+    )
+    view = rate.where(F.col("event_type") == "view").select(
+        "t_us", F.col("v").alias("y")
+    )
+    return window_corr(click.join(view, "t_us"), HOUR_US, "x", "y")
+
+
 #: instrument-metadata config for the calculated-channel query: two
 #: half-open epochs per input channel (epoch 2 starts at the span
 #: midpoint), each with its own (scale, offset) — the reference's
@@ -1028,6 +1094,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_increase_hour": q_counter_increase_hour,
         "ltob_hour": q_ltob_hour,
         "rollup_hour_hist": q_rollup_hour_hist,
+        "ohlc_hour": q_ohlc_hour,
+        "twa_hour": q_twa_hour,
+        "corr_hour": q_corr_hour,
     }
 
 
@@ -1669,6 +1738,80 @@ SELECT event_type,
 FROM rate GROUP BY 1, 2, 3
 """
 
+    ohlc_hour = f"""
+WITH {_RATE_CTE}
+SELECT event_type,
+       (t_us // {HOUR_US}) * {HOUR_US} AS t_us,
+       min_by(v, t_us) AS open,
+       max(v) AS high,
+       min(v) AS low,
+       max_by(v, t_us) AS close,
+       count(*)::BIGINT AS n_samples
+FROM rate GROUP BY 1, 2
+"""
+
+    twa_hour = f"""
+WITH g0 AS (
+    SELECT event_type, epoch_us(ts) AS t_us, event_id,
+           round(value * 100)::BIGINT AS v,
+           row_number() OVER (
+               PARTITION BY event_type, epoch_us(ts)
+               ORDER BY event_id DESC
+           ) AS rn
+    FROM events
+),
+g AS (SELECT event_type, t_us, v FROM g0 WHERE rn = 1),
+seg AS (
+    SELECT event_type, t_us AS t0,
+           lead(t_us) OVER (PARTITION BY event_type ORDER BY t_us) AS t1,
+           v
+    FROM g
+),
+clipped AS (
+    SELECT event_type, t0, t1, v,
+           unnest(generate_series(
+               (t0 // {HOUR_US}) * {HOUR_US},
+               ((t1 - 1) // {HOUR_US}) * {HOUR_US},
+               {HOUR_US})) AS t_us
+    FROM seg WHERE t1 IS NOT NULL
+)
+SELECT event_type, t_us,
+       sum(v * (least(t1, t_us + {HOUR_US}) - greatest(t0, t_us)))::BIGINT
+           AS weighted_us,
+       sum(least(t1, t_us + {HOUR_US}) - greatest(t0, t_us))::BIGINT
+           AS covered_us,
+       sum(v * (least(t1, t_us + {HOUR_US}) - greatest(t0, t_us)))::DOUBLE
+           / sum(least(t1, t_us + {HOUR_US}) - greatest(t0, t_us))::DOUBLE
+           AS twa
+FROM clipped GROUP BY 1, 2
+"""
+
+    corr_hour = f"""
+WITH {_RATE_CTE},
+xy AS (
+    SELECT c.t_us, c.v AS x, w.v AS y
+    FROM (SELECT t_us, v FROM rate WHERE event_type = 'click') c
+    JOIN (SELECT t_us, v FROM rate WHERE event_type = 'view') w
+      USING (t_us)
+),
+s AS (
+    SELECT (t_us // {HOUR_US}) * {HOUR_US} AS t_us,
+           count(*)::BIGINT AS n,
+           sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+           sum(x * y)::BIGINT AS sxy,
+           sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+    FROM xy GROUP BY 1
+)
+SELECT t_us, n,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                 AND (n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy)::DOUBLE
+                 / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                    * sqrt((n * syy - sy * sy)::DOUBLE))
+       END AS r
+FROM s
+"""
+
     return {
         **WO,
         "rollup_fir_gaussian": fir_gaussian,
@@ -1699,6 +1842,9 @@ FROM rate GROUP BY 1, 2, 3
         "counter_increase_hour": counter_increase_hour,
         "ltob_hour": ltob_hour,
         "rollup_hour_hist": rollup_hour_hist,
+        "ohlc_hour": ohlc_hour,
+        "twa_hour": twa_hour,
+        "corr_hour": corr_hour,
         "active_users_hour": f"""
 SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS t_us,
        count(DISTINCT user_id) AS n_users,

@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     "counter_increase_hour",
     "ltob_hour",
     "rollup_hour_hist",
+    "ohlc_hour",
+    "twa_hour",
+    "corr_hour",
 ]
 
 

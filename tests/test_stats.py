@@ -1,0 +1,134 @@
+"""OHLC, time-weighted average, and windowed correlation vs NumPy."""
+
+import numpy as np
+
+from usgs_geomag_algorithms_spark.operators.stats import (
+    ohlc_rollup,
+    time_weighted_avg,
+    window_corr,
+)
+
+M = 60_000_000
+H = 3_600_000_000
+
+
+def sig_df(spark, slots_vals, series="a"):
+    return spark.createDataFrame(
+        [(series, int(s) * M, int(v)) for s, v in slots_vals],
+        "series string, t_us long, v long",
+    )
+
+
+class TestOhlc:
+    def test_open_close_by_time(self, spark):
+        out = {
+            r.t_us: r
+            for r in ohlc_rollup(
+                sig_df(spark, [(0, 5), (1, 99), (2, 1), (3, 7)]), H
+            ).collect()
+        }
+        r = out[0]
+        assert (r.open, r.high, r.low, r.close, r.n_samples) == (5, 99, 1, 7, 4)
+
+    def test_matches_numpy_random(self, spark):
+        rng = np.random.default_rng(11)
+        slots = np.sort(rng.choice(240, 80, replace=False))
+        vals = rng.integers(-50, 50, 80)
+        out = {
+            r.t_us // H: r
+            for r in ohlc_rollup(sig_df(spark, zip(slots, vals)), H).collect()
+        }
+        for hour in sorted({s * M // H for s in slots}):
+            m = [(s, v) for s, v in zip(slots, vals) if s * M // H == hour]
+            r = out[hour]
+            assert r.open == m[0][1] and r.close == m[-1][1]
+            assert r.high == max(v for _, v in m)
+            assert r.low == min(v for _, v in m)
+
+
+class TestTimeWeightedAvg:
+    def test_step_function(self, spark):
+        # level 10 for 30 min, then 30 for 30 min -> TWA 20 over the hour
+        df = sig_df(spark, [(0, 10), (30, 30), (60, 0)])
+        out = {r.t_us: r for r in time_weighted_avg(df, H).collect()}
+        r = out[0]
+        assert r.covered_us == H
+        assert r.twa == 20.0
+
+    def test_segment_spans_windows(self, spark):
+        # one sample at minute 30 holding until minute 90: covers half of
+        # each of two hours
+        df = sig_df(spark, [(30, 8), (90, 0)])
+        out = {r.t_us: r for r in time_weighted_avg(df, H).collect()}
+        assert out[0].covered_us == 30 * M and out[0].twa == 8.0
+        assert out[H].covered_us == 30 * M and out[H].twa == 8.0
+
+    def test_final_sample_emits_nothing(self, spark):
+        out = time_weighted_avg(sig_df(spark, [(0, 42)]), H).collect()
+        assert out == []
+
+    def test_matches_numpy_random(self, spark):
+        rng = np.random.default_rng(13)
+        slots = np.sort(rng.choice(300, 50, replace=False))
+        vals = rng.integers(0, 100, 50)
+        out = {
+            r.t_us: r
+            for r in time_weighted_avg(
+                sig_df(spark, zip(slots, vals)), H
+            ).collect()
+        }
+        # NumPy reference: per-us step integral
+        t = slots * M
+        expect_num: dict[int, int] = {}
+        expect_dur: dict[int, int] = {}
+        for i in range(len(t) - 1):
+            t0, t1, v = int(t[i]), int(t[i + 1]), int(vals[i])
+            w = t0 // H * H
+            while w < t1:
+                lo, hi = max(t0, w), min(t1, w + H)
+                expect_num[w] = expect_num.get(w, 0) + v * (hi - lo)
+                expect_dur[w] = expect_dur.get(w, 0) + (hi - lo)
+                w += H
+        assert set(out) == set(expect_num)
+        for w in expect_num:
+            assert out[w].weighted_us == expect_num[w]
+            assert out[w].covered_us == expect_dur[w]
+            assert out[w].twa == expect_num[w] / expect_dur[w]
+
+
+class TestWindowCorr:
+    def xy_df(self, spark, rows):
+        return spark.createDataFrame(
+            [(int(s) * M, int(x), int(y)) for s, x, y in rows],
+            "t_us long, x long, y long",
+        )
+
+    def test_perfect_and_anti(self, spark):
+        rows = [(i, i, 2 * i + 1) for i in range(10)]
+        out = window_corr(self.xy_df(spark, rows), H, "x", "y").collect()
+        assert len(out) == 1 and out[0].r == 1.0
+        rows = [(i, i, -3 * i) for i in range(10)]
+        out = window_corr(self.xy_df(spark, rows), H, "x", "y").collect()
+        assert out[0].r == -1.0
+
+    def test_constant_channel_null(self, spark):
+        rows = [(i, 5, i) for i in range(10)]
+        out = window_corr(self.xy_df(spark, rows), H, "x", "y").collect()
+        assert out[0].r is None
+
+    def test_matches_numpy(self, spark):
+        rng = np.random.default_rng(17)
+        rows = [
+            (i, int(a), int(b))
+            for i, (a, b) in enumerate(
+                zip(rng.integers(0, 50, 200), rng.integers(0, 50, 200))
+            )
+        ]
+        out = {
+            r.t_us // H: r.r
+            for r in window_corr(self.xy_df(spark, rows), H, "x", "y").collect()
+        }
+        for hour in sorted({i * M // H for i, _, _ in rows}):
+            m = [(x, y) for i, x, y in rows if i * M // H == hour]
+            expect = np.corrcoef([x for x, _ in m], [y for _, y in m])[0, 1]
+            assert abs(out[hour] - expect) < 1e-12

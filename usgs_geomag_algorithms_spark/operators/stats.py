@@ -1,0 +1,175 @@
+"""Bucketed serving statistics: OHLC, time-weighted average, and
+cross-channel correlation.
+
+Three members of the rollup family that serve dashboards and
+cross-channel analysis rather than the retention cascade:
+
+- :func:`ohlc_rollup` — open/high/low/close per window, the candlestick
+  reduction (first/last by timestamp + min/max).
+- :func:`time_weighted_avg` — the irregular-sample average weighted by
+  LOCF segment duration (TimescaleDB's ``time_weight('locf')``
+  semantics): a plain ``avg`` over-weights bursts; duration weighting is
+  the physically meaningful mean for sampled step signals like fetch
+  cadence or byte counters.
+- :func:`window_corr` — per-window Pearson correlation between two
+  channels, the cross-channel analytic sibling of the reference's
+  Average/DeltaF family (``geomagio/algorithm/AverageAlgorithm.py``,
+  ``DeltaFAlgorithm.py`` — cross-channel math over aligned grids).
+
+Determinism (exact driver oracles, zero rounding): every operator here
+reduces to BIGINT sums (order-independent), followed by the identical
+int64→double expression tree on both engines — the same discipline as
+operators/anomaly.py; correlation keeps ``sqrt`` factored exactly as
+written so both engines evaluate the same IEEE tree.
+
+Scale shape: all three are single-shuffle map-side-combinable
+aggregations bounded by output cardinality (series × windows).
+``time_weighted_avg`` adds a lead-window pass (per-series sort — the
+DbDt halo note applies at 100 TB) and a bounded per-segment explode
+(segments crossing window boundaries split per window — amplification
+≤ segment span / window).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def ohlc_rollup(
+    sig: DataFrame,
+    out_us: int,
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "t_us",
+    value_col: str = "v",
+) -> DataFrame:
+    """Per (series, window): open (earliest sample), high, low, close
+    (latest sample), sample count.  One map-side-combined aggregation;
+    ``min_by``/``max_by`` keep the open/close picks inside codegen."""
+    series_cols = list(series_cols)
+    t, v = F.col(ts_col), F.col(value_col)
+    return (
+        sig.groupBy(
+            *series_cols,
+            F.expr(f"({ts_col} div {out_us}) * {out_us}").alias(ts_col),
+        )
+        .agg(
+            F.min_by(v, t).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, t).alias("close"),
+            F.count("*").cast("long").alias("n_samples"),
+        )
+    )
+
+
+def time_weighted_avg(
+    samples: DataFrame,
+    out_us: int,
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "t_us",
+    value_col: str = "v",
+) -> DataFrame:
+    """LOCF time-weighted average per (series, window) over IRREGULAR
+    samples: each sample's value holds until the next sample (or the end
+    of its series), and each window averages the step function over the
+    time it is covered.
+
+    A sample's segment ``[t_i, t_{i+1})`` may span several windows; it
+    is split per window with an exact clip (bounded explode).  The last
+    sample of a series contributes a zero-length segment (its value
+    appears only through ``ohlc``-style close semantics, not here) — so
+    a window containing only the series' final sample emits nothing.
+
+    Output per row: ``weighted_us`` (Σ value·µs, BIGINT-exact for
+    integer values), ``covered_us`` (Σ µs), and their single
+    correctly-rounded double quotient ``twa``.
+    """
+    series_cols = list(series_cols)
+    t, v = F.col(ts_col), F.col(value_col)
+    w = Window.partitionBy(*series_cols).orderBy(t.asc())
+    seg = samples.select(
+        *series_cols,
+        t.alias("_t0"),
+        F.lead(t).over(w).alias("_t1"),
+        v.alias("_v"),
+    ).where(F.col("_t1").isNotNull())
+    out = F.lit(int(out_us))
+    # windows the segment touches: anchor(t0) .. anchor(t1 - 1);
+    # integer `div` — never double division on epoch-us longs
+    win = F.explode(
+        F.sequence(
+            F.expr(f"(_t0 div {int(out_us)}) * {int(out_us)}"),
+            F.expr(f"((_t1 - 1) div {int(out_us)}) * {int(out_us)}"),
+            out,
+        )
+    ).alias(ts_col)
+    clipped = seg.select(*series_cols, "_t0", "_t1", "_v", win)
+    lo = F.greatest(F.col("_t0"), F.col(ts_col))
+    hi = F.least(F.col("_t1"), F.col(ts_col) + out)
+    dur = (hi - lo).cast("long")
+    return (
+        clipped.groupBy(*series_cols, ts_col)
+        .agg(
+            F.sum(F.col("_v") * dur).cast("long").alias("weighted_us"),
+            F.sum(dur).cast("long").alias("covered_us"),
+        )
+        .select(
+            *series_cols,
+            ts_col,
+            "weighted_us",
+            "covered_us",
+            (
+                F.col("weighted_us").cast("double")
+                / F.col("covered_us").cast("double")
+            ).alias("twa"),
+        )
+    )
+
+
+def window_corr(
+    sig: DataFrame,
+    out_us: int,
+    x_col: str,
+    y_col: str,
+    series_cols: Sequence[str] = (),
+    ts_col: str = "t_us",
+    min_points: int = 2,
+) -> DataFrame:
+    """Pearson correlation between two aligned integer channels per
+    (series, window), from BIGINT sufficient statistics:
+
+    ``r = (nΣxy − ΣxΣy) / (sqrt(nΣx² − (Σx)²) · sqrt(nΣy² − (Σy)²))``
+
+    NULL when fewer than ``min_points`` aligned samples or either
+    channel is constant.  Spark's ``corr()`` (and DuckDB's) are
+    order-dependent streaming moments and cannot be oracle-matched; the
+    integer-sum form is exact.  Rows where either channel is NULL are
+    dropped (pairwise-complete semantics)."""
+    series_cols = list(series_cols)
+    x, y = F.col(x_col), F.col(y_col)
+    stats = (
+        sig.where(x.isNotNull() & y.isNotNull())
+        .groupBy(
+            *series_cols,
+            F.expr(f"({ts_col} div {out_us}) * {out_us}").alias(ts_col),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(x).cast("long").alias("sx"),
+            F.sum(y).cast("long").alias("sy"),
+            F.sum(x * y).cast("long").alias("sxy"),
+            F.sum(x * x).cast("long").alias("sxx"),
+            F.sum(y * y).cast("long").alias("syy"),
+        )
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r = F.when(
+        (n >= min_points) & (dx > 0) & (dy > 0),
+        num / (F.sqrt(dx) * F.sqrt(dy)),
+    )
+    return stats.select(*series_cols, ts_col, "n", r.alias("r"))

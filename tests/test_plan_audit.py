@@ -189,3 +189,78 @@ class TestNewOpPlans:
         assert "Join" not in p
         assert p.count("Exchange hashpartitioning") == 1
         assert all(n not in p for n in PY_NODES)
+
+
+class TestGapfillStatsPlans:
+    """Round-3 second batch: gapfill / counters / ltob / stats plan shapes."""
+
+    def _sig(self, spark, n=300):
+        return spark.createDataFrame(
+            [("a", i * 3 * 60_000_000, i % 17) for i in range(n)],
+            "series string, t_us long, v long",
+        )
+
+    def test_gapfill_no_unbounded_following_frame(self, spark):
+        from usgs_geomag_algorithms_spark.operators.gapfill import gapfill
+
+        out = gapfill(self._sig(spark), 60_000_000)
+        out.collect()
+        p = phys(out).split("== Initial Plan ==")[0]
+        # the forward pass must be the DESC-sort running frame — an
+        # UNBOUNDED FOLLOWING window frame is O(n^2) per series in Spark
+        assert "unboundedfollowing$()" not in p
+        assert all(n not in p for n in PY_NODES)
+
+    def test_counter_increase_single_exchange(self, spark):
+        from usgs_geomag_algorithms_spark.operators.counters import (
+            counter_increase,
+        )
+
+        out = counter_increase(
+            self._sig(spark).withColumnRenamed("v", "counter"),
+            3_600_000_000,
+            counter_col="counter",
+        )
+        out.collect()
+        p = phys(out).split("== Initial Plan ==")[0]
+        # one series shuffle for the lag; the bucket agg folds partially
+        # map-side on the same rows (partial_ aggregate before exchange)
+        assert p.count("Exchange hashpartitioning") <= 2
+        assert "partial_sum" in p or "partial_count" in p
+        assert all(n not in p for n in PY_NODES)
+
+    def test_ltob_no_join_no_python(self, spark):
+        from usgs_geomag_algorithms_spark.operators.downsample import (
+            ltob_downsample,
+        )
+
+        out = ltob_downsample(self._sig(spark), 3_600_000_000)
+        out.collect()
+        p = phys(out).split("== Initial Plan ==")[0]
+        assert "Join" not in p
+        assert all(n not in p for n in PY_NODES)
+
+    def test_ohlc_single_shuffle_partial_agg(self, spark):
+        from usgs_geomag_algorithms_spark.operators.stats import ohlc_rollup
+
+        out = ohlc_rollup(self._sig(spark), 3_600_000_000)
+        out.collect()
+        p = phys(out).split("== Initial Plan ==")[0]
+        assert p.count("Exchange hashpartitioning") == 1
+        assert "partial_min" in p  # map-side combine before the shuffle
+        assert all(n not in p for n in PY_NODES)
+
+    def test_twa_explode_then_partial_agg(self, spark):
+        from usgs_geomag_algorithms_spark.operators.stats import (
+            time_weighted_avg,
+        )
+
+        out = time_weighted_avg(self._sig(spark), 3_600_000_000)
+        out.collect()
+        p = phys(out).split("== Initial Plan ==")[0]
+        # series window + bucket agg: bounded explode (Generate) feeding a
+        # partial aggregate — never a join against a generated spine
+        assert "Generate explode" in p
+        assert "Join" not in p
+        assert "partial_sum" in p
+        assert all(n not in p for n in PY_NODES)

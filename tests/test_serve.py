@@ -153,3 +153,48 @@ class TestShortWindow:
             T0 + 6 * HOUR + 50 * 60 * US,
         )
         assert out.count() == 0
+
+
+class TestServeFill:
+    def seed(self, spark, tmp_path):
+        store = TierStore(spark, str(tmp_path / "tf"), n_buckets=2)
+        # u1: observations at slots 0 and 4 only; u2: single obs at slot 2
+        rows = [
+            ("u1", "text_len", T0, 10.0),
+            ("u1", "text_len", T0 + 4 * MIN, 50.0),
+            ("u2", "text_len", T0 + 2 * MIN, 7.0),
+        ]
+        df = spark.createDataFrame(
+            rows, schema="url string, channel string, t_us long, value double"
+        )
+        store.write(df, "minute")
+        return store
+
+    def test_locf_fill(self, spark, tmp_path):
+        store = self.seed(spark, tmp_path)
+        out = get_timeseries(store, "minute", T0, T0 + 4 * MIN, fill="locf")
+        got = {(r.url, r.t_us): r.value for r in out.collect()}
+        assert got[("u1", T0 + 2 * MIN)] == 10.0  # carried forward
+        assert got[("u1", T0 + 4 * MIN)] == 50.0
+        assert got[("u2", T0)] is None  # before first observation
+        assert got[("u2", T0 + 4 * MIN)] == 7.0
+
+    def test_interp_fill(self, spark, tmp_path):
+        store = self.seed(spark, tmp_path)
+        out = get_timeseries(store, "minute", T0, T0 + 4 * MIN, fill="interp")
+        got = {(r.url, r.t_us): r.value for r in out.collect()}
+        # linear walk 10 -> 50 over 4 slots
+        assert got[("u1", T0 + MIN)] == 20.0
+        assert got[("u1", T0 + 3 * MIN)] == 40.0
+        # outside the observed envelope stays NULL
+        assert got[("u2", T0)] is None and got[("u2", T0 + 4 * MIN)] is None
+        assert got[("u2", T0 + 2 * MIN)] == 7.0
+
+    def test_fill_requires_pad_and_fixed_grid(self, spark, tmp_path):
+        store = self.seed(spark, tmp_path)
+        with pytest.raises(ValueError):
+            get_timeseries(
+                store, "minute", T0, T0 + MIN, pad=False, fill="locf"
+            )
+        with pytest.raises(ValueError):
+            get_timeseries(store, "minute", T0, T0 + MIN, fill="nearest")

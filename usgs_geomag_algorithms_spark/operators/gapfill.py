@@ -72,6 +72,29 @@ def gapfill(
         ).alias(ts_col),
     )
     dense = spine.join(sig, on=[*series_cols, ts_col], how="left")
+    return fill_dense(
+        dense, delta_us, series_cols=series_cols, ts_col=ts_col,
+        value_col=value_col,
+    )
+
+
+def fill_dense(
+    dense: DataFrame,
+    delta_us: int,
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "t_us",
+    value_col: str = "v",
+) -> DataFrame:
+    """The fill core over an ALREADY-DENSE grid frame (one row per
+    (series, slot), NULL value = gap) — shared by :func:`gapfill` (which
+    densifies between each series' own observations) and the serving
+    layer (which pads to the REQUEST grid, so slots before the first /
+    after the last observation exist: there ``<value>_locf`` is NULL
+    before the first observation and ``<value>_interp`` is NULL outside
+    the observed envelope — the serving contract for edges)."""
+    series_cols = list(series_cols)
+    t = F.col(ts_col)
+    v = F.col(value_col)
 
     back = (
         Window.partitionBy(*series_cols)

@@ -41,8 +41,17 @@ def get_timeseries(
     use_packed: bool = False,
     derive: bool = False,
     d0: float = 0.0,
+    fill: str | None = None,
 ):
     """Serve one tier over [start_us, end_us] with explicit gap rows.
+
+    ``fill`` (requires ``pad``, fixed-grid tiers only): ``'locf'`` or
+    ``'interp'`` replaces gap-row values via operators/gapfill.py —
+    LOCF leaves slots before a series' first observation NULL, linear
+    interpolation leaves slots outside the observed envelope NULL (the
+    request grid does not invent data beyond what was stored; the
+    reference serves NaN pads and never interpolates,
+    TimeseriesUtility.py:486-494 — this is the opt-in extension).
 
     ``use_packed`` reads the Gorilla-packed layout (``read_packed``)
     instead of the long layout — same rows, segment-granular pruning.
@@ -84,6 +93,32 @@ def get_timeseries(
             df = pad_to_spine(
                 df, start_us, end_us, delta_s, series_cols=store.series_cols
             )
+    if fill:
+        if fill not in ("locf", "interp"):
+            raise ValueError(f"fill must be 'locf' or 'interp', got {fill!r}")
+        if not pad or tier == "month":
+            raise ValueError("fill requires pad=True on a fixed-grid tier")
+        from pyspark.sql import functions as F
+
+        from ..operators.gapfill import fill_dense
+
+        # NaN is the in-band gap convention — normalize to NULL so the
+        # fill windows skip it like an absent row
+        df = df.withColumn(
+            "value", F.when(~F.isnan("value"), F.col("value"))
+        )
+        df = fill_dense(
+            df,
+            int(round(delta_s * US)),
+            series_cols=store.series_cols,
+            value_col="value",
+        ).select(
+            *store.series_cols,
+            "t_us",
+            F.col(f"value_{'locf' if fill == 'locf' else 'interp'}").alias(
+                "value"
+            ),
+        )
     if as_json:
         return to_imfjson(df, series_cols=store.series_cols)
     return df

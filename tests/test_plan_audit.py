@@ -264,3 +264,40 @@ class TestGapfillStatsPlans:
         assert "Join" not in p
         assert "partial_sum" in p
         assert all(n not in p for n in PY_NODES)
+
+
+class TestDedupJoinSides:
+    """The near-dup verify path's join sides are load-bearing
+    (operators/dedup.py): the shingle relation is checkpointed, so
+    Catalyst has no stats for it and — measured — elects to BROADCAST the
+    corpus-sized posting table through the driver (superlinear wall at
+    4x10^4 docs, OOM beyond, fatal at real scale). The fix pins the
+    documented plan with explicit sides; this guard keeps it pinned."""
+
+    def test_verify_plan_shuffles_corpus_broadcasts_pairs(self, spark):
+        import re
+
+        from usgs_geomag_algorithms_spark.operators.dedup import (
+            near_dup_pairs_verified,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (i, " ".join(f"w{(i * 31 + j) % 97}" for j in range(30)))
+                for i in range(60)
+            ],
+            "doc_id long, text string",
+        )
+        out = near_dup_pairs_verified(docs, k=16, bands=4, threshold=0.1)
+        out.collect()
+        p = phys(out).split("== Initial Plan ==")[0]
+        # banded-signature self-join shuffles on (band, bhash) — never a
+        # broadcast of the corpus-sized banded relation
+        assert re.search(r"SortMergeJoin \[band#\d+, bhash#\d+\]", p), p
+        # the posting verify join shuffles on (id_b, shingle)
+        assert re.search(r"SortMergeJoin \[id_b#\d+L?, shingle#\d+\]", p), p
+        # no broadcast join ever keys on the shingle column (that side is
+        # the corpus-sized posting table)
+        assert not re.search(r"BroadcastHashJoin \[[^\]]*shingle", p), p
+        # pair-driven expansion: the candidate-pair side IS broadcast
+        assert "BroadcastHashJoin" in p

@@ -36,7 +36,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 N_DOCS = int(os.environ.get("SPARK_GRAFT_CURATE_DOCS", "40000"))
-VOCAB = 4096
+VOCAB = 65536
 
 
 def corpus_path() -> str:
@@ -55,12 +55,16 @@ def build_corpus(spark) -> None:
 
     if os.path.exists(corpus_path() + "/_SUCCESS"):
         return
-    # 256/4096 slots (6.25%) are English marker words: enough that every
-    # doc clears the stopword-ratio gate and argmax-predicts 'en'
-    vocab = [w for s in ("the", "and", "of", "is") for w in [s] * 64] + [
-        f"w{j:03d}" for j in range(VOCAB - 256)
-    ]
-    vocab_col = F.array(*[F.lit(w) for w in vocab])
+    # 1-in-16 words (6.25%) are English markers: enough that every doc
+    # clears the stopword-ratio gate and argmax-predicts 'en'.  Filler
+    # words come straight from the hash over a 2^16 effective vocabulary
+    # (a literal array that size would explode the plan; and a SMALL
+    # vocabulary is a correctness trap — at 4096 fillers the cross-doc
+    # Jaccard baseline is high enough that LSH candidate volume grows
+    # O(N^2), measured as 7x wall for 2x docs)
+    markers = F.array(
+        F.lit("the"), F.lit("and"), F.lit("of"), F.lit("is")
+    )
     base = spark.range(N_DOCS).select(F.col("id").alias("doc_id"))
     # near-dup groups: member 2 of each 5-block shares base text with
     # member 0; exact dups copy their left neighbor
@@ -74,9 +78,14 @@ def build_corpus(spark) -> None:
     is_mut = (F.pmod(F.col("doc_id"), 5) == 2) & (
         F.pmod(F.col("doc_id"), 31) != 30
     )
-    word = lambda i: F.element_at(
-        vocab_col, (F.pmod(F.xxhash64(exact_src, i), F.lit(VOCAB)) + 1).cast("int")
-    )
+    def word(i):
+        h = F.xxhash64(exact_src, i)
+        return F.when(
+            F.pmod(h, 16) == 0,
+            F.element_at(markers, (F.pmod(h, 64) / 16 + 1).cast("int")),
+        ).otherwise(
+            F.concat(F.lit("w"), F.pmod(h, F.lit(VOCAB)).cast("string"))
+        )
     text = F.concat_ws(
         " ",
         F.transform(

@@ -48,7 +48,7 @@ while [ $tries -lt $MAX_TRIES ] && [ $polls -lt $MAX_POLLS ]; do
         fi
       elif [ "$MODE" = "curate" ]; then
         echo "$(date +%T) host clean, running curate scaling bench (attempt $tries)"
-        OUT=$(SPARK_GRAFT_SCALE_N=${SCALE_N:-2} SPARK_GRAFT_SCALE_REST=${SCALE_REST:-240} python tools/bench_scaling_curate.py | tail -20)
+        OUT=$(SPARK_GRAFT_SCALE_N=${SCALE_N:-2} SPARK_GRAFT_SCALE_REST=${SCALE_REST:-240} python tools/bench_scaling_curate.py)
         rm -f /tmp/bench_running.lock
         echo "$OUT"
         EFF=$(echo "$OUT" | python -c 'import json,sys; print(json.load(sys.stdin)["scaling_efficiency"])')

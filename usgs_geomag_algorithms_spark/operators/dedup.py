@@ -180,8 +180,12 @@ def lsh_candidate_pairs(
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.bhash")
+    # the self-join must SHUFFLE on (band, bhash) — the checkpoint-fed
+    # signature relation has no stats and Catalyst otherwise broadcasts a
+    # corpus-sized side (same failure mode as the verify join, see
+    # ngram_jaccard_pairs); the merge hint pins the documented plan
     a = banded.alias("a")
-    b = banded.alias("b")
+    b = banded.hint("merge").alias("b")
     return (
         a.join(
             b,
@@ -262,10 +266,18 @@ def ngram_jaccard_pairs(
         else char_shingles(df, n=n, text_col=text_col, id_col=id_col)
     )
     counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # JOIN SIDES ARE LOAD-BEARING: the shingle relation is checkpointed,
+    # so Catalyst has no stats for it and (measured) elects to BROADCAST
+    # it on both verify joins — the full corpus-sized posting table
+    # through the driver: superlinear wall at 4x10^4 docs, OOM beyond,
+    # fatal at any real scale. The pair list is the small side by
+    # construction (candidates ~ O(dups), not O(corpus)) — broadcast it
+    # explicitly and pin the posting join to sort-merge.
     common = (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a"), on="id_a")
+        F.broadcast(pairs)
+        .join(sh.withColumnRenamed(id_col, "id_a"), on="id_a")
         .join(
-            sh.withColumnRenamed(id_col, "id_b"),
+            sh.withColumnRenamed(id_col, "id_b").hint("merge"),
             on=["id_b", "shingle"],
         )
         .groupBy("id_a", "id_b")
@@ -274,7 +286,9 @@ def ngram_jaccard_pairs(
     return (
         pairs.join(common, on=["id_a", "id_b"], how="left")
         .na.fill({"n_common": 0})
+        .hint("broadcast")
         .join(counts.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), on="id_a")
+        .hint("broadcast")
         .join(counts.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), on="id_b")
         .select(
             "id_a",

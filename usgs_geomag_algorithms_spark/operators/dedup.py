@@ -131,6 +131,54 @@ def minhash_digest(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def lsh_bands(
+    sigs: DataFrame, bands: int, id_col: str = "doc_id", k: int | None = None
+) -> DataFrame:
+    """Banded LSH relation (id, band, bhash): the signature is split into
+    ``bands`` equal slices, each md5-hashed — one row per (doc, band) via a
+    single explode, no per-band passes. ``bhash`` is deterministic
+    (md5 of the comma-joined slice), so the candidate stage is exactly
+    reproducible in any engine. Raises unless ``bands`` evenly divides
+    the signature length (a remainder would silently never hash the
+    signature tail; ``bands > k`` would hash empty slices — every doc in
+    one bucket, an all-pairs explosion)."""
+    if k is None:
+        row = sigs.select("minhash").first()
+        if row is None:
+            return sigs.select(
+                F.col(id_col),
+                F.lit(0).alias("band"),
+                F.lit("").alias("bhash"),
+            ).limit(0)
+        k = len(row[0])
+    if bands <= 0 or k % bands != 0 or bands > k:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide the signature length ({k})"
+        )
+    rows_per_band = k // bands
+    return sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.slice(
+                                    F.col("minhash"), i * rows_per_band + 1, rows_per_band
+                                ).cast("array<string>"),
+                            ).cast("binary")
+                        ).alias("bhash"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.bhash")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, bands: int = 8, id_col: str = "doc_id", k: int | None = None
 ) -> DataFrame:
@@ -154,32 +202,7 @@ def lsh_candidate_pairs(
                 F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b")
             ).limit(0)
         k = len(row[0])
-    if bands <= 0 or k % bands != 0 or bands > k:
-        raise ValueError(
-            f"bands ({bands}) must evenly divide the signature length ({k})"
-        )
-    rows_per_band = k // bands
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                F.slice(
-                                    F.col("minhash"), i * rows_per_band + 1, rows_per_band
-                                ).cast("array<string>"),
-                            ).cast("binary")
-                        ).alias("bhash"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select(id_col, "bh.band", "bh.bhash")
+    banded = lsh_bands(sigs, bands=bands, id_col=id_col, k=k)
     # the self-join must SHUFFLE on (band, bhash) — the checkpoint-fed
     # signature relation has no stats and Catalyst otherwise broadcasts a
     # corpus-sized side (same failure mode as the verify join, see

@@ -193,6 +193,33 @@ def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCR_EST_THRESHOLD = 0.25  # >= 4 of 16 agreeing signature slots
+
+
+def q_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection against a persisted LSH index
+    (operators/dedup_index.py): even doc_ids play the indexed 100 TB
+    corpus (signatures + band table written once), odd doc_ids play the
+    daily increment joined against it — corpus text is never re-read.
+    Deterministic end to end (fixed permutations, md5 band hashes,
+    slot-agreement estimate = n_eq/k, an exact binary fraction), so the
+    whole index round-trip is exactly oracle-checked."""
+    import os
+
+    from .operators.dedup_index import incremental_near_dups, write_lsh_index
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_bench/lsh_index_{tag}"
+    write_lsh_index(old, path, k=K_MINHASH, bands=4, shingle_n=SHINGLE_N)
+    return incremental_near_dups(
+        new, spark, path, k=K_MINHASH, bands=4, shingle_n=SHINGLE_N,
+        threshold=INCR_EST_THRESHOLD,
+    )
+
+
 BM25_TERMS = ("spark", "join", "window")
 BM25_K = 20
 BM25_K1, BM25_B = 1.2, 0.75
@@ -488,6 +515,55 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a
 JOIN bands b ON a.band = b.band AND a.bhash = b.bhash
            AND a.doc_id < b.doc_id
+"""
+
+
+def _incremental_near_dups_sql() -> str:
+    """DuckDB replica of the index round-trip: signatures depend only on
+    document text, so computing them corpus-wide and filtering by parity
+    is exactly the engine's two-batch result."""
+    perms = minhash_perms(K_MINHASH)
+    mins = ",\n           ".join(
+        f"min((h * {a} + {b}) % {MINHASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    rows_per_band = K_MINHASH // 4
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band, md5({concat}) AS bhash FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"m{b * rows_per_band + j}::VARCHAR" for j in range(rows_per_band)
+            ),
+        )
+        for b in range(4)
+    )
+    n_eq = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(K_MINHASH)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM hv GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+    SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+    FROM bands n
+    JOIN bands o ON n.band = o.band AND n.bhash = o.bhash
+    WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+),
+est AS (
+    SELECT c.new_id, c.old_id, ({n_eq}) AS n_eq
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.new_id
+    JOIN sig b ON b.doc_id = c.old_id
+)
+SELECT new_id, old_id, n_eq::DOUBLE / {K_MINHASH} AS est_jaccard
+FROM est WHERE n_eq::DOUBLE / {K_MINHASH} >= {INCR_EST_THRESHOLD}
 """
 
 
@@ -1033,6 +1109,7 @@ QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "curate_corpus": q_curate_corpus,
     "near_dup_verified": q_near_dup_verified,
+    "incremental_near_dups": q_incremental_near_dups,
     "dedup_clusters": q_dedup_clusters,
     "bm25_topk": q_bm25_topk,
     "repetition_signals": q_repetition_signals,
@@ -1055,6 +1132,7 @@ ORACLES = {
     "doc_fingerprint": _fingerprint_sql(),
     "curate_corpus": _curate_sql(),
     "near_dup_verified": _near_dup_verified_sql(),
+    "incremental_near_dups": _incremental_near_dups_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "bm25_topk": _bm25_sql(),
     "knn_lsh": _knn_lsh_sql(),

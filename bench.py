@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "minhash_signature",
     "simhash",
     "knn_cosine",
+    "knn_cosine_int8",
     "knn_ivf",
     "knn_ivf_bcast",
     "embedding_near_dups_bucketed",
@@ -50,6 +51,8 @@ BENCH_QUERIES = [
     "rate_anomaly",
     "active_users_hour",
     "near_dup_verified",
+    "incremental_near_dups",
+    "substring_dup_fraction",
     "dedup_clusters",
     "bm25_topk",
     "curate_corpus",

@@ -147,6 +147,18 @@ def q_knn_ivf_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over INT8-quantized embeddings (operators/quantize.py) — the
+    4x-memory-reduction serving path. Scales cancel in the cosine, so the
+    score is an integer-ratio double: bit-exact in any engine with NO
+    rounding armor (unlike the float path's round-6)."""
+    from .operators.quantize import cosine_topk_int8
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return cosine_topk_int8(emb, queries, k=KNN_K)
+
+
 NEAR_DUP_THRESHOLD = 0.4
 
 
@@ -218,6 +230,19 @@ def q_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         new, spark, path, k=K_MINHASH, bands=4, shingle_n=SHINGLE_N,
         threshold=INCR_EST_THRESHOLD,
     )
+
+
+SUBSTR_W = 8
+
+
+def q_substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2021 re-expressed as a
+    window-fingerprint join, operators/substring.py): per document, the
+    fraction of tokens covered by a W-token run appearing verbatim in
+    another document. All-integer span math -> exact oracle."""
+    from .operators.substring import substring_dup_fraction
+
+    return substring_dup_fraction(_docs(spark, sf_dir), w=SUBSTR_W)
 
 
 BM25_TERMS = ("spark", "join", "window")
@@ -564,6 +589,105 @@ est AS (
 )
 SELECT new_id, old_id, n_eq::DOUBLE / {K_MINHASH} AS est_jaccard
 FROM est WHERE n_eq::DOUBLE / {K_MINHASH} >= {INCR_EST_THRESHOLD}
+"""
+
+
+def _knn_int8_sql() -> str:
+    """Exact replica of the quantized path: floor-based round-half-up
+    quantization, integer dots/norms, one terminal double division."""
+    return f"""
+WITH mx AS (
+    SELECT vec_id, max(abs(x)) AS m
+    FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
+    GROUP BY 1 HAVING max(abs(x)) > 0
+),
+qv AS (
+    SELECT e.vec_id,
+           list_transform(e.embedding,
+               x -> floor(x::DOUBLE / m.m * 127.0 + 0.5)::BIGINT) AS q
+    FROM embeddings e JOIN mx m USING (vec_id)
+),
+eq AS (
+    SELECT vec_id AS q_id, unnest(q) AS x, generate_subscripts(q, 1) AS i
+    FROM qv WHERE vec_id < {N_QUERY_VECS}
+),
+ec AS (
+    SELECT vec_id AS n_id, unnest(q) AS x, generate_subscripts(q, 1) AS i
+    FROM qv
+),
+dots AS (
+    SELECT a.q_id, b.n_id, sum(a.x * b.x) AS dot
+    FROM eq a JOIN ec b ON a.i = b.i
+    WHERE a.q_id != b.n_id
+    GROUP BY 1, 2
+),
+nq AS (SELECT q_id, sum(x * x) AS s FROM eq GROUP BY 1),
+nc AS (SELECT n_id, sum(x * x) AS s FROM ec GROUP BY 1),
+scored AS (
+    SELECT d.q_id, d.n_id,
+           d.dot::DOUBLE / (sqrt(nq.s::DOUBLE) * sqrt(nc.s::DOUBLE)) AS cosine
+    FROM dots d JOIN nq ON nq.q_id = d.q_id JOIN nc ON nc.n_id = d.n_id
+),
+ranked AS (
+    SELECT q_id, n_id, cosine,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC)
+               AS rank
+    FROM scored
+)
+SELECT q_id, n_id, cosine, rank::INT AS rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def _substring_dup_fraction_sql() -> str:
+    """Exact replica of the window-fingerprint pipeline: md5 over the
+    space-joined W-token slice, HAVING >= 2 distinct docs, running-max
+    island merge — integer spans, one terminal division."""
+    w = SUBSTR_W
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+wins AS (
+    SELECT doc_id, i AS pos,
+           md5(array_to_string(list_slice(tk, i, i + {w - 1}), ' ')) AS fp
+    FROM toks, unnest(range(1, len(tk) - {w} + 2)) AS t(i)
+),
+dup AS (
+    SELECT fp FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+    SELECT wi.doc_id, wi.pos, wi.pos + {w} AS e
+    FROM wins wi JOIN dup USING (fp)
+),
+marked AS (
+    SELECT doc_id, pos, e,
+           CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END AS brk
+    FROM (
+        SELECT doc_id, pos, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        FROM hits
+    ) q
+),
+islands AS (
+    SELECT doc_id, pos, e,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM marked
+),
+spans AS (
+    SELECT doc_id, min(pos) AS s, max(e) AS ee
+    FROM islands GROUP BY doc_id, island
+),
+cov AS (
+    SELECT doc_id, sum(ee - s) AS dup_tokens FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+       coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+       coalesce(c.dup_tokens, 0)::DOUBLE / len(string_split(d.text, ' '))
+           AS dup_fraction
+FROM documents d LEFT JOIN cov c USING (doc_id)
 """
 
 
@@ -1097,6 +1221,7 @@ QUERIES = {
     "simhash": q_simhash,
     "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
     "knn_cosine": q_knn_cosine,
+    "knn_cosine_int8": q_knn_cosine_int8,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_fixed": q_knn_ivf_fixed,
@@ -1110,6 +1235,7 @@ QUERIES = {
     "curate_corpus": q_curate_corpus,
     "near_dup_verified": q_near_dup_verified,
     "incremental_near_dups": q_incremental_near_dups,
+    "substring_dup_fraction": q_substring_dup_fraction,
     "dedup_clusters": q_dedup_clusters,
     "bm25_topk": q_bm25_topk,
     "repetition_signals": q_repetition_signals,
@@ -1124,6 +1250,7 @@ ORACLES = {
     "simhash": _simhash_sql(),
     "ngram_jaccard_adjacent": _jaccard_sql(),
     "knn_cosine": _knn_sql(),
+    "knn_cosine_int8": _knn_int8_sql(),
     "embedding_near_dups": _near_dup_sql(),
     "embedding_near_dups_bucketed": _near_dup_bucketed_sql(),
     "token_count": _token_count_sql(),
@@ -1133,6 +1260,7 @@ ORACLES = {
     "curate_corpus": _curate_sql(),
     "near_dup_verified": _near_dup_verified_sql(),
     "incremental_near_dups": _incremental_near_dups_sql(),
+    "substring_dup_fraction": _substring_dup_fraction_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "bm25_topk": _bm25_sql(),
     "knn_lsh": _knn_lsh_sql(),

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "simhash",
     "knn_cosine",
     "knn_cosine_int8",
+    "knn_int8_rerank",
     "knn_ivf",
     "knn_ivf_bcast",
     "embedding_near_dups_bucketed",

@@ -95,3 +95,58 @@ class TestTopkInt8:
         p = phys(out).split("== Initial Plan ==")[0]
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
         assert "BroadcastNestedLoopJoin" in p  # query side broadcast
+
+
+class TestRerank:
+    def test_large_m_recovers_exact_float_topk(self, spark):
+        from usgs_geomag_algorithms_spark.operators.quantize import (
+            cosine_topk_int8_rerank,
+        )
+        from usgs_geomag_algorithms_spark.operators.similarity import (
+            cosine_topk,
+        )
+
+        df = emb_df(spark, VECS)
+        q = df.where(F.col("vec_id") < 5)
+        got = {
+            (r.q_id, r.n_id, r.cosine, r.rank)
+            for r in cosine_topk_int8_rerank(df, q, k=3, m=len(VECS)).collect()
+        }
+        want = {
+            (r.q_id, r.n_id, r.cosine, r.rank)
+            for r in cosine_topk(df, q, k=3).collect()
+        }
+        assert got == want
+
+    def test_small_m_subsets_candidates(self, spark):
+        from usgs_geomag_algorithms_spark.operators.quantize import (
+            cosine_topk_int8,
+            cosine_topk_int8_rerank,
+        )
+
+        df = emb_df(spark, VECS)
+        q = df.where(F.col("vec_id") < 5)
+        cand = {
+            (r.q_id, r.n_id) for r in cosine_topk_int8(df, q, k=4).collect()
+        }
+        got = cosine_topk_int8_rerank(df, q, k=3, m=4).collect()
+        assert len(got) == 15
+        assert all((r.q_id, r.n_id) in cand for r in got)
+
+    def test_float_column_not_scanned_corpus_wide(self, spark, tmp_path):
+        """Stage 2 reads the float vectors through a candidate-driven
+        broadcast join — the corpus-wide scans feed the int8 stage only."""
+        from tests.test_plan_audit import phys
+
+        from usgs_geomag_algorithms_spark.operators.quantize import (
+            cosine_topk_int8_rerank,
+        )
+
+        path = str(tmp_path / "emb")
+        emb_df(spark, VECS).write.parquet(path)
+        df = spark.read.parquet(path)
+        out = cosine_topk_int8_rerank(df, df.where(F.col("vec_id") < 5), k=3, m=6)
+        out.collect()
+        p = phys(out).split("== Initial Plan ==")[0]
+        # the re-rank join must be a broadcast of the Q*m candidate pairs
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p

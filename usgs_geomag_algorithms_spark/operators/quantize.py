@@ -96,3 +96,48 @@ def cosine_topk_int8(
     )
     scored = joined.select("q_id", "n_id", cos.alias("cosine"))
     return _rank_topk(scored, k)
+
+
+def cosine_topk_int8_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage serving search (the production SQ8 pattern): a CHEAP pass
+    over the int8 column picks each query's top-``m`` candidates, then only
+    those ``m`` rows re-score against the float vectors for the final
+    top-``k`` — the full-precision scan shrinks corpus-size -> Q x m.
+
+    Stage 1 reads 4x fewer bytes per row; stage 2's float re-rank join is
+    driven by the candidate side (Q x m rows, broadcast) against a
+    semi-pruned corpus read. Both stages are deterministic (integer stage-1
+    scores; stage-2 uses the float path's round-6 + id tie-break), so the
+    composed approximation has an exact oracle. ``m`` controls the usual
+    recall/cost trade: stage 1's quantization noise (~0.01 cosine at 64
+    dims) only costs recall when the true k-th and (m+1)-th neighbors are
+    closer than the noise."""
+    from .similarity import _dot, _norm
+
+    cands = cosine_topk_int8(
+        corpus, queries, k=m, vec_col=vec_col, id_col=id_col
+    ).select("q_id", "n_id")
+    # candidate-driven re-rank: Q x m pairs broadcast onto ONE pruned
+    # corpus pass for the neighbor vectors, then a broadcast fetch of the
+    # Q query vectors — the float column is never scanned corpus-wide
+    n_vecs = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    joined = (
+        F.broadcast(cands)
+        .join(n_vecs, on="n_id")
+        .join(F.broadcast(q_vecs), on="q_id")
+    )
+    sim = _dot("q_vec", "n_vec") / (_norm("q_vec") * _norm("n_vec"))
+    scored = joined.select("q_id", "n_id", F.round(sim, 6).alias("cosine"))
+    return _rank_topk(scored, k)

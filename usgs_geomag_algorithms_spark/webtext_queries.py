@@ -159,6 +159,20 @@ def q_knn_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_int8(emb, queries, k=KNN_K)
 
 
+RERANK_M = 8
+
+
+def q_knn_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage search: int8 scan picks top-M candidates, float re-rank
+    picks top-K — the production SQ8 serving pattern. Both stages
+    deterministic, so the composed approximation is exactly checked."""
+    from .operators.quantize import cosine_topk_int8_rerank
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return cosine_topk_int8_rerank(emb, queries, k=KNN_K, m=RERANK_M)
+
+
 NEAR_DUP_THRESHOLD = 0.4
 
 
@@ -627,6 +641,81 @@ scored AS (
     SELECT d.q_id, d.n_id,
            d.dot::DOUBLE / (sqrt(nq.s::DOUBLE) * sqrt(nc.s::DOUBLE)) AS cosine
     FROM dots d JOIN nq ON nq.q_id = d.q_id JOIN nc ON nc.n_id = d.n_id
+),
+ranked AS (
+    SELECT q_id, n_id, cosine,
+           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC)
+               AS rank
+    FROM scored
+)
+SELECT q_id, n_id, cosine, rank::INT AS rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def _knn_int8_rerank_sql() -> str:
+    """Stage 1 = the int8 pipeline ranked to top-M; stage 2 = the float
+    cosine (round-6, id tie-break) over only those candidate pairs."""
+    return f"""
+WITH mx AS (
+    SELECT vec_id, max(abs(x)) AS m
+    FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
+    GROUP BY 1 HAVING max(abs(x)) > 0
+),
+qv AS (
+    SELECT e.vec_id,
+           list_transform(e.embedding,
+               x -> floor(x::DOUBLE / m.m * 127.0 + 0.5)::BIGINT) AS q
+    FROM embeddings e JOIN mx m USING (vec_id)
+),
+eq AS (
+    SELECT vec_id AS q_id, unnest(q) AS x, generate_subscripts(q, 1) AS i
+    FROM qv WHERE vec_id < {N_QUERY_VECS}
+),
+ec AS (
+    SELECT vec_id AS n_id, unnest(q) AS x, generate_subscripts(q, 1) AS i
+    FROM qv
+),
+dots AS (
+    SELECT a.q_id, b.n_id, sum(a.x * b.x) AS dot
+    FROM eq a JOIN ec b ON a.i = b.i
+    WHERE a.q_id != b.n_id
+    GROUP BY 1, 2
+),
+nq AS (SELECT q_id, sum(x * x) AS s FROM eq GROUP BY 1),
+nc AS (SELECT n_id, sum(x * x) AS s FROM ec GROUP BY 1),
+cand AS (
+    SELECT q_id, n_id FROM (
+        SELECT d.q_id, d.n_id,
+               row_number() OVER (PARTITION BY d.q_id ORDER BY
+                   d.dot::DOUBLE / (sqrt(nq.s::DOUBLE) * sqrt(nc.s::DOUBLE))
+                       DESC, d.n_id ASC) AS r
+        FROM dots d JOIN nq ON nq.q_id = d.q_id JOIN nc ON nc.n_id = d.n_id
+    ) WHERE r <= {RERANK_M}
+),
+fq AS (
+    SELECT vec_id AS q_id, unnest(embedding)::DOUBLE AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+),
+fc AS (
+    SELECT vec_id AS n_id, unnest(embedding)::DOUBLE AS x,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+),
+rdots AS (
+    SELECT c.q_id, c.n_id, sum(a.x * b.x) AS dot
+    FROM cand c
+    JOIN fq a ON a.q_id = c.q_id
+    JOIN fc b ON b.n_id = c.n_id AND b.i = a.i
+    GROUP BY 1, 2
+),
+fnq AS (SELECT q_id, sum(x * x) AS s FROM fq GROUP BY 1),
+fnc AS (SELECT n_id, sum(x * x) AS s FROM fc GROUP BY 1),
+scored AS (
+    SELECT d.q_id, d.n_id,
+           round(d.dot / (sqrt(fnq.s) * sqrt(fnc.s)), 6) AS cosine
+    FROM rdots d
+    JOIN fnq ON fnq.q_id = d.q_id JOIN fnc ON fnc.n_id = d.n_id
 ),
 ranked AS (
     SELECT q_id, n_id, cosine,
@@ -1222,6 +1311,7 @@ QUERIES = {
     "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
     "knn_cosine": q_knn_cosine,
     "knn_cosine_int8": q_knn_cosine_int8,
+    "knn_int8_rerank": q_knn_int8_rerank,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_fixed": q_knn_ivf_fixed,
@@ -1251,6 +1341,7 @@ ORACLES = {
     "ngram_jaccard_adjacent": _jaccard_sql(),
     "knn_cosine": _knn_sql(),
     "knn_cosine_int8": _knn_int8_sql(),
+    "knn_int8_rerank": _knn_int8_rerank_sql(),
     "embedding_near_dups": _near_dup_sql(),
     "embedding_near_dups_bucketed": _near_dup_bucketed_sql(),
     "token_count": _token_count_sql(),

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "bm25_topk",
     "curate_corpus",
+    "curate_full",
     "top_minutes",
     "user_sessions",
     "session_stats",

@@ -1,0 +1,81 @@
+"""curate_full: the composed pretraining build — every gate exercised by a
+planted document, sample determinism, and gate independence."""
+
+from pyspark.sql import functions as F
+
+from usgs_geomag_algorithms_spark.operators.curate import (
+    curate_full,
+    sample_uniform,
+)
+
+EN = (
+    "the quick brown fox and the lazy dog were found in the house "
+    "with that other dog and this was not a surprise for they had "
+    "been there for days"
+)
+EN2 = (
+    "it was the best of times and it was the worst of times for the "
+    "dogs that were in the house with all the other animals that day "
+    "and the days after that one"
+)
+
+
+def corpus(spark):
+    rows = [
+        (0, EN, "web"),                        # survives everything
+        (1, EN, "web"),                        # exact dup of 0 -> dropped
+        (2, EN + " extra", "web"),             # near-dup of 0 -> non-canonical
+        (3, "le chat est dans la maison avec les autres et il est la", "web"),
+        (4, "zzzz!!!! ####### @@@@", "web"),   # junk quality
+        (5, EN2, "web"),                       # clean independent survivor
+        (6, EN2, "ads"),                       # exact-dup text, rate-0 stratum
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+class TestCurateFull:
+    def test_every_gate_fires(self, spark):
+        out = curate_full(
+            corpus(spark),
+            lang="en",
+            min_quality=0.7,
+            jaccard=0.3,
+            max_dup_fraction=0.9,
+            substr_w=8,
+            rates={"web": 1.0, "ads": 0.0},
+        ).collect()
+        ids = sorted(r.doc_id for r in out)
+        # 1 exact dup, 2 non-canonical near-dup, 3 lang, 4 quality,
+        # 6 rate-0 stratum (and 6 is also a non-canonical dup of 5's text)
+        assert ids == [0, 5]
+        by_id = {r.doc_id: r for r in out}
+        assert by_id[0].source == "web" and by_id[0].pred_lang == "en"
+        # doc 0's text is substring-shared with docs 1/2/6-family, so its
+        # coverage is high but below the loose gate
+        assert 0.0 <= by_id[0].dup_fraction <= 0.9
+
+    def test_substring_gate_drops_heavy_coverage(self, spark):
+        # tighten the coverage gate below doc 0's (its text recurs
+        # verbatim in docs 1 and 2, so coverage is ~1.0)
+        out = curate_full(
+            corpus(spark),
+            lang="en",
+            min_quality=0.7,
+            jaccard=0.999,  # near-dup gate effectively off (exact only)
+            max_dup_fraction=0.5,
+            substr_w=8,
+            rates=None,
+        ).collect()
+        ids = {r.doc_id for r in out}
+        assert 0 not in ids  # full-coverage duplicated spans
+        assert 5 in ids      # EN2 recurs only as doc 6's exact dup text
+
+    def test_sample_is_deterministic_and_content_free(self, spark):
+        df = corpus(spark)
+        u = df.select(
+            "doc_id", sample_uniform(F.col("doc_id")).alias("u")
+        ).collect()
+        assert all(0.0 <= r.u < 1.0 for r in u)
+        a = curate_full(df, rates={"web": 0.75, "ads": 0.75}).collect()
+        b = curate_full(df, rates={"web": 0.75, "ads": 0.75}).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -92,3 +92,78 @@ def curate(
     ).select(
         id_col, "pred_lang", "quality_score", "mean_token_len", "stopword_ratio"
     )
+
+
+def curate_full(
+    df: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.7,
+    jaccard: float = 0.3,
+    max_dup_fraction: float = 0.5,
+    k: int = 16,
+    shingle_n: int = 8,
+    bands: int = 4,
+    substr_w: int = 8,
+    rates: dict | None = None,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The COMPLETE pretraining-data build: the scalar gates of ``curate``
+    (exact dedup + language + quality, one scan) composed with all three
+    fuzzy-dedup modalities and the domain-mixing sample:
+
+    - near-dup gate: only each MinHash-LSH/Jaccard cluster's canonical
+      document survives (``dedup.near_dup_clusters``);
+    - exact-substring gate: documents whose duplicated-span coverage
+      exceeds ``max_dup_fraction`` are dropped
+      (``substring.substring_dup_fraction``);
+    - optional ``rates``: deterministic stratified sampling by
+      ``stratum_col`` (``stratified_sample``).
+
+    Gate ORDER is load-bearing, for semantics and cost both: the
+    substring pass runs over the corpus that SURVIVES the document-level
+    dedups — an exact/near duplicate gives its own canonical ~100%
+    window coverage, so fingerprinting before deduplication would drop
+    every document that merely *had* duplicates; after it, coverage
+    measures residual cross-document duplication (boilerplate, quoted
+    runs) among unique documents, which is the signal the gate is for.
+    It is also the cheap order: the most expensive pass (one fingerprint
+    row per token) runs over the reduced corpus.
+
+    Unlike the scalar gates, the dedup modalities are *inherently*
+    extra corpus passes (each shuffles on its own key: content 8-gram
+    shingles, window fingerprints); what the composition controls is the
+    JOIN cost — every gate reduces to a doc-id-keyed relation no wider
+    than the corpus, so the merge is id-hash-partitioned joins that AQE
+    co-plans, never a re-scan of text. Output: one manifest row per
+    surviving document (id, stratum, pred_lang, quality_score,
+    dup_fraction) — what a downstream tokenizer job consumes."""
+    from .dedup import near_dup_clusters
+    from .substring import substring_dup_fraction
+
+    base = curate(
+        df, lang=lang, min_quality=min_quality,
+        text_col=text_col, id_col=id_col,
+    )
+    canonical = near_dup_clusters(
+        df, k=k, shingle_n=shingle_n, bands=bands, threshold=jaccard,
+        text_col=text_col, id_col=id_col,
+    ).where("is_canonical").select(id_col)
+    unique = base.join(canonical, on=id_col)
+    frac = substring_dup_fraction(
+        df.join(unique.select(id_col), on=id_col),
+        w=substr_w, text_col=text_col, id_col=id_col,
+    ).where(F.col("dup_fraction") <= max_dup_fraction).select(
+        id_col, "dup_fraction"
+    )
+    out = unique.join(frac, on=id_col).join(
+        df.select(id_col, stratum_col), on=id_col
+    )
+    if rates:
+        out = stratified_sample(
+            out, rates, id_col=id_col, stratum_col=stratum_col
+        )
+    return out.select(
+        id_col, stratum_col, "pred_lang", "quality_score", "dup_fraction"
+    )

@@ -297,6 +297,30 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(_docs(spark, sf_dir), lang="en", min_quality=CURATE_MIN_QUALITY)
 
 
+CURATE_MAX_DUP_FRACTION = 0.5
+
+
+def q_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pretraining build: scalar gates + near-dup canonical
+    gate + exact-substring coverage gate + deterministic domain-mixing
+    sample — every stage deterministic, the whole composition exactly
+    oracle-checked."""
+    from usgs_geomag_algorithms_spark.operators.curate import curate_full
+
+    return curate_full(
+        _docs(spark, sf_dir),
+        lang="en",
+        min_quality=CURATE_MIN_QUALITY,
+        jaccard=NEAR_DUP_JACCARD,
+        max_dup_fraction=CURATE_MAX_DUP_FRACTION,
+        k=K_MINHASH,
+        shingle_n=SHINGLE_N,
+        bands=4,
+        substr_w=SUBSTR_W,
+        rates=STRATA_RATES,
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_count(_docs(spark, sf_dir))
 
@@ -727,14 +751,16 @@ SELECT q_id, n_id, cosine, rank::INT AS rank FROM ranked WHERE rank <= {KNN_K}
 """
 
 
-def _substring_dup_fraction_sql() -> str:
+def _substring_dup_fraction_sql(docs_rel: str = "documents") -> str:
     """Exact replica of the window-fingerprint pipeline: md5 over the
     space-joined W-token slice, HAVING >= 2 distinct docs, running-max
-    island merge — integer spans, one terminal division."""
+    island merge — integer spans, one terminal division. ``docs_rel``
+    names the document relation (curate_full runs the pass over the
+    deduplicated survivor set, mirroring the Spark gate order)."""
     w = SUBSTR_W
     return f"""
 WITH toks AS (
-    SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    SELECT doc_id, string_split(text, ' ') AS tk FROM {docs_rel}
 ),
 wins AS (
     SELECT doc_id, i AS pos,
@@ -776,7 +802,7 @@ SELECT d.doc_id,
        coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
        coalesce(c.dup_tokens, 0)::DOUBLE / len(string_split(d.text, ' '))
            AS dup_fraction
-FROM documents d LEFT JOIN cov c USING (doc_id)
+FROM {docs_rel} d LEFT JOIN cov c USING (doc_id)
 """
 
 
@@ -1304,6 +1330,33 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
 """
 
 
+def _curate_full_sql() -> str:
+    """The composed pipeline as nested derived tables reusing the exact
+    per-gate oracles verbatim (each is itself oracle-checked standalone),
+    plus the dyadic-rational sample predicate."""
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in STRATA_RATES.items()
+    )
+    return f"""
+WITH uniq AS (
+    SELECT c.doc_id, c.pred_lang, c.quality_score
+    FROM ({_curate_sql()}) c
+    JOIN ({_dedup_clusters_sql()}) cl
+      ON cl.doc_id = c.doc_id AND cl.is_canonical
+),
+uniq_docs AS (
+    SELECT d.doc_id, d.text FROM documents d JOIN uniq USING (doc_id)
+)
+SELECT u.doc_id, d.source, u.pred_lang, u.quality_score, f.dup_fraction
+FROM uniq u
+JOIN ({_substring_dup_fraction_sql("uniq_docs")}) f
+  ON f.doc_id = u.doc_id AND f.dup_fraction <= {CURATE_MAX_DUP_FRACTION}::DOUBLE
+JOIN documents d ON d.doc_id = u.doc_id
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
+      < (CASE d.source {cases} ELSE 0.0 END)
+"""
+
+
 QUERIES = {
     "minhash_signature": q_minhash_signature,
     "lsh_pairs": q_lsh_pairs,
@@ -1323,6 +1376,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "doc_fingerprint": q_fingerprint,
     "curate_corpus": q_curate_corpus,
+    "curate_full": q_curate_full,
     "near_dup_verified": q_near_dup_verified,
     "incremental_near_dups": q_incremental_near_dups,
     "substring_dup_fraction": q_substring_dup_fraction,
@@ -1349,6 +1403,7 @@ ORACLES = {
     "quality_score": _quality_sql(),
     "doc_fingerprint": _fingerprint_sql(),
     "curate_corpus": _curate_sql(),
+    "curate_full": _curate_full_sql(),
     "near_dup_verified": _near_dup_verified_sql(),
     "incremental_near_dups": _incremental_near_dups_sql(),
     "substring_dup_fraction": _substring_dup_fraction_sql(),

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "curate_corpus",
     "curate_full",
+    "pack_sequences",
     "top_minutes",
     "user_sessions",
     "session_stats",

@@ -1,0 +1,76 @@
+"""Sequence packing: span arithmetic vs a pure-Python packer, stratum
+independence, determinism, boundary-straddling docs."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from usgs_geomag_algorithms_spark.operators.packing import pack_sequences
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def py_pack(rows, seq_len):
+    out = {}
+    by_stratum = {}
+    for did, text, src in rows:
+        by_stratum.setdefault(src, []).append((did, len(text.split(" "))))
+    for src, docs in by_stratum.items():
+        docs.sort(key=lambda d: (hashlib.md5(str(d[0]).encode()).hexdigest(), d[0]))
+        cum = 0
+        for did, n in docs:
+            out[did] = (src, n, cum, cum // seq_len, (cum + n - 1) // seq_len)
+            cum += n
+    return out
+
+
+ROWS = [
+    (i, " ".join(f"w{j}" for j in range(3 + (i * 7) % 11)),
+     "web" if i % 3 else "code")
+    for i in range(30)
+]
+
+
+class TestPacking:
+    def test_matches_python_reference(self, spark):
+        got = {r.doc_id: r for r in pack_sequences(docs_df(spark, ROWS), 16).collect()}
+        want = py_pack(ROWS, 16)
+        assert set(got) == set(want)
+        for did, (src, n, start, fb, lb) in want.items():
+            r = got[did]
+            assert (r.source, r.n_tokens, r.start_offset, r.first_bin,
+                    r.last_bin) == (src, n, start, fb, lb), did
+
+    def test_stream_is_gap_free_per_stratum(self, spark):
+        rows = pack_sequences(docs_df(spark, ROWS), 16).collect()
+        for src in {"web", "code"}:
+            spans = sorted(
+                (r.start_offset, r.n_tokens) for r in rows if r.source == src
+            )
+            pos = 0
+            for start, n in spans:
+                assert start == pos  # concat: no holes, no overlaps
+                pos += n
+
+    def test_boundary_straddle(self, spark):
+        rows = [(0, " ".join(["a"] * 10), "s"), (1, " ".join(["b"] * 10), "s")]
+        got = {r.doc_id: r for r in pack_sequences(docs_df(spark, rows), 16).collect()}
+        # 20 tokens over seq_len 16: exactly one doc crosses the boundary
+        straddlers = [r for r in got.values() if r.first_bin != r.last_bin]
+        assert len(straddlers) == 1
+        assert straddlers[0].last_bin == straddlers[0].first_bin + 1
+
+    def test_deterministic_under_repartition(self, spark):
+        df = docs_df(spark, ROWS)
+        a = sorted(map(tuple, pack_sequences(df, 16).collect()))
+        b = sorted(map(tuple, pack_sequences(df.repartition(7), 16).collect()))
+        assert a == b
+
+    def test_bad_seq_len(self, spark):
+        with pytest.raises(ValueError):
+            pack_sequences(docs_df(spark, ROWS), 0)

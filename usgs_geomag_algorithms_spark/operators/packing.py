@@ -1,0 +1,70 @@
+"""Sequence packing: lay a curated corpus out as fixed-length training
+sequences (the GPT-style concat-and-chunk batch layout).
+
+A pretraining loader consumes sequences of exactly ``seq_len`` tokens;
+the build step must assign every document a position in that token
+stream ahead of time, deterministically (so any worker can materialize
+any shard independently and a re-run bit-reproduces the epoch):
+
+- documents are ordered by a content-free hash of their id (the epoch
+  'shuffle' — reproducible, resharding-safe, no RNG state);
+- token counts accumulate in that order; a document's span is
+  [start_offset, start_offset + n_tokens) in the concatenated stream;
+- sequence (bin) ids are span / seq_len — documents may straddle a
+  boundary (concat-and-chunk semantics; the loader slices, it never
+  pads mid-stream).
+
+Packing is PER STRATUM (``source``), matching how mixture weights are
+applied per-domain before interleaving: each stratum's running sum is an
+independent window, so the plan is one shuffle on the stratum key and a
+per-stratum sort — embarrassingly parallel across strata, no global
+total order. (A single-stream layout is the one-stratum special case;
+at 10^12 documents a global sort is one range-partitioned exchange,
+legitimate once per build, but the per-stratum form is both cheaper and
+what mixture-weighted builds actually consume.)
+
+All-integer outputs (offsets, bin ids) -> exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """(id, stratum, n_tokens, start_offset, first_bin, last_bin): the
+    document's place in its stratum's concatenated token stream.
+
+    Order within a stratum is (md5(id), id) — the id tiebreak makes the
+    window frame deterministic even under hash collisions, and hashing
+    the id (not the text) keeps the epoch order independent of upstream
+    edits to document content."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        df.select(id_col, stratum_col, n_tokens.alias("n_tokens"))
+        .withColumn("_cum", cum)
+        .select(
+            id_col,
+            stratum_col,
+            "n_tokens",
+            (F.col("_cum") - F.col("n_tokens")).alias("start_offset"),
+            # BIGINT `div`, not double division + cast: offsets at corpus
+            # scale can pass 2^53 where double arithmetic loses integers
+            F.expr(f"(_cum - n_tokens) div {seq_len}").alias("first_bin"),
+            F.expr(f"(_cum - 1) div {seq_len}").alias("last_bin"),
+        )
+    )

@@ -259,6 +259,38 @@ def q_substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_fraction(_docs(spark, sf_dir), w=SUBSTR_W)
 
 
+SEQ_LEN = 2048
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing (concat-and-chunk layout, per-source
+    streams): every document's span in its stratum's token stream — the
+    step between a curated manifest and a training loader. All-integer
+    outputs -> exact oracle."""
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=SEQ_LEN)
+
+
+def _pack_sequences_sql() -> str:
+    return f"""
+SELECT doc_id, source, n AS n_tokens,
+       (cum - n)::BIGINT AS start_offset,
+       ((cum - n)::BIGINT // {SEQ_LEN})::BIGINT AS first_bin,
+       ((cum - 1)::BIGINT // {SEQ_LEN})::BIGINT AS last_bin
+FROM (
+    SELECT doc_id, source,
+           len(string_split(text, ' '))::BIGINT AS n,
+           sum(len(string_split(text, ' '))) OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )::BIGINT AS cum
+    FROM documents
+)
+"""
+
+
 BM25_TERMS = ("spark", "join", "window")
 BM25_K = 20
 BM25_K1, BM25_B = 1.2, 0.75
@@ -1377,6 +1409,7 @@ QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "curate_corpus": q_curate_corpus,
     "curate_full": q_curate_full,
+    "pack_sequences": q_pack_sequences,
     "near_dup_verified": q_near_dup_verified,
     "incremental_near_dups": q_incremental_near_dups,
     "substring_dup_fraction": q_substring_dup_fraction,
@@ -1404,6 +1437,7 @@ ORACLES = {
     "doc_fingerprint": _fingerprint_sql(),
     "curate_corpus": _curate_sql(),
     "curate_full": _curate_full_sql(),
+    "pack_sequences": _pack_sequences_sql(),
     "near_dup_verified": _near_dup_verified_sql(),
     "incremental_near_dups": _incremental_near_dups_sql(),
     "substring_dup_fraction": _substring_dup_fraction_sql(),

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "knn_cosine",
     "knn_cosine_int8",
     "knn_int8_rerank",
+    "knn_ivf_sq8",
     "knn_ivf",
     "knn_ivf_bcast",
     "embedding_near_dups_bucketed",

@@ -150,3 +150,52 @@ class TestRerank:
         p = phys(out).split("== Initial Plan ==")[0]
         # the re-rank join must be a broadcast of the Q*m candidate pairs
         assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+class TestIvfSq8:
+    def test_probe_is_cell_subset_with_int8_scores(self, spark):
+        from usgs_geomag_algorithms_spark.operators.quantize import (
+            cosine_topk_int8,
+            ivf_sq8_topk,
+        )
+        from usgs_geomag_algorithms_spark.operators.similarity import (
+            md5_sign_planes,
+        )
+        import numpy as np
+
+        cents = np.array(md5_sign_planes(4, 16, seed=5))
+        cents = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).tolist()
+        df = emb_df(spark, VECS)
+        q = df.where(F.col("vec_id") < 5)
+        got = ivf_sq8_topk(df, q, k=3, centroids=cents, n_probe=4).collect()
+        # n_probe == C: every cell probed -> identical to flat int8 top-k
+        want = {
+            (r.q_id, r.n_id, r.cosine, r.rank)
+            for r in cosine_topk_int8(df, q, k=3).collect()
+        }
+        assert {(r.q_id, r.n_id, r.cosine, r.rank) for r in got} == want
+
+    def test_narrow_probe_recall(self, spark):
+        from usgs_geomag_algorithms_spark.operators.quantize import (
+            cosine_topk_int8,
+            ivf_sq8_topk,
+        )
+        from usgs_geomag_algorithms_spark.operators.similarity import (
+            md5_sign_planes,
+        )
+        import numpy as np
+
+        cents = np.array(md5_sign_planes(8, 16, seed=5))
+        cents = (cents / np.linalg.norm(cents, axis=1, keepdims=True)).tolist()
+        df = emb_df(spark, VECS)
+        q = df.where(F.col("vec_id") < 5)
+        got = {
+            (r.q_id, r.n_id)
+            for r in ivf_sq8_topk(df, q, k=3, centroids=cents, n_probe=3).collect()
+        }
+        exact = {
+            (r.q_id, r.n_id)
+            for r in cosine_topk_int8(df, q, k=3).collect()
+        }
+        # approximate by design; probe-3-of-8 should still find most
+        assert len(got & exact) / len(exact) >= 0.5

@@ -98,6 +98,71 @@ def cosine_topk_int8(
     return _rank_topk(scored, k)
 
 
+def _qvec_sql(vec_col: str) -> str:
+    """Inline int8 quantization of a float array column — the map-only
+    expression form of ``quantize_int8`` for pipelines that already carry
+    the vector (e.g. IVF assignment output). The max|x| sub-aggregate is
+    evaluated twice per row, which is cheaper than a join to carry it."""
+    mx = (
+        f"aggregate(transform({vec_col}, x -> abs(cast(x as double))),"
+        f" cast(0.0 as double), (a, v) -> greatest(a, v))"
+    )
+    return (
+        f"transform({vec_col}, x ->"
+        f" cast(floor(cast(x as double) / {mx} * 127.0 + 0.5d) as int))"
+    )
+
+
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF + SQ8: coarse-cell pruning AND int8 scoring composed — the
+    FAISS IVF-SQ8 layout that production ANN actually serves. The corpus
+    index stores one row per vector: (cell, int8 codes) — at 10^9 vectors
+    x 64 dims that is ~64 GB of codes instead of 256 GB of floats,
+    partitioned by ``cell`` so a probe reads n_probe/C of it. Cell
+    assignment happens at BUILD time on the float vectors (identical to
+    ``similarity.ivf_topk``); probe-time scoring is pure integer math, so
+    the scored stage is bit-exact in any engine (no rounding armor),
+    while the assignment stage reuses the oracle-checked float plan."""
+    from .similarity import (
+        _nonzero,
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    corpus = _nonzero(corpus, vec_col)
+    queries = _nonzero(queries, vec_col)
+    q_expr = _qvec_sql(vec_col)
+    cb = ivf_assign(corpus, centroids, 1, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"), F.expr(q_expr).alias("qn"), "cell"
+    )
+    qb = ivf_assign(queries, centroids, n_probe, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), F.expr(q_expr).alias("qq"), "cell"
+    )
+    joined = cb.join(F.broadcast(qb), on="cell").where(
+        F.col("q_id") != F.col("n_id")
+    )
+    cos = _qdot("qq", "qn").cast("double") / (
+        F.sqrt(_qnorm2("qq").cast("double"))
+        * F.sqrt(_qnorm2("qn").cast("double"))
+    )
+    scored = joined.select("q_id", "n_id", cos.alias("cosine"))
+    return _rank_topk(scored, k)
+
+
 def cosine_topk_int8_rerank(
     corpus: DataFrame,
     queries: DataFrame,

@@ -159,6 +159,22 @@ def q_knn_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_int8(emb, queries, k=KNN_K)
 
 
+def q_knn_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + SQ8 composed (operators/quantize.py::ivf_sq8_topk): coarse-
+    cell pruning with int8 probe scoring — the FAISS IVF-SQ8 serving
+    layout. Fixed md5-sign centroids make the assignment deterministic;
+    integer probe scores are exact by construction — the whole composed
+    plan is exactly oracle-checked."""
+    from .operators.quantize import ivf_sq8_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return ivf_sq8_topk(
+        emb, queries, k=KNN_K, centroids=_ivf_fixed_centroids(),
+        n_probe=IVF_FIXED_PROBE,
+    )
+
+
 RERANK_M = 8
 
 
@@ -783,6 +799,74 @@ SELECT q_id, n_id, cosine, rank::INT AS rank FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+def _knn_ivf_sq8_sql() -> str:
+    """The IVF-fixed assignment CTEs (float, shared with knn_ivf_fixed)
+    feeding int8 probe scoring: quantized dots/norms are integer-exact,
+    one terminal double division."""
+    cent = _ivf_fixed_centroids()
+    rows = ", ".join(
+        f"({cell}, {i}, {cent[cell][i]:.17g})"
+        for cell in range(IVF_FIXED_CELLS)
+        for i in range(EMB_DIM)
+    )
+    return f"""
+WITH cent(cell, i, c) AS (VALUES {rows}),
+e AS (
+    SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+           generate_subscripts(embedding, 1) - 1 AS i
+    FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM e GROUP BY 1 HAVING sum(x * x) > 0),
+cdots AS (
+    SELECT e.vec_id, ct.cell, sum(e.x * ct.c) AS d
+    FROM e JOIN cent ct ON ct.i = e.i
+    JOIN norms nz ON nz.vec_id = e.vec_id
+    GROUP BY 1, 2
+),
+cells AS (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS rc
+    FROM cdots
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+    FROM cells q JOIN cells c ON c.cell = q.cell AND c.rc = 1
+    WHERE q.rc <= {IVF_FIXED_PROBE} AND q.vec_id < {N_QUERY_VECS}
+      AND c.vec_id != q.vec_id
+),
+mxq AS (SELECT vec_id, max(abs(x)) AS m FROM e GROUP BY 1 HAVING max(abs(x)) > 0),
+qv AS (
+    SELECT emb.vec_id,
+           list_transform(emb.embedding,
+               x -> floor(x::DOUBLE / m.m * 127.0 + 0.5)::BIGINT) AS q
+    FROM embeddings emb JOIN mxq m USING (vec_id)
+),
+qe AS (SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS i FROM qv),
+pdots AS (
+    SELECT d.q_id, d.n_id, sum(a.x * b.x) AS dot
+    FROM cand d
+    JOIN qe a ON a.vec_id = d.q_id
+    JOIN qe b ON b.vec_id = d.n_id AND b.i = a.i
+    GROUP BY 1, 2
+),
+qnorms AS (SELECT vec_id, sum(x * x) AS s FROM qe GROUP BY 1),
+scored AS (
+    SELECT p.q_id, p.n_id,
+           p.dot::DOUBLE / (sqrt(nq.s::DOUBLE) * sqrt(nc.s::DOUBLE)) AS cosine
+    FROM pdots p
+    JOIN qnorms nq ON nq.vec_id = p.q_id
+    JOIN qnorms nc ON nc.vec_id = p.n_id
+),
+ranked AS (
+    SELECT q_id, n_id, cosine,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cosine DESC, n_id ASC) AS rank
+    FROM scored
+)
+SELECT q_id, n_id, cosine, rank::INT AS rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
 def _substring_dup_fraction_sql(docs_rel: str = "documents") -> str:
     """Exact replica of the window-fingerprint pipeline: md5 over the
     space-joined W-token slice, HAVING >= 2 distinct docs, running-max
@@ -1397,6 +1481,7 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "knn_cosine_int8": q_knn_cosine_int8,
     "knn_int8_rerank": q_knn_int8_rerank,
+    "knn_ivf_sq8": q_knn_ivf_sq8,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_fixed": q_knn_ivf_fixed,
@@ -1429,6 +1514,7 @@ ORACLES = {
     "knn_cosine": _knn_sql(),
     "knn_cosine_int8": _knn_int8_sql(),
     "knn_int8_rerank": _knn_int8_rerank_sql(),
+    "knn_ivf_sq8": _knn_ivf_sq8_sql(),
     "embedding_near_dups": _near_dup_sql(),
     "embedding_near_dups_bucketed": _near_dup_bucketed_sql(),
     "token_count": _token_count_sql(),

@@ -198,3 +198,34 @@ class TestServeFill:
             )
         with pytest.raises(ValueError):
             get_timeseries(store, "minute", T0, T0 + MIN, fill="nearest")
+
+
+class TestAutoTier:
+    def test_select_tier_picks_finest_under_cap(self):
+        from usgs_geomag_algorithms_spark.plans.serve import select_tier
+
+        # 1 hour: second tier fits easily
+        assert select_tier(T0, T0 + 3600 * US) == "second"
+        # 30 days: 2.6M seconds > cap, 43k minutes fits
+        assert select_tier(T0, T0 + 30 * 86400 * US) == "minute"
+        # 2 years: minutes exceed the cap, hours fit
+        assert select_tier(T0, T0 + 2 * 365 * 86400 * US) == "hour"
+        # cap that nothing fits
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            select_tier(T0, T0 + 365 * 86400 * US, max_samples=10)
+
+    def test_get_timeseries_auto(self, spark, tmp_path):
+        store = TierStore(spark, str(tmp_path / "t"), n_buckets=2)
+        rows = [("u1", "text_len", T0 + i * MIN, float(i)) for i in range(5)]
+        df = spark.createDataFrame(
+            rows, schema="url string, channel string, t_us long, value double"
+        )
+        store.write(df, "minute")
+        # a month-long window auto-selects the minute tier (finest under cap)
+        out = get_timeseries(
+            store, "auto", T0, T0 + 30 * 86400 * US, pad=False
+        )
+        got = {(r.url, r.t_us): r.value for r in out.collect()}
+        assert got[("u1", T0 + MIN)] == 1.0 and len(got) == 5

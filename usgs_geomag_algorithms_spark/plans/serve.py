@@ -21,6 +21,36 @@ from ..tiers import INTERVAL_SECONDS, US
 REQUEST_LIMIT_SAMPLES = 345_600
 
 
+def select_tier(
+    start_us: int,
+    end_us: int,
+    max_samples: int = REQUEST_LIMIT_SAMPLES,
+    available: Sequence[str] = ("second", "minute", "hour", "day"),
+) -> str:
+    """The FINEST materialized tier whose sample count over the window
+    fits ``max_samples`` — the reference's sampling-period negotiation
+    (``geomagio/api/ws/data.py``: the service picks a coarser
+    sampling_period rather than reject a long range) turned automatic:
+    ``get_timeseries(tier='auto')`` serves a dashboard zoom-out from the
+    day tier and a zoom-in from the minute tier through one call site,
+    keeping every response under the request cap by construction.
+    Raises if even the coarsest available tier exceeds the cap."""
+    best = None
+    for name in sorted(
+        available, key=lambda n: INTERVAL_SECONDS[n]
+    ):
+        n_samples = int((end_us - start_us) / (INTERVAL_SECONDS[name] * US)) + 1
+        if n_samples <= max_samples:
+            best = name
+            break
+    if best is None:
+        raise ValueError(
+            f"no tier in {list(available)} fits {max_samples} samples over "
+            f"[{start_us}, {end_us}]"
+        )
+    return best
+
+
 def month_stamps(start_us: int, end_us: int) -> list[int]:
     """Center stamps of every calendar month whose stamp falls inside the
     range — delegates to the canonical enumeration in operators/month.py."""
@@ -60,6 +90,8 @@ def get_timeseries(
     DerivedTimeseriesFactory wrap of the reference's /data endpoint,
     ``geomagio/api/ws/data.py:21-47``): pivot wide, fixed-point derive,
     unpivot back to the long serving shape."""
+    if tier == "auto":
+        tier = select_tier(start_us, end_us)
     if tier == "month":
         delta_s = 28 * 86400.0  # cap check lower bound for variable months
     else:

@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "knn_cosine_int8",
     "knn_int8_rerank",
     "knn_ivf_sq8",
+    "knn_pq",
+    "kmeans_cells",
     "knn_ivf",
     "knn_ivf_bcast",
     "embedding_near_dups_bucketed",
@@ -55,6 +57,7 @@ BENCH_QUERIES = [
     "near_dup_verified",
     "incremental_near_dups",
     "substring_dup_fraction",
+    "chunk_dedup",
     "dedup_clusters",
     "bm25_topk",
     "curate_corpus",

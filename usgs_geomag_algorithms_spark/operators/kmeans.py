@@ -1,0 +1,160 @@
+"""Distributed Lloyd's k-means over int8-quantized vectors — the
+INTEGER-EXACT trainer behind data-trained ANN indexes (IVF cells, PQ
+codebooks).
+
+``similarity.train_ivf_centroids`` fits on a driver-side sample — the
+right call for coarse-cell PLACEMENT, but it never sees the full corpus.
+This module is the other regime: every iteration assigns ALL vectors and
+refines centroids from ALL members, as one Spark job per iteration
+(exactly MLlib KMeans' shape: broadcast/literal centroids down, k×dim
+partial sums up).
+
+The trick that makes it deterministic — and therefore exactly
+oracle-checkable, which float k-means never is — is keeping centroids as
+INTEGER state: per-cell per-dim SUMS of the int8 vectors plus the member
+COUNT, never the float mean. Assignment minimizes
+
+    ||x - s/n||^2 - ||x||^2  =  (||s||^2 - 2 n <x, s>) / n^2
+
+whose numerator is pure BIGINT (order-independent under any partitioning
+— integer addition commutes exactly, unlike float) and whose single
+terminal division is deterministic in every engine. Ties break on the
+lower cell id. Integer headroom: |s_i| <= 127 n, so ||s||^2 <= 64*(127
+n)^2 stays inside int64 for n up to ~3×10^6 members per cell; beyond
+that the sums must be re-centered or the cell split (a 10^12-corpus fit
+uses k large enough that cells stay far below this).
+
+Per-iteration cost at 100 TB: one corpus scan (map-only literal/
+broadcast assignment — same physical strategies as ``ivf_assign``), one
+aggregate whose map-side partials are k×dim longs per partition, and a
+k×dim collect (a few KB — the one legitimately driver-side step, as in
+MLlib). Nothing corpus-sized ever shuffles or lands on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .quantize import quantize_int8
+
+#: state: list over cells of (per-dim integer sums, member count)
+State = list[tuple[list[int], int]]
+
+
+def _assign_cells(q: DataFrame, state: State) -> DataFrame:
+    """Add ``cell``: argmin of the integer-exact squared-distance score.
+    Map-only — the state folds into the expression tree as literals
+    (k×dim ints; the broadcast variant of ``ivf_assign`` is the shape to
+    swap in past the literal ceiling)."""
+    scores = []
+    for c, (sums, n) in enumerate(state):
+        lits = ", ".join(str(int(v)) for v in sums)
+        idot = F.expr(
+            f"aggregate(zip_with(qvec, array({lits}),"
+            f" (x, y) -> cast(x as bigint) * y),"
+            f" cast(0 as bigint), (acc, v) -> acc + v)"
+        )
+        s2 = sum(int(v) * int(v) for v in sums)
+        num = (F.lit(s2) - F.lit(2 * n) * idot).cast("double")
+        scores.append(
+            F.struct(
+                (num / F.lit(float(n * n))).alias("sc"),
+                F.lit(c).alias("cell"),
+            )
+        )
+    return q.withColumn(
+        "cell", F.array_sort(F.array(*scores))[0]["cell"]
+    )
+
+
+def _aggregate_state(assigned: DataFrame) -> DataFrame:
+    """(cell, i, csum, n): per-cell per-dim integer sums + member count.
+    One hash aggregate; map-side partials are k×dim longs."""
+    return (
+        assigned.select("cell", F.posexplode("qvec").alias("i", "qx"))
+        .groupBy("cell", "i")
+        .agg(
+            F.sum("qx").alias("csum"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``n_iter`` Lloyd's iterations; return the FINAL state table
+    (cell, i, csum, n) as a DataFrame — flat so it is exactly
+    hash-comparable (and what a persisted centroid table would store;
+    the float centroid is ``csum / n`` on read).
+
+    Init is the k lowest-id vectors (deterministic; k-means++ placement
+    belongs to the sample-based trainer). A cell that loses all members
+    carries its previous state forward — same rule in the oracle."""
+    spark = df.sparkSession
+    q = quantize_int8(df, vec_col=vec_col, id_col=id_col).select(
+        id_col, "qvec"
+    )
+    seeds = q.orderBy(id_col).limit(int(k)).collect()
+    if not seeds:
+        raise ValueError("cannot fit k-means on an empty input")
+    state: State = [([int(v) for v in r["qvec"]], 1) for r in seeds]
+    dim = len(state[0][0])
+    for it in range(int(n_iter)):
+        agg = _aggregate_state(_assign_cells(q, state))
+        if it < int(n_iter) - 1:
+            rows = agg.collect()  # k×dim rows — bounded by k, not data
+            nxt: dict[int, tuple[list[int], int]] = {}
+            for r in rows:
+                sums, _ = nxt.setdefault(
+                    int(r["cell"]), ([0] * dim, int(r["n"]))
+                )
+                sums[int(r["i"])] = int(r["csum"])
+            state = [nxt.get(c, state[c]) for c in range(len(state))]
+        else:
+            prior = spark.createDataFrame(
+                [
+                    (c, i, int(s), int(n))
+                    for c, (sums, n) in enumerate(state)
+                    for i, s in enumerate(sums)
+                ],
+                "cell int, i int, csum bigint, n bigint",
+            )
+            missing = prior.join(
+                agg.select("cell").distinct(), "cell", "left_anti"
+            )
+            return agg.unionByName(missing).orderBy("cell", "i")
+    raise AssertionError("n_iter must be >= 1")
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> list[list[float]]:
+    """Full-corpus-trained float centroids (csum/n, optionally unit-norm)
+    in the list-of-lists shape ``ivf_assign``/``ivf_topk`` take — the
+    distributed alternative to ``train_ivf_centroids``'s sample fit."""
+    rows = kmeans_fit(df, k, n_iter, id_col, vec_col).collect()
+    cells: dict[int, dict[int, int]] = {}
+    ns: dict[int, int] = {}
+    for r in rows:
+        cells.setdefault(int(r["cell"]), {})[int(r["i"])] = int(r["csum"])
+        ns[int(r["cell"])] = int(r["n"])
+    out = []
+    for c in sorted(cells):
+        dim = max(cells[c]) + 1
+        v = [cells[c].get(i, 0) / ns[c] for i in range(dim)]
+        if normalize:
+            nrm = sum(x * x for x in v) ** 0.5
+            if nrm > 0:
+                v = [x / nrm for x in v]
+        out.append(v)
+    return out

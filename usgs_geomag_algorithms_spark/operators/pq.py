@@ -1,0 +1,157 @@
+"""Product quantization (PQ) ANN: m-subspace codebooks + ADC scoring.
+
+The memory-compression step past SQ8 (operators/quantize.py): instead of
+one int8 per dimension (64 B/vector at dim=64), PQ stores ONE CODE PER
+SUBSPACE — m bytes/vector (m=8 here: 32x smaller than float32, 8x smaller
+than SQ8). At 10^12 vectors that is the difference between an index that
+fits the cluster's aggregate RAM (8 TB) and one that does not (256 TB
+float32). This is FAISS's ``PQ{m}`` layout re-expressed as DataFrame ops;
+reference analog: the same approximate-search role the repo's IVF/LSH
+variants play (SURVEY §2 webtext extensions), one more point on the
+recall/memory dial.
+
+Engine-exactness discipline (see NOTES.md): vectors are int8-quantized
+first (floor(x/max*127+0.5) — engine-exact), codewords are ±1 integers
+derived from md5 parity (``similarity.md5_sign_planes``), so EVERY score
+in the pipeline — encode argmax, ADC lookup, final ranking — is INTEGER
+arithmetic: bit-exact under any partitioning/summation order, and the
+whole plan is exactly oracle-checkable in DuckDB with the codebook
+REGENERATED from md5() in SQL (no literal matrix in the oracle).
+
+Physical plan shape (the part that must survive 100 TB):
+
+- **encode** is map-only: the codebook folds into the expression tree as
+  literals (m*ks integer dot products of d elements each — small), no
+  join, no shuffle; whole-stage codegen end to end. The output ``codes``
+  column (array<int> of length m) is what a persisted PQ index stores.
+- **search** scans ONLY the codes column (m bytes/row), never the
+  vectors: each query precomputes its ADC lookup table (m arrays of ks
+  integer dots) once, the tiny query side broadcasts, and the per-row
+  score is m array lookups + m integer adds. One corpus scan, zero
+  corpus-side shuffle, final top-k on the k*|Q| survivor rows only.
+
+Trained codebooks (``kmeans.py``) plug into the same encode/search via
+the ``codebooks`` argument; the md5 variant exists so the plan itself is
+exactly checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .quantize import quantize_int8
+from .similarity import md5_sign_planes
+
+#: default geometry: dim 64 -> 8 subspaces x 8 dims, 16 codes each.
+PQ_M = 8
+PQ_KS = 16
+PQ_SEED = 23
+
+
+def md5_sign_codebooks(
+    m: int = PQ_M, ks: int = PQ_KS, d: int = 8, seed: int = PQ_SEED
+) -> list[list[list[int]]]:
+    """Deterministic ±1 PQ codebooks: ``cb[s][c][j]`` is the md5-parity
+    sign for plane index ``s*ks + c``, dim ``j`` — the exact layout
+    ``md5_sign_planes(m*ks, d, seed)`` produces, so the DuckDB oracle can
+    regenerate the whole codebook from ``md5()`` (same trick as
+    ``knn_ivf_bcast``; no VALUES literals)."""
+    planes = md5_sign_planes(m * ks, d, seed=seed)
+    return [
+        [[int(v) for v in planes[s * ks + c]] for c in range(ks)]
+        for s in range(m)
+    ]
+
+
+def _sub_idot(qvec_col: str, s: int, d: int, code: list[int]) -> F.Column:
+    """Integer dot of subspace ``s`` of an int8 vector with a ±1 codeword
+    — a fixed-order left fold over d elements, all BIGINT."""
+    lits = ", ".join(str(int(v)) for v in code)
+    return F.expr(
+        f"aggregate(zip_with(slice({qvec_col}, {s * d + 1}, {d}),"
+        f" array({lits}), (x, y) -> cast(x as bigint) * y),"
+        f" cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[int]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int> of length m): per-subspace nearest-codeword
+    index. With equal-norm (±1) codewords, argmin L2 == argmax dot, so
+    the code is the argmax INTEGER dot over the int8 subvector; ties
+    break on the lower code index (struct sort on (-dot, code)).
+
+    Map-only / shuffle-free: the codebook is plan literals (m*ks*d ints
+    — far below the IVF literal ceiling since d is dim/m)."""
+    if codebooks is None:
+        codebooks = md5_sign_codebooks()
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    d = len(codebooks[0][0])
+    q = quantize_int8(df, vec_col=vec_col, id_col=id_col)
+    codes = []
+    for s in range(m):
+        scored = F.array(
+            *[
+                F.struct(
+                    (-_sub_idot("qvec", s, d, codebooks[s][c])).alias("ns"),
+                    F.lit(c).alias("code"),
+                )
+                for c in range(ks)
+            ]
+        )
+        codes.append(F.array_sort(scored)[0]["code"])
+    return q.select(id_col, F.array(*codes).alias("codes"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    codebooks: list[list[list[int]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: (q_id, n_id, adc_score, rank).
+
+    The corpus side is its PQ codes ONLY (m bytes/row scanned at probe
+    time); each query precomputes the lookup table lut[s][c] = <q_s, cb
+    [s][c]> as integer dots over its int8 subvectors, the query side
+    broadcasts, and score(q, x) = sum_s lut[s][codes_x[s]] — all BIGINT,
+    bit-exact, rank ties on n_id. Self-pairs are excluded."""
+    if codebooks is None:
+        codebooks = md5_sign_codebooks()
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    d = len(codebooks[0][0])
+    enc = pq_encode(corpus, codebooks, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"), "codes"
+    )
+    qq = quantize_int8(queries, vec_col=vec_col, id_col=id_col)
+    luts = [
+        F.array(
+            *[_sub_idot("qvec", s, d, codebooks[s][c]) for c in range(ks)]
+        ).alias(f"lut{s}")
+        for s in range(m)
+    ]
+    qside = qq.select(F.col(id_col).alias("q_id"), *luts)
+    joined = enc.crossJoin(F.broadcast(qside)).where(
+        F.col("q_id") != F.col("n_id")
+    )
+    score = None
+    for s in range(m):
+        term = F.element_at(F.col(f"lut{s}"), F.col("codes")[s] + 1)
+        score = term if score is None else score + term
+    scored = joined.select("q_id", "n_id", score.alias("adc_score"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_score").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "adc_score", "rank")
+    )

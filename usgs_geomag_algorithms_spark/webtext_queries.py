@@ -189,6 +189,48 @@ def q_knn_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_int8_rerank(emb, queries, k=KNN_K, m=RERANK_M)
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/pq.py): m=8 one-byte
+    codes per vector (32x smaller than float32), integer lookup-table
+    scoring — the memory point past SQ8 on the recall/byte dial. The md5
+    ±1 codebooks regenerate in SQL, so the WHOLE approximate pipeline
+    (encode argmax -> ADC sum -> rank) is exactly oracle-checked."""
+    from .operators.pq import pq_adc_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return pq_adc_topk(emb, queries, k=KNN_K)
+
+
+KM_K = 4
+KM_ITER = 2
+
+
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus distributed k-means (operators/kmeans.py): integer
+    sum/count state makes every Lloyd's iteration order-independent and
+    therefore exactly oracle-checkable — the DuckDB twin unrolls the same
+    two iterations as chained CTEs. This is the trainer behind
+    data-trained IVF/PQ indexes, MLlib-shaped (one scan per iteration,
+    kxdim partial sums up, centroids down)."""
+    from .operators.kmeans import kmeans_fit
+
+    return kmeans_fit(_emb(spark, sf_dir), k=KM_K, n_iter=KM_ITER)
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level boilerplate REMOVAL (operators/chunkdedup.py): drop
+    every 8-word chunk shared by >= 2 documents and rewrite the doc —
+    the CCNet/RefinedWeb paragraph-dedup step that edits duplication out
+    instead of dooming the document. Counts, the rebuilt string, and the
+    removed fraction are all engine-exact."""
+    from .operators.chunkdedup import remove_duplicate_chunks
+
+    return remove_duplicate_chunks(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
+
+
 NEAR_DUP_THRESHOLD = 0.4
 
 
@@ -1473,6 +1515,179 @@ WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
 """
 
 
+def _pq_sql() -> str:
+    """Exact replica of the PQ pipeline: the ±1 codebooks REGENERATE from
+    md5 low-nibble parity (same trick as knn_ivf_bcast — no literal
+    matrix), encode is the per-subspace integer-dot argmax with the same
+    (dot DESC, code ASC) tie order, and the ADC score is the sum of the
+    query's own subspace dots at the corpus codes — all integer."""
+    from .operators.pq import PQ_KS, PQ_M, PQ_SEED
+
+    d = 64 // PQ_M
+    return f"""
+WITH cb AS (
+    SELECT s.s::INT AS s, c.c::INT AS c, j.j::INT AS j,
+           CASE WHEN strpos('13579bdf',
+                substr(md5((s.s * {PQ_KS} + c.c + {PQ_SEED})::VARCHAR
+                           || ',' || j.j::VARCHAR), 2, 1)) > 0
+                THEN 1 ELSE -1 END AS w
+    FROM range({PQ_M}) s(s), range({PQ_KS}) c(c), range({d}) j(j)
+),
+mx AS (
+    SELECT vec_id, max(abs(x)) AS m
+    FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
+    GROUP BY 1 HAVING max(abs(x)) > 0
+),
+qv AS (
+    SELECT e.vec_id,
+           list_transform(e.embedding,
+               x -> floor(x::DOUBLE / m.m * 127.0 + 0.5)::BIGINT) AS q
+    FROM embeddings e JOIN mx m USING (vec_id)
+),
+sub AS (
+    SELECT vec_id, ((gi - 1) // {d})::INT AS s, ((gi - 1) % {d})::INT AS j, qx
+    FROM (SELECT vec_id, unnest(q) AS qx, generate_subscripts(q, 1) AS gi
+          FROM qv)
+),
+sdots AS (
+    SELECT v.vec_id, b.s, b.c, sum(v.qx * b.w) AS dot
+    FROM sub v JOIN cb b ON b.s = v.s AND b.j = v.j
+    GROUP BY 1, 2, 3
+),
+codes AS (
+    SELECT vec_id, s, c AS code FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dot DESC, c ASC) AS r
+        FROM sdots
+    ) WHERE r = 1
+),
+scored AS (
+    SELECT q.vec_id AS q_id, n.vec_id AS n_id, sum(q.dot)::BIGINT AS adc_score
+    FROM codes n JOIN sdots q ON q.s = n.s AND q.c = n.code
+    WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id != n.vec_id
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT q_id, n_id, adc_score,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY adc_score DESC, n_id ASC) AS rank
+    FROM scored
+)
+SELECT q_id, n_id, adc_score, rank::INT AS rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def _kmeans_iter_block(p: str, nx: str) -> str:
+    """One unrolled Lloyd's iteration as CTE text: score every vector
+    against state ``p`` ((||s||² − 2·n·⟨x,s⟩)/n² — integer numerator, one
+    terminal double division, ties on lower cell), aggregate members, and
+    carry any emptied cell's prior state forward — the exact contract of
+    kmeans_fit's loop body."""
+    return f"""
+{p}c AS (SELECT cell, sum(csum * csum) AS s2, max(n) AS n FROM {p} GROUP BY cell),
+{p}d AS (
+    SELECT x.vec_id, s.cell, sum(x.qx * s.csum) AS idot
+    FROM qx x JOIN {p} s USING (i) GROUP BY 1, 2
+),
+{p}a AS (
+    SELECT vec_id, cell FROM (
+        SELECT d.vec_id, d.cell,
+               row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY (c.s2 - 2 * c.n * d.idot)::DOUBLE
+                            / (c.n * c.n)::DOUBLE ASC, d.cell ASC) AS r
+        FROM {p}d d JOIN {p}c c USING (cell)
+    ) WHERE r = 1
+),
+{nx}g AS (
+    SELECT a.cell, x.i, sum(x.qx) AS csum, count(*) AS n
+    FROM {p}a a JOIN qx x USING (vec_id) GROUP BY 1, 2
+),
+{nx} AS (
+    SELECT cell, i, csum, n FROM {nx}g
+    UNION ALL
+    SELECT cell, i, csum, n FROM {p}
+    WHERE cell NOT IN (SELECT DISTINCT cell FROM {nx}g)
+)"""
+
+
+def _kmeans_sql() -> str:
+    """The distributed k-means fit, unrolled: KM_ITER chained iteration
+    blocks over the int8-quantized vectors, seeded by the KM_K lowest ids
+    (n=1 singleton state). Integer sums/counts are order-independent, so
+    the whole fit is engine-exact — no float-centroid drift anywhere."""
+    blocks = ",".join(
+        _kmeans_iter_block(f"s{t}", f"s{t + 1}") for t in range(KM_ITER)
+    )
+    return f"""
+WITH mx AS (
+    SELECT vec_id, max(abs(x)) AS m
+    FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
+    GROUP BY 1 HAVING max(abs(x)) > 0
+),
+qv AS (
+    SELECT e.vec_id,
+           list_transform(e.embedding,
+               x -> floor(x::DOUBLE / m.m * 127.0 + 0.5)::BIGINT) AS q
+    FROM embeddings e JOIN mx m USING (vec_id)
+),
+qx AS (
+    SELECT vec_id, unnest(q) AS qx, generate_subscripts(q, 1) - 1 AS i
+    FROM qv
+),
+seeds AS (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+    FROM qv ORDER BY vec_id LIMIT {KM_K}
+),
+s0 AS (
+    SELECT s.cell, x.i, x.qx AS csum, 1::BIGINT AS n
+    FROM seeds s JOIN qx x USING (vec_id)
+),{blocks}
+SELECT cell::INT AS cell, i::INT AS i, csum::BIGINT AS csum, n::BIGINT AS n
+FROM s{KM_ITER}
+"""
+
+
+def _chunk_dedup_sql() -> str:
+    """Exact replica of the chunk-dedup rewrite: non-overlapping 8-word
+    windows (final chunk keeps the remainder), md5 fingerprints shared by
+    >= 2 distinct docs removed, document rebuilt in cidx order. Counts
+    and the one terminal division are engine-exact."""
+    from .operators.chunkdedup import CHUNK_W
+
+    w = CHUNK_W
+    return f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS wds FROM documents),
+ch AS (
+    SELECT doc_id, i AS cidx,
+           array_to_string(list_slice(wds, i * {w} + 1, i * {w} + {w}), ' ')
+               AS chunk
+    FROM tk, unnest(range(ceil(len(wds) / {w}.0)::BIGINT)) AS t(i)
+),
+dup AS (
+    SELECT md5(chunk) AS fp FROM ch GROUP BY 1
+    HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (
+    SELECT doc_id, cidx, chunk FROM ch
+    WHERE md5(chunk) NOT IN (SELECT fp FROM dup)
+),
+tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1),
+reb AS (
+    SELECT doc_id, count(*) AS kept_chunks,
+           string_agg(chunk, ' ' ORDER BY cidx) AS clean_text
+    FROM kept GROUP BY 1
+)
+SELECT t.doc_id, t.n_chunks::BIGINT AS n_chunks,
+       coalesce(r.kept_chunks, 0)::BIGINT AS kept_chunks,
+       (t.n_chunks - coalesce(r.kept_chunks, 0))::DOUBLE / t.n_chunks
+           AS removed_fraction,
+       coalesce(r.clean_text, '') AS clean_text
+FROM tot t LEFT JOIN reb r USING (doc_id)
+"""
+
+
 QUERIES = {
     "minhash_signature": q_minhash_signature,
     "lsh_pairs": q_lsh_pairs,
@@ -1482,6 +1697,9 @@ QUERIES = {
     "knn_cosine_int8": q_knn_cosine_int8,
     "knn_int8_rerank": q_knn_int8_rerank,
     "knn_ivf_sq8": q_knn_ivf_sq8,
+    "knn_pq": q_pq_topk,
+    "kmeans_cells": q_kmeans_cells,
+    "chunk_dedup": q_chunk_dedup,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_fixed": q_knn_ivf_fixed,
@@ -1515,6 +1733,9 @@ ORACLES = {
     "knn_cosine_int8": _knn_int8_sql(),
     "knn_int8_rerank": _knn_int8_rerank_sql(),
     "knn_ivf_sq8": _knn_ivf_sq8_sql(),
+    "knn_pq": _pq_sql(),
+    "kmeans_cells": _kmeans_sql(),
+    "chunk_dedup": _chunk_dedup_sql(),
     "embedding_near_dups": _near_dup_sql(),
     "embedding_near_dups_bucketed": _near_dup_bucketed_sql(),
     "token_count": _token_count_sql(),

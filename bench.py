@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "incremental_near_dups",
     "substring_dup_fraction",
     "chunk_dedup",
+    "bpe_merges",
+    "bpe_tokens",
     "dedup_clusters",
     "bm25_topk",
     "curate_corpus",

@@ -231,6 +231,40 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGES = 6
+BPE_TOKENIZE_MERGES = 4
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): 6 merge
+    rounds over the corpus word histogram — integer pair counts,
+    deterministic (count DESC, pair ASC) tie order, greedy island-parity
+    merges. The DuckDB oracle unrolls the rounds as CTEs that recompute
+    their own argmax: a fully self-contained second implementation."""
+    from .operators.bpe import bpe_train
+
+    return bpe_train(
+        _docs(spark, sf_dir).select("doc_id", "text"), n_merges=BPE_MERGES
+    )
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-tokenize composed: 4 merges trained on the corpus, then
+    the corpus tokenized with them via dictionary encode (each DISTINCT
+    word tokenized once by k chained map-only folds, hash-joined back).
+    tokens_md5 fingerprints the full per-doc token stream."""
+    from .operators.bpe import bpe_tokenize, bpe_train
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(docs, n_merges=BPE_TOKENIZE_MERGES)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    return bpe_tokenize(docs, merges)
+
+
 NEAR_DUP_THRESHOLD = 0.4
 
 
@@ -1649,6 +1683,101 @@ FROM s{KM_ITER}
 """
 
 
+def _bpe_round_block(p: str, nx: str) -> str:
+    """One unrolled BPE merge round as CTE text: weighted adjacent-pair
+    counts with a (count DESC, lhs ASC, rhs ASC) argmax, greedy
+    island-parity merge positions, symbol rows rebuilt with the follower
+    consumed and positions re-densified — the exact contract of
+    bpe_train's loop body."""
+    return f"""
+{p}p AS MATERIALIZED (
+    SELECT word, wcount, pos, sym,
+           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+    FROM {p}
+),
+{p}b AS MATERIALIZED (
+    SELECT sym AS lhs, nxt AS rhs, sum(wcount)::BIGINT AS c
+    FROM {p}p WHERE nxt IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1
+),
+{p}m AS MATERIALIZED (
+    SELECT word, pos FROM (
+        SELECT word, pos,
+               row_number() OVER (PARTITION BY word, island ORDER BY pos)
+                   AS rn2
+        FROM (
+            SELECT p.word, p.pos,
+                   p.pos - row_number() OVER (PARTITION BY p.word
+                                              ORDER BY p.pos) AS island
+            FROM {p}p p JOIN {p}b b ON p.sym = b.lhs AND p.nxt = b.rhs
+        )
+    ) WHERE rn2 % 2 = 1
+),
+{nx} AS MATERIALIZED (
+    SELECT s.word, s.wcount,
+           row_number() OVER (PARTITION BY s.word ORDER BY s.pos) - 1 AS pos,
+           CASE WHEN m1.pos IS NOT NULL THEN b.lhs || b.rhs
+                ELSE s.sym END AS sym
+    FROM {p} s
+    CROSS JOIN {p}b b
+    LEFT JOIN {p}m m1 ON m1.word = s.word AND m1.pos = s.pos
+    LEFT JOIN {p}m m2 ON m2.word = s.word AND m2.pos = s.pos - 1
+    WHERE m2.pos IS NULL
+)"""
+
+
+def _bpe_base_ctes() -> str:
+    """Word histogram + initial character symbols (chars + </w>)."""
+    return """wh AS (
+    SELECT word, count(*)::BIGINT AS wcount
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word != '' GROUP BY 1
+),
+s0 AS MATERIALIZED (
+    SELECT word, wcount, gi - 1 AS pos, sym
+    FROM (
+        SELECT word, wcount, unnest(chars) AS sym,
+               generate_subscripts(chars, 1) AS gi
+        FROM (SELECT word, wcount,
+                     list_append(string_split(word, ''), '</w>') AS chars
+              FROM wh)
+    )
+)"""
+
+
+def _bpe_merges_sql() -> str:
+    blocks = ",".join(
+        _bpe_round_block(f"s{t}", f"s{t + 1}") for t in range(BPE_MERGES)
+    )
+    rounds = "\nUNION ALL ".join(
+        f"SELECT {t} AS merge_round, lhs, rhs, c AS pair_count,"
+        f" lhs || rhs AS token FROM s{t}b"
+        for t in range(BPE_MERGES)
+    )
+    return f"WITH {_bpe_base_ctes()},{blocks}\n{rounds}"
+
+
+def _bpe_tokens_sql() -> str:
+    n = BPE_TOKENIZE_MERGES
+    blocks = ",".join(
+        _bpe_round_block(f"s{t}", f"s{t + 1}") for t in range(n)
+    )
+    return f"""WITH {_bpe_base_ctes()},{blocks},
+wp AS (
+    SELECT doc_id, gi - 1 AS widx, word
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS gi
+          FROM documents)
+    WHERE word != ''
+)
+SELECT w.doc_id, count(*)::BIGINT AS n_tokens,
+       md5(string_agg(s.sym, chr(31) ORDER BY w.widx, s.pos)) AS tokens_md5
+FROM wp w JOIN s{n} s ON s.word = w.word
+GROUP BY w.doc_id
+"""
+
+
 def _chunk_dedup_sql() -> str:
     """Exact replica of the chunk-dedup rewrite: non-overlapping 8-word
     windows (final chunk keeps the remainder), md5 fingerprints shared by
@@ -1700,6 +1829,8 @@ QUERIES = {
     "knn_pq": q_pq_topk,
     "kmeans_cells": q_kmeans_cells,
     "chunk_dedup": q_chunk_dedup,
+    "bpe_merges": q_bpe_merges,
+    "bpe_tokens": q_bpe_tokens,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_fixed": q_knn_ivf_fixed,
@@ -1736,6 +1867,8 @@ ORACLES = {
     "knn_pq": _pq_sql(),
     "kmeans_cells": _kmeans_sql(),
     "chunk_dedup": _chunk_dedup_sql(),
+    "bpe_merges": _bpe_merges_sql(),
+    "bpe_tokens": _bpe_tokens_sql(),
     "embedding_near_dups": _near_dup_sql(),
     "embedding_near_dups_bucketed": _near_dup_bucketed_sql(),
     "token_count": _token_count_sql(),

@@ -301,3 +301,55 @@ class TestDedupJoinSides:
         assert not re.search(r"BroadcastHashJoin \[[^\]]*shingle", p), p
         # pair-driven expansion: the candidate-pair side IS broadcast
         assert "BroadcastHashJoin" in p
+
+
+class TestKmeansChunkPlans:
+    """Round-3 trainer/curation operators: the per-iteration k-means scan
+    must stay map-only up to its one aggregate exchange, and the BPE
+    encode fold chain must be a pure projection."""
+
+    def test_kmeans_iteration_single_exchange_no_python(self, spark):
+        from usgs_geomag_algorithms_spark.operators.kmeans import (
+            _aggregate_state,
+            _assign_cells,
+        )
+        from usgs_geomag_algorithms_spark.operators.quantize import (
+            quantize_int8,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).limit(50)
+        q = quantize_int8(emb).select("vec_id", "qvec")
+        state = [([1] * 64, 1), ([-1] * 64, 1)]
+        out = _aggregate_state(_assign_cells(q, state))
+        out.collect()
+        p = phys(out).split("== Initial Plan ==")[0]
+        # assignment is map-only: the ONLY exchange is the (cell, i)
+        # aggregate's, and the aggregate folds partially map-side first
+        assert p.count("Exchange") == 1, p
+        assert "partial_sum" in p or "partial_count" in p
+        assert all(n not in p for n in PY_NODES)
+
+    def test_chunkdedup_no_python_and_partial_aggs(self, spark):
+        from usgs_geomag_algorithms_spark.operators.chunkdedup import (
+            remove_duplicate_chunks,
+        )
+
+        # unique per-doc words + one shared boilerplate chunk, so both
+        # the dup set and the kept set are non-empty (an all-duplicate
+        # corpus lets AQE prove the rebuild side empty and erase the
+        # joins entirely)
+        boiler = " ".join(f"nav{j}" for j in range(8))
+        docs = spark.createDataFrame(
+            [(i, boiler + " " + " ".join(f"u{i}_{j}" for j in range(20)))
+             for i in range(30)],
+            "doc_id long, text string",
+        )
+        out = remove_duplicate_chunks(docs)
+        out.collect()
+        p = phys(out).split("== Initial Plan ==")[0]
+        assert all(n not in p for n in PY_NODES)
+        # the duplicate-fingerprint set is consumed as a LEFT ANTI join,
+        # never collected
+        assert "LeftAnti" in p, p

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "knn_ivf_sq8",
     "knn_pq",
     "kmeans_cells",
+    "knn_ivf_trained",
     "knn_ivf",
     "knn_ivf_bcast",
     "embedding_near_dups_bucketed",

@@ -317,3 +317,59 @@ class TestPQ:
         plan = df._jdf.queryExecution().executedPlan().toString()
         final = plan.split("== Initial Plan ==")[0]
         assert "Exchange" not in final
+
+
+# ------------------------------------------------------------ trained IVF
+class TestIvfKmeans:
+    def test_probe_all_equals_flat_int8_topk(self, spark):
+        from pyspark.sql import functions as F
+
+        from usgs_geomag_algorithms_spark.operators.kmeans import (
+            ivf_kmeans_topk,
+        )
+        from usgs_geomag_algorithms_spark.operators.quantize import (
+            cosine_topk_int8,
+        )
+
+        emb = (
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .orderBy("vec_id")
+            .limit(120)
+        )
+        queries = emb.where(F.col("vec_id") < 4)
+        km_k = 4
+        ivf = {
+            (r["q_id"], r["rank"]): (r["n_id"], r["cosine"])
+            for r in ivf_kmeans_topk(
+                emb, queries, k=3, n_probe=km_k, km_k=km_k, n_iter=2
+            ).collect()
+        }
+        flat = {
+            (r["q_id"], r["rank"]): (r["n_id"], r["cosine"])
+            for r in cosine_topk_int8(emb, queries, k=3).collect()
+        }
+        assert ivf == flat
+
+    def test_narrow_probe_recall(self, spark):
+        from pyspark.sql import functions as F
+
+        from usgs_geomag_algorithms_spark.operators.kmeans import (
+            ivf_kmeans_topk,
+        )
+        from usgs_geomag_algorithms_spark.operators.quantize import (
+            cosine_topk_int8,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        queries = emb.where(F.col("vec_id") < 10)
+        ivf = {
+            (r["q_id"], r["n_id"])
+            for r in ivf_kmeans_topk(
+                emb, queries, k=3, n_probe=2, km_k=4, n_iter=2
+            ).collect()
+        }
+        exact = {
+            (r["q_id"], r["n_id"])
+            for r in cosine_topk_int8(emb, queries, k=3).collect()
+        }
+        assert len(ivf & exact) / len(exact) >= 0.5

@@ -41,11 +41,12 @@ from .quantize import quantize_int8
 State = list[tuple[list[int], int]]
 
 
-def _assign_cells(q: DataFrame, state: State) -> DataFrame:
-    """Add ``cell``: argmin of the integer-exact squared-distance score.
-    Map-only — the state folds into the expression tree as literals
-    (k×dim ints; the broadcast variant of ``ivf_assign`` is the shape to
-    swap in past the literal ceiling)."""
+def _cell_scores(state: State) -> F.Column:
+    """Sorted array of (score, cell) structs — the integer-exact
+    squared-distance ranking against every cell of ``state``. Map-only:
+    the state folds into the expression tree as literals (k×dim ints; the
+    broadcast variant of ``ivf_assign`` is the shape to swap in past the
+    literal ceiling)."""
     scores = []
     for c, (sums, n) in enumerate(state):
         lits = ", ".join(str(int(v)) for v in sums)
@@ -62,9 +63,12 @@ def _assign_cells(q: DataFrame, state: State) -> DataFrame:
                 F.lit(c).alias("cell"),
             )
         )
-    return q.withColumn(
-        "cell", F.array_sort(F.array(*scores))[0]["cell"]
-    )
+    return F.array_sort(F.array(*scores))
+
+
+def _assign_cells(q: DataFrame, state: State) -> DataFrame:
+    """Add ``cell``: argmin of the integer-exact squared-distance score."""
+    return q.withColumn("cell", _cell_scores(state)[0]["cell"])
 
 
 def _aggregate_state(assigned: DataFrame) -> DataFrame:
@@ -158,3 +162,71 @@ def kmeans_centroids(
                 v = [x / nrm for x in v]
         out.append(v)
     return out
+
+
+def state_from_rows(rows, k: int) -> State:
+    """Rebuild the literal State from a collected kmeans_fit table."""
+    cells: dict[int, dict[int, int]] = {}
+    ns: dict[int, int] = {}
+    for r in rows:
+        cells.setdefault(int(r["cell"]), {})[int(r["i"])] = int(r["csum"])
+        ns[int(r["cell"])] = int(r["n"])
+    if sorted(cells) != list(range(k)):
+        raise ValueError(f"state table missing cells: have {sorted(cells)}")
+    dim = max(cells[0]) + 1
+    return [
+        ([cells[c].get(i, 0) for i in range(dim)], ns[c]) for c in range(k)
+    ]
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    km_k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DATA-TRAINED IVF ANN, exactly checkable end-to-end: train the
+    integer-state k-means on the corpus, assign every corpus vector to
+    its argmin cell, probe each query's ``n_probe`` nearest cells, and
+    score candidates by int8 cosine — (q_id, n_id, cosine, rank).
+
+    Every stage is deterministic: the trained state is integer sums (no
+    float-centroid drift), cell ranking is the integer-numerator score,
+    and the probe cosine is an integer-ratio double. That closes the gap
+    the sample-trained ``knn_ivf`` documents (rows-only BY DESIGN because
+    float k-means is not oracle-expressible): the trained index itself is
+    now exactly reproducible in SQL.
+
+    Scale shape: training as ``kmeans_fit`` (one scan/iteration);
+    assignment map-only; the probe join is cell-local with the tiny query
+    side broadcast — one corpus scan, shuffle bounded by candidates."""
+    from .quantize import _qdot, _qnorm2
+    from .similarity import _rank_topk
+
+    state = state_from_rows(
+        kmeans_fit(corpus, km_k, n_iter, id_col, vec_col).collect(), km_k
+    )
+    qc = quantize_int8(corpus, vec_col=vec_col, id_col=id_col)
+    qq = quantize_int8(queries, vec_col=vec_col, id_col=id_col)
+    corpus_cells = _assign_cells(qc, state).select(
+        F.col(id_col).alias("n_id"), F.col("qvec").alias("qn"), "cell"
+    )
+    probes = qq.select(
+        F.col(id_col).alias("q_id"),
+        F.col("qvec").alias("qq"),
+        F.explode(
+            F.slice(_cell_scores(state), 1, int(n_probe))["cell"]
+        ).alias("cell"),
+    )
+    joined = corpus_cells.join(F.broadcast(probes), "cell").where(
+        F.col("q_id") != F.col("n_id")
+    )
+    cos = _qdot("qq", "qn").cast("double") / (
+        F.sqrt(_qnorm2("qq").cast("double"))
+        * F.sqrt(_qnorm2("qn").cast("double"))
+    )
+    return _rank_topk(joined.select("q_id", "n_id", cos.alias("cosine")), k)

@@ -218,6 +218,26 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit(_emb(spark, sf_dir), k=KM_K, n_iter=KM_ITER)
 
 
+IVF_TRAINED_PROBE = 2
+
+
+def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-TRAINED IVF, exactly oracle-checked END TO END
+    (operators/kmeans.py::ivf_kmeans_topk): the index is trained by the
+    integer-state k-means (order-independent, reproducible in SQL), cell
+    assignment/probing use the integer-numerator score, candidates score
+    by int8 cosine. Closes the determinism gap that keeps the
+    float-trained `knn_ivf` rows-only."""
+    from .operators.kmeans import ivf_kmeans_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return ivf_kmeans_topk(
+        emb, queries, k=KNN_K, n_probe=IVF_TRAINED_PROBE,
+        km_k=KM_K, n_iter=KM_ITER,
+    )
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level boilerplate REMOVAL (operators/chunkdedup.py): drop
     every 8-word chunk shared by >= 2 documents and rewrite the doc —
@@ -1620,12 +1640,12 @@ def _kmeans_iter_block(p: str, nx: str) -> str:
     carry any emptied cell's prior state forward — the exact contract of
     kmeans_fit's loop body."""
     return f"""
-{p}c AS (SELECT cell, sum(csum * csum) AS s2, max(n) AS n FROM {p} GROUP BY cell),
-{p}d AS (
+{p}c AS MATERIALIZED (SELECT cell, sum(csum * csum) AS s2, max(n) AS n FROM {p} GROUP BY cell),
+{p}d AS MATERIALIZED (
     SELECT x.vec_id, s.cell, sum(x.qx * s.csum) AS idot
     FROM qx x JOIN {p} s USING (i) GROUP BY 1, 2
 ),
-{p}a AS (
+{p}a AS MATERIALIZED (
     SELECT vec_id, cell FROM (
         SELECT d.vec_id, d.cell,
                row_number() OVER (PARTITION BY d.vec_id
@@ -1634,11 +1654,11 @@ def _kmeans_iter_block(p: str, nx: str) -> str:
         FROM {p}d d JOIN {p}c c USING (cell)
     ) WHERE r = 1
 ),
-{nx}g AS (
+{nx}g AS MATERIALIZED (
     SELECT a.cell, x.i, sum(x.qx) AS csum, count(*) AS n
     FROM {p}a a JOIN qx x USING (vec_id) GROUP BY 1, 2
 ),
-{nx} AS (
+{nx} AS MATERIALIZED (
     SELECT cell, i, csum, n FROM {nx}g
     UNION ALL
     SELECT cell, i, csum, n FROM {p}
@@ -1666,7 +1686,7 @@ qv AS (
                x -> floor(x::DOUBLE / m.m * 127.0 + 0.5)::BIGINT) AS q
     FROM embeddings e JOIN mx m USING (vec_id)
 ),
-qx AS (
+qx AS MATERIALIZED (
     SELECT vec_id, unnest(q) AS qx, generate_subscripts(q, 1) - 1 AS i
     FROM qv
 ),
@@ -1778,6 +1798,88 @@ GROUP BY w.doc_id
 """
 
 
+def _knn_ivf_trained_sql() -> str:
+    """The trained-IVF pipeline replicated end to end: the k-means CTE
+    chain reproduces the trained state, cell ranking reuses the same
+    integer-numerator score for corpus assignment (rc=1) and query probes
+    (rc<=n_probe), and candidates score by the int8 integer-ratio
+    cosine."""
+    blocks = ",".join(
+        _kmeans_iter_block(f"s{t}", f"s{t + 1}") for t in range(KM_ITER)
+    )
+    fin = f"s{KM_ITER}"
+    return f"""
+WITH mx AS (
+    SELECT vec_id, max(abs(x)) AS m
+    FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
+    GROUP BY 1 HAVING max(abs(x)) > 0
+),
+qv AS (
+    SELECT e.vec_id,
+           list_transform(e.embedding,
+               x -> floor(x::DOUBLE / m.m * 127.0 + 0.5)::BIGINT) AS q
+    FROM embeddings e JOIN mx m USING (vec_id)
+),
+qx AS MATERIALIZED (
+    SELECT vec_id, unnest(q) AS qx, generate_subscripts(q, 1) - 1 AS i
+    FROM qv
+),
+seeds AS (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+    FROM qv ORDER BY vec_id LIMIT {KM_K}
+),
+s0 AS (
+    SELECT s.cell, x.i, x.qx AS csum, 1::BIGINT AS n
+    FROM seeds s JOIN qx x USING (vec_id)
+),{blocks},
+stc AS (
+    SELECT cell, sum(csum * csum) AS s2n, max(n) AS n
+    FROM {fin} GROUP BY cell
+),
+ad AS MATERIALIZED (
+    SELECT x.vec_id, s.cell, sum(x.qx * s.csum) AS idot
+    FROM qx x JOIN {fin} s USING (i) GROUP BY 1, 2
+),
+cellrank AS MATERIALIZED (
+    SELECT a.vec_id, a.cell,
+           row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY (c.s2n - 2 * c.n * a.idot)::DOUBLE
+                        / (c.n * c.n)::DOUBLE ASC, a.cell ASC) AS rc
+    FROM ad a JOIN stc c USING (cell)
+),
+cand AS (
+    SELECT q.vec_id AS q_id, n.vec_id AS n_id
+    FROM cellrank q JOIN cellrank n ON n.cell = q.cell AND n.rc = 1
+    WHERE q.rc <= {IVF_TRAINED_PROBE} AND q.vec_id < {N_QUERY_VECS}
+      AND n.vec_id != q.vec_id
+),
+dots AS (
+    SELECT c.q_id, c.n_id, sum(a.qx * b.qx) AS dot
+    FROM cand c
+    JOIN qx a ON a.vec_id = c.q_id
+    JOIN qx b ON b.vec_id = c.n_id AND b.i = a.i
+    GROUP BY 1, 2
+),
+nrm AS (SELECT vec_id, sum(qx * qx) AS s FROM qx GROUP BY 1),
+scored AS (
+    SELECT d.q_id, d.n_id,
+           d.dot::DOUBLE / (sqrt(na.s::DOUBLE) * sqrt(nb.s::DOUBLE))
+               AS cosine
+    FROM dots d
+    JOIN nrm na ON na.vec_id = d.q_id
+    JOIN nrm nb ON nb.vec_id = d.n_id
+),
+ranked AS (
+    SELECT q_id, n_id, cosine,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cosine DESC, n_id ASC) AS rank
+    FROM scored
+)
+SELECT q_id, n_id, cosine, rank::INT AS rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
 def _chunk_dedup_sql() -> str:
     """Exact replica of the chunk-dedup rewrite: non-overlapping 8-word
     windows (final chunk keeps the remainder), md5 fingerprints shared by
@@ -1828,6 +1930,7 @@ QUERIES = {
     "knn_ivf_sq8": q_knn_ivf_sq8,
     "knn_pq": q_pq_topk,
     "kmeans_cells": q_kmeans_cells,
+    "knn_ivf_trained": q_knn_ivf_trained,
     "chunk_dedup": q_chunk_dedup,
     "bpe_merges": q_bpe_merges,
     "bpe_tokens": q_bpe_tokens,
@@ -1866,6 +1969,7 @@ ORACLES = {
     "knn_ivf_sq8": _knn_ivf_sq8_sql(),
     "knn_pq": _pq_sql(),
     "kmeans_cells": _kmeans_sql(),
+    "knn_ivf_trained": _knn_ivf_trained_sql(),
     "chunk_dedup": _chunk_dedup_sql(),
     "bpe_merges": _bpe_merges_sql(),
     "bpe_tokens": _bpe_tokens_sql(),

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "knn_int8_rerank",
     "knn_ivf_sq8",
     "knn_pq",
+    "knn_ivf_pq",
     "kmeans_cells",
     "knn_ivf_trained",
     "knn_ivf",

@@ -373,3 +373,44 @@ class TestIvfKmeans:
             for r in cosine_topk_int8(emb, queries, k=3).collect()
         }
         assert len(ivf & exact) / len(exact) >= 0.5
+
+
+# ------------------------------------------------------------ IVF-PQ
+class TestIvfPq:
+    def test_probe_all_equals_flat_pq(self, spark):
+        from usgs_geomag_algorithms_spark.operators.pq import (
+            IVF_PQ_CELLS,
+            ivf_pq_topk,
+        )
+
+        emb = (
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .orderBy("vec_id")
+            .limit(120)
+        )
+        queries = emb.where(F.col("vec_id") < 4)
+        ivf = {
+            (r["q_id"], r["rank"]): (r["n_id"], r["adc_score"])
+            for r in ivf_pq_topk(
+                emb, queries, k=3, n_probe=IVF_PQ_CELLS
+            ).collect()
+        }
+        flat = {
+            (r["q_id"], r["rank"]): (r["n_id"], r["adc_score"])
+            for r in pq_adc_topk(emb, queries, k=3).collect()
+        }
+        assert ivf == flat
+
+    def test_index_is_one_corpus_projection(self, spark):
+        from usgs_geomag_algorithms_spark.operators.pq import ivf_pq_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(80)
+        queries = emb.where(F.col("vec_id") < 2)
+        out = ivf_pq_topk(emb, queries, k=3)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        # corpus side: zero shuffles before the broadcast probe join; the
+        # only exchange is the final rank window's
+        assert final.count("Exchange hashpartitioning") <= 1, final
+        assert "BroadcastHashJoin" in final

@@ -93,6 +93,15 @@ def pq_encode(
     ks = len(codebooks[0])
     d = len(codebooks[0][0])
     q = quantize_int8(df, vec_col=vec_col, id_col=id_col)
+    return q.select(id_col, _codes_col(codebooks).alias("codes"))
+
+
+def _codes_col(codebooks: list[list[list[int]]]) -> F.Column:
+    """The encode expression over a ``qvec`` column: per-subspace argmax
+    integer dot, ties on the lower code index."""
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    d = len(codebooks[0][0])
     codes = []
     for s in range(m):
         scored = F.array(
@@ -105,7 +114,7 @@ def pq_encode(
             ]
         )
         codes.append(F.array_sort(scored)[0]["code"])
-    return q.select(id_col, F.array(*codes).alias("codes"))
+    return F.array(*codes)
 
 
 def pq_adc_topk(
@@ -140,6 +149,112 @@ def pq_adc_topk(
     ]
     qside = qq.select(F.col(id_col).alias("q_id"), *luts)
     joined = enc.crossJoin(F.broadcast(qside)).where(
+        F.col("q_id") != F.col("n_id")
+    )
+    score = None
+    for s in range(m):
+        term = F.element_at(F.col(f"lut{s}"), F.col("codes")[s] + 1)
+        score = term if score is None else score + term
+    scored = joined.select("q_id", "n_id", score.alias("adc_score"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_score").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "adc_score", "rank")
+    )
+
+
+#: IVF-PQ defaults: 16 coarse cells from md5 ±1 planes (disjoint seed
+#: from the codebooks), 2-cell probe.
+IVF_PQ_CELLS = 16
+IVF_PQ_PROBE = 2
+IVF_PQ_SEED = 71
+
+
+def _plane_idot(qvec_col: str, plane: list[int]) -> F.Column:
+    """Integer dot of a full int8 vector with a ±1 plane — fixed-order
+    left fold, all BIGINT."""
+    lits = ", ".join(str(int(v)) for v in plane)
+    return F.expr(
+        f"aggregate(zip_with({qvec_col}, array({lits}),"
+        f" (x, y) -> cast(x as bigint) * y),"
+        f" cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+def _cell_ranks(qvec_col: str, planes: list[list[int]]) -> F.Column:
+    """Sorted (neg integer dot, cell) structs: with equal-norm ±1 cell
+    directions, argmin L2 == argmax dot, so the integer dot IS the cell
+    ranking — exact in any engine, ties on the lower cell id."""
+    return F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-_plane_idot(qvec_col, p)).alias("nd"),
+                    F.lit(c).alias("cell"),
+                )
+                for c, p in enumerate(planes)
+            ]
+        )
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = IVF_PQ_PROBE,
+    n_cells: int = IVF_PQ_CELLS,
+    codebooks: list[list[list[int]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composed (FAISS's workhorse production layout): coarse-cell
+    pruning over an index that stores ONE CELL ID + m PQ CODES per vector
+    — at 10^12 vectors, ~9 bytes/vector of index instead of 256 B of
+    float32. (q_id, n_id, adc_score, rank).
+
+    The persisted index is the (cell, codes) table partitioned by cell; a
+    probe scans n_probe/n_cells of it, scores by integer ADC lookups, and
+    never touches the vectors. Cell directions are md5 ±1 planes, so the
+    assignment is an integer-dot argmax — the ENTIRE composed pipeline
+    (assign, probe, encode, ADC, rank) is integer arithmetic with an
+    exact DuckDB oracle that regenerates both the planes and the
+    codebooks from md5()."""
+    if codebooks is None:
+        codebooks = md5_sign_codebooks()
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    d = len(codebooks[0][0])
+    planes = [
+        [int(v) for v in row]
+        for row in md5_sign_planes(n_cells, m * d, seed=IVF_PQ_SEED)
+    ]
+    qc = quantize_int8(corpus, vec_col=vec_col, id_col=id_col)
+    # cell + codes in ONE projection off the single quantized scan — a
+    # join of the two would shuffle the corpus twice for nothing
+    index = qc.select(
+        F.col(id_col).alias("n_id"),
+        _cell_ranks("qvec", planes)[0]["cell"].alias("cell"),
+        _codes_col(codebooks).alias("codes"),
+    )
+    qq = quantize_int8(queries, vec_col=vec_col, id_col=id_col)
+    luts = [
+        F.array(
+            *[_sub_idot("qvec", s, d, codebooks[s][c]) for c in range(ks)]
+        ).alias(f"lut{s}")
+        for s in range(m)
+    ]
+    qside = qq.select(
+        F.col(id_col).alias("q_id"),
+        F.explode(
+            F.slice(_cell_ranks("qvec", planes), 1, int(n_probe))["cell"]
+        ).alias("cell"),
+        *luts,
+    )
+    joined = index.join(F.broadcast(qside), "cell").where(
         F.col("q_id") != F.col("n_id")
     )
     score = None

@@ -218,6 +218,19 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit(_emb(spark, sf_dir), k=KM_K, n_iter=KM_ITER)
 
 
+def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed (operators/pq.py::ivf_pq_topk): the FAISS
+    production layout — coarse md5-plane cells prune the scan, PQ codes
+    are all the probe reads (~9 B/vector of index at dim 64). Assignment,
+    probe, encode, and ADC are ALL integer arithmetic, so the composed
+    pipeline is exactly oracle-checked."""
+    from .operators.pq import ivf_pq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
+    return ivf_pq_topk(emb, queries, k=KNN_K)
+
+
 IVF_TRAINED_PROBE = 2
 
 
@@ -1569,17 +1582,14 @@ WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
 """
 
 
-def _pq_sql() -> str:
-    """Exact replica of the PQ pipeline: the ±1 codebooks REGENERATE from
-    md5 low-nibble parity (same trick as knn_ivf_bcast — no literal
-    matrix), encode is the per-subspace integer-dot argmax with the same
-    (dot DESC, code ASC) tie order, and the ADC score is the sum of the
-    query's own subspace dots at the corpus codes — all integer."""
+def _pq_base_ctes() -> str:
+    """Shared PQ CTE chain: md5-regenerated ±1 codebooks, int8 vectors,
+    per-subspace integer dots, and the encode argmax — the building
+    blocks of both the flat-PQ and the IVF-PQ oracles."""
     from .operators.pq import PQ_KS, PQ_M, PQ_SEED
 
     d = 64 // PQ_M
-    return f"""
-WITH cb AS (
+    return f"""cb AS (
     SELECT s.s::INT AS s, c.c::INT AS c, j.j::INT AS j,
            CASE WHEN strpos('13579bdf',
                 substr(md5((s.s * {PQ_KS} + c.c + {PQ_SEED})::VARCHAR
@@ -1608,18 +1618,81 @@ sdots AS (
     FROM sub v JOIN cb b ON b.s = v.s AND b.j = v.j
     GROUP BY 1, 2, 3
 ),
-codes AS (
+codes AS MATERIALIZED (
     SELECT vec_id, s, c AS code FROM (
         SELECT vec_id, s, c,
                row_number() OVER (PARTITION BY vec_id, s
                                   ORDER BY dot DESC, c ASC) AS r
         FROM sdots
     ) WHERE r = 1
-),
+)"""
+
+
+def _pq_sql() -> str:
+    """Exact replica of the PQ pipeline: the ±1 codebooks REGENERATE from
+    md5 low-nibble parity (same trick as knn_ivf_bcast — no literal
+    matrix), encode is the per-subspace integer-dot argmax with the same
+    (dot DESC, code ASC) tie order, and the ADC score is the sum of the
+    query's own subspace dots at the corpus codes — all integer."""
+    return f"""
+WITH {_pq_base_ctes()},
 scored AS (
     SELECT q.vec_id AS q_id, n.vec_id AS n_id, sum(q.dot)::BIGINT AS adc_score
     FROM codes n JOIN sdots q ON q.s = n.s AND q.c = n.code
     WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id != n.vec_id
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT q_id, n_id, adc_score,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY adc_score DESC, n_id ASC) AS rank
+    FROM scored
+)
+SELECT q_id, n_id, adc_score, rank::INT AS rank
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+def _knn_ivf_pq_sql() -> str:
+    """IVF-PQ composed, replicated end to end: coarse cells are md5 ±1
+    planes (integer-dot argmax — exact, ties on lower cell), corpus rows
+    carry (cell, codes), query probes its n_probe best cells, ADC scores
+    within them. Planes AND codebooks both regenerate from md5() in SQL."""
+    from .operators.pq import IVF_PQ_CELLS, IVF_PQ_PROBE, IVF_PQ_SEED
+
+    return f"""
+WITH {_pq_base_ctes()},
+planes AS (
+    SELECT t1.cell::INT AS cell, t2.gi::INT AS gi,
+           CASE WHEN strpos('13579bdf',
+                substr(md5((t1.cell + {IVF_PQ_SEED})::VARCHAR
+                           || ',' || t2.gi::VARCHAR), 2, 1)) > 0
+                THEN 1 ELSE -1 END AS w
+    FROM range({IVF_PQ_CELLS}) t1(cell), range(64) t2(gi)
+),
+qd AS (
+    SELECT vec_id, gi - 1 AS gi, qx
+    FROM (SELECT vec_id, unnest(q) AS qx, generate_subscripts(q, 1) AS gi
+          FROM qv)
+),
+cellrank AS MATERIALIZED (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cell ASC) AS rc
+    FROM (
+        SELECT v.vec_id, p.cell, sum(v.qx * p.w) AS dot
+        FROM qd v JOIN planes p ON p.gi = v.gi
+        GROUP BY 1, 2
+    )
+),
+scored AS (
+    SELECT q.vec_id AS q_id, nc.vec_id AS n_id, sum(q.dot)::BIGINT AS adc_score
+    FROM cellrank qc
+    JOIN cellrank nc ON nc.cell = qc.cell AND nc.rc = 1
+    JOIN codes n ON n.vec_id = nc.vec_id
+    JOIN sdots q ON q.vec_id = qc.vec_id AND q.s = n.s AND q.c = n.code
+    WHERE qc.rc <= {IVF_PQ_PROBE} AND qc.vec_id < {N_QUERY_VECS}
+      AND nc.vec_id != qc.vec_id
     GROUP BY 1, 2
 ),
 ranked AS (
@@ -1929,6 +2002,7 @@ QUERIES = {
     "knn_int8_rerank": q_knn_int8_rerank,
     "knn_ivf_sq8": q_knn_ivf_sq8,
     "knn_pq": q_pq_topk,
+    "knn_ivf_pq": q_knn_ivf_pq,
     "kmeans_cells": q_kmeans_cells,
     "knn_ivf_trained": q_knn_ivf_trained,
     "chunk_dedup": q_chunk_dedup,
@@ -1968,6 +2042,7 @@ ORACLES = {
     "knn_int8_rerank": _knn_int8_rerank_sql(),
     "knn_ivf_sq8": _knn_ivf_sq8_sql(),
     "knn_pq": _pq_sql(),
+    "knn_ivf_pq": _knn_ivf_pq_sql(),
     "kmeans_cells": _kmeans_sql(),
     "knn_ivf_trained": _knn_ivf_trained_sql(),
     "chunk_dedup": _chunk_dedup_sql(),

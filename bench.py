@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "bpe_tokens",
     "dedup_clusters",
+    "leakage_safe_split",
     "bm25_topk",
     "curate_corpus",
     "curate_full",

@@ -79,3 +79,30 @@ class TestCurateFull:
         a = curate_full(df, rates={"web": 0.75, "ads": 0.75}).collect()
         b = curate_full(df, rates={"web": 0.75, "ads": 0.75}).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestLeakageSafeSplit:
+    def test_clusters_never_straddle_and_split_is_deterministic(self, spark):
+        import hashlib
+
+        from usgs_geomag_algorithms_spark.operators.curate import (
+            leakage_safe_split,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        rows = leakage_safe_split(docs, threshold=0.3).collect()
+        assert len(rows) == docs.count()
+        by_cluster: dict = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+            # md5 first-8-hex dyadic rational, replicated locally
+            u = int(
+                hashlib.md5(str(r["cluster_id"]).encode()).hexdigest()[:8],
+                16,
+            ) / 4294967296.0
+            assert r["split"] == ("holdout" if u < 0.25 else "train")
+        assert all(len(s) == 1 for s in by_cluster.values())
+        splits = {r["split"] for r in rows}
+        assert splits == {"train", "holdout"}

@@ -167,3 +167,44 @@ def curate_full(
     return out.select(
         id_col, stratum_col, "pred_lang", "quality_score", "dup_fraction"
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    holdout_frac: float = 0.25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **cluster_kwargs,
+) -> DataFrame:
+    """Train/holdout split that cannot leak near-duplicates across the
+    boundary: documents are clustered first (near_dup_clusters: LSH ->
+    exact-Jaccard verify -> connected components), then the WHOLE CLUSTER
+    is assigned by a content-free hash of its cluster id — a near-dup of
+    a holdout document can never land in train, the failure mode of
+    naive per-document splits (test-set contamination).
+
+    Output: (id, cluster_id, is_canonical, split). Deterministic and
+    resharding-safe (the decision depends only on cluster_id); with a
+    dyadic ``holdout_frac`` the u < frac comparison is bit-identical in
+    any engine, so the whole split — including the clustering — is
+    exactly oracle-checkable.
+
+    Scale shape: clustering is the dominant cost and is the banded-LSH
+    pipeline (never all-pairs); the split itself is one map-only
+    expression over the cluster table."""
+    from .dedup import near_dup_clusters
+
+    clusters = near_dup_clusters(
+        docs, id_col=id_col, text_col=text_col, **cluster_kwargs
+    )
+    return clusters.select(
+        id_col,
+        "cluster_id",
+        "is_canonical",
+        F.when(
+            sample_uniform(F.col("cluster_id")) < F.lit(float(holdout_frac)),
+            F.lit("holdout"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -443,6 +443,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOLDOUT_FRAC = 0.25
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level train/holdout split (operators/curate.py::
+    leakage_safe_split): near-dup clusters assigned WHOLE to one side by
+    a content-free md5 of the cluster id — no near-duplicate can straddle
+    the train/eval boundary. Dyadic fraction + deterministic clustering
+    make the entire split exactly oracle-checkable."""
+    from .operators.curate import leakage_safe_split
+
+    return leakage_safe_split(
+        _docs(spark, sf_dir), holdout_frac=HOLDOUT_FRAC, k=K_MINHASH,
+        shingle_n=SHINGLE_N, bands=4, threshold=NEAR_DUP_JACCARD,
+    )
+
+
 CURATE_MIN_QUALITY = 0.7
 
 
@@ -1336,6 +1353,19 @@ LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+def _leakage_split_sql() -> str:
+    """The cluster split over the ground-truth clustering: same md5
+    first-8-hex dyadic-rational uniform as stratified_sample, keyed by
+    cluster_id so components move as a unit."""
+    return f"""
+SELECT doc_id, cluster_id, is_canonical,
+       CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT
+                 / 4294967296.0 < {HOLDOUT_FRAC}
+            THEN 'holdout' ELSE 'train' END AS split
+FROM ({_dedup_clusters_sql()})
+"""
+
+
 def _curate_sql() -> str:
     lang_sql = _lang_id_sql()
     quality_sql = _quality_sql()
@@ -2025,6 +2055,7 @@ QUERIES = {
     "incremental_near_dups": q_incremental_near_dups,
     "substring_dup_fraction": q_substring_dup_fraction,
     "dedup_clusters": q_dedup_clusters,
+    "leakage_safe_split": q_leakage_safe_split,
     "bm25_topk": q_bm25_topk,
     "repetition_signals": q_repetition_signals,
     "contamination": q_contamination,
@@ -2061,6 +2092,7 @@ ORACLES = {
     "incremental_near_dups": _incremental_near_dups_sql(),
     "substring_dup_fraction": _substring_dup_fraction_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
+    "leakage_safe_split": _leakage_split_sql(),
     "bm25_topk": _bm25_sql(),
     "knn_lsh": _knn_lsh_sql(),
     "knn_ivf_fixed": _knn_ivf_fixed_sql(),

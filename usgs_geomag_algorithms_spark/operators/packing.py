@@ -37,6 +37,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     stratum_col: str = "source",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, stratum, n_tokens, start_offset, first_bin, last_bin): the
     document's place in its stratum's concatenated token stream.
@@ -44,10 +45,17 @@ def pack_sequences(
     Order within a stratum is (md5(id), id) — the id tiebreak makes the
     window frame deterministic even under hash collisions, and hashing
     the id (not the text) keeps the epoch order independent of upstream
-    edits to document content."""
+    edits to document content.
+
+    ``tokens_col`` names a precomputed per-document token-count column
+    (e.g. real BPE counts from ``bpe.bpe_tokenize``); the default counts
+    whitespace tokens from ``text_col``."""
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
-    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    if tokens_col is not None:
+        n_tokens = F.col(tokens_col).cast("long")
+    else:
+        n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
     w = (
         Window.partitionBy(stratum_col)
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "bpe_tokens",
     "dedup_clusters",
     "leakage_safe_split",
+    "domain_cap",
     "bm25_topk",
     "curate_corpus",
     "curate_full",

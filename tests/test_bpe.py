@@ -195,3 +195,41 @@ class TestBpeProperties:
         words = spark.createDataFrame([(w,) for w in wc], "word string")
         for r in bpe_encode_words(words, merges).collect():
             assert "".join(r["tokens"]) == r["word"] + EOW
+
+
+class TestBpeHypothesis:
+    def test_random_corpora_match_reference(self, spark):
+        """Property: bpe_train == the classic reference on randomized
+        small corpora (few Spark examples — each costs a round trip)."""
+        from hypothesis import given, settings, strategies as st
+
+        word = st.text(alphabet="abcd", min_size=1, max_size=5)
+        corpus = st.lists(
+            st.lists(word, min_size=1, max_size=6).map(" ".join),
+            min_size=1,
+            max_size=4,
+        )
+
+        @settings(max_examples=8, deadline=None)
+        @given(corpus)
+        def check(texts):
+            docs = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)],
+                "doc_id long, text string",
+            )
+            expect, _ = _ref_train(_ref_word_counts(texts), 3)
+            got = [
+                (
+                    r["merge_round"],
+                    r["lhs"],
+                    r["rhs"],
+                    r["pair_count"],
+                    r["token"],
+                )
+                for r in bpe_train(docs, n_merges=3)
+                .orderBy("merge_round")
+                .collect()
+            ]
+            assert got == expect
+
+        check()

@@ -106,3 +106,43 @@ class TestLeakageSafeSplit:
         assert all(len(s) == 1 for s in by_cluster.values())
         splits = {r["split"] for r in rows}
         assert splits == {"train", "holdout"}
+
+
+class TestDomainCap:
+    def test_cap_matches_python_reference(self, spark):
+        import hashlib
+
+        from usgs_geomag_algorithms_spark.operators.curate import (
+            cap_per_domain,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "source")
+        rows = docs.collect()
+        by_dom: dict = {}
+        for r in rows:
+            by_dom.setdefault(r["source"], []).append(r["doc_id"])
+        expect = {}
+        for dom, ids in by_dom.items():
+            ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+            for rank, i in enumerate(ids[:5], 1):
+                expect[i] = (dom, rank)
+        got = {
+            r["doc_id"]: (r["source"], r["domain_rank"])
+            for r in cap_per_domain(docs, max_docs=5).collect()
+        }
+        assert got == expect
+
+    def test_cap_validates(self, spark):
+        import pytest as _pytest
+
+        from usgs_geomag_algorithms_spark.operators.curate import (
+            cap_per_domain,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a")], "doc_id long, source string"
+        )
+        with _pytest.raises(ValueError):
+            cap_per_domain(docs, max_docs=0)

@@ -208,3 +208,31 @@ def leakage_safe_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    max_docs: int,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Keep at most ``max_docs`` documents per domain — the C4/Gopher-style
+    guard against a single host dominating the mixture. Selection is a
+    content-free md5 order of the doc id (id tiebreak), so the kept set is
+    deterministic, resharding-safe, and independent of upstream edits to
+    document text. Output: input rows + ``domain_rank`` (1-based kept
+    position) for the survivors.
+
+    Scale shape: ONE hash shuffle on the domain key; rank is a running
+    window (no unbounded frame). A pathological domain holding a large
+    corpus fraction is exactly the skewed key AQE splits — and the cap
+    then throws most of its rows away, which is the point."""
+    if max_docs < 1:
+        raise ValueError(f"max_docs must be >= 1, got {max_docs}")
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        docs.withColumn("domain_rank", F.row_number().over(w))
+        .where(F.col("domain_rank") <= int(max_docs))
+    )

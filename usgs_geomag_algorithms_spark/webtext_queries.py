@@ -443,6 +443,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOMAIN_CAP = 20
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency cap (operators/curate.py::cap_per_domain):
+    keep <= N docs per source by a content-free md5 order — the C4/Gopher
+    guard against one host dominating the mixture. One domain-key
+    shuffle; deterministic; exactly oracle-checked."""
+    from .operators.curate import cap_per_domain
+
+    return cap_per_domain(
+        _docs(spark, sf_dir).select("doc_id", "source"), max_docs=DOMAIN_CAP
+    )
+
+
 HOLDOUT_FRAC = 0.25
 
 
@@ -1353,6 +1368,18 @@ LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+def _domain_cap_sql() -> str:
+    return f"""
+SELECT doc_id, source, domain_rank::INT AS domain_rank FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(doc_id::VARCHAR), doc_id)
+               AS domain_rank
+    FROM documents
+) WHERE domain_rank <= {DOMAIN_CAP}
+"""
+
+
 def _leakage_split_sql() -> str:
     """The cluster split over the ground-truth clustering: same md5
     first-8-hex dyadic-rational uniform as stratified_sample, keyed by
@@ -2056,6 +2083,7 @@ QUERIES = {
     "substring_dup_fraction": q_substring_dup_fraction,
     "dedup_clusters": q_dedup_clusters,
     "leakage_safe_split": q_leakage_safe_split,
+    "domain_cap": q_domain_cap,
     "bm25_topk": q_bm25_topk,
     "repetition_signals": q_repetition_signals,
     "contamination": q_contamination,
@@ -2093,6 +2121,7 @@ ORACLES = {
     "substring_dup_fraction": _substring_dup_fraction_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "leakage_safe_split": _leakage_split_sql(),
+    "domain_cap": _domain_cap_sql(),
     "bm25_topk": _bm25_sql(),
     "knn_lsh": _knn_lsh_sql(),
     "knn_ivf_fixed": _knn_ivf_fixed_sql(),

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "leakage_safe_split",
     "domain_cap",
+    "upsample_mixture",
     "bm25_topk",
     "curate_corpus",
     "curate_full",

@@ -146,3 +146,59 @@ class TestDomainCap:
         )
         with _pytest.raises(ValueError):
             cap_per_domain(docs, max_docs=0)
+
+
+class TestUpsampleStratified:
+    def test_copies_match_python_reference(self, spark):
+        import hashlib
+        import math
+
+        from usgs_geomag_algorithms_spark.operators.curate import (
+            upsample_stratified,
+        )
+
+        rates = {"src0": 2.5, "src1": 0.5, "src2": 1.0, "src3": 0.0}
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "source")
+        rows = docs.collect()
+        expect: dict = {}
+        for r in rows:
+            rate = rates.get(r["source"], 0.0)
+            u = int(
+                hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16
+            ) / 4294967296.0
+            n = int(math.floor(rate)) + (1 if u < rate - math.floor(rate) else 0)
+            if n > 0:
+                expect[r["doc_id"]] = (r["source"], list(range(n)))
+        got: dict = {}
+        for r in upsample_stratified(docs, rates).collect():
+            got.setdefault(r["doc_id"], (r["source"], []))[1].append(r["copy"])
+        got = {k: (s, sorted(c)) for k, (s, c) in got.items()}
+        assert got == expect
+
+    def test_integer_rate_is_exact_replication(self, spark):
+        from usgs_geomag_algorithms_spark.operators.curate import (
+            upsample_stratified,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "w") for i in range(10)], "doc_id long, source string"
+        )
+        out = upsample_stratified(docs, {"w": 3.0}).collect()
+        assert len(out) == 30
+        assert {r["copy"] for r in out} == {0, 1, 2}
+
+    def test_rate_below_one_matches_stratified_sample(self, spark):
+        from usgs_geomag_algorithms_spark.operators.curate import (
+            stratified_sample,
+            upsample_stratified,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "source")
+        rates = {f"src{i}": (i % 5) / 4.0 for i in range(20)}
+        up = {r["doc_id"] for r in upsample_stratified(docs, rates).collect()}
+        down = {r["doc_id"] for r in stratified_sample(docs, rates).collect()}
+        assert up == down

@@ -236,3 +236,43 @@ def cap_per_domain(
         docs.withColumn("domain_rank", F.row_number().over(w))
         .where(F.col("domain_rank") <= int(max_docs))
     )
+
+
+def upsample_stratified(
+    df: DataFrame,
+    rates: dict,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Mixture weighting with rates ABOVE 1: each row appears
+    floor(rate) times plus one more with probability frac(rate) — e.g.
+    rate 2.5 -> 2 copies always, a 3rd for half the ids. The common
+    pretraining case ``stratified_sample`` cannot express (Wikipedia x5,
+    code x2.5 while web stays x0.3); rates <= 1 degrade to exactly its
+    keep/drop semantics, so this is a strict superset.
+
+    Output: input rows + ``copy`` (0-based copy index) — the copy index
+    keys downstream epoch-order hashing so duplicated documents spread
+    through the token stream instead of clumping.
+
+    Deterministic (same md5-dyadic uniform as stratified_sample, so the
+    fractional copy is resharding-safe and engine-exact for dyadic
+    fractional parts) and map-only: the explode factor is the rate
+    itself, there is no shuffle and no join."""
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in kv]
+    )
+    rate = F.coalesce(
+        F.element_at(rate_map, F.col(stratum_col)), F.lit(0.0)
+    )
+    whole = F.floor(rate).cast("long")
+    extra = (
+        sample_uniform(F.col(id_col)) < (rate - whole.cast("double"))
+    ).cast("long")
+    n_copies = whole + extra
+    return (
+        df.withColumn("_n", n_copies)
+        .where(F.col("_n") > 0)
+        .withColumn("copy", F.explode(F.expr("sequence(0, _n - 1)")))
+        .drop("_n")
+    )

@@ -443,6 +443,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: mixture weights with rates ABOVE 1 — dyadic fractional parts so the
+#: u < frac comparison is bit-identical in any engine
+UPSAMPLE_RATES = {f"src{i}": (i % 8) / 4.0 for i in range(20)}
+
+
+def q_upsample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture upsampling (operators/curate.py::upsample_stratified):
+    rates above 1 replicate documents floor(rate) times + a fractional
+    md5-decided extra copy — the Wikipedia-x5 case stratified_sample
+    cannot express. Map-only explode; exactly oracle-checked."""
+    from .operators.curate import upsample_stratified
+
+    return upsample_stratified(
+        _docs(spark, sf_dir).select("doc_id", "source"), UPSAMPLE_RATES
+    )
+
+
 DOMAIN_CAP = 20
 
 
@@ -1368,6 +1385,25 @@ LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+def _upsample_sql() -> str:
+    vals = ", ".join(
+        f"('{k}', {v:.17g}::DOUBLE)" for k, v in UPSAMPLE_RATES.items()
+    )
+    return f"""
+WITH r(source, rate) AS (VALUES {vals}),
+b AS (
+    SELECT d.doc_id, d.source,
+           floor(coalesce(r.rate, 0.0))::BIGINT
+           + CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                       / 4294967296.0
+                       < coalesce(r.rate, 0.0) - floor(coalesce(r.rate, 0.0))
+                  THEN 1 ELSE 0 END AS n
+    FROM documents d LEFT JOIN r USING (source)
+)
+SELECT doc_id, source, unnest(range(n)) AS copy FROM b WHERE n > 0
+"""
+
+
 def _domain_cap_sql() -> str:
     return f"""
 SELECT doc_id, source, domain_rank::INT AS domain_rank FROM (
@@ -2084,6 +2120,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "leakage_safe_split": q_leakage_safe_split,
     "domain_cap": q_domain_cap,
+    "upsample_mixture": q_upsample_mixture,
     "bm25_topk": q_bm25_topk,
     "repetition_signals": q_repetition_signals,
     "contamination": q_contamination,
@@ -2122,6 +2159,7 @@ ORACLES = {
     "dedup_clusters": _dedup_clusters_sql(),
     "leakage_safe_split": _leakage_split_sql(),
     "domain_cap": _domain_cap_sql(),
+    "upsample_mixture": _upsample_sql(),
     "bm25_topk": _bm25_sql(),
     "knn_lsh": _knn_lsh_sql(),
     "knn_ivf_fixed": _knn_ivf_fixed_sql(),

@@ -193,24 +193,15 @@ def bpe_tokenize(
         words_pos.select("word").distinct(), merges
     )
     joined = words_pos.join(vocab, "word")
-    return joined.groupBy(id_col).agg(
-        F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("widx", "tokens"))),
-                lambda s: s["tokens"],
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, t: acc + F.size(t),
-        ).alias("n_tokens"),
-        F.md5(
-            F.array_join(
-                F.flatten(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("widx", "tokens"))),
-                        lambda s: s["tokens"],
-                    )
-                ),
-                "\x1f",
-            ).cast("binary")
-        ).alias("tokens_md5"),
+    # ONE collect_list; counts and the stream hash project off the same
+    # sorted-flattened array (a second collect in the agg doubles the
+    # aggregation buffer for nothing)
+    agg = joined.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("widx", "tokens"))).alias("_wt")
+    )
+    toks = F.flatten(F.transform(F.col("_wt"), lambda s: s["tokens"]))
+    return agg.select(
+        id_col,
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(toks, "\x1f").cast("binary")).alias("tokens_md5"),
     )

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "curate_corpus",
     "curate_full",
     "pack_sequences",
+    "sequence_slices",
     "top_minutes",
     "user_sessions",
     "session_stats",

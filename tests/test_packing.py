@@ -74,3 +74,64 @@ class TestPacking:
     def test_bad_seq_len(self, spark):
         with pytest.raises(ValueError):
             pack_sequences(docs_df(spark, ROWS), 0)
+
+
+class TestSequenceManifest:
+    def test_slices_tile_every_sequence_exactly(self, spark):
+        from pyspark.sql import functions as F
+
+        from usgs_geomag_algorithms_spark.operators.packing import (
+            pack_sequences,
+            sequence_manifest,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "source", "text")
+        L = 128
+        packed = pack_sequences(docs, L)
+        m = sequence_manifest(packed, L)
+        rows = m.collect()
+        # doc-side: per doc, slices cover [0, n_tokens) contiguously
+        by_doc: dict = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        tok = {
+            r["doc_id"]: r["n_tokens"]
+            for r in packed.select("doc_id", "n_tokens").collect()
+        }
+        for d, slices in by_doc.items():
+            slices.sort(key=lambda r: r["doc_from"])
+            pos = 0
+            for s in slices:
+                assert s["doc_from"] == pos
+                pos += s["n"]
+            assert pos == tok[d]
+        # seq-side: per (stratum, seq), slices tile [0, L) except the
+        # final partial sequence of each stratum
+        by_seq: dict = {}
+        for r in rows:
+            by_seq.setdefault((r["source"], r["seq_id"]), []).append(r)
+        last = {}
+        for (src, sid), _s in by_seq.items():
+            last[src] = max(last.get(src, -1), sid)
+        for (src, sid), slices in by_seq.items():
+            slices.sort(key=lambda r: r["seq_from"])
+            pos = 0
+            for s in slices:
+                assert s["seq_from"] == pos
+                pos += s["n"]
+            if sid < last[src]:
+                assert pos == L
+            else:
+                assert 0 < pos <= L
+
+    def test_validates_seq_len(self, spark):
+        import pytest as _pytest
+
+        from usgs_geomag_algorithms_spark.operators.packing import (
+            sequence_manifest,
+        )
+
+        with _pytest.raises(ValueError):
+            sequence_manifest(None, 0)

@@ -76,3 +76,45 @@ def pack_sequences(
             F.expr(f"(_cum - 1) div {seq_len}").alias("last_bin"),
         )
     )
+
+
+def sequence_manifest(
+    packed: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+) -> DataFrame:
+    """The LOADER side of the packing contract: one row per
+    (sequence, contributing document) with exact token coordinates —
+    (stratum, seq_id, id, doc_from, seq_from, n) means "tokens
+    [doc_from, doc_from+n) of the document land at [seq_from, seq_from+n)
+    of sequence seq_id". A worker materializing shard seq_id reads ONLY
+    these rows (filter pushdown on seq_id/stratum), fetches the named
+    documents, and slices — no scan of the corpus, no global state.
+
+    Map-only off the packed table: each document explodes into its
+    first_bin..last_bin span (amplification = ceil(n_tokens/seq_len) + 1,
+    bounded by document length). All-integer arithmetic -> exact oracle.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    L = int(seq_len)
+    b = F.col("seq_id")
+    s = F.col("start_offset")
+    e = F.col("start_offset") + F.col("n_tokens")
+    lo = F.greatest(s, b * L)
+    hi = F.least(e, (b + 1) * L)
+    return (
+        packed.withColumn(
+            "seq_id", F.explode(F.expr("sequence(first_bin, last_bin)"))
+        )
+        .select(
+            stratum_col,
+            "seq_id",
+            id_col,
+            (lo - s).alias("doc_from"),
+            (lo - b * L).alias("seq_from"),
+            (hi - lo).alias("n"),
+        )
+        .where(F.col("n") > 0)
+    )

@@ -416,6 +416,39 @@ FROM (
 """
 
 
+def q_sequence_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOADER contract (operators/packing.py::sequence_manifest):
+    one row per (training sequence, contributing document) with exact
+    token slice coordinates — a shard worker reads only its seq_id's
+    rows, fetches the named docs, and slices. Map-only interval explode
+    off the packed table; all-integer -> exact oracle."""
+    from .operators.packing import pack_sequences, sequence_manifest
+
+    packed = pack_sequences(_docs(spark, sf_dir), seq_len=SEQ_LEN)
+    return sequence_manifest(packed, seq_len=SEQ_LEN)
+
+
+def _sequence_slices_sql() -> str:
+    return f"""
+WITH packed AS MATERIALIZED ({_pack_sequences_sql()}),
+x AS (
+    SELECT source, unnest(range(first_bin, last_bin + 1)) AS seq_id,
+           doc_id, start_offset, n_tokens
+    FROM packed
+)
+SELECT source, seq_id, doc_id,
+       (greatest(start_offset, seq_id * {SEQ_LEN}) - start_offset)::BIGINT
+           AS doc_from,
+       (greatest(start_offset, seq_id * {SEQ_LEN})
+        - seq_id * {SEQ_LEN})::BIGINT AS seq_from,
+       (least(start_offset + n_tokens, (seq_id + 1) * {SEQ_LEN})
+        - greatest(start_offset, seq_id * {SEQ_LEN}))::BIGINT AS n
+FROM x
+WHERE least(start_offset + n_tokens, (seq_id + 1) * {SEQ_LEN})
+      - greatest(start_offset, seq_id * {SEQ_LEN}) > 0
+"""
+
+
 BM25_TERMS = ("spark", "join", "window")
 BM25_K = 20
 BM25_K1, BM25_B = 1.2, 0.75
@@ -2114,6 +2147,7 @@ QUERIES = {
     "curate_corpus": q_curate_corpus,
     "curate_full": q_curate_full,
     "pack_sequences": q_pack_sequences,
+    "sequence_slices": q_sequence_slices,
     "near_dup_verified": q_near_dup_verified,
     "incremental_near_dups": q_incremental_near_dups,
     "substring_dup_fraction": q_substring_dup_fraction,
@@ -2153,6 +2187,7 @@ ORACLES = {
     "curate_corpus": _curate_sql(),
     "curate_full": _curate_full_sql(),
     "pack_sequences": _pack_sequences_sql(),
+    "sequence_slices": _sequence_slices_sql(),
     "near_dup_verified": _near_dup_verified_sql(),
     "incremental_near_dups": _incremental_near_dups_sql(),
     "substring_dup_fraction": _substring_dup_fraction_sql(),

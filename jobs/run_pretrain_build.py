@@ -21,7 +21,11 @@ Writes, under --out:
   manifest.parquet   one row per surviving doc: split, cluster, token
                      count + stream hash, packed span (partitioned by
                      split — a loader reads only its side)
-  merges.json        the trained tokenizer artifact (ordered merge list)
+  merges.parquet     the trained tokenizer artifact (ordered merge list;
+                     written via Spark so it lands on the cluster
+                     filesystem when --out is hdfs://... / s3://...)
+  merges.json        driver-local convenience copy (skipped when --out
+                     is not a local path)
 and prints ONE JSON line of per-stage counts — the lineage record a
 10^12-doc build is monitored by.
 
@@ -100,8 +104,14 @@ def main(argv=None) -> int:
     merges = [(r["lhs"], r["rhs"]) for r in merges_rows]
     counts["bpe_merges"] = len(merges)
 
-    # 4. tokenize BOTH sides with the train-fitted tokenizer
-    tokens = bpe_tokenize(survivors, merges)
+    # 4. tokenize BOTH sides with the train-fitted tokenizer. Checkpoint:
+    # the manifest plan consumes `tokens` twice (split join + packing
+    # lineage) — without it the dominant tokenize pass runs twice.
+    tokens = bpe_tokenize(survivors, merges).localCheckpoint()
+    # docs with zero whitespace tokens have no tokenize row and no place
+    # in the packed stream — drop them EXPLICITLY and record the count
+    # instead of letting inner joins hide them from the lineage
+    counts["tokenless_dropped"] = counts["after_gates"] - tokens.count()
 
     # 5. pack per (split, source) stratum on real BPE token counts — the
     # composite stratum keeps each side's token stream independent
@@ -125,28 +135,42 @@ def main(argv=None) -> int:
         )
     )
 
-    os.makedirs(args.out, exist_ok=True)
     (
         manifest.repartition("split")
         .write.mode("overwrite")
         .partitionBy("split")
         .parquet(f"{args.out}/manifest.parquet")
     )
-    with open(f"{args.out}/merges.json", "w") as f:
-        json.dump(
-            [
-                {
-                    "merge_round": r["merge_round"],
-                    "lhs": r["lhs"],
-                    "rhs": r["rhs"],
-                    "pair_count": r["pair_count"],
-                    "token": r["token"],
-                }
-                for r in merges_rows
-            ],
-            f,
-            indent=1,
-        )
+    # tokenizer artifact twice: a merges parquet via Spark (lands on the
+    # cluster filesystem next to the manifest when --out is hdfs://...)
+    # and a driver-local merges.json convenience copy when --out is a
+    # local path
+    spark.createDataFrame(
+        merges_rows,
+        "merge_round int, lhs string, rhs string,"
+        " pair_count bigint, token string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{args.out}/merges.parquet")
+    try:
+        os.makedirs(args.out, exist_ok=True)
+        f = open(f"{args.out}/merges.json", "w")
+    except OSError:
+        f = None
+    if f is not None:
+        with f:
+            json.dump(
+                [
+                    {
+                        "merge_round": r["merge_round"],
+                        "lhs": r["lhs"],
+                        "rhs": r["rhs"],
+                        "pair_count": r["pair_count"],
+                        "token": r["token"],
+                    }
+                    for r in merges_rows
+                ],
+                f,
+                indent=1,
+            )
     out = spark.read.parquet(f"{args.out}/manifest.parquet")
     counts["manifest_rows"] = out.count()
     counts["train_tokens"] = (

@@ -233,3 +233,28 @@ class TestBpeHypothesis:
             assert got == expect
 
         check()
+
+
+class TestBpeEscaping:
+    def test_backslash_and_quote_symbols_round_trip(self, spark):
+        """Backslash is a Spark-SQL escape character: merge symbols
+        containing backslashes or quotes must survive the literal-folded
+        encode expressions (regression: ParseException / silent newline
+        substitution)."""
+        texts = ["a\\b a\\b c'd c'd", "a\\b c'd"]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        expect, vocab = _ref_train(_ref_word_counts(texts), 4)
+        got = [
+            (r["merge_round"], r["lhs"], r["rhs"], r["pair_count"], r["token"])
+            for r in bpe_train(docs, n_merges=4)
+            .orderBy("merge_round")
+            .collect()
+        ]
+        assert got == expect
+        merges = [(left, right) for _r, left, right, _c, _t in expect]
+        words = spark.createDataFrame([(w,) for w in vocab], "word string")
+        for r in bpe_encode_words(words, merges).collect():
+            assert "".join(r["tokens"]) == r["word"] + EOW
+            assert list(r["tokens"]) == vocab[r["word"]]

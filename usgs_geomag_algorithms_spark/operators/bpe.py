@@ -144,7 +144,11 @@ def _apply_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
 
 
 def _sql_str(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+    """Spark-SQL string literal: backslash is an escape character in
+    Spark SQL (unlike ANSI), so it must be doubled BEFORE quoting or a
+    corpus symbol like a lone backslash breaks the fold expression (and
+    backslash+n would silently become a newline)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 def _merge_fold_expr(arr_expr: str, left: str, right: str) -> str:

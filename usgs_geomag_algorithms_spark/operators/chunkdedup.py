@@ -66,8 +66,13 @@ def remove_duplicate_chunks(
     every chunk was boilerplate survives with ``clean_text = ''`` — the
     caller's length gate (curate pipeline) is the right place to drop it.
     """
-    ch = doc_chunks(docs, chunk_words, id_col, text_col).withColumn(
-        "fp", F.md5(F.col("chunk").cast("binary"))
+    # the chunk explode feeds THREE branches (dup aggregate, anti-join
+    # left side, per-doc totals) on different keys — materialize it once
+    # or the corpus is scanned and re-split three times
+    ch = (
+        doc_chunks(docs, chunk_words, id_col, text_col)
+        .withColumn("fp", F.md5(F.col("chunk").cast("binary")))
+        .localCheckpoint()
     )
     dup = (
         ch.groupBy("fp")

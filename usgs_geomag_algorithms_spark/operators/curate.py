@@ -46,13 +46,19 @@ def stratified_sample(
     (resharding-safe: the decision depends on the id, not the partition).
     Unknown strata default to rate 0.0 (dropped).
     """
+    rate = _stratum_rate(rates, stratum_col)
+    return df.where(sample_uniform(F.col(id_col)) < rate)
+
+
+def _stratum_rate(rates: dict, stratum_col: str) -> F.Column:
+    """The ONE copy of the stratum-rate contract (literal map fold,
+    unknown strata -> 0.0), shared by the down- and up-samplers."""
     rate_map = F.create_map(
         *[F.lit(x) for kv in rates.items() for x in kv]
     )
-    rate = F.coalesce(
+    return F.coalesce(
         F.element_at(rate_map, F.col(stratum_col)), F.lit(0.0)
     )
-    return df.where(sample_uniform(F.col(id_col)) < rate)
 
 
 def curate(
@@ -259,12 +265,7 @@ def upsample_stratified(
     fractional copy is resharding-safe and engine-exact for dyadic
     fractional parts) and map-only: the explode factor is the rate
     itself, there is no shuffle and no join."""
-    rate_map = F.create_map(
-        *[F.lit(x) for kv in rates.items() for x in kv]
-    )
-    rate = F.coalesce(
-        F.element_at(rate_map, F.col(stratum_col)), F.lit(0.0)
-    )
+    rate = _stratum_rate(rates, stratum_col)
     whole = F.floor(rate).cast("long")
     extra = (
         sample_uniform(F.col(id_col)) < (rate - whole.cast("double"))

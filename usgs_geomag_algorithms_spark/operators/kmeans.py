@@ -99,13 +99,17 @@ def kmeans_fit(
     Init is the k lowest-id vectors (deterministic; k-means++ placement
     belongs to the sample-based trainer). A cell that loses all members
     carries its previous state forward — same rule in the oracle."""
+    if int(n_iter) < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     spark = df.sparkSession
     q = quantize_int8(df, vec_col=vec_col, id_col=id_col).select(
         id_col, "qvec"
     )
     seeds = q.orderBy(id_col).limit(int(k)).collect()
-    if not seeds:
-        raise ValueError("cannot fit k-means on an empty input")
+    if len(seeds) < int(k):
+        raise ValueError(
+            f"corpus has only {len(seeds)} non-zero vectors < k={k}"
+        )
     state: State = [([int(v) for v in r["qvec"]], 1) for r in seeds]
     dim = len(state[0][0])
     for it in range(int(n_iter)):
@@ -132,7 +136,7 @@ def kmeans_fit(
                 agg.select("cell").distinct(), "cell", "left_anti"
             )
             return agg.unionByName(missing).orderBy("cell", "i")
-    raise AssertionError("n_iter must be >= 1")
+    raise AssertionError("unreachable: n_iter validated >= 1")
 
 
 def kmeans_centroids(
@@ -147,15 +151,9 @@ def kmeans_centroids(
     in the list-of-lists shape ``ivf_assign``/``ivf_topk`` take — the
     distributed alternative to ``train_ivf_centroids``'s sample fit."""
     rows = kmeans_fit(df, k, n_iter, id_col, vec_col).collect()
-    cells: dict[int, dict[int, int]] = {}
-    ns: dict[int, int] = {}
-    for r in rows:
-        cells.setdefault(int(r["cell"]), {})[int(r["i"])] = int(r["csum"])
-        ns[int(r["cell"])] = int(r["n"])
     out = []
-    for c in sorted(cells):
-        dim = max(cells[c]) + 1
-        v = [cells[c].get(i, 0) / ns[c] for i in range(dim)]
+    for sums, n in state_from_rows(rows, int(k)):
+        v = [s / n for s in sums]
         if normalize:
             nrm = sum(x * x for x in v) ** 0.5
             if nrm > 0:

@@ -89,9 +89,6 @@ def pq_encode(
     — far below the IVF literal ceiling since d is dim/m)."""
     if codebooks is None:
         codebooks = md5_sign_codebooks()
-    m = len(codebooks)
-    ks = len(codebooks[0])
-    d = len(codebooks[0][0])
     q = quantize_int8(df, vec_col=vec_col, id_col=id_col)
     return q.select(id_col, _codes_col(codebooks).alias("codes"))
 
@@ -134,23 +131,37 @@ def pq_adc_topk(
     bit-exact, rank ties on n_id. Self-pairs are excluded."""
     if codebooks is None:
         codebooks = md5_sign_codebooks()
-    m = len(codebooks)
-    ks = len(codebooks[0])
-    d = len(codebooks[0][0])
     enc = pq_encode(corpus, codebooks, id_col, vec_col).select(
         F.col(id_col).alias("n_id"), "codes"
     )
     qq = quantize_int8(queries, vec_col=vec_col, id_col=id_col)
-    luts = [
+    qside = qq.select(
+        F.col(id_col).alias("q_id"), *_query_luts(codebooks)
+    )
+    joined = enc.crossJoin(F.broadcast(qside)).where(
+        F.col("q_id") != F.col("n_id")
+    )
+    return _adc_rank(joined, len(codebooks), k)
+
+
+def _query_luts(codebooks: list[list[list[int]]]) -> list[F.Column]:
+    """Per-subspace ADC lookup tables over a query's ``qvec``:
+    lut[s][c] = <q_s, cb[s][c]> as integer dots."""
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    d = len(codebooks[0][0])
+    return [
         F.array(
             *[_sub_idot("qvec", s, d, codebooks[s][c]) for c in range(ks)]
         ).alias(f"lut{s}")
         for s in range(m)
     ]
-    qside = qq.select(F.col(id_col).alias("q_id"), *luts)
-    joined = enc.crossJoin(F.broadcast(qside)).where(
-        F.col("q_id") != F.col("n_id")
-    )
+
+
+def _adc_rank(joined: DataFrame, m: int, k: int) -> DataFrame:
+    """score(q, x) = sum_s lut[s][codes_x[s]] — all BIGINT — then top-k
+    per query with (adc_score DESC, n_id ASC) ties. The ONE copy of the
+    ADC scoring contract, shared by flat PQ and IVF-PQ."""
     score = None
     for s in range(m):
         term = F.element_at(F.col(f"lut{s}"), F.col("codes")[s] + 1)
@@ -226,7 +237,6 @@ def ivf_pq_topk(
     if codebooks is None:
         codebooks = md5_sign_codebooks()
     m = len(codebooks)
-    ks = len(codebooks[0])
     d = len(codebooks[0][0])
     planes = [
         [int(v) for v in row]
@@ -241,32 +251,14 @@ def ivf_pq_topk(
         _codes_col(codebooks).alias("codes"),
     )
     qq = quantize_int8(queries, vec_col=vec_col, id_col=id_col)
-    luts = [
-        F.array(
-            *[_sub_idot("qvec", s, d, codebooks[s][c]) for c in range(ks)]
-        ).alias(f"lut{s}")
-        for s in range(m)
-    ]
     qside = qq.select(
         F.col(id_col).alias("q_id"),
         F.explode(
             F.slice(_cell_ranks("qvec", planes), 1, int(n_probe))["cell"]
         ).alias("cell"),
-        *luts,
+        *_query_luts(codebooks),
     )
     joined = index.join(F.broadcast(qside), "cell").where(
         F.col("q_id") != F.col("n_id")
     )
-    score = None
-    for s in range(m):
-        term = F.element_at(F.col(f"lut{s}"), F.col("codes")[s] + 1)
-        score = term if score is None else score + term
-    scored = joined.select("q_id", "n_id", score.alias("adc_score"))
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("adc_score").desc(), F.col("n_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("q_id", "n_id", "adc_score", "rank")
-    )
+    return _adc_rank(joined, m, k)

@@ -66,3 +66,34 @@ class TestPretrainBuild:
         # must actually occur in train-side text symbols (weak but real:
         # pair_count > 0)
         assert all(mm["pair_count"] > 0 for mm in merges)
+
+
+class TestManifestPruning:
+    def test_split_read_prunes_partitions(self, spark, tmp_path):
+        out = str(tmp_path / "b2")
+        rc = main(
+            [
+                "--docs",
+                "/root/testdata/sf0.001/documents.parquet",
+                "--out",
+                out,
+                "--merges",
+                "2",
+                "--seq-len",
+                "128",
+            ]
+        )
+        assert rc == 0
+        df = spark.read.parquet(f"{out}/manifest.parquet").where(
+            "split = 'train'"
+        )
+        df.collect()
+        spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        # the split predicate must prune at the PARTITION level (loader
+        # reads only its side's files), not as a post-scan filter
+        assert "PartitionFilters: [isnotnull(split" in final, final
+        # and the merges artifact doubled via Spark
+        m = spark.read.parquet(f"{out}/merges.parquet")
+        assert m.count() == 2

@@ -414,3 +414,49 @@ class TestIvfPq:
         # only exchange is the final rank window's
         assert final.count("Exchange hashpartitioning") <= 1, final
         assert "BroadcastHashJoin" in final
+
+
+class TestChunkDedupHypothesis:
+    def test_random_corpora_match_reference(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        word = st.sampled_from(["a", "b", "c", "nav0", "nav1", "x"])
+        corpus = st.lists(
+            st.lists(word, min_size=1, max_size=2 * CHUNK_W + 3).map(
+                " ".join
+            ),
+            min_size=1,
+            max_size=5,
+        )
+
+        @settings(max_examples=8, deadline=None)
+        @given(corpus)
+        def check(texts):
+            docs = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)],
+                "doc_id long, text string",
+            )
+            chunks = {
+                i: [
+                    " ".join(t.split(" ")[j : j + CHUNK_W])
+                    for j in range(0, len(t.split(" ")), CHUNK_W)
+                ]
+                for i, t in enumerate(texts)
+            }
+            dup = {
+                c
+                for i, cs in chunks.items()
+                for c in cs
+                if any(c in chunks[j] for j in chunks if j != i)
+            }
+            expect = {}
+            for i, cs in chunks.items():
+                kept = [c for c in cs if c not in dup]
+                expect[i] = (len(cs), len(kept), " ".join(kept))
+            got = {
+                r["doc_id"]: (r["n_chunks"], r["kept_chunks"], r["clean_text"])
+                for r in remove_duplicate_chunks(docs).collect()
+            }
+            assert got == expect
+
+        check()

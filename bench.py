@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "substring_dup_fraction",
     "chunk_dedup",
     "bpe_merges",
+    "bpe_vocab",
     "bpe_tokens",
     "dedup_clusters",
     "leakage_safe_split",

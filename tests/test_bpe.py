@@ -258,3 +258,26 @@ class TestBpeEscaping:
         for r in bpe_encode_words(words, merges).collect():
             assert "".join(r["tokens"]) == r["word"] + EOW
             assert list(r["tokens"]) == vocab[r["word"]]
+
+
+class TestBpeVocab:
+    def test_vocab_matches_reference(self, spark):
+        from usgs_geomag_algorithms_spark.operators.bpe import bpe_vocab
+
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .orderBy("doc_id")
+            .limit(30)
+            .select("doc_id", "text")
+        )
+        texts = [r["text"] for r in docs.collect()]
+        wc = _ref_word_counts(texts)
+        _m, vocab = _ref_train(wc, 4)
+        expect: dict = {}
+        for w, toks in vocab.items():
+            for t in toks:
+                expect[t] = expect.get(t, 0) + wc[w]
+        got = {
+            r["token"]: r["freq"] for r in bpe_vocab(docs, 4).collect()
+        }
+        assert got == expect

@@ -209,3 +209,27 @@ def bpe_tokenize(
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.md5(F.array_join(toks, "\x1f").cast("binary")).alias("tokens_md5"),
     )
+
+
+def bpe_vocab(
+    docs: DataFrame, n_merges: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """(token, freq): the trained vocabulary with corpus frequencies —
+    the other half of the tokenizer artifact (merges + vocab is what a
+    runtime tokenizer loads). Train, encode each DISTINCT word once with
+    the chained folds, then one weighted aggregate: freq(token) =
+    Σ wcount over words containing it (with multiplicity)."""
+    hist = word_histogram(docs, text_col)
+    merges_rows = (
+        bpe_train(docs, n_merges=n_merges, text_col=text_col)
+        .orderBy("merge_round")
+        .collect()
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in merges_rows]
+    enc = bpe_encode_words(hist.select("word"), merges)
+    return (
+        hist.join(enc, "word")
+        .select("wcount", F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("wcount").alias("freq"))
+    )

@@ -281,6 +281,18 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained vocabulary with corpus frequencies — the other half
+    of the tokenizer artifact (merges + vocab). One weighted aggregate
+    over the dictionary-encoded words."""
+    from .operators.bpe import bpe_vocab
+
+    return bpe_vocab(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        n_merges=BPE_TOKENIZE_MERGES,
+    )
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-tokenize composed: 4 merges trained on the corpus, then
     the corpus tokenized with them via dictionary encode (each DISTINCT
@@ -2079,6 +2091,19 @@ FROM ranked WHERE rank <= {KNN_K}
 """
 
 
+def _bpe_vocab_sql() -> str:
+    """The trained symbol state IS the vocabulary: the per-word symbol
+    rows after the unrolled rounds, weighted by word frequency."""
+    n = BPE_TOKENIZE_MERGES
+    blocks = ",".join(
+        _bpe_round_block(f"s{t}", f"s{t + 1}") for t in range(n)
+    )
+    return f"""WITH {_bpe_base_ctes()},{blocks}
+SELECT sym AS token, sum(wcount)::BIGINT AS freq
+FROM s{n} GROUP BY 1
+"""
+
+
 def _chunk_dedup_sql() -> str:
     """Exact replica of the chunk-dedup rewrite: non-overlapping 8-word
     windows (final chunk keeps the remainder), md5 fingerprints shared by
@@ -2133,6 +2158,7 @@ QUERIES = {
     "knn_ivf_trained": q_knn_ivf_trained,
     "chunk_dedup": q_chunk_dedup,
     "bpe_merges": q_bpe_merges,
+    "bpe_vocab": q_bpe_vocab,
     "bpe_tokens": q_bpe_tokens,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
@@ -2177,6 +2203,7 @@ ORACLES = {
     "knn_ivf_trained": _knn_ivf_trained_sql(),
     "chunk_dedup": _chunk_dedup_sql(),
     "bpe_merges": _bpe_merges_sql(),
+    "bpe_vocab": _bpe_vocab_sql(),
     "bpe_tokens": _bpe_tokens_sql(),
     "embedding_near_dups": _near_dup_sql(),
     "embedding_near_dups_bucketed": _near_dup_bucketed_sql(),

@@ -460,3 +460,83 @@ class TestChunkDedupHypothesis:
             assert got == expect
 
         check()
+
+
+# ------------------------------------------- Arrow kernel == SQL expression
+class TestArrowKernelParity:
+    """The vectorized Arrow/NumPy index kernels (annkernels.py) must be
+    BIT-IDENTICAL to the Catalyst-expression path they accelerate — same
+    integer dots, same first-max/lower-index tie-breaks. These tests pin
+    that equivalence on real data (incl. the quantization float64 ops)."""
+
+    def test_pq_encode_vectorized_equals_sql(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        vec = {
+            r["vec_id"]: list(r["codes"])
+            for r in pq_encode(emb, vectorized=True).collect()
+        }
+        sql = {
+            r["vec_id"]: list(r["codes"])
+            for r in pq_encode(emb, vectorized=False).collect()
+        }
+        assert vec == sql and len(vec) > 0
+
+    def test_ivf_pq_vectorized_equals_sql(self, spark):
+        from usgs_geomag_algorithms_spark.operators.pq import ivf_pq_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        queries = emb.where(F.col("vec_id") < 5)
+        key = lambda r: (r["q_id"], r["rank"])  # noqa: E731
+        vec = {
+            key(r): (r["n_id"], r["adc_score"])
+            for r in ivf_pq_topk(emb, queries, vectorized=True).collect()
+        }
+        sql = {
+            key(r): (r["n_id"], r["adc_score"])
+            for r in ivf_pq_topk(emb, queries, vectorized=False).collect()
+        }
+        assert vec == sql and len(vec) > 0
+
+    def test_ivf_kmeans_vectorized_equals_sql(self, spark):
+        from usgs_geomag_algorithms_spark.operators.kmeans import (
+            ivf_kmeans_topk,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        queries = emb.where(F.col("vec_id") < 5)
+        key = lambda r: (r["q_id"], r["rank"])  # noqa: E731
+        vec = {
+            key(r): (r["n_id"], r["cosine"])
+            for r in ivf_kmeans_topk(emb, queries, vectorized=True).collect()
+        }
+        sql = {
+            key(r): (r["n_id"], r["cosine"])
+            for r in ivf_kmeans_topk(emb, queries, vectorized=False).collect()
+        }
+        assert vec == sql and len(vec) > 0
+
+    def test_ivf_assign_arrow_equals_assign_cells(self, spark):
+        from usgs_geomag_algorithms_spark.operators.annkernels import (
+            ivf_assign_arrow,
+        )
+        from usgs_geomag_algorithms_spark.operators.kmeans import (
+            _assign_cells,
+        )
+        from usgs_geomag_algorithms_spark.operators.quantize import (
+            quantize_int8,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        # deliberately unequal member counts so the n² division matters
+        state = [([7] * 64, 3), ([-5] * 64, 11), ([1] * 32 + [-1] * 32, 1)]
+        vec = {
+            r["n_id"]: (list(r["qvec"]), r["cell"])
+            for r in ivf_assign_arrow(emb, state).collect()
+        }
+        sql = {
+            r["vec_id"]: (list(r["qvec"]), r["cell"])
+            for r in _assign_cells(quantize_int8(emb), state)
+            .select("vec_id", "qvec", "cell")
+            .collect()
+        }
+        assert vec == sql and len(vec) > 0

@@ -44,26 +44,35 @@ State = list[tuple[list[int], int]]
 def _cell_scores(state: State) -> F.Column:
     """Sorted array of (score, cell) structs — the integer-exact
     squared-distance ranking against every cell of ``state``. Map-only:
-    the state folds into the expression tree as literals (k×dim ints; the
+    the state folds into the expression tree as ONE nested-array literal
+    indexed inside a ``transform(sequence)`` lambda (k×dim ints; the
     broadcast variant of ``ivf_assign`` is the shape to swap in past the
-    literal ceiling)."""
-    scores = []
-    for c, (sums, n) in enumerate(state):
-        lits = ", ".join(str(int(v)) for v in sums)
-        idot = F.expr(
-            f"aggregate(zip_with(qvec, array({lits}),"
-            f" (x, y) -> cast(x as bigint) * y),"
-            f" cast(0 as bigint), (acc, v) -> acc + v)"
-        )
-        s2 = sum(int(v) * int(v) for v in sums)
-        num = (F.lit(s2) - F.lit(2 * n) * idot).cast("double")
-        scores.append(
-            F.struct(
-                (num / F.lit(float(n * n))).alias("sc"),
-                F.lit(c).alias("cell"),
-            )
-        )
-    return F.array_sort(F.array(*scores))
+    literal ceiling). The numerator ``s2 - 2n·<x,s>`` stays pure BIGINT;
+    the single terminal division is by the exact double n² (n ≤ ~3×10⁶
+    per the headroom note above, so n² < 2⁵³ is exact)."""
+    from .pq import _nested_array_lit, _pin
+
+    k = len(state)
+    sums_lit = _nested_array_lit(sums for sums, _ in state)
+    s2_lit = "array(" + ", ".join(
+        f"cast({sum(int(v) * int(v) for v in sums)} as bigint)"
+        for sums, _ in state
+    ) + ")"
+    n_lit = "array(" + ", ".join(
+        f"cast({int(n)} as bigint)" for _, n in state
+    ) + ")"
+    return F.expr(
+        f"array_sort(transform(sequence(0, {_pin(k - 1, 'qvec')}), c ->"
+        f" named_struct('sc',"
+        f" cast(element_at({s2_lit}, c + 1)"
+        f" - 2 * element_at({n_lit}, c + 1)"
+        f" * aggregate(zip_with(qvec, element_at({sums_lit}, c + 1),"
+        f" (x, y) -> cast(x as bigint) * y),"
+        f" cast(0 as bigint), (acc, v) -> acc + v) as double)"
+        f" / cast(element_at({n_lit}, c + 1)"
+        f" * element_at({n_lit}, c + 1) as double),"
+        f" 'cell', cast(c as int))))"
+    )
 
 
 def _assign_cells(q: DataFrame, state: State) -> DataFrame:
@@ -90,6 +99,7 @@ def kmeans_fit(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Run ``n_iter`` Lloyd's iterations; return the FINAL state table
     (cell, i, csum, n) as a DataFrame — flat so it is exactly
@@ -113,7 +123,17 @@ def kmeans_fit(
     state: State = [([int(v) for v in r["qvec"]], 1) for r in seeds]
     dim = len(state[0][0])
     for it in range(int(n_iter)):
-        agg = _aggregate_state(_assign_cells(q, state))
+        if vectorized:
+            # Arrow kernel assign (bit-identical to _assign_cells; the
+            # SQL path below stays as the audited pure-JVM spec)
+            from .annkernels import ivf_assign_arrow
+
+            assigned = ivf_assign_arrow(
+                df, state, id_col, vec_col, out_id=id_col
+            )
+        else:
+            assigned = _assign_cells(q, state)
+        agg = _aggregate_state(assigned)
         if it < int(n_iter) - 1:
             rows = agg.collect()  # k×dim rows — bounded by k, not data
             nxt: dict[int, tuple[list[int], int]] = {}
@@ -186,6 +206,7 @@ def ivf_kmeans_topk(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """DATA-TRAINED IVF ANN, exactly checkable end-to-end: train the
     integer-state k-means on the corpus, assign every corpus vector to
@@ -208,11 +229,21 @@ def ivf_kmeans_topk(
     state = state_from_rows(
         kmeans_fit(corpus, km_k, n_iter, id_col, vec_col).collect(), km_k
     )
-    qc = quantize_int8(corpus, vec_col=vec_col, id_col=id_col)
     qq = quantize_int8(queries, vec_col=vec_col, id_col=id_col)
-    corpus_cells = _assign_cells(qc, state).select(
-        F.col(id_col).alias("n_id"), F.col("qvec").alias("qn"), "cell"
-    )
+    if vectorized:
+        from .annkernels import ivf_assign_arrow
+
+        # Arrow kernel: quantize + assign in one pass, bit-identical to
+        # the _assign_cells expression (equality asserted in tests); the
+        # SQL path below stays as the oracle-checkable specification
+        corpus_cells = ivf_assign_arrow(
+            corpus, state, id_col, vec_col, out_id="n_id"
+        ).select("n_id", F.col("qvec").alias("qn"), "cell")
+    else:
+        qc = quantize_int8(corpus, vec_col=vec_col, id_col=id_col)
+        corpus_cells = _assign_cells(qc, state).select(
+            F.col(id_col).alias("n_id"), F.col("qvec").alias("qn"), "cell"
+        )
     probes = qq.select(
         F.col(id_col).alias("q_id"),
         F.col("qvec").alias("qq"),

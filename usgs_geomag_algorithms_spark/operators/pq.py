@@ -63,15 +63,34 @@ def md5_sign_codebooks(
     ]
 
 
-def _sub_idot(qvec_col: str, s: int, d: int, code: list[int]) -> F.Column:
-    """Integer dot of subspace ``s`` of an int8 vector with a ±1 codeword
-    — a fixed-order left fold over d elements, all BIGINT."""
-    lits = ", ".join(str(int(v)) for v in code)
-    return F.expr(
-        f"aggregate(zip_with(slice({qvec_col}, {s * d + 1}, {d}),"
-        f" array({lits}), (x, y) -> cast(x as bigint) * y),"
-        f" cast(0 as bigint), (acc, v) -> acc + v)"
+def _nested_array_lit(rows) -> str:
+    """Render rows of ints as ONE nested ``array(array(...), ...)`` SQL
+    literal. Folding the whole codebook/plane matrix into a single parsed
+    expression (indexed by ``element_at`` inside ``transform(sequence)``
+    lambdas) keeps plan analysis O(1) in the number of codewords — the
+    per-codeword ``F.expr`` folds this replaced made analysis+codegen the
+    dominant cost of every PQ/IVF query (~10x the scan time at bench
+    scale)."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(str(int(v)) for v in r) + ")" for r in rows
+        )
+        + ")"
     )
+
+
+def _pin(n: int, col: str) -> str:
+    """``n`` as a SQL int expression that also REFERENCES ``col`` (a
+    no-op ``+ 0 * size(col)``). Purpose: every expression this module
+    builds consumes the quantized ``qvec`` exactly once, and Catalyst's
+    CollapseProject inlines a single-consumer projection into its user —
+    here that would inline the whole ``quantize_int8`` computation (incl.
+    its max-abs fold) INSIDE the per-codeword lambda, re-quantizing the
+    vector m*ks times per row (measured: 4 s -> 90 s on the flat-PQ
+    bench). A second reference marks the projection as shared, so the
+    quantization stays materialized once per row."""
+    return f"({n} + 0 * size({col}))"
 
 
 def pq_encode(
@@ -79,39 +98,49 @@ def pq_encode(
     codebooks: list[list[list[int]]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """(id, codes array<int> of length m): per-subspace nearest-codeword
     index. With equal-norm (±1) codewords, argmin L2 == argmax dot, so
     the code is the argmax INTEGER dot over the int8 subvector; ties
     break on the lower code index (struct sort on (-dot, code)).
 
-    Map-only / shuffle-free: the codebook is plan literals (m*ks*d ints
-    — far below the IVF literal ceiling since d is dim/m)."""
+    Map-only / shuffle-free either way. ``vectorized=True`` (default)
+    runs the Arrow/NumPy integer kernel (``annkernels.pq_index_arrow``,
+    ~100x/row vs interpreted lambdas — the strategy that bounds a 10^12
+    index build); ``False`` is the pure-Catalyst expression twin (the
+    exact same integers; equality asserted in tests)."""
     if codebooks is None:
         codebooks = md5_sign_codebooks()
+    if vectorized:
+        from .annkernels import pq_index_arrow
+
+        return pq_index_arrow(
+            df, codebooks, None, id_col, vec_col, out_id=id_col
+        )
     q = quantize_int8(df, vec_col=vec_col, id_col=id_col)
     return q.select(id_col, _codes_col(codebooks).alias("codes"))
 
 
 def _codes_col(codebooks: list[list[list[int]]]) -> F.Column:
     """The encode expression over a ``qvec`` column: per-subspace argmax
-    integer dot, ties on the lower code index."""
+    integer dot, ties on the lower code index. ONE parsed expression —
+    the (m*ks)×d codebook is a nested array literal indexed inside the
+    lambdas, not m*ks separate folds (see :func:`_nested_array_lit`)."""
     m = len(codebooks)
     ks = len(codebooks[0])
     d = len(codebooks[0][0])
-    codes = []
-    for s in range(m):
-        scored = F.array(
-            *[
-                F.struct(
-                    (-_sub_idot("qvec", s, d, codebooks[s][c])).alias("ns"),
-                    F.lit(c).alias("code"),
-                )
-                for c in range(ks)
-            ]
-        )
-        codes.append(F.array_sort(scored)[0]["code"])
-    return F.array(*codes)
+    cb = _nested_array_lit(cw for sub in codebooks for cw in sub)
+    return F.expr(
+        f"transform(sequence(0, {_pin(m - 1, 'qvec')}), s ->"
+        f" array_sort(transform(sequence(0, {ks - 1}), c ->"
+        f" named_struct('ns', -aggregate(zip_with("
+        f"slice(qvec, s * {d} + 1, {d}),"
+        f" element_at({cb}, s * {ks} + c + 1),"
+        f" (x, y) -> cast(x as bigint) * y),"
+        f" cast(0 as bigint), (acc, v) -> acc + v),"
+        f" 'code', cast(c as int))))[0].code)"
+    )
 
 
 def pq_adc_topk(
@@ -121,6 +150,7 @@ def pq_adc_topk(
     codebooks: list[list[list[int]]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: (q_id, n_id, adc_score, rank).
 
@@ -131,12 +161,12 @@ def pq_adc_topk(
     bit-exact, rank ties on n_id. Self-pairs are excluded."""
     if codebooks is None:
         codebooks = md5_sign_codebooks()
-    enc = pq_encode(corpus, codebooks, id_col, vec_col).select(
+    enc = pq_encode(corpus, codebooks, id_col, vec_col, vectorized).select(
         F.col(id_col).alias("n_id"), "codes"
     )
     qq = quantize_int8(queries, vec_col=vec_col, id_col=id_col)
     qside = qq.select(
-        F.col(id_col).alias("q_id"), *_query_luts(codebooks)
+        F.col(id_col).alias("q_id"), _query_luts(codebooks)
     )
     joined = enc.crossJoin(F.broadcast(qside)).where(
         F.col("q_id") != F.col("n_id")
@@ -144,28 +174,33 @@ def pq_adc_topk(
     return _adc_rank(joined, len(codebooks), k)
 
 
-def _query_luts(codebooks: list[list[list[int]]]) -> list[F.Column]:
-    """Per-subspace ADC lookup tables over a query's ``qvec``:
-    lut[s][c] = <q_s, cb[s][c]> as integer dots."""
+def _query_luts(codebooks: list[list[list[int]]]) -> F.Column:
+    """ADC lookup tables over a query's ``qvec`` as ONE ``luts`` column
+    (array<array<bigint>>): luts[s][c] = <q_s, cb[s][c]> as integer dots.
+    Single parsed expression over the nested codebook literal."""
     m = len(codebooks)
     ks = len(codebooks[0])
     d = len(codebooks[0][0])
-    return [
-        F.array(
-            *[_sub_idot("qvec", s, d, codebooks[s][c]) for c in range(ks)]
-        ).alias(f"lut{s}")
-        for s in range(m)
-    ]
+    cb = _nested_array_lit(cw for sub in codebooks for cw in sub)
+    return F.expr(
+        f"transform(sequence(0, {_pin(m - 1, 'qvec')}), s ->"
+        f" transform(sequence(0, {ks - 1}), c ->"
+        f" aggregate(zip_with(slice(qvec, s * {d} + 1, {d}),"
+        f" element_at({cb}, s * {ks} + c + 1),"
+        f" (x, y) -> cast(x as bigint) * y),"
+        f" cast(0 as bigint), (acc, v) -> acc + v)))"
+    ).alias("luts")
 
 
 def _adc_rank(joined: DataFrame, m: int, k: int) -> DataFrame:
-    """score(q, x) = sum_s lut[s][codes_x[s]] — all BIGINT — then top-k
+    """score(q, x) = sum_s luts[s][codes_x[s]] — all BIGINT — then top-k
     per query with (adc_score DESC, n_id ASC) ties. The ONE copy of the
     ADC scoring contract, shared by flat PQ and IVF-PQ."""
-    score = None
-    for s in range(m):
-        term = F.element_at(F.col(f"lut{s}"), F.col("codes")[s] + 1)
-        score = term if score is None else score + term
+    score = F.expr(
+        f"aggregate(sequence(0, {m - 1}), cast(0 as bigint),"
+        f" (acc, s) -> acc + element_at(element_at(luts, s + 1),"
+        f" element_at(codes, s + 1) + 1))"
+    )
     scored = joined.select("q_id", "n_id", score.alias("adc_score"))
     w = Window.partitionBy("q_id").orderBy(
         F.col("adc_score").desc(), F.col("n_id").asc()
@@ -184,31 +219,19 @@ IVF_PQ_PROBE = 2
 IVF_PQ_SEED = 71
 
 
-def _plane_idot(qvec_col: str, plane: list[int]) -> F.Column:
-    """Integer dot of a full int8 vector with a ±1 plane — fixed-order
-    left fold, all BIGINT."""
-    lits = ", ".join(str(int(v)) for v in plane)
-    return F.expr(
-        f"aggregate(zip_with({qvec_col}, array({lits}),"
-        f" (x, y) -> cast(x as bigint) * y),"
-        f" cast(0 as bigint), (acc, v) -> acc + v)"
-    )
-
-
 def _cell_ranks(qvec_col: str, planes: list[list[int]]) -> F.Column:
     """Sorted (neg integer dot, cell) structs: with equal-norm ±1 cell
     directions, argmin L2 == argmax dot, so the integer dot IS the cell
-    ranking — exact in any engine, ties on the lower cell id."""
-    return F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    (-_plane_idot(qvec_col, p)).alias("nd"),
-                    F.lit(c).alias("cell"),
-                )
-                for c, p in enumerate(planes)
-            ]
-        )
+    ranking — exact in any engine, ties on the lower cell id. ONE parsed
+    expression over the nested plane-matrix literal."""
+    pl = _nested_array_lit(planes)
+    n = len(planes)
+    return F.expr(
+        f"array_sort(transform(sequence(0, {_pin(n - 1, qvec_col)}), c ->"
+        f" named_struct('nd', -aggregate(zip_with({qvec_col},"
+        f" element_at({pl}, c + 1), (x, y) -> cast(x as bigint) * y),"
+        f" cast(0 as bigint), (acc, v) -> acc + v),"
+        f" 'cell', cast(c as int))))"
     )
 
 
@@ -221,6 +244,7 @@ def ivf_pq_topk(
     codebooks: list[list[list[int]]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """IVF-PQ composed (FAISS's workhorse production layout): coarse-cell
     pruning over an index that stores ONE CELL ID + m PQ CODES per vector
@@ -233,7 +257,8 @@ def ivf_pq_topk(
     assignment is an integer-dot argmax — the ENTIRE composed pipeline
     (assign, probe, encode, ADC, rank) is integer arithmetic with an
     exact DuckDB oracle that regenerates both the planes and the
-    codebooks from md5()."""
+    codebooks from md5(). ``vectorized`` picks the Arrow/NumPy index
+    kernel (default; bit-identical) over the Catalyst-expression twin."""
     if codebooks is None:
         codebooks = md5_sign_codebooks()
     m = len(codebooks)
@@ -242,21 +267,29 @@ def ivf_pq_topk(
         [int(v) for v in row]
         for row in md5_sign_planes(n_cells, m * d, seed=IVF_PQ_SEED)
     ]
-    qc = quantize_int8(corpus, vec_col=vec_col, id_col=id_col)
-    # cell + codes in ONE projection off the single quantized scan — a
-    # join of the two would shuffle the corpus twice for nothing
-    index = qc.select(
-        F.col(id_col).alias("n_id"),
-        _cell_ranks("qvec", planes)[0]["cell"].alias("cell"),
-        _codes_col(codebooks).alias("codes"),
-    )
+    if vectorized:
+        from .annkernels import pq_index_arrow
+
+        # cell + codes in ONE Arrow pass off the single corpus scan
+        index = pq_index_arrow(
+            corpus, codebooks, planes, id_col, vec_col, out_id="n_id"
+        )
+    else:
+        qc = quantize_int8(corpus, vec_col=vec_col, id_col=id_col)
+        # cell + codes in ONE projection off the single quantized scan —
+        # a join of the two would shuffle the corpus twice for nothing
+        index = qc.select(
+            F.col(id_col).alias("n_id"),
+            _cell_ranks("qvec", planes)[0]["cell"].alias("cell"),
+            _codes_col(codebooks).alias("codes"),
+        )
     qq = quantize_int8(queries, vec_col=vec_col, id_col=id_col)
     qside = qq.select(
         F.col(id_col).alias("q_id"),
         F.explode(
             F.slice(_cell_ranks("qvec", planes), 1, int(n_probe))["cell"]
         ).alias("cell"),
-        *_query_luts(codebooks),
+        _query_luts(codebooks),
     )
     joined = index.join(F.broadcast(qside), "cell").where(
         F.col("q_id") != F.col("n_id")

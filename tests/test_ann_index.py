@@ -1,0 +1,93 @@
+"""Persisted IVF-PQ index (operators/annindex.py): build-once
+cell-partitioned layout, probe bit-identical to the inline pipeline,
+and partition pruning enforced at the scan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usgs_geomag_algorithms_spark.operators.annindex import (
+    probe_ivf_pq_index,
+    read_index_meta,
+    write_ivf_pq_index,
+)
+from usgs_geomag_algorithms_spark.operators.pq import (
+    IVF_PQ_CELLS,
+    ivf_pq_topk,
+    md5_sign_codebooks,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("annidx") / "ivfpq")
+    meta = write_ivf_pq_index(corpus, path)
+    assert meta["n_cells"] == IVF_PQ_CELLS
+    return path
+
+
+def _topk(df):
+    return {
+        (r["q_id"], r["rank"]): (r["n_id"], r["adc_score"])
+        for r in df.collect()
+    }
+
+
+class TestPersistedIndex:
+    def test_probe_equals_inline_pipeline(self, spark, corpus, index_path):
+        queries = corpus.where(F.col("vec_id") < 5)
+        probed = _topk(probe_ivf_pq_index(spark, index_path, queries))
+        inline = _topk(ivf_pq_topk(corpus, queries))
+        assert probed == inline and len(probed) > 0
+
+    def test_prune_none_same_result(self, spark, corpus, index_path):
+        queries = corpus.where(F.col("vec_id") < 5)
+        static = _topk(probe_ivf_pq_index(spark, index_path, queries))
+        full = _topk(
+            probe_ivf_pq_index(spark, index_path, queries, prune="none")
+        )
+        assert static == full
+
+    def test_static_probe_prunes_partitions(self, spark, corpus, index_path):
+        queries = corpus.where(F.col("vec_id") < 3)
+        out = probe_ivf_pq_index(spark, index_path, queries)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        # the probed-cell IN list reaches the scan's PARTITION filters —
+        # pruning happens at file listing, not post-scan
+        scan_lines = [
+            ln for ln in final.split("\n") if "PartitionFilters" in ln
+        ]
+        assert scan_lines, final
+        assert any(
+            "cell" in ln.split("PartitionFilters", 1)[1][:200]
+            and " IN " in ln.split("PartitionFilters", 1)[1][:200]
+            for ln in scan_lines
+        ), scan_lines
+
+    def test_meta_roundtrip_and_geometry_guard(
+        self, spark, corpus, index_path
+    ):
+        meta = read_index_meta(index_path)
+        assert meta["m"] == 8 and meta["ks"] == 16 and meta["d"] == 8
+        queries = corpus.where(F.col("vec_id") < 2)
+        bad = md5_sign_codebooks(m=4, ks=16, d=16)
+        with pytest.raises(ValueError, match="geometry"):
+            probe_ivf_pq_index(
+                spark, index_path, queries, codebooks=bad
+            )
+
+    def test_index_stores_codes_only(self, spark, index_path):
+        idx = spark.read.parquet(index_path)
+        assert set(idx.columns) == {"n_id", "codes", "cell"}
+        n = idx.count()
+        assert n > 0

@@ -283,15 +283,32 @@ def ivf_pq_topk(
             _cell_ranks("qvec", planes)[0]["cell"].alias("cell"),
             _codes_col(codebooks).alias("codes"),
         )
+    qside = ivf_pq_query_side(
+        queries, planes, codebooks, n_probe, id_col, vec_col
+    )
+    joined = index.join(F.broadcast(qside), "cell").where(
+        F.col("q_id") != F.col("n_id")
+    )
+    return _adc_rank(joined, m, k)
+
+
+def ivf_pq_query_side(
+    queries: DataFrame,
+    planes: list[list[int]],
+    codebooks: list[list[list[int]]],
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, cell, luts): each query exploded to its ``n_probe`` nearest
+    cells with its ADC lookup tables — the tiny broadcast side shared by
+    the inline ``ivf_pq_topk`` probe and the persisted-index probe
+    (``annindex.probe_ivf_pq_index``)."""
     qq = quantize_int8(queries, vec_col=vec_col, id_col=id_col)
-    qside = qq.select(
+    return qq.select(
         F.col(id_col).alias("q_id"),
         F.explode(
             F.slice(_cell_ranks("qvec", planes), 1, int(n_probe))["cell"]
         ).alias("cell"),
         _query_luts(codebooks),
     )
-    joined = index.join(F.broadcast(qside), "cell").where(
-        F.col("q_id") != F.col("n_id")
-    )
-    return _adc_rank(joined, m, k)

@@ -89,6 +89,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     seed: int = 42,
     shingles: DataFrame = None,
+    with_counts: bool = False,
 ) -> DataFrame:
     """Per-document MinHash signature: array of k minima of
     (a_i * h(shingle) + b_i) mod p, ordered by permutation index.
@@ -100,6 +101,12 @@ def minhash_signatures(
     aggregate each permutation as its own min() column — k literal
     expressions, all in one whole-stage-codegen'd aggregate (no k-fold row
     amplification).
+
+    ``with_counts=True`` adds ``n_sh`` (the per-doc distinct-shingle
+    count) to the SAME aggregate — the Jaccard-verify stage needs it, and
+    fusing it here means one pass over the shingle relation instead of
+    two (the two consumers then share the aggregate's exchange via
+    ReusedExchange).
     """
     sh = (
         shingles
@@ -114,10 +121,16 @@ def minhash_signatures(
         ).alias(f"_m{i}")
         for i, (a, b) in enumerate(minhash_perms(k, seed))
     ]
+    if with_counts:
+        aggs.append(F.count("*").alias("n_sh"))
     sigs = hashed.groupBy(id_col).agg(*aggs)
-    return sigs.select(
-        id_col, F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("minhash")
-    )
+    out = [
+        id_col,
+        F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("minhash"),
+    ]
+    if with_counts:
+        out.append(F.col("n_sh"))
+    return sigs.select(*out)
 
 
 def minhash_digest(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -272,6 +285,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingles: DataFrame = None,
+    counts: DataFrame = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for given (id_a, id_b) pairs:
     |A ∩ B| / |A ∪ B| over distinct char n-grams.
@@ -282,13 +296,20 @@ def ngram_jaccard_pairs(
     the shingle relation on shingle value and filter to pairs afterwards —
     is quadratic in the posting-list length of hot shingles: with
     boilerplate 8-grams shared by most of a web corpus it explodes before
-    the filter can save it; measured 42 s vs 3 s at sf0.1.)"""
+    the filter can save it; measured 42 s vs 3 s at sf0.1.)
+
+    ``counts`` (id, n_sh) lets the caller pass per-doc shingle counts it
+    already has (e.g. fused into the MinHash aggregate) instead of this
+    function re-scanning the shingle relation for them."""
     sh = (
         shingles
         if shingles is not None
         else char_shingles(df, n=n, text_col=text_col, id_col=id_col)
     )
-    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if counts is None:
+        counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    else:
+        counts = counts.select(id_col, "n_sh")
     # JOIN SIDES ARE LOAD-BEARING: the shingle relation is checkpointed,
     # so Catalyst has no stats for it and (measured) elects to BROADCAST
     # it on both verify joins — the full corpus-sized posting table
@@ -351,13 +372,20 @@ def near_dup_pairs_verified(
     shuffle on different keys."""
     sh = char_shingles(df, n=shingle_n, text_col=text_col, id_col=id_col)
     sh = sh.localCheckpoint(eager=False)
-    sigs = minhash_signatures(
+    # minhash + per-doc shingle counts FUSED into one aggregate: the two
+    # consumers (LSH banding, Jaccard denominators) then share the
+    # aggregate's exchange (ReusedExchange) — one pass over the shingle
+    # relation instead of two
+    sigs_counts = minhash_signatures(
         df, k=k, shingle_n=shingle_n, text_col=text_col, id_col=id_col,
-        seed=seed, shingles=sh,
+        seed=seed, shingles=sh, with_counts=True,
     )
-    cands = lsh_candidate_pairs(sigs, bands=bands, id_col=id_col, k=k)
+    cands = lsh_candidate_pairs(
+        sigs_counts.select(id_col, "minhash"), bands=bands, id_col=id_col, k=k
+    )
     return ngram_jaccard_pairs(
-        df, cands, n=shingle_n, text_col=text_col, id_col=id_col, shingles=sh
+        df, cands, n=shingle_n, text_col=text_col, id_col=id_col,
+        shingles=sh, counts=sigs_counts.select(id_col, "n_sh"),
     ).where(F.col("jaccard") >= threshold)
 
 

@@ -24,13 +24,20 @@ Algorithm contract (classic word-histogram BPE):
   greedily left-to-right within every word.
 - greedy left-to-right on a run of overlapping matches (only possible
   when left == right, e.g. ``(a,a)`` on ``aaaa``) merges alternate
-  positions: expressed relationally as consecutive-match islands +
-  odd-rank selection — no per-row Python anywhere.
+  positions: expressed as a fixed-order left fold over the word's symbol
+  ARRAY (``_merge_fold_expr`` — the exact greedy scan, because a token
+  produced by a merge can never re-match as the LEFT side of the same
+  merge, ``L+R != L``) — no per-row Python anywhere. The fold is the
+  same expression the encode path chains, so train and encode share one
+  proven kernel (property-tested against a classic pure-Python BPE).
 
-Physical shape per round at 10^12 tokens: the vocab relation is
-hash-partitioned by word; both window passes (pair lead, island rank)
-and the merge-position join all share that one partitioning, and each
-round ends in an eager localCheckpoint so plan depth and join-side
+Physical shape per round at 10^12 tokens: each word travels as ONE row
+holding its symbol array, so applying a merge is a map-only projection —
+zero shuffle. Pair counting is a codegen'd ``explode(sequence)`` +
+``element_at`` pass (no interpreted lambdas, no window over a word
+partitioning) into one aggregate whose shuffle is bounded by the
+DISTINCT-PAIR count (~|alphabet|² + merged tokens), not the vocabulary.
+Each round ends in an eager localCheckpoint so plan depth and join-side
 statistics stay bounded (NOTES.md session-4: stats-less lazy checkpoints
 let Catalyst broadcast corpus-sized sides). The single driver-side value
 per round is the argmax pair — one row, exactly like MLlib iterators.
@@ -46,7 +53,7 @@ vocab-sized + one corpus-sized hash join, zero Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 #: terminal symbol appended to every word (classic end-of-word marker)
 EOW = "</w>"
@@ -63,12 +70,63 @@ def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _explode_symbols(hist: DataFrame) -> DataFrame:
-    """(word, wcount, pos, sym): character symbols + the EOW marker."""
+def _word_arrays(hist: DataFrame) -> DataFrame:
+    """(word, wcount, syms array<string>): character symbols + the EOW
+    marker, one row per distinct word."""
     chars = F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW)))
-    return hist.select(
-        "word", "wcount", F.posexplode(chars).alias("pos", "sym")
+    return hist.select("word", "wcount", chars.alias("syms"))
+
+
+def _pair_counts(arr: DataFrame) -> DataFrame:
+    """(sym, nxt, c): adjacent-pair counts weighted by word frequency
+    (overlapping occurrences count). Codegen'd explode(sequence) +
+    element_at — no interpreted lambda, no window shuffle; the aggregate
+    shuffle is bounded by the distinct-pair count. Fully-merged words
+    (single symbol) are filtered out BEFORE the sequence: sequence(1, 0)
+    would DESCEND (NOTES.md) and element_at past the end errors under
+    ANSI."""
+    return (
+        arr.where(F.expr("size(syms) > 1"))
+        .select(
+            "wcount",
+            "syms",
+            F.explode(F.expr("sequence(1, size(syms) - 1)")).alias("i"),
+        )
+        .select(
+            "wcount",
+            F.expr("element_at(syms, i)").alias("sym"),
+            F.expr("element_at(syms, i + 1)").alias("nxt"),
+        )
+        .groupBy("sym", "nxt")
+        .agg(F.sum("wcount").alias("c"))
     )
+
+
+def _train_arrays(
+    hist: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, int, str]], DataFrame]:
+    """Shared trainer core: run the merge rounds over the word-array
+    relation; returns (merge rows, final symbol-array DataFrame). Each
+    round = one tiny argmax job + one map-only fold projection."""
+    arr = _word_arrays(hist).localCheckpoint()
+    merges: list[tuple[int, str, str, int, str]] = []
+    for r in range(int(n_merges)):
+        best = (
+            _pair_counts(arr)
+            .orderBy(F.col("c").desc(), F.col("sym").asc(), F.col("nxt").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0]["sym"], best[0]["nxt"], int(best[0]["c"])
+        merges.append((r, left, right, cnt, left + right))
+        arr = arr.select(
+            "word",
+            "wcount",
+            F.expr(_merge_fold_expr("syms", left, right)).alias("syms"),
+        ).localCheckpoint()
+    return merges, arr
 
 
 def bpe_train(
@@ -78,68 +136,11 @@ def bpe_train(
     (merge_round, lhs, rhs, pair_count, token) — k rows, the artifact a
     tokenizer ships. Stops early if the vocab runs out of pairs."""
     spark = docs.sparkSession
-    syms = _explode_symbols(word_histogram(docs, text_col)).localCheckpoint()
-    w = Window.partitionBy("word").orderBy("pos")
-    merges: list[tuple[int, str, str, int, str]] = []
-    for r in range(int(n_merges)):
-        pairs = syms.withColumn("nxt", F.lead("sym").over(w)).where(
-            F.col("nxt").isNotNull()
-        )
-        best = (
-            pairs.groupBy("sym", "nxt")
-            .agg(F.sum("wcount").alias("c"))
-            .orderBy(F.col("c").desc(), F.col("sym").asc(), F.col("nxt").asc())
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        left, right, cnt = best[0]["sym"], best[0]["nxt"], int(best[0]["c"])
-        merges.append((r, left, right, cnt, left + right))
-        syms = _apply_merge(syms, left, right).localCheckpoint()
+    merges, _ = _train_arrays(word_histogram(docs, text_col), n_merges)
     return spark.createDataFrame(
         merges,
         "merge_round int, lhs string, rhs string,"
         " pair_count bigint, token string",
-    )
-
-
-def _apply_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
-    """Greedy left-to-right merge of (left, right) in every word:
-    consecutive-match islands, odd ranks merge, the following symbol is
-    consumed, positions re-densified."""
-    w = Window.partitionBy("word").orderBy("pos")
-    marked = (
-        syms.withColumn("nxt", F.lead("sym").over(w))
-        .where((F.col("sym") == left) & (F.col("nxt") == right))
-        .withColumn("island", F.col("pos") - F.row_number().over(w))
-        .withColumn(
-            "rn2",
-            F.row_number().over(
-                Window.partitionBy("word", "island").orderBy("pos")
-            ),
-        )
-        .where(F.col("rn2") % 2 == 1)
-        .select("word", "pos")
-    )
-    m1 = marked.withColumn("is_m", F.lit(True))
-    m2 = marked.select(
-        "word", (F.col("pos") + 1).alias("pos"), F.lit(True).alias("is_c")
-    )
-    return (
-        syms.join(m1, ["word", "pos"], "left")
-        .join(m2, ["word", "pos"], "left")
-        .where(F.col("is_c").isNull())
-        .select(
-            "word",
-            "wcount",
-            (F.row_number().over(w) - 1).alias("npos"),
-            F.when(F.col("is_m").isNotNull(), F.lit(left + right))
-            .otherwise(F.col("sym"))
-            .alias("sym"),
-        )
-        .withColumnRenamed("npos", "pos")
-        .select("word", "wcount", "pos", "sym")
     )
 
 
@@ -216,20 +217,12 @@ def bpe_vocab(
 ) -> DataFrame:
     """(token, freq): the trained vocabulary with corpus frequencies —
     the other half of the tokenizer artifact (merges + vocab is what a
-    runtime tokenizer loads). Train, encode each DISTINCT word once with
-    the chained folds, then one weighted aggregate: freq(token) =
-    Σ wcount over words containing it (with multiplicity)."""
-    hist = word_histogram(docs, text_col)
-    merges_rows = (
-        bpe_train(docs, n_merges=n_merges, text_col=text_col)
-        .orderBy("merge_round")
-        .collect()
-    )
-    merges = [(r["lhs"], r["rhs"]) for r in merges_rows]
-    enc = bpe_encode_words(hist.select("word"), merges)
+    runtime tokenizer loads). The trainer's final symbol arrays ARE the
+    encoded distinct words, so freq(token) = Σ wcount over the final
+    arrays (with multiplicity) — one weighted aggregate, no re-encode."""
+    _, arr = _train_arrays(word_histogram(docs, text_col), n_merges)
     return (
-        hist.join(enc, "word")
-        .select("wcount", F.explode("tokens").alias("token"))
+        arr.select("wcount", F.explode("syms").alias("token"))
         .groupBy("token")
         .agg(F.sum("wcount").alias("freq"))
     )

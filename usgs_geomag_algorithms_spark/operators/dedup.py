@@ -448,10 +448,14 @@ def connected_components(
         )
         stepped = labels.join(nbr_min, "id", "left").select(
             "id",
+            F.col("component").alias("_old"),
             F.least(
                 F.col("component"), F.coalesce("_nbr_min", "component")
             ).alias("component"),
         )
+        # the round's previous label travels through as _old so the
+        # convergence probe below is a filter on the checkpointed frame,
+        # not another labels join job
         jumped = (
             stepped.alias("x")
             .join(
@@ -463,6 +467,7 @@ def connected_components(
             )
             .select(
                 F.col("x.id").alias("id"),
+                F.col("x._old").alias("_old"),
                 F.least(
                     F.col("x.component"), F.coalesce("_pl", F.col("x.component"))
                 ).alias("component"),
@@ -470,14 +475,9 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = (
-            jumped.join(
-                labels.select("id", F.col("component").alias("_old")), "id"
-            )
-            .where(F.col("component") != F.col("_old"))
-            .limit(1)
-            .count()
+            jumped.where(F.col("component") != F.col("_old")).limit(1).count()
         )
-        labels = jumped
+        labels = jumped.select("id", "component")
         if changed == 0:
             break
     return labels

@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "text_quality",
     "repetition_signals",
     "contamination",
+    "source_overlap",
+    "url_dedup",
     "stratified_sample",
     "pii_scrub",
     "corpus_word_stats",

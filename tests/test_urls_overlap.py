@@ -1,0 +1,125 @@
+"""URL canonicalization / URL dedup / cross-source overlap."""
+
+from pyspark.sql import functions as F
+
+from usgs_geomag_algorithms_spark.operators.overlap import source_overlap
+from usgs_geomag_algorithms_spark.operators.urls import (
+    canonical_url,
+    url_dedup,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r["c"] for r in df.select(canonical_url(F.col("url")).alias("c"))
+        .collect()
+    ]
+
+
+class TestCanonicalUrl:
+    def test_scheme_www_port_fragment(self, spark):
+        out = _canon(
+            spark,
+            [
+                "http://www.a.com:80/p/1?q=2#top",
+                "https://a.com/p/1?q=2",
+                "https://www.a.com:443/p/1?q=2",
+            ],
+        )
+        assert out == ["https://a.com/p/1?q=2"] * 3
+
+    def test_tracking_params_dropped_and_sorted(self, spark):
+        out = _canon(
+            spark,
+            [
+                "https://a.com/x?utm_source=feed&b=2&a=1&gclid=zz",
+                "https://a.com/x?a=1&fbclid=k&b=2",
+                "https://a.com/x?b=2&a=1",
+            ],
+        )
+        assert out == ["https://a.com/x?a=1&b=2"] * 3
+
+    def test_all_params_tracking_drops_query(self, spark):
+        out = _canon(
+            spark,
+            ["https://a.com/x?utm_campaign=c&ref=r", "https://a.com/x"],
+        )
+        assert out == ["https://a.com/x"] * 2
+
+    def test_trailing_slash(self, spark):
+        out = _canon(spark, ["https://a.com/x/", "https://a.com/x"])
+        assert out == ["https://a.com/x"] * 2
+
+    def test_non_default_port_and_meaningful_params_kept(self, spark):
+        out = _canon(spark, ["http://a.com:8080/x?z=1&y=2"])
+        assert out == ["https://a.com:8080/x?y=2&z=1"]
+
+
+class TestUrlDedup:
+    def test_keeper_is_min_id_per_group(self, spark):
+        rows = [
+            (1, "http://www.a.com/p?utm_source=s"),
+            (2, "https://a.com/p"),
+            (3, "https://a.com/other"),
+        ]
+        out = {
+            r["doc_id"]: (r["canonical_url"], r["is_kept"])
+            for r in url_dedup(
+                spark.createDataFrame(rows, "doc_id int, url string")
+            ).collect()
+        }
+        assert out[1] == ("https://a.com/p", True)
+        assert out[2] == ("https://a.com/p", False)
+        assert out[3] == ("https://a.com/other", True)
+
+    def test_exactly_one_keeper_per_canonical(self, spark):
+        rows = [
+            (i, f"http://www.h.com/p/{i % 3}?utm_c=x&v={i % 3}")
+            for i in range(30)
+        ]
+        got = url_dedup(
+            spark.createDataFrame(rows, "doc_id int, url string")
+        )
+        per = (
+            got.groupBy("canonical_url")
+            .agg(
+                F.sum(F.col("is_kept").cast("int")).alias("k"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        assert len(per) == 3
+        assert all(r["k"] == 1 for r in per)
+        assert sum(r["n"] for r in per) == 30
+
+
+class TestSourceOverlap:
+    def test_matches_hand_computation(self, spark):
+        # n=2 shingles: sets are position 1..max(len-1,1) substrings
+        docs = spark.createDataFrame(
+            [
+                ("s1", "abcd"),   # {ab, bc, cd}
+                ("s1", "xy"),     # {xy}
+                ("s2", "bcde"),   # {bc, cd, de}
+                ("s3", "zz"),     # {zz}
+            ],
+            "source string, text string",
+        )
+        out = {
+            (r["src_a"], r["src_b"]): r
+            for r in source_overlap(docs, n=2).collect()
+        }
+        assert set(out) == {("s1", "s2")}
+        r = out[("s1", "s2")]
+        assert (r["n_a"], r["n_b"], r["inter"]) == (4, 3, 2)
+        assert abs(r["jaccard"] - 2 / 5) < 1e-15
+
+    def test_symmetric_ordering_and_self_excluded(self, spark):
+        docs = spark.createDataFrame(
+            [("b", "hello"), ("a", "hello"), ("a", "hello world")],
+            "source string, text string",
+        )
+        rows = source_overlap(docs, n=4).collect()
+        assert all(r["src_a"] < r["src_b"] for r in rows)
+        assert len(rows) == 1  # (a, b) once, never (a, a)

@@ -1,0 +1,93 @@
+"""Cross-source corpus overlap: pairwise n-gram Jaccard between sources.
+
+"How much of corpus A is also in corpus B" is the standard measurement
+when documenting a webtext mixture (mirrors, syndication, benchmark
+bleed between sources) — the corpus-level analogue of the per-document
+near-dup pass, and the same shape as the reference's cross-channel
+comparisons (geomagio AverageAlgorithm compares the same quantity
+across observatories before merging).
+
+Semantics: for each source, the DISTINCT set of character n-gram
+shingles over all its documents; for each source pair (a < b),
+``jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|)``. All-integer counts and
+ONE terminal division — engine-exact, so the whole matrix carries an
+exact DuckDB oracle.
+
+Scale shape (10^12 docs, S sources where S is small — tens to
+thousands): one corpus scan explodes shingles, the distinct + groupBy
+shuffle on the shingle key with map-side partials, and each shingle row
+carries a source SET bounded by S, from which the pair explosion is a
+codegen'd generator (sequence + element_at + slice — no interpreted
+lambdas, NOTES.md session-7). Nothing is ever joined corpus x corpus;
+the intersection aggregate's output is bounded by S², not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import char_shingles
+
+
+def source_overlap(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """(src_a, src_b, n_a, n_b, inter, jaccard) for every source pair
+    sharing at least one shingle, src_a < src_b bytewise."""
+    # char_shingles already emits DISTINCT (group, shingle) when handed
+    # the group as its id column
+    sh = char_shingles(
+        docs.select(group_col, text_col), n=n, text_col=text_col,
+        id_col=group_col,
+    )
+    sizes = sh.groupBy(group_col).agg(F.count("*").alias("n"))
+    srcs = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set(group_col)).alias("_s"))
+        .where(F.size("_s") > 1)
+    )
+    inter = (
+        srcs.select(
+            "_s", F.explode(F.expr("sequence(1, size(_s) - 1)")).alias("i")
+        )
+        .select(
+            F.expr("element_at(_s, i)").alias("src_a"),
+            F.explode(F.expr("slice(_s, i + 1, size(_s) - i)")).alias(
+                "src_b"
+            ),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col(group_col).alias("src_a"), F.col("n").alias("n_a")
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col(group_col).alias("src_b"), F.col("n").alias("n_b")
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("inter").cast("bigint").alias("inter"),
+            (
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )

@@ -5,7 +5,7 @@ exact DuckDB oracle built from the SAME constants as the Spark plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from .operators import dedup as D
 from .operators import similarity as S
@@ -534,6 +534,78 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(
         _docs(spark, sf_dir), holdout_frac=HOLDOUT_FRAC, k=K_MINHASH,
         shingle_n=SHINGLE_N, bands=4, threshold=NEAR_DUP_JACCARD,
+    )
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise n-gram Jaccard overlap between corpus sources
+    (operators/overlap.py) — the corpus-documentation measurement of
+    mirrors/syndication between mixture components. One shingle-keyed
+    shuffle; the pair explosion is bounded by the source-set size, never
+    corpus x corpus; all-integer counts -> exactly oracle-checked."""
+    from .operators.overlap import source_overlap
+
+    return source_overlap(
+        _docs(spark, sf_dir).select("source", "text"), n=SHINGLE_N
+    )
+
+
+def _synth_url(doc_id: Column, source: Column) -> Column:
+    """Deterministic messy crawl URL for a document: scheme/www/port/
+    trailing-slash/fragment variants, shuffled query params, and tracking
+    params — all decided by md5 nibbles of the doc id so the DuckDB
+    oracle regenerates the identical string. Docs sharing
+    (source, doc_id % 200) canonicalize to the same URL."""
+    h = F.md5(doc_id.cast("string").cast("binary"))
+
+    def nib(i: int) -> Column:
+        return F.conv(F.substring(h, i, 1), 16, 10).cast("long")
+
+    m = (doc_id % 200).cast("string")
+    p_c = F.concat(F.lit("v="), m)
+    p_t1 = F.when(
+        nib(6) % 2 == 0, F.concat(F.lit("utm_campaign="), F.substring(h, 1, 4))
+    )
+    p_t2 = F.when(
+        nib(7) % 2 == 0, F.concat(F.lit("gclid="), F.substring(h, 5, 4))
+    )
+    qs = F.when(nib(8) % 2 == 0, F.concat_ws("&", p_c, p_t1, p_t2)).otherwise(
+        F.concat_ws("&", p_t1, p_t2, p_c)
+    )
+    return F.concat(
+        F.when(nib(1) % 2 == 0, F.lit("http://")).otherwise(
+            F.lit("https://")
+        ),
+        F.when(nib(2) % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        source,
+        F.lit(".example.com"),
+        F.when(nib(3) % 4 == 0, F.lit(":80"))
+        .when(nib(3) % 4 == 1, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/p/"),
+        m,
+        F.when(nib(4) % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        qs,
+        F.when(nib(5) % 2 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (operators/urls.py): messy
+    synthesized crawl URLs (scheme/www/port/fragment/param-order/tracking
+    variants) collapse to one canonical form; the keeper of each group is
+    the min doc id. Map-only canonicalization + ONE canonical-url-keyed
+    shuffle; the whole operator, strings included, is exactly
+    oracle-checked."""
+    from .operators.urls import url_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return url_dedup(
+        docs.select(
+            "doc_id",
+            _synth_url(F.col("doc_id"), F.col("source")).alias("url"),
+        )
     )
 
 
@@ -2143,6 +2215,106 @@ FROM tot t LEFT JOIN reb r USING (doc_id)
 """
 
 
+def _source_overlap_sql() -> str:
+    """Source-pair shingle Jaccard: distinct (source, shingle) sets, a
+    shingle self-join for intersections, one terminal integer division."""
+    n = SHINGLE_N
+    return f"""
+WITH pos AS (
+    SELECT source, text,
+           unnest(generate_series(1, greatest(length(text) - {n - 1}, 1)))
+               AS i
+    FROM documents WHERE text IS NOT NULL
+),
+sh AS (SELECT DISTINCT source, substr(text, i, {n}) AS s FROM pos),
+sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT src_a, src_b, sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+       inter::BIGINT AS inter,
+       inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+"""
+
+
+def _url_dedup_sql() -> str:
+    """Regenerates the synthetic messy URLs from the same md5 nibbles,
+    canonicalizes with the same anchored regex/split/sort steps (RE2
+    replacement syntax \\1 here vs Java $1 on the Spark side), and picks
+    the min-doc-id keeper per canonical group."""
+    track = ", ".join(f"'{p}'" for p in ("fbclid", "gclid", "msclkid",
+                                         "mc_eid", "ref"))
+    return rf"""
+WITH nib AS (
+    SELECT doc_id, source, md5(doc_id::VARCHAR) AS h FROM documents
+),
+raw AS (
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(h, 1, 1))::BIGINT % 2 = 0
+                THEN 'http://' ELSE 'https://' END
+        || CASE WHEN ('0x' || substr(h, 2, 1))::BIGINT % 2 = 0
+                THEN 'www.' ELSE '' END
+        || source || '.example.com'
+        || CASE WHEN ('0x' || substr(h, 3, 1))::BIGINT % 4 = 0 THEN ':80'
+                WHEN ('0x' || substr(h, 3, 1))::BIGINT % 4 = 1 THEN ':443'
+                ELSE '' END
+        || '/p/' || (doc_id % 200)::VARCHAR
+        || CASE WHEN ('0x' || substr(h, 4, 1))::BIGINT % 2 = 0
+                THEN '/' ELSE '' END
+        || '?'
+        || CASE WHEN ('0x' || substr(h, 8, 1))::BIGINT % 2 = 0
+                THEN concat_ws('&', 'v=' || (doc_id % 200)::VARCHAR,
+                    CASE WHEN ('0x' || substr(h, 6, 1))::BIGINT % 2 = 0
+                         THEN 'utm_campaign=' || substr(h, 1, 4) END,
+                    CASE WHEN ('0x' || substr(h, 7, 1))::BIGINT % 2 = 0
+                         THEN 'gclid=' || substr(h, 5, 4) END)
+                ELSE concat_ws('&',
+                    CASE WHEN ('0x' || substr(h, 6, 1))::BIGINT % 2 = 0
+                         THEN 'utm_campaign=' || substr(h, 1, 4) END,
+                    CASE WHEN ('0x' || substr(h, 7, 1))::BIGINT % 2 = 0
+                         THEN 'gclid=' || substr(h, 5, 4) END,
+                    'v=' || (doc_id % 200)::VARCHAR) END
+        || CASE WHEN ('0x' || substr(h, 5, 1))::BIGINT % 2 = 0
+                THEN '#sec' ELSE '' END AS url
+    FROM nib
+),
+norm AS (
+    SELECT doc_id, url,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(url, '#.*$', ''),
+                       '^http://', 'https://'),
+                   '^https://www\.', 'https://'),
+               '^(https://[^/:?]+):(80|443)([/?]|$)', '\1\3') AS u
+    FROM raw
+),
+parts AS (
+    SELECT doc_id, url,
+           regexp_replace(split_part(u, '?', 1), '/$', '') AS base,
+           list_sort(list_filter(string_split(split_part(u, '?', 2), '&'),
+               p -> p <> '' AND NOT starts_with(p, 'utm_')
+                    AND split_part(p, '=', 1) NOT IN ({track}))) AS ps
+    FROM norm
+),
+canon AS (
+    SELECT doc_id, url,
+           base || CASE WHEN len(ps) > 0
+                        THEN '?' || array_to_string(ps, '&')
+                        ELSE '' END AS canonical_url
+    FROM parts
+)
+SELECT doc_id, url, canonical_url,
+       doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS is_kept
+FROM canon
+"""
+
+
 QUERIES = {
     "minhash_signature": q_minhash_signature,
     "lsh_pairs": q_lsh_pairs,
@@ -2187,6 +2359,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pii_scrub": q_pii_scrub,
     "corpus_word_stats": q_corpus_word_stats,
+    "source_overlap": q_source_overlap,
+    "url_dedup": q_url_dedup,
 }
 
 ORACLES = {
@@ -2232,6 +2406,8 @@ ORACLES = {
     "stratified_sample": _stratified_sql(),
     "pii_scrub": _pii_sql(),
     "corpus_word_stats": _corpus_word_stats_sql(),
+    "source_overlap": _source_overlap_sql(),
+    "url_dedup": _url_dedup_sql(),
     # knn_ivf stays rows-only: its coarse centroids are trained from the
     # data (seeded k-means) — not expressible as a fixed SQL oracle
 }

@@ -291,6 +291,41 @@ def q_active_users_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_users_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier distinct counting (operators/sketches.py): per-hour
+    DataSketches HLL sketches UNIONED into days — the mergeable path
+    that derives coarser distinct-count tiers without re-reading raw
+    events (exact counts cannot roll up). Approximate by construction ->
+    rows-only driver entry; the exact twin of the same plan shape is
+    distinct_users_day, and tests/test_sketches.py bounds the relative
+    error and checks merge-vs-direct consistency."""
+    from usgs_geomag_algorithms_spark.operators.sketches import (
+        approx_users_day,
+    )
+
+    return approx_users_day(_events(spark, sf_dir))
+
+
+def q_distinct_users_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact day-level distinct users — the oracle-carrying twin of
+    hll_users_day (same grouping, exact countDistinct instead of the
+    sketch union)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            F.expr(
+                f"(unix_micros(cast(ts as timestamp)) div {DAY_US}) * {DAY_US}"
+            ).alias("d_us"),
+            "user_id",
+        )
+        .groupBy("d_us")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
 def q_purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event enriched with the user's most
     recent view event at-or-before it (operators/asof.py union-and-carry
@@ -1090,6 +1125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_asof_view": q_purchase_asof_view,
         "rate_anomaly": q_rate_anomaly,
         "active_users_hour": q_active_users_hour,
+        "hll_users_day": q_hll_users_day,
+        "distinct_users_day": q_distinct_users_day,
         "gapfill_minute": q_gapfill_minute,
         "counter_increase_hour": q_counter_increase_hour,
         "ltob_hour": q_ltob_hour,
@@ -1847,6 +1884,15 @@ FROM s
         "corr_hour": corr_hour,
         "active_users_hour": f"""
 SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS t_us,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY 1
+""",
+        # hll_users_day is rows-only by design: DataSketches HLL
+        # estimates are not reproducible in DuckDB; distinct_users_day is
+        # its exact twin of the same plan shape
+        "distinct_users_day": f"""
+SELECT (epoch_us(ts) // {DAY_US}) * {DAY_US} AS d_us,
        count(DISTINCT user_id) AS n_users,
        count(*) AS n_events
 FROM events GROUP BY 1

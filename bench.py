@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "rollup_hour_pctl",
     "rate_anomaly",
     "active_users_hour",
+    "hll_users_day",
+    "distinct_users_day",
     "near_dup_verified",
     "incremental_near_dups",
     "substring_dup_fraction",

@@ -35,6 +35,8 @@ class TestDriverContract:
         q, o = entry.queries(), entry.oracle_sql()
         rows_only = sorted(set(q) - set(o))
         assert rows_only == [
+            "hll_users_day",  # DataSketches estimate; exact twin is
+            # distinct_users_day, error bound in tests/test_sketches.py
             "knn_ivf",  # coarse centroids trained from data (seeded k-means)
             "sqdist_decompose",  # real-data stateful; kernel oracle-checked
             # via sqdist_golden

@@ -123,3 +123,41 @@ class TestSourceOverlap:
         rows = source_overlap(docs, n=4).collect()
         assert all(r["src_a"] < r["src_b"] for r in rows)
         assert len(rows) == 1  # (a, b) once, never (a, a)
+
+
+class TestNewOpPlans:
+    """Executed-plan audits (AQE final plan — collect first, match before
+    '== Initial Plan ==', per NOTES.md)."""
+
+    PY_NODES = (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "FlatMapGroupsInPandas",
+        "MapInPandas",
+    )
+
+    def _phys(self, df) -> str:
+        df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "10000")
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_url_dedup_single_exchange_no_python(self, spark):
+        rows = [(i, f"http://www.h.com/p/{i % 5}?v={i % 5}") for i in range(100)]
+        out = url_dedup(spark.createDataFrame(rows, "doc_id int, url string"))
+        out.collect()
+        p = self._phys(out).split("== Initial Plan ==")[0]
+        assert p.count("Exchange hashpartitioning") == 1
+        assert all(n not in p for n in self.PY_NODES)
+
+    def test_source_overlap_no_python_and_partial_aggs(self, spark):
+        docs = spark.createDataFrame(
+            [(f"s{i % 4}", f"text body number {i} with shared words")
+             for i in range(80)],
+            "source string, text string",
+        )
+        out = source_overlap(docs, n=4)
+        out.collect()
+        p = self._phys(out).split("== Initial Plan ==")[0]
+        assert all(n not in p for n in self.PY_NODES)
+        # sizes join both sides broadcast; no corpus-sized shuffle join
+        assert p.count("BroadcastHashJoin") == 2
+        assert "SortMergeJoin" not in p

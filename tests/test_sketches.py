@@ -106,3 +106,74 @@ class TestHllTier:
             F.max(F.length("sketch")).alias("m")
         ).collect()[0]["m"]
         assert mx <= 4096 + 64
+
+
+class TestSketchStore:
+    """The sketch tier persists through the snapshot-manifest TierStore
+    (value_schema='sketch binary, n_events long') and stays derivable."""
+
+    def test_roundtrip_and_day_rollup_from_store(self, spark, tmp_path):
+        from usgs_geomag_algorithms_spark.operators.sketches import (
+            read_sketch_tier,
+            sketch_store,
+            write_sketch_tier,
+        )
+
+        ev = _events(spark)
+        store = sketch_store(spark, str(tmp_path / "sk"))
+        write_sketch_tier(store, hll_hour_sketches(ev))
+        back = read_sketch_tier(store)
+        direct = {
+            r["d_us"]: (r["approx_users"], r["n_events"])
+            for r in hll_rollup(hll_hour_sketches(ev)).collect()
+        }
+        from_store = {
+            r["d_us"]: (r["approx_users"], r["n_events"])
+            for r in hll_rollup(back).collect()
+        }
+        assert from_store == direct
+
+    def test_upsert_recompute_replaces_hour(self, spark, tmp_path):
+        from usgs_geomag_algorithms_spark.operators.sketches import (
+            read_sketch_tier,
+            sketch_store,
+            write_sketch_tier,
+        )
+
+        ev = _events(spark)
+        store = sketch_store(spark, str(tmp_path / "sk"))
+        write_sketch_tier(store, hll_hour_sketches(ev))
+        # recompute hour 0 from HALF the events (late-data correction):
+        # the upsert must REPLACE the hour-0 sketch, not union into it
+        ev0 = ev.where(
+            (F.expr(f"unix_micros(ts) div {HOUR_US}") == 0)
+            & (F.col("user_id") % 2 == 0)
+        )
+        write_sketch_tier(store, hll_hour_sketches(ev0))
+        back = read_sketch_tier(store)
+        est0 = (
+            back.where(F.col("t_us") == 0)
+            .select(
+                F.expr(
+                    "cast(hll_sketch_estimate(sketch) as bigint)"
+                ).alias("e"),
+                "n_events",
+            )
+            .collect()[0]
+        )
+        exact0 = ev0.select("user_id").distinct().count()
+        assert abs(est0["e"] - exact0) / exact0 < 0.05
+        assert est0["n_events"] == ev0.count()
+        # other hours untouched
+        assert back.count() == hll_hour_sketches(ev).count()
+
+    def test_packed_layout_rejected_for_sketches(self, spark, tmp_path):
+        import pytest
+
+        from usgs_geomag_algorithms_spark.operators.sketches import (
+            sketch_store,
+        )
+
+        store = sketch_store(spark, str(tmp_path / "sk"))
+        with pytest.raises(ValueError, match="double signal shape"):
+            store.write_packed(None, "hour_sketch_packed")

@@ -20,19 +20,28 @@ def merge_last_wins(
     series_cols: Sequence[str] = ("url", "channel"),
     ts_col: str = "t_us",
     value_col: str = "value",
+    extra_cols: Sequence[str] = (),
+    nan_aware: bool = True,
 ) -> DataFrame:
-    """Merge batches; later arguments win on overlap (valid values only)."""
+    """Merge batches; later arguments win on overlap (valid values only).
+
+    ``extra_cols`` ride along with the winning row (a multi-column tier,
+    e.g. a sketch tier's (sketch, n_events)). ``nan_aware=False`` drops
+    the NaN test from the validity rule — required for non-numeric value
+    columns (binary sketches), where ``isnan`` is not defined and a later
+    recompute should replace outright unless it is NULL."""
     series_cols = list(series_cols)
+    extra_cols = list(extra_cols)
     if not batches:
         raise ValueError("merge_last_wins requires at least one batch")
     tagged = None
     for seq, b in enumerate(batches):
-        t = b.select(*series_cols, ts_col, value_col).withColumn(
+        t = b.select(*series_cols, ts_col, value_col, *extra_cols).withColumn(
             "_seq", F.lit(seq)
         )
         tagged = t if tagged is None else tagged.unionByName(t)
     v = F.col(value_col)
-    valid = v.isNotNull() & ~F.isnan(v)
+    valid = v.isNotNull() & ~F.isnan(v) if nan_aware else v.isNotNull()
     w = Window.partitionBy(*series_cols, ts_col).orderBy(
         # valid values before gaps, then latest batch first
         F.when(valid, 0).otherwise(1).asc(),

@@ -84,3 +84,59 @@ def approx_users_day(
         hll_hour_sketches(events, ts_col=ts_col, key_col=key_col),
         out_us=DAY_US,
     )
+
+
+# ------------------------------------------------------- store integration
+#
+# The sketch tier persists through the SAME snapshot-manifest TierStore as
+# the signal tiers (sources/store.py) — value_schema="sketch binary,
+# n_events long" — so it inherits partition pruning, snapshot isolation,
+# optimistic upsert (a recomputed hour REPLACES its sketch; sketches are
+# never unioned on upsert, which would double-count re-ingested events),
+# retention partition drops, and time travel, unchanged.
+
+
+def sketch_store(spark, root: str, metric_col: str = "metric"):
+    """A TierStore configured for sketch tiers: one series column (the
+    metric name) and (sketch, n_events) value columns."""
+    from ..sources.store import TierStore
+
+    return TierStore(
+        spark,
+        root,
+        series_cols=(metric_col,),
+        value_schema="sketch binary, n_events long",
+    )
+
+
+def write_sketch_tier(
+    store,
+    sketches: DataFrame,
+    metric: str = "users",
+    tier: str = "hour_sketch",
+) -> None:
+    """Upsert an (t_us, sketch, n_events) frame as ``metric`` rows of the
+    sketch tier (last-wins per hour: a recompute replaces)."""
+    store.upsert(
+        sketches.select(
+            F.lit(metric).alias(store.series_cols[0]),
+            "t_us",
+            "sketch",
+            "n_events",
+        ),
+        tier,
+    )
+
+
+def read_sketch_tier(
+    store,
+    metric: str = "users",
+    tier: str = "hour_sketch",
+    start_us: int | None = None,
+    end_us: int | None = None,
+) -> DataFrame:
+    """(t_us, sketch, n_events) for one metric — feed to hll_rollup."""
+    df = store.read(tier, start_us=start_us, end_us=end_us)
+    return df.where(F.col(store.series_cols[0]) == metric).select(
+        "t_us", "sketch", "n_events"
+    )

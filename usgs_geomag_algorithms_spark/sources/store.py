@@ -119,11 +119,19 @@ class TierStore:
         series_cols: Sequence[str] = ("url", "channel"),
         lock_wait_s: float = 0.0,
         upsert_retries: int = 3,
+        value_schema: str = "value double",
     ):
         self.spark = spark
         self.root = root.rstrip("/")
         self.n_buckets = n_buckets
         self.series_cols = list(series_cols)
+        #: typed value columns of this store's tiers. The default single
+        #: ``value double`` is the signal store; a SKETCH tier store
+        #: passes e.g. ``"sketch binary, n_events long"`` — the manifest /
+        #: snapshot / upsert machinery is value-schema-agnostic, only the
+        #: Gorilla-packed layout requires the double signal shape.
+        self.value_schema = value_schema
+        self.value_cols = [c.strip().split()[0] for c in value_schema.split(",")]
         #: how long a commit waits for another writer's lock before
         #: raising (0 = fail immediately — single-writer deployments want
         #: the loud failure; multi-writer jobs set a wait and queue)
@@ -446,8 +454,13 @@ class TierStore:
             }
             old_touched = self._read_partitions(tier, keys)
             merged = merge_last_wins(
-                old_touched, df.select(*self.series_cols, "t_us", "value"),
+                old_touched,
+                df.select(*self.series_cols, "t_us", *self.value_cols),
                 series_cols=self.series_cols,
+                value_col=self.value_cols[0],
+                extra_cols=self.value_cols[1:],
+                nan_aware=self.value_schema.split(",")[0].split()[-1]
+                == "double",
             )
             try:
                 self.write(merged, tier, _based_on=read_manifest)
@@ -474,7 +487,7 @@ class TierStore:
             if not paths:
                 return self._empty()
             df = self.spark.read.option("basePath", base).parquet(*paths)
-        return df.select(*self.series_cols, "t_us", "value")
+        return df.select(*self.series_cols, "t_us", *self.value_cols)
 
     # -------------------------------------------------------------- read
     def exists(self, tier: str) -> bool:
@@ -482,7 +495,7 @@ class TierStore:
 
     def _schema(self) -> str:
         cols = ", ".join(f"{c} string" for c in self.series_cols)
-        return f"{cols}, t_us long, value double"
+        return f"{cols}, t_us long, {self.value_schema}"
 
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], schema=self._schema())
@@ -576,7 +589,7 @@ class TierStore:
             df = df.where(F.col("p_date") >= d0).where(F.col("t_us") >= int(start_us))
         if end_us is not None:
             df = df.where(F.col("p_date") <= d1).where(F.col("t_us") <= int(end_us))
-        return df.select(*self.series_cols, "t_us", "value")
+        return df.select(*self.series_cols, "t_us", *self.value_cols)
 
     # ------------------------------------------------------------- stats
     def stats(self, tier: str) -> dict:
@@ -584,10 +597,15 @@ class TierStore:
         valid fraction, time span, and approx distinct series (HLL sketch —
         exact distinct over 10^8 urls would itself be a shuffle)."""
         df = self.read(tier)
-        v = F.col("value")
+        v = F.col(self.value_cols[0])
+        valid = (
+            v.isNotNull() & ~F.isnan(v)
+            if dict(df.dtypes)[self.value_cols[0]] == "double"
+            else v.isNotNull()
+        )
         r = df.agg(
             F.count(F.lit(1)).alias("rows"),
-            F.count(F.when(v.isNotNull() & ~F.isnan(v), True)).alias("valid"),
+            F.count(F.when(valid, True)).alias("valid"),
             F.min("t_us").alias("t_min"),
             F.max("t_us").alias("t_max"),
             F.approx_count_distinct(self.series_cols[0]).alias("approx_series"),
@@ -675,6 +693,12 @@ class TierStore:
         retention partition-drops and bucket clustering apply unchanged.
         The coarse tiers' long-term storage format per BASELINE."""
         from ..operators.segments import pack_segments
+
+        if self.value_cols != ["value"]:
+            raise ValueError(
+                "Gorilla-packed tiers require the double signal shape "
+                f"(value double); this store holds {self.value_schema!r}"
+            )
 
         segs = pack_segments(df, segment_us, self.series_cols)
         out = segs.withColumn(

@@ -177,3 +177,126 @@ class TestSketchStore:
         store = sketch_store(spark, str(tmp_path / "sk"))
         with pytest.raises(ValueError, match="double signal shape"):
             store.write_packed(None, "hour_sketch_packed")
+
+
+class TestSketchStream:
+    """Streaming sketch maintenance: per-batch union, replay skip."""
+
+    def _run_stream(self, spark, tmp_path, batches, restart_with=None):
+        import os
+
+        from usgs_geomag_algorithms_spark.operators.sketches import (
+            sketch_store,
+        )
+        from usgs_geomag_algorithms_spark.streaming.sketch_stream import (
+            streaming_sketch_maintenance,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src, exist_ok=True)
+        schema = "ts timestamp, user_id bigint"
+        for i, df in enumerate(batches):
+            df.coalesce(1).write.parquet(str(tmp_path / f"stage{i}"))
+            for f in os.listdir(str(tmp_path / f"stage{i}")):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        str(tmp_path / f"stage{i}" / f),
+                        f"{src}/b{i}.parquet",
+                    )
+        store = sketch_store(spark, str(tmp_path / "store"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_sketch_maintenance(
+            stream,
+            store,
+            checkpoint_dir=str(tmp_path / "ck"),
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return store
+
+    def test_batches_union_within_hour(self, spark, tmp_path):
+        from usgs_geomag_algorithms_spark.operators.sketches import (
+            read_sketch_tier,
+        )
+
+        ev = _events(spark, hours=3)
+        b0 = ev.where(F.col("user_id") % 2 == 0)
+        b1 = ev.where(F.col("user_id") % 2 == 1)
+        store = self._run_stream(spark, tmp_path, [b0, b1])
+        got = {
+            r["t_us"]: (r["e"], r["n_events"])
+            for r in read_sketch_tier(store)
+            .select(
+                "t_us",
+                F.expr("cast(hll_sketch_estimate(sketch) as bigint)").alias(
+                    "e"
+                ),
+                "n_events",
+            )
+            .collect()
+        }
+        exact = {
+            r["t_us"]: (r["n"], r["c"])
+            for r in ev.select(
+                F.expr(f"(unix_micros(ts) div {HOUR_US}) * {HOUR_US}").alias(
+                    "t_us"
+                ),
+                "user_id",
+            )
+            .groupBy("t_us")
+            .agg(
+                F.countDistinct("user_id").alias("n"),
+                F.count("*").alias("c"),
+            )
+            .collect()
+        }
+        assert set(got) == set(exact)
+        for t, (est, n_ev) in got.items():
+            assert n_ev == exact[t][1]  # event counts exact across batches
+            assert abs(est - exact[t][0]) / exact[t][0] < 0.06
+
+    def test_replayed_epoch_skipped(self, spark, tmp_path):
+        import os
+
+        from usgs_geomag_algorithms_spark.operators.sketches import (
+            read_sketch_tier,
+            sketch_store,
+        )
+        from usgs_geomag_algorithms_spark.streaming.sketch_stream import (
+            streaming_sketch_maintenance,
+        )
+
+        ev = _events(spark, hours=2)
+        store = self._run_stream(spark, tmp_path, [ev])
+        before = {
+            (r["t_us"], r["n_events"])
+            for r in read_sketch_tier(store).collect()
+        }
+        # wipe the streaming checkpoint (NOT the epoch markers): the
+        # restarted query re-delivers epoch 0 — the marker must skip it
+        import shutil
+
+        shutil.rmtree(str(tmp_path / "ck"))
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "src"))
+        )
+        q = streaming_sketch_maintenance(
+            stream,
+            store,
+            checkpoint_dir=str(tmp_path / "ck2"),
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        q.stop()
+        after = {
+            (r["t_us"], r["n_events"])
+            for r in read_sketch_tier(store).collect()
+        }
+        assert after == before  # n_events not double-counted

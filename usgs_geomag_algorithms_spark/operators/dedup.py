@@ -57,11 +57,17 @@ def exact_dedup(
 
 
 def char_shingles(
-    df: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct character n-grams per document: explode positions 1..len-n+1
-    (JVM-side sequence; no Python)."""
-    return (
+    """Character n-grams per document: explode positions 1..len-n+1
+    (JVM-side sequence; no Python). ``distinct=False`` skips the dedup
+    shuffle for consumers whose downstream aggregate dedups anyway
+    (collect_set)."""
+    out = (
         df.where(F.col(text_col).isNotNull())
         .select(
             id_col,
@@ -71,8 +77,8 @@ def char_shingles(
             F.col(text_col).alias("_t"),
         )
         .select(id_col, F.expr(f"substring(_t, _i, {n})").alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def _shingle_hash(col: F.Column) -> F.Column:

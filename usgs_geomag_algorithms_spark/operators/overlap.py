@@ -37,18 +37,23 @@ def source_overlap(
 ) -> DataFrame:
     """(src_a, src_b, n_a, n_b, inter, jaccard) for every source pair
     sharing at least one shingle, src_a < src_b bytewise."""
-    # char_shingles already emits DISTINCT (group, shingle) when handed
-    # the group as its id column
+    # ONE shingle-keyed shuffle total: collect_set dedups map-side, so no
+    # distinct pre-pass is needed, and the per-source distinct-shingle
+    # sizes fall out of the same source-set relation by re-exploding it
+    # (bounded by S per shingle) instead of a second corpus aggregate.
     sh = char_shingles(
         docs.select(group_col, text_col), n=n, text_col=text_col,
-        id_col=group_col,
+        id_col=group_col, distinct=False,
     )
-    sizes = sh.groupBy(group_col).agg(F.count("*").alias("n"))
-    srcs = (
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_set(group_col)).alias("_s"))
-        .where(F.size("_s") > 1)
+    sets = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_set(group_col)).alias("_s")
     )
+    sizes = (
+        sets.select(F.explode("_s").alias(group_col))
+        .groupBy(group_col)
+        .agg(F.count("*").alias("n"))
+    )
+    srcs = sets.where(F.size("_s") > 1)
     inter = (
         srcs.select(
             "_s", F.explode(F.expr("sequence(1, size(_s) - 1)")).alias("i")

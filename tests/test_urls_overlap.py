@@ -161,3 +161,68 @@ class TestNewOpPlans:
         # sizes join both sides broadcast; no corpus-sized shuffle join
         assert p.count("BroadcastHashJoin") == 2
         assert "SortMergeJoin" not in p
+
+
+class TestCanonicalProperties:
+    """Property: canonicalization is idempotent and invariant across the
+    messy-variant space (hypothesis over generated URL components)."""
+
+    def test_idempotent_and_variant_invariant(self, spark):
+        from hypothesis import given, settings, strategies as st
+
+        hosts = st.sampled_from(["a.com", "b-site.org", "x.co"])
+        paths = st.lists(
+            st.sampled_from(["p", "q2", "r-r", "s_s"]), min_size=0,
+            max_size=3,
+        )
+        params = st.lists(
+            st.sampled_from(["a=1", "b=2", "c=x", "zz=9"]),
+            min_size=0, max_size=4, unique=True,
+        )
+        tracking = st.lists(
+            st.sampled_from(
+                ["utm_source=f", "utm_c=x", "gclid=g1", "fbclid=f1", "ref=r"]
+            ),
+            min_size=0, max_size=3, unique=True,
+        )
+
+        cases = []
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            host=hosts, path=paths, ps=params, tr=tracking,
+            scheme=st.sampled_from(["http://", "https://"]),
+            www=st.booleans(), port=st.sampled_from(["", ":80", ":443"]),
+            slash=st.booleans(), frag=st.booleans(),
+            shuffle=st.randoms(),
+        )
+        def collect(host, path, ps, tr, scheme, www, port, slash, frag,
+                    shuffle):
+            allp = ps + tr
+            shuffle.shuffle(allp)
+            u = (
+                scheme + ("www." if www else "") + host + port
+                + "/" + "/".join(path) + ("/" if slash and path else "")
+                + ("?" + "&".join(allp) if allp else "")
+                + ("#top" if frag else "")
+            )
+            # key: the canonical form must depend ONLY on (host, path, ps)
+            cases.append((u, (host, tuple(path), tuple(sorted(ps)))))
+
+        collect()
+        df = spark.createDataFrame(
+            [(u, str(k)) for u, k in cases], "url string, key string"
+        )
+        out = df.select(
+            "key", canonical_url(F.col("url")).alias("c1")
+        ).withColumn("c2", canonical_url(F.col("c1")))
+        rows = out.collect()
+        # idempotence
+        assert all(r["c1"] == r["c2"] for r in rows)
+        # variant invariance: same key -> same canonical, diff key -> diff
+        by_key = {}
+        for r in rows:
+            by_key.setdefault(r["key"], set()).add(r["c1"])
+        assert all(len(v) == 1 for v in by_key.values())
+        canons = [next(iter(v)) for v in by_key.values()]
+        assert len(set(canons)) == len(canons)

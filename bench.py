@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "repetition_signals",
     "contamination",
     "source_overlap",
+    "source_overlap_sketch",
     "url_dedup",
     "stratified_sample",
     "pii_scrub",

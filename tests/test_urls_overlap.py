@@ -226,3 +226,65 @@ class TestCanonicalProperties:
         assert all(len(v) == 1 for v in by_key.values())
         canons = [next(iter(v)) for v in by_key.values()]
         assert len(set(canons)) == len(canons)
+
+
+class TestSourceOverlapSketch:
+    def test_tracks_exact_operator(self, spark):
+        from usgs_geomag_algorithms_spark.operators.overlap import (
+            source_overlap_sketch,
+        )
+
+        # heavily overlapping synthetic sources with distinct tails
+        rows = []
+        for s in range(4):
+            for i in range(60):
+                shared = " ".join(f"common{j}" for j in range(i % 7))
+                rows.append(
+                    (f"s{s}", f"{shared} body text {s * (i % 3)} tail{s}-{i}")
+                )
+        docs = spark.createDataFrame(rows, "source string, text string")
+        exact = {
+            (r["src_a"], r["src_b"]): r
+            for r in __import__(
+                "usgs_geomag_algorithms_spark.operators.overlap",
+                fromlist=["source_overlap"],
+            ).source_overlap(docs, n=6).collect()
+        }
+        est = {
+            (r["src_a"], r["src_b"]): r
+            for r in source_overlap_sketch(docs, n=6).collect()
+        }
+        # every real pair with meaningful overlap is found with sizes and
+        # intersections close to exact (HLL at lg_k=14 on small sets is
+        # near-exact: sparse mode is lossless until ~0.75*2^14 items)
+        for k, ex in exact.items():
+            if ex["inter"] < 5:
+                continue
+            got = est[k]
+            assert abs(got["n_a"] - ex["n_a"]) / ex["n_a"] < 0.03
+            assert abs(got["inter"] - ex["inter"]) / ex["inter"] < 0.10
+            assert abs(got["jaccard"] - ex["jaccard"]) < 0.05
+
+    def test_single_corpus_aggregate_no_second_scan(self, spark):
+        from usgs_geomag_algorithms_spark.operators.overlap import (
+            source_overlap_sketch,
+        )
+
+        docs = spark.createDataFrame(
+            [(f"s{i % 3}", f"words shared words tail {i}") for i in range(50)],
+            "source string, text string",
+        )
+        out = source_overlap_sketch(docs, n=4)
+        out.collect()
+        spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+        p = (
+            out._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        # the pair join broadcasts the S-row sketch side; the corpus is
+        # scanned by exactly one aggregate chain (LocalTableScan here),
+        # never shuffled into a join
+        assert "SortMergeJoin" not in p
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p

@@ -29,6 +29,75 @@ from pyspark.sql import DataFrame, functions as F
 from .dedup import char_shingles
 
 
+def source_overlap_sketch(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    group_col: str = "source",
+    lg_k: int = 14,
+) -> DataFrame:
+    """Sketch-estimated source-pair overlap — the 10^12-document path for
+    :func:`source_overlap`.
+
+    The exact operator shuffles every (source, shingle) row; this one
+    reduces each source to ONE HLL sketch in a single aggregate (the
+    shuffle carries S sketch binaries, ~16 KB each at lg_k=14), then
+    estimates every pairwise intersection by set algebra over the S²
+    pairs: ``|A ∩ B| ≈ |A| + |B| - |A ∪ B|`` with the union computed by
+    the scalar ``hll_union`` — map-only after the aggregate, no second
+    corpus pass. Estimates inherit HLL error (~0.8% RSE at lg_k=14,
+    amplified by the subtraction for small intersections), so this is a
+    rows-only driver entry; the exact twin ``source_overlap`` carries
+    the oracle, and the parity test bounds the relative error.
+
+    Output: (src_a, src_b, n_a, n_b, inter, jaccard) — same shape as the
+    exact operator, estimated values, inter clamped at >= 0."""
+    sh = char_shingles(
+        docs.select(group_col, text_col), n=n, text_col=text_col,
+        id_col=group_col, distinct=False,
+    )
+    sk = sh.groupBy(group_col).agg(
+        F.expr(f"hll_sketch_agg(shingle, {lg_k})").alias("sk"),
+        F.expr(
+            "cast(hll_sketch_estimate("
+            f"hll_sketch_agg(shingle, {lg_k})) as bigint)"
+        ).alias("n"),
+    )
+    a = sk.select(
+        F.col(group_col).alias("src_a"),
+        F.col("sk").alias("_ska"),
+        F.col("n").alias("n_a"),
+    )
+    b = sk.select(
+        F.col(group_col).alias("src_b"),
+        F.col("sk").alias("_skb"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.col("n_a")
+        + F.col("n_b")
+        - F.expr(
+            "cast(hll_sketch_estimate(hll_union(_ska, _skb)) as bigint)"
+        ),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            inter.alias("inter"),
+        )
+        .where(F.col("inter") > 0)
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+    )
+
+
 def source_overlap(
     docs: DataFrame,
     n: int = 8,

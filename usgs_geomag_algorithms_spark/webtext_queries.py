@@ -550,6 +550,20 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^12-doc path for source_overlap: one HLL sketch per source
+    (single corpus aggregate, shuffle carries S sketch binaries), then
+    pairwise |A|+|B|-|A∪B| set algebra via the scalar hll_union — map-only
+    after the aggregate. Estimates -> rows-only driver entry; the exact
+    twin source_overlap carries the oracle and the parity test bounds the
+    error."""
+    from .operators.overlap import source_overlap_sketch
+
+    return source_overlap_sketch(
+        _docs(spark, sf_dir).select("source", "text"), n=SHINGLE_N
+    )
+
+
 def _synth_url(doc_id: Column, source: Column) -> Column:
     """Deterministic messy crawl URL for a document: scheme/www/port/
     trailing-slash/fragment variants, shuffled query params, and tracking
@@ -2360,6 +2374,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "corpus_word_stats": q_corpus_word_stats,
     "source_overlap": q_source_overlap,
+    "source_overlap_sketch": q_source_overlap_sketch,
     "url_dedup": q_url_dedup,
 }
 

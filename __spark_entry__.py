@@ -326,6 +326,41 @@ def q_distinct_users_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLING_HOURS = 24
+
+
+def q_rolling_users_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-24h distinct users per present hour — the expand
+    plan (each distinct (hour, user) explodes to the 24 windows it
+    feeds, one distinct agg per window end), carrying the oracle for the
+    sketch path's 24x-amplification-free alternative."""
+    from usgs_geomag_algorithms_spark.operators.sketches import (
+        rolling_users_exact,
+    )
+
+    return rolling_users_exact(
+        _events(spark, sf_dir), window_hours=ROLLING_HOURS
+    )
+
+
+def q_rolling_users_day_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct via the sketch tier: a range-frame
+    hll_union_agg over the HOUR-level sketches — the window relation is
+    bounded by calendar hours regardless of corpus size, and raw events
+    are never re-read (the expand plan's 24x amplification is exactly
+    what this avoids). Rows-only (HLL estimate); exact twin
+    rolling_users_day carries the oracle."""
+    from usgs_geomag_algorithms_spark.operators.sketches import (
+        hll_hour_sketches,
+        rolling_users_sketch,
+    )
+
+    return rolling_users_sketch(
+        hll_hour_sketches(_events(spark, sf_dir)),
+        window_hours=ROLLING_HOURS,
+    )
+
+
 def q_purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event enriched with the user's most
     recent view event at-or-before it (operators/asof.py union-and-carry
@@ -1127,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users_hour": q_active_users_hour,
         "hll_users_day": q_hll_users_day,
         "distinct_users_day": q_distinct_users_day,
+        "rolling_users_day": q_rolling_users_day,
+        "rolling_users_day_sketch": q_rolling_users_day_sketch,
         "gapfill_minute": q_gapfill_minute,
         "counter_increase_hour": q_counter_increase_hour,
         "ltob_hour": q_ltob_hour,
@@ -1888,13 +1925,39 @@ SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS t_us,
        count(*) AS n_events
 FROM events GROUP BY 1
 """,
-        # hll_users_day is rows-only by design: DataSketches HLL
-        # estimates are not reproducible in DuckDB; distinct_users_day is
-        # its exact twin of the same plan shape
+        # hll_users_day / rolling_users_day_sketch are rows-only by
+        # design: DataSketches HLL estimates are not reproducible in
+        # DuckDB; distinct_users_day / rolling_users_day are their exact
+        # twins of the same plan shape
         "distinct_users_day": f"""
 SELECT (epoch_us(ts) // {DAY_US}) * {DAY_US} AS d_us,
        count(DISTINCT user_id) AS n_users,
        count(*) AS n_events
 FROM events GROUP BY 1
+""",
+        "rolling_users_day": f"""
+WITH hu AS (
+    SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS h_us,
+           user_id AS k
+    FROM events
+),
+pairs AS (SELECT DISTINCT h_us, k FROM hu),
+counts AS (SELECT h_us, count(*) AS n FROM hu GROUP BY 1),
+expl AS (
+    SELECT k, unnest(generate_series(
+        h_us, h_us + {(ROLLING_HOURS - 1) * HOUR_US}, {HOUR_US})) AS t_us
+    FROM pairs
+),
+users AS (SELECT t_us, count(DISTINCT k) AS n_users FROM expl GROUP BY 1),
+evx AS (
+    SELECT unnest(generate_series(
+        h_us, h_us + {(ROLLING_HOURS - 1) * HOUR_US}, {HOUR_US})) AS t_us, n
+    FROM counts
+),
+ev AS (SELECT t_us, sum(n)::BIGINT AS n_events FROM evx GROUP BY 1)
+SELECT u.t_us, u.n_users::BIGINT AS n_users, e.n_events
+FROM users u
+JOIN ev e USING (t_us)
+JOIN (SELECT h_us AS t_us FROM counts) p USING (t_us)
 """,
     }

@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "active_users_hour",
     "hll_users_day",
     "distinct_users_day",
+    "rolling_users_day",
+    "rolling_users_day_sketch",
     "near_dup_verified",
     "incremental_near_dups",
     "substring_dup_fraction",

@@ -300,3 +300,53 @@ class TestSketchStream:
             for r in read_sketch_tier(store).collect()
         }
         assert after == before  # n_events not double-counted
+
+
+class TestRollingUsers:
+    def test_sketch_tracks_exact_sliding_window(self, spark):
+        from usgs_geomag_algorithms_spark.operators.sketches import (
+            rolling_users_exact,
+            rolling_users_sketch,
+        )
+
+        ev = _events(spark, hours=40)
+        exact = {
+            r["t_us"]: (r["n_users"], r["n_events"])
+            for r in rolling_users_exact(ev, window_hours=24).collect()
+        }
+        est = {
+            r["t_us"]: (r["approx_users"], r["n_events"])
+            for r in rolling_users_sketch(
+                hll_hour_sketches(ev), window_hours=24
+            ).collect()
+        }
+        assert set(est) == set(exact)
+        for t, (nu, ne) in exact.items():
+            assert est[t][1] == ne  # trailing event sums are exact
+            assert abs(est[t][0] - nu) / nu < 0.05
+
+    def test_exact_matches_brute_force(self, spark):
+        from usgs_geomag_algorithms_spark.operators.sketches import (
+            rolling_users_exact,
+        )
+
+        ev = _events(spark, hours=6, per_hour=20, n_users=50)
+        rows = ev.collect()
+        got = {
+            r["t_us"]: (r["n_users"], r["n_events"])
+            for r in rolling_users_exact(ev, window_hours=3).collect()
+        }
+        import collections
+
+        by_hour = collections.defaultdict(list)
+        for r in rows:
+            h = (int(r["ts"].timestamp() * 1_000_000) // HOUR_US) * HOUR_US
+            by_hour[h].append(r["user_id"])
+        for t in by_hour:
+            win = [
+                u
+                for h in by_hour
+                if t - 2 * HOUR_US <= h <= t
+                for u in by_hour[h]
+            ]
+            assert got[t] == (len(set(win)), len(win))

@@ -86,6 +86,86 @@ def approx_users_day(
     )
 
 
+def rolling_users_sketch(
+    hour_sketches: DataFrame, window_hours: int = 24
+) -> DataFrame:
+    """Trailing-``window_hours`` distinct count ending at each present
+    hour — the classically expensive sliding-window distinct, computed as
+    a range-frame ``hll_union_agg`` over the HOUR TIER (one row per hour,
+    so the unpartitioned window is bounded by calendar hours — 8,760/yr —
+    regardless of corpus size; raw events are never re-read). Output:
+    (t_us, approx_users, n_events) where n_events is the exact trailing
+    event count (sums slide exactly; distincts need the sketch)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("t_us")
+        .rangeBetween(-(int(window_hours) - 1) * HOUR_US, 0)
+    )
+    # the union must be the whole window expression; the estimate wraps
+    # it in an OUTER projection (an aggregate nested inside a scalar call
+    # is not a valid window function)
+    return hour_sketches.select(
+        "t_us",
+        F.expr("hll_union_agg(sketch)").over(w).alias("_merged"),
+        F.sum("n_events").over(w).alias("n_events"),
+    ).select(
+        "t_us",
+        F.expr("cast(hll_sketch_estimate(_merged) as bigint)").alias(
+            "approx_users"
+        ),
+        "n_events",
+    )
+
+
+def rolling_users_exact(
+    events: DataFrame,
+    window_hours: int = 24,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Exact twin of :func:`rolling_users_sketch` (carries the DuckDB
+    oracle): each distinct (hour, user) pair explodes to the
+    ``window_hours`` trailing windows it contributes to, then one
+    distinct aggregate per window end — the standard expand plan, with
+    its deliberate ``window_hours``-fold amplification (the cost the
+    sketch path exists to avoid). Output restricted to window ends that
+    are themselves present hours, so the row set matches the sketch
+    path."""
+    hu = events.select(
+        F.expr(
+            f"(unix_micros(cast({ts_col} as timestamp)) div {HOUR_US})"
+            f" * {HOUR_US}"
+        ).alias("h_us"),
+        F.col(key_col).alias("_k"),
+    )
+    pairs = hu.distinct()
+    counts = hu.groupBy("h_us").agg(F.count("*").alias("_n"))
+    span = (int(window_hours) - 1) * HOUR_US
+    exploded = pairs.select(
+        "_k",
+        F.explode(
+            F.expr(f"sequence(h_us, h_us + {span}, {HOUR_US})")
+        ).alias("t_us"),
+    )
+    users = exploded.groupBy("t_us").agg(
+        F.countDistinct("_k").alias("n_users")
+    )
+    ev_counts = counts.select(
+        "h_us",
+        F.explode(
+            F.expr(f"sequence(h_us, h_us + {span}, {HOUR_US})")
+        ).alias("t_us"),
+        "_n",
+    ).groupBy("t_us").agg(F.sum("_n").alias("n_events"))
+    present = counts.select(F.col("h_us").alias("t_us"))
+    return (
+        users.join(ev_counts, "t_us")
+        .join(present, "t_us")
+        .select("t_us", "n_users", "n_events")
+    )
+
+
 # ------------------------------------------------------- store integration
 #
 # The sketch tier persists through the SAME snapshot-manifest TierStore as

@@ -216,3 +216,76 @@ class TestReadImfv283:
             h[("BOU", T0 + 12 * 60 * US)], nt(7, 128)
         )
         np.testing.assert_allclose(h[("OTT", T0)], nt(1000, 128))
+
+
+# ---------------------------------------------------------------------------
+# Reference fixture messages (test/imfv283_test/IMFV283Parser_test.py:10-27)
+# — real DCP bytes from Canadian XYZF stations, exercising the
+# header-region byte swap and the non-UTF8 payload path (\x7f bytes).
+# ---------------------------------------------------------------------------
+VIC_MSG = (
+    b"75C2A3A814023012741G43-1NN027EUP00191`A^P@RVxZ}|"
+    b"D@@B_BEM@@@@@@@@@@@@@@@@@@@@@@@@@@@E|BxtTADVD@\\E\\BxxT@tVCh\\E"
+    b"lByDT@xVCp\\EdBy@T@tVCh\\EhByPT@xVCl\\EPBy@T@tVCd\\EdBxlTA@VCp\\Eh"
+    b"BxTTA@VCp\\EdBGxTA@VCl\\EPBG`T@xVC\\\\DtBGHT@lVCD\\DPBG@T@XVBh\\"
+)
+STJ_MSG = (
+    b"75C1E7AC20259002641G44-3NN027EXE00191`@OA@BWGbx{"
+    b"x@@Bh\x7fD`@@@@@@@@@@@@@@@@@@@@@@@@@@@FDODdV}X_yxAGHODlV~L_z|AG"
+    b"tODPV\x7f@_{pAxLOC`V\x7fp_|pAxPOBdV@D`}dAxdOAxVAX`~lAx`O@|VAp`"
+    b"\x7fXAyDO@tVCd`@\\Bx`O\x7fXUC|`APByDO\x7fdUEd`AtBx`O~\\UEp`BXBGtO}PUFP`CHB "
+)
+
+
+class TestReferenceFixtures:
+    """Golden expectations from the reference's own parser tests."""
+
+    def _platforms(self):
+        from usgs_geomag_algorithms_spark.sources import imfv283 as mod
+
+        return {
+            v["platform"]: (k, v) for k, v in mod.OBSERVATORIES.items()
+        }
+
+    def test_vic_message(self):
+        """Expected GOES header: day 23, minute 73 (01:13), orient 0
+        (XYZF), scales x1 — transmission 2014 doy 023 01:27:41."""
+        rows = decode_message(VIC_MSG, self._platforms())
+        assert len(rows) == 48
+        assert {r[0] for r in rows} == {"VIC"}
+        assert {r[1] for r in rows} == {"X", "Y", "Z", "F"}
+        t0 = np.datetime64("2014-01-23T01:13:00").astype("int64") * US
+        ts = sorted({r[2] for r in rows})
+        assert ts[0] == t0 and ts[-1] == t0 + 11 * 60 * US
+        assert all(r[5] is False for r in rows)
+
+    def test_stj_messages(self):
+        """First STJ packet: day 259 minute 12 of 2020 (00:12), XYZF."""
+        rows = decode_message(STJ_MSG, self._platforms())
+        assert len(rows) == 48
+        assert {r[0] for r in rows} == {"STJ"}
+        assert {r[1] for r in rows} == {"X", "Y", "Z", "F"}
+        t0 = np.datetime64("2020-09-15T00:12:00").astype("int64") * US
+        assert min(r[2] for r in rows) == t0
+
+    def test_estimate_data_time_vectors(self):
+        """The two reference time-estimation vectors (normal BOU packet
+        and BLC 1999-rollover packet)."""
+        from usgs_geomag_algorithms_spark.sources.imfv283 import (
+            _estimate_data_time,
+        )
+        from datetime import datetime
+
+        data, transmit, corrected = _estimate_data_time(
+            "17274013121", 274, 72
+        )
+        assert data == datetime(2017, 10, 1, 1, 12)
+        assert transmit == datetime(2017, 10, 1, 1, 31, 21)
+        assert corrected is False
+
+        data, transmit, corrected = _estimate_data_time(
+            "17274013241", 46, 78
+        )
+        assert data == datetime(2017, 10, 1, 1, 18)
+        assert transmit == datetime(2017, 10, 1, 1, 32, 41)
+        assert corrected is True

@@ -51,21 +51,46 @@ CHANNELS = {
 # Observatory registry: station -> DCP platform id + ness byte order
 # (imfv283_codes.py:4-141 — public INTERMAGNET/USGS platform assignments;
 # USGS stations swap data bytes, Canadian stations swap header bytes).
+def _obs(platform, swap_hdr, swap_data):
+    return {
+        "platform": platform,
+        "swap_hdr": swap_hdr,
+        "swap_data": swap_data,
+    }
+
+
 OBSERVATORIES = {
-    "BOU": {"platform": "75C2D538", "swap_hdr": False, "swap_data": True},
-    "BRW": {"platform": "75C172CE", "swap_hdr": False, "swap_data": True},
-    "BSL": {"platform": "75C236CA", "swap_hdr": False, "swap_data": True},
-    "CMO": {"platform": "75C06342", "swap_hdr": False, "swap_data": True},
-    "DED": {"platform": "75C301AA", "swap_hdr": False, "swap_data": True},
-    "FRD": {"platform": "75C21026", "swap_hdr": False, "swap_data": True},
-    "FRN": {"platform": "75C2F3D4", "swap_hdr": False, "swap_data": True},
-    "GUA": {"platform": "75C33430", "swap_hdr": False, "swap_data": True},
-    "HON": {"platform": "75C161B8", "swap_hdr": False, "swap_data": True},
-    "NEW": {"platform": "75C2425C", "swap_hdr": False, "swap_data": True},
-    "SHU": {"platform": "75C0635C", "swap_hdr": False, "swap_data": True},
-    "SIT": {"platform": "75C24742", "swap_hdr": False, "swap_data": True},
-    "SJG": {"platform": "75C145AE", "swap_hdr": False, "swap_data": True},
-    "TUC": {"platform": "75C27DBC", "swap_hdr": False, "swap_data": True},
+    # USGS: HEZF orientation, data-region byte swap
+    "BOU": _obs("75C2D538", False, True),
+    "BRW": _obs("75C172CE", False, True),
+    "BSL": _obs("75C236CA", False, True),
+    "CMO": _obs("75C06342", False, True),
+    "DED": _obs("75C301AA", False, True),
+    "FRD": _obs("75C21026", False, True),
+    "FRN": _obs("75C2F3D4", False, True),
+    "GUA": _obs("75C33430", False, True),
+    "HON": _obs("75C161B8", False, True),
+    "NEW": _obs("75C2E0A2", False, True),
+    "SHU": _obs("75C266B6", False, True),
+    "SIT": _obs("75C28544", False, True),
+    "SJG": _obs("75C0B52A", False, True),
+    "TUC": _obs("75C14754", False, True),
+    # NRCan: XYZF orientation, header-region byte swap
+    "BLC": _obs("75C3644C", True, False),
+    "BRD": _obs("75C387BE", True, False),
+    "CBB": _obs("75C351D6", True, False),
+    "EUA": _obs("75C2405A", True, False),
+    "FCC": _obs("75C3773A", True, False),
+    "IQA": _obs("75C0F620", True, False),
+    "MEA": _obs("75C32746", True, False),
+    "OTT": _obs("75C20350", True, False),
+    "RES": _obs("75C1D236", True, False),
+    "SNK": _obs("75C15422", True, False),
+    "STJ": _obs("75C1E7AC", True, False),
+    "VIC": _obs("75C2A3A8", True, False),
+    "YKC": _obs("75C312DC", True, False),
+    # other GOES users
+    "KGI": _obs("75C394C8", True, False),
 }
 
 _SCHEMA = T.StructType(

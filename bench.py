@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "pii_scrub",
     "corpus_word_stats",
+    "lm_bigram_bits",
+    "semantic_dedup",
     "gapfill_minute",
     "counter_increase_hour",
     "ltob_hour",

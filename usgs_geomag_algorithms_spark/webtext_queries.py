@@ -2329,6 +2329,165 @@ FROM canon
 """
 
 
+SEMDEDUP_TAU = (2, 5)  # cosine threshold as an exact rational
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py): integer-state k-means cells +
+    within-cell int8-cosine drop rule — embedding-space near-dup removal
+    that catches paraphrases lexical MinHash misses. Every stage is
+    integer arithmetic (trainer sums, assignment numerator, the
+    dot²·den² >= num²·‖a‖²·‖b‖² predicate), so the composed pipeline is
+    exactly oracle-checked end to end; the oracle unrolls the same
+    Lloyd's iterations and replays the same drop rule."""
+    from .operators.semdedup import semantic_dropped
+
+    return semantic_dropped(
+        _emb(spark, sf_dir),
+        k=KM_K,
+        n_iter=KM_ITER,
+        tau_num=SEMDEDUP_TAU[0],
+        tau_den=SEMDEDUP_TAU[1],
+    ).orderBy("vec_id")
+
+
+def _semdedup_sql() -> str:
+    """The SemDeDup pipeline unrolled: the k-means CTE chain reproduces
+    the trained state, rc=1 cell ranking is the final assignment, and
+    the drop rule is the pure-integer cosine predicate over within-cell
+    pairs."""
+    blocks = ",".join(
+        _kmeans_iter_block(f"s{t}", f"s{t + 1}") for t in range(KM_ITER)
+    )
+    fin = f"s{KM_ITER}"
+    num2 = SEMDEDUP_TAU[0] * SEMDEDUP_TAU[0]
+    den2 = SEMDEDUP_TAU[1] * SEMDEDUP_TAU[1]
+    return f"""
+WITH mx AS (
+    SELECT vec_id, max(abs(x)) AS m
+    FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
+    GROUP BY 1 HAVING max(abs(x)) > 0
+),
+qv AS (
+    SELECT e.vec_id,
+           list_transform(e.embedding,
+               x -> floor(x::DOUBLE / m.m * 127.0 + 0.5)::BIGINT) AS q
+    FROM embeddings e JOIN mx m USING (vec_id)
+),
+qx AS MATERIALIZED (
+    SELECT vec_id, unnest(q) AS qx, generate_subscripts(q, 1) - 1 AS i
+    FROM qv
+),
+seeds AS (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+    FROM qv ORDER BY vec_id LIMIT {KM_K}
+),
+s0 AS (
+    SELECT s.cell, x.i, x.qx AS csum, 1::BIGINT AS n
+    FROM seeds s JOIN qx x USING (vec_id)
+),{blocks},
+stc AS (
+    SELECT cell, sum(csum * csum) AS s2n, max(n) AS n
+    FROM {fin} GROUP BY cell
+),
+ad AS MATERIALIZED (
+    SELECT x.vec_id, s.cell, sum(x.qx * s.csum) AS idot
+    FROM qx x JOIN {fin} s USING (i) GROUP BY 1, 2
+),
+av AS MATERIALIZED (
+    SELECT vec_id, cell FROM (
+        SELECT a.vec_id, a.cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY (c.s2n - 2 * c.n * a.idot)::DOUBLE
+                            / (c.n * c.n)::DOUBLE ASC, a.cell ASC) AS rc
+        FROM ad a JOIN stc c USING (cell)
+    ) WHERE rc = 1
+),
+nrm AS (SELECT vec_id, sum(qx * qx)::BIGINT AS s FROM qx GROUP BY 1),
+dots AS MATERIALIZED (
+    SELECT p.a_id, p.b_id, p.cell, sum(xa.qx * xb.qx)::BIGINT AS dot
+    FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cell
+        FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ) p
+    JOIN qx xa ON xa.vec_id = p.a_id
+    JOIN qx xb ON xb.vec_id = p.b_id AND xb.i = xa.i
+    GROUP BY 1, 2, 3
+),
+near AS (
+    SELECT d.b_id, d.cell, d.a_id
+    FROM dots d
+    JOIN nrm na ON na.vec_id = d.a_id
+    JOIN nrm nb ON nb.vec_id = d.b_id
+    WHERE d.dot > 0
+      AND d.dot * d.dot * {den2} >= {num2} * na.s * nb.s
+)
+SELECT b_id AS vec_id, min(cell)::INT AS cell,
+       min(a_id)::BIGINT AS kept_by, count(*)::BIGINT AS n_dups
+FROM near GROUP BY 1 ORDER BY 1
+"""
+
+
+LM_TRAIN_LANG = "en"
+
+
+def q_lm_bigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate (operators/lmscore.py): train a
+    bigram LM on the lang='en' slice, score EVERY document by integer
+    bit-surprisal — ``BL(c1) - BL(c12)`` per event with Laplace-style
+    unseen/OOV charging, where BL is the bin()-string bit length, so the
+    whole score (including the terminal avg division of exact int64s) is
+    bit-identical across engines. Non-English docs land on the unseen/
+    OOV branches, English template docs score suspiciously low — the two
+    tails a perplexity gate cuts."""
+    from .operators.lmscore import bigram_bits, bigram_lm
+
+    docs = _docs(spark, sf_dir)
+    lm = bigram_lm(docs.where(F.col("lang") == LM_TRAIN_LANG))
+    return bigram_bits(docs, lm).orderBy("doc_id")
+
+
+def _lm_bigram_sql() -> str:
+    bl = lambda c: f"(length(ltrim(bin(({c})::BIGINT), '0')) - 1)"
+    return f"""
+WITH wd AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+),
+bi AS (
+    SELECT doc_id, lang, ws[i - 1] AS w1, ws[i] AS w2
+    FROM (SELECT doc_id, lang, ws,
+                 unnest(generate_series(2, len(ws))) AS i FROM wd)
+),
+c12 AS MATERIALIZED (
+    SELECT w1, w2, count(*)::BIGINT AS c12 FROM bi
+    WHERE lang = '{LM_TRAIN_LANG}' GROUP BY 1, 2
+),
+c1 AS MATERIALIZED (
+    SELECT w1, sum(c12)::BIGINT AS c1 FROM c12 GROUP BY 1
+),
+tot AS (SELECT {bl('sum(c12)')}::BIGINT AS bl_total FROM c12),
+sc AS (
+    SELECT b.doc_id,
+           CASE WHEN p.c12 IS NOT NULL
+                     THEN {bl('x.c1')} - {bl('p.c12')}
+                WHEN x.c1 IS NOT NULL THEN {bl('x.c1')}
+                ELSE (SELECT bl_total FROM tot) END::BIGINT AS cost,
+           CASE WHEN p.c12 IS NULL THEN 1 ELSE 0 END AS unseen,
+           CASE WHEN x.c1 IS NULL THEN 1 ELSE 0 END AS ctx_oov
+    FROM bi b
+    LEFT JOIN c12 p ON b.w1 = p.w1 AND b.w2 = p.w2
+    LEFT JOIN c1 x ON b.w1 = x.w1
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       sum(unseen)::BIGINT AS n_unseen,
+       sum(ctx_oov)::BIGINT AS n_ctx_oov,
+       sum(cost)::BIGINT AS bits,
+       sum(cost)::DOUBLE / count(*) AS avg_bits
+FROM sc GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "minhash_signature": q_minhash_signature,
     "lsh_pairs": q_lsh_pairs,
@@ -2376,6 +2535,8 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "source_overlap_sketch": q_source_overlap_sketch,
     "url_dedup": q_url_dedup,
+    "lm_bigram_bits": q_lm_bigram_bits,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 ORACLES = {
@@ -2423,6 +2584,8 @@ ORACLES = {
     "corpus_word_stats": _corpus_word_stats_sql(),
     "source_overlap": _source_overlap_sql(),
     "url_dedup": _url_dedup_sql(),
+    "lm_bigram_bits": _lm_bigram_sql(),
+    "semantic_dedup": _semdedup_sql(),
     # knn_ivf stays rows-only: its coarse centroids are trained from the
     # data (seeded k-means) — not expressible as a fixed SQL oracle
 }

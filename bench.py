@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "corpus_word_stats",
     "lm_bigram_bits",
     "semantic_dedup",
+    "html_extract",
     "gapfill_minute",
     "counter_increase_hour",
     "ltob_hour",

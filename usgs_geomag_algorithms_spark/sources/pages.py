@@ -12,12 +12,18 @@ geometrically sparser strides, mirroring real crawl-frequency skew.
 
 The page *text* is a pure function of (url, warc_ts): the byte-identity
 invariant (extracted text per url must survive the engine untouched) is
-testable by recomputing ``sha2(text)`` downstream.
+testable by recomputing ``sha2(text)`` downstream. The ``html`` column
+is a realistic page shell (``operators/html.py::wrap_html`` — style/
+script blocks, salted comment, entity-escaped body) whose
+``html_text`` extraction returns the text column byte-identically, so
+the invariant is exercised through a REAL extraction, not an unwrap.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.html import wrap_html
 
 BASE_TS = "2020-01-06T00:00:00+00:00"  # same epoch family as reference filter tests
 BASE_EPOCH = 1578268800  # seconds
@@ -98,7 +104,7 @@ def generate_pages(
     return df.select(
         F.col("url"),
         F.timestamp_seconds(F.col("epoch_s")).alias("warc_ts"),
-        F.encode(F.concat(F.lit("<html><body>"), text, F.lit("</body></html>")), "UTF-8").alias("html"),
+        F.encode(wrap_html(text, salt_col=F.col("epoch_s")), "UTF-8").alias("html"),
         text.alias("text"),
         lang.alias("lang"),
     )

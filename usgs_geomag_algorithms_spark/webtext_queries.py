@@ -2428,6 +2428,56 @@ FROM near GROUP BY 1 ORDER BY 1
 """
 
 
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (operators/html.py): build a realistic
+    page shell around each document's text (style/script traps, salted
+    comment, entity-escaped body — the same builder the pages source
+    uses) and extract it back with the fixed regex chain. The whole
+    round trip is pure JVM expressions (codegen; no UDF), and the
+    patterns are Java/RE2-portable, so the extracted STRING itself is
+    exactly oracle-compared; identity_ok doubles as the graft's per-url
+    byte-identity invariant exercised through a real extraction."""
+    from .operators.html import html_text, wrap_html
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id",
+        "text",
+        wrap_html(F.col("text"), salt_col=F.col("doc_id")).alias("html"),
+    )
+    t = t.select(
+        "doc_id",
+        "text",
+        "html",
+        html_text(F.col("html")).alias("extracted"),
+    )
+    return t.select(
+        "doc_id",
+        "extracted",
+        (F.col("extracted") == F.col("text")).cast("int").alias(
+            "identity_ok"
+        ),
+        F.length("html").cast("long").alias("n_html_chars"),
+    ).orderBy("doc_id")
+
+
+def _html_extract_sql() -> str:
+    from .operators.html import html_text_sql, wrap_html_sql
+
+    salt = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::VARCHAR"
+    ext = html_text_sql("html")
+    return f"""
+WITH h AS (
+    SELECT doc_id, text, {wrap_html_sql('text', salt)} AS html
+    FROM documents
+)
+SELECT doc_id, {ext} AS extracted,
+       (CASE WHEN {ext} = text THEN 1 ELSE 0 END)::INT AS identity_ok,
+       length(html)::BIGINT AS n_html_chars
+FROM h ORDER BY doc_id
+"""
+
+
 LM_TRAIN_LANG = "en"
 
 
@@ -2537,6 +2587,7 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "lm_bigram_bits": q_lm_bigram_bits,
     "semantic_dedup": q_semantic_dedup,
+    "html_extract": q_html_extract,
 }
 
 ORACLES = {
@@ -2586,6 +2637,7 @@ ORACLES = {
     "url_dedup": _url_dedup_sql(),
     "lm_bigram_bits": _lm_bigram_sql(),
     "semantic_dedup": _semdedup_sql(),
+    "html_extract": _html_extract_sql(),
     # knn_ivf stays rows-only: its coarse centroids are trained from the
     # data (seeded k-means) — not expressible as a fixed SQL oracle
 }

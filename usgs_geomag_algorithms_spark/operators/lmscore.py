@@ -85,7 +85,14 @@ def bigram_bits(
     """Per-document integer bit-surprisal under ``lm`` (see module doc
     for the three-way unseen charging). Output per doc with >= 1 bigram:
     (id, n_bigrams, n_unseen, n_ctx_oov, bits, avg_bits) — all integer
-    except the single terminal division (exact: int64 operands)."""
+    except the single terminal division (exact: int64 operands).
+
+    The LM relation is referenced by BOTH score joins (pair and
+    context), so it is EAGERLY checkpointed first — otherwise each
+    reference re-executes the training subtree, i.e. a second full
+    corpus scan at 100 TB (the dedup shingle-relation lesson; eager =
+    runtime sizes known, so AQE size-validates any broadcast of it)."""
+    lm = lm.localCheckpoint(eager=True)
     total = lm.agg(F.sum("c12").cast("long").alias("b")).first()["b"]
     if not total:
         raise ValueError("empty language model")

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "lm_bigram_bits",
     "semantic_dedup",
     "html_extract",
+    "media_pixel_stats",
     "gapfill_minute",
     "counter_increase_hour",
     "ltob_hour",

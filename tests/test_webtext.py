@@ -998,3 +998,46 @@ class TestCorpusWordStats:
         r = corpus_word_stats(df).collect()[0]
         # 'a' freq=2 counted per instance: freq_sum = 2 + 2 + 1
         assert (r.n_words, r.n_types, r.freq_sum, r.n_rare) == (3, 2, 5, 3)
+
+
+class TestPixelStats:
+    """Integer pixel statistics through the real codecs (pixel_stats):
+    NumPy parity per format, undecodable-skip contract."""
+
+    def _run(self, spark, rows):
+        from usgs_geomag_algorithms_spark.operators.multimodal import (
+            pixel_stats,
+        )
+
+        df = spark.createDataFrame(
+            rows, "media_id long, kind string, payload binary"
+        )
+        return {r["media_id"]: r.asDict() for r in pixel_stats(df).collect()}
+
+    def test_matches_numpy_across_formats(self, spark):
+        import numpy as np
+
+        from usgs_geomag_algorithms_spark.operators.multimodal import (
+            png_encode,
+            ppm_encode,
+        )
+
+        rng = np.random.default_rng(3)
+        imgs = {
+            10: rng.integers(0, 256, (5, 7, 3), dtype=np.uint8),
+            11: rng.integers(0, 256, (4, 4, 3), dtype=np.uint8),
+        }
+        rows = [
+            (10, "image/ppm", bytearray(ppm_encode(imgs[10]))),
+            (11, "image/png", bytearray(png_encode(imgs[11]))),
+            (12, "application/junk", bytearray(b"not an image")),
+        ]
+        got = self._run(spark, rows)
+        assert set(got) == {10, 11}  # junk skipped, not failed
+        for mid, img in imgs.items():
+            r = got[mid]
+            assert (r["height"], r["width"]) == img.shape[:2]
+            for c, name in enumerate(("sum_r", "sum_g", "sum_b")):
+                assert r[name] == int(img[:, :, c].astype(np.int64).sum())
+            assert r["min_px"] == int(img.min())
+            assert r["max_px"] == int(img.max())

@@ -522,6 +522,57 @@ def decode_image(payload: bytes) -> tuple[np.ndarray | None, str | None]:
     return None, None
 
 
+PIXEL_STATS_SCHEMA = (
+    "media_id long, width int, height int, "
+    "sum_r long, sum_g long, sum_b long, min_px int, max_px int"
+)
+
+
+def pixel_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """INTEGER per-image pixel statistics through the real native codecs
+    (PPM/PNG/baseline-JPEG via :func:`decode_image`): dimensions,
+    per-channel byte sums, global min/max. All-integer outputs make the
+    decode path itself exactly oracle-checkable — an independent
+    byte-level reconstruction of the same pixels must aggregate to the
+    same sums, so a header-parse or offset bug in the codec flips the
+    oracle. Arrow ``mapInPandas`` batches; undecodable payloads emit no
+    row (same skip contract as ``extract_frames``'s stub branch)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs = [], [], []
+            sums: list[list[int]] = [[], [], []]
+            mins, maxs = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img, _fmt = decode_image(bytes(payload))
+                if img is None:
+                    continue
+                rgb = img[:, :, :3].astype(np.int64)
+                ids.append(mid)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                for c in range(3):
+                    sums[c].append(int(rgb[:, :, c].sum()))
+                mins.append(int(rgb.min()))
+                maxs.append(int(rgb.max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "sum_r": pd.Series(sums[0], dtype="int64"),
+                    "sum_g": pd.Series(sums[1], dtype="int64"),
+                    "sum_b": pd.Series(sums[2], dtype="int64"),
+                    "min_px": pd.Series(mins, dtype="int32"),
+                    "max_px": pd.Series(maxs, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=PIXEL_STATS_SCHEMA)
+
+
 def bilinear_resize(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
     """Pure-NumPy bilinear resample to (target_h, target_w, C), uint8 —
     vectorized over the whole image (edge-clamped sample grid); channel

@@ -2478,6 +2478,56 @@ FROM h ORDER BY doc_id
 """
 
 
+MEDIA_W, MEDIA_H = 4, 4  # 48 pixel bytes = three md5 digests
+
+
+def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing driver-checked end to end: build a
+    deterministic 4x4 P6 PPM per document (pixel bytes = three salted
+    md5 digests), run it through the REAL native decode
+    (operators/multimodal.py::pixel_stats — Arrow mapInPandas, PPM
+    header parse + frombuffer), and emit all-integer statistics. The
+    oracle reconstructs the same 48 bytes straight from the md5 hex and
+    aggregates them independently — a header-parse or offset bug in the
+    codec flips the comparison."""
+    from .operators.multimodal import pixel_stats
+
+    digests = [
+        F.unhex(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":m{k}")))
+        )
+        for k in range(3)
+    ]
+    header = F.lit(f"P6\n{MEDIA_W} {MEDIA_H}\n255\n".encode())
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image/ppm").alias("kind"),
+        F.concat(header, *digests).alias("payload"),
+    )
+    return pixel_stats(media).orderBy("media_id")
+
+
+def _media_pixel_stats_sql() -> str:
+    hexes = " || ".join(
+        f"md5(doc_id::VARCHAR || ':m{k}')" for k in range(3)
+    )
+    return f"""
+WITH hx AS (SELECT doc_id, {hexes} AS hs FROM documents),
+b AS (
+    SELECT doc_id, k,
+           ('0x' || substr(hs, 2 * k + 1, 2))::INT AS v
+    FROM (SELECT doc_id, hs, unnest(generate_series(0, 47)) AS k FROM hx)
+)
+SELECT doc_id::BIGINT AS media_id,
+       {MEDIA_W}::INT AS width, {MEDIA_H}::INT AS height,
+       sum(CASE WHEN k % 3 = 0 THEN v END)::BIGINT AS sum_r,
+       sum(CASE WHEN k % 3 = 1 THEN v END)::BIGINT AS sum_g,
+       sum(CASE WHEN k % 3 = 2 THEN v END)::BIGINT AS sum_b,
+       min(v)::INT AS min_px, max(v)::INT AS max_px
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 LM_TRAIN_LANG = "en"
 
 
@@ -2588,6 +2638,7 @@ QUERIES = {
     "lm_bigram_bits": q_lm_bigram_bits,
     "semantic_dedup": q_semantic_dedup,
     "html_extract": q_html_extract,
+    "media_pixel_stats": q_media_pixel_stats,
 }
 
 ORACLES = {
@@ -2638,6 +2689,7 @@ ORACLES = {
     "lm_bigram_bits": _lm_bigram_sql(),
     "semantic_dedup": _semdedup_sql(),
     "html_extract": _html_extract_sql(),
+    "media_pixel_stats": _media_pixel_stats_sql(),
     # knn_ivf stays rows-only: its coarse centroids are trained from the
     # data (seeded k-means) — not expressible as a fixed SQL oracle
 }

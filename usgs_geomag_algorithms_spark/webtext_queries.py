@@ -2588,6 +2588,82 @@ FROM sc GROUP BY 1 ORDER BY 1
 """
 
 
+# ------------------------------------------------- hashed linear classifier
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-feature linear gate: inline md5 weights,
+    all-integer logit numerator -> exact oracle (classifier.py)."""
+    from .operators.classifier import hashed_linear_score
+
+    return hashed_linear_score(_docs(spark, sf_dir))
+
+
+def _quality_classifier_sql() -> str:
+    from .operators.classifier import N_BUCKETS, WEIGHT_BIAS
+
+    return f"""
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+s AS (
+    SELECT doc_id,
+           ('0x' || substr(md5('w:' ||
+               (('0x' || substr(md5(word), 1, 8))::BIGINT
+                    % {N_BUCKETS})::VARCHAR
+           ), 1, 4))::BIGINT - {WEIGHT_BIAS} AS weight
+    FROM w
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_words,
+       sum(weight)::BIGINT AS logit_num,
+       sum(weight)::BIGINT / count(*)::BIGINT AS score,
+       sum(weight)::BIGINT > 0 AS keep
+FROM s GROUP BY 1
+"""
+
+
+# ------------------------------------------------- count-min heavy hitters
+#: top-k cut for the heavy-hitters query
+HH_K = 50
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequent tokens with the exact count beside the
+    estimate — the md5 grid makes even the collisions oracle-exact
+    (cms.py)."""
+    from .operators.cms import heavy_hitters
+
+    return heavy_hitters(_docs(spark, sf_dir), k=HH_K)
+
+
+def _heavy_hitters_sql() -> str:
+    from .operators.cms import CMS_DEPTH, CMS_WIDTH
+
+    def bucket(src: str) -> str:
+        return (
+            f"('0x' || substr(md5(rw::VARCHAR || ':' || {src}), 1, 8))"
+            f"::BIGINT % {CMS_WIDTH}"
+        )
+
+    return f"""
+WITH w AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+r AS (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS rw),
+wb AS (SELECT rw, {bucket('word')} AS bucket FROM w CROSS JOIN r),
+grid AS (SELECT rw, bucket, count(*)::BIGINT AS cnt FROM wb GROUP BY 1, 2),
+vocab AS (SELECT word, count(*)::BIGINT AS exact_count FROM w GROUP BY 1),
+vb AS (SELECT word, rw, {bucket('word')} AS bucket FROM vocab CROSS JOIN r),
+est AS (
+    SELECT word, min(cnt)::BIGINT AS est_count
+    FROM vb JOIN grid USING (rw, bucket) GROUP BY 1
+)
+SELECT word, est_count, exact_count
+FROM vocab JOIN est USING (word)
+ORDER BY est_count DESC, word
+LIMIT {HH_K}
+"""
+
+
 QUERIES = {
     "minhash_signature": q_minhash_signature,
     "lsh_pairs": q_lsh_pairs,
@@ -2639,6 +2715,8 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "html_extract": q_html_extract,
     "media_pixel_stats": q_media_pixel_stats,
+    "quality_classifier": q_quality_classifier,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
 }
 
 ORACLES = {
@@ -2690,6 +2768,8 @@ ORACLES = {
     "semantic_dedup": _semdedup_sql(),
     "html_extract": _html_extract_sql(),
     "media_pixel_stats": _media_pixel_stats_sql(),
+    "quality_classifier": _quality_classifier_sql(),
+    "heavy_hitters_cms": _heavy_hitters_sql(),
     # knn_ivf stays rows-only: its coarse centroids are trained from the
     # data (seeded k-means) — not expressible as a fixed SQL oracle
 }

@@ -2621,6 +2621,65 @@ FROM s GROUP BY 1
 """
 
 
+# ------------------------------------------------- link-graph rank
+def q_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped link-graph rank (PageRank-shaped) in integer fixed-point —
+    bit-reproducible under any partitioning, so exactly oracle-checked
+    (graphrank.py)."""
+    from .operators.graphrank import link_rank
+
+    return link_rank(_docs(spark, sf_dir))
+
+
+def _link_rank_sql() -> str:
+    from .operators.graphrank import (
+        DAMP_DEN,
+        DAMP_NUM,
+        N_ITERS,
+        OUT_DEGREE,
+        SCALE,
+    )
+
+    base = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
+    rounds = []
+    for k in range(1, N_ITERS + 1):
+        rounds.append(
+            f"""i{k} AS (
+    SELECT e.dst AS id, sum(p.rank_fp // d.odeg)::BIGINT AS inflow
+    FROM edges e JOIN deg d USING (src) JOIN r{k - 1} p ON p.id = e.src
+    GROUP BY 1
+),
+r{k} AS (
+    SELECT n.id,
+           ({base} + ({DAMP_NUM} * coalesce(i.inflow, 0)) // {DAMP_DEN}
+           )::BIGINT AS rank_fp
+    FROM nodes n LEFT JOIN i{k} i USING (id)
+)"""
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+b AS (SELECT min(id) AS lo, max(id) AS hi FROM nodes),
+raw AS (
+    SELECT id AS src,
+           lo + ('0x' || substr(md5(id::VARCHAR || ':' || j::VARCHAR), 1, 8)
+                )::BIGINT % (hi - lo + 1) AS dst
+    FROM nodes CROSS JOIN b
+    CROSS JOIN (SELECT unnest(generate_series(1, {OUT_DEGREE})) AS j)
+),
+edges AS (
+    SELECT DISTINCT src, dst
+    FROM raw JOIN nodes n2 ON raw.dst = n2.id
+    WHERE dst != src
+),
+deg AS (SELECT src, count(*)::BIGINT AS odeg FROM edges GROUP BY 1),
+r0 AS (SELECT id, {SCALE}::BIGINT AS rank_fp FROM nodes),
+{chain}
+SELECT id AS doc_id, rank_fp, rank_fp / {float(SCALE)!r} AS rank
+FROM r{N_ITERS}
+"""
+
+
 # ------------------------------------------------- count-min heavy hitters
 #: top-k cut for the heavy-hitters query
 HH_K = 50
@@ -2717,6 +2776,7 @@ QUERIES = {
     "media_pixel_stats": q_media_pixel_stats,
     "quality_classifier": q_quality_classifier,
     "heavy_hitters_cms": q_heavy_hitters_cms,
+    "link_rank": q_link_rank,
 }
 
 ORACLES = {
@@ -2770,6 +2830,7 @@ ORACLES = {
     "media_pixel_stats": _media_pixel_stats_sql(),
     "quality_classifier": _quality_classifier_sql(),
     "heavy_hitters_cms": _heavy_hitters_sql(),
+    "link_rank": _link_rank_sql(),
     # knn_ivf stays rows-only: its coarse centroids are trained from the
     # data (seeded k-means) — not expressible as a fixed SQL oracle
 }

@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "html_extract",
     "media_pixel_stats",
+    "quality_classifier",
+    "heavy_hitters_cms",
+    "link_rank",
     "gapfill_minute",
     "counter_increase_hour",
     "ltob_hour",

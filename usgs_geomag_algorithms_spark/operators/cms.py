@@ -103,6 +103,129 @@ def cms_estimate(
     )
 
 
+# ------------------------------------------------------------- grid tier
+# The grid as a storable tier value: one dense array<long> per time
+# bucket (depth·width cells, row-major), the frequency twin of the HLL
+# sketch tier (sketches.py). Hour grids live in a TierStore row
+# ("grid array<bigint>, n_tokens bigint"); coarser tiers and streaming
+# micro-batches fold in by element-wise addition — never a raw rescan.
+
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+
+
+def cms_hour_grids(
+    events: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """(t_us, grid array<long>, n_tokens) per hour: the storable tier
+    row.  Cells collapse map-side (≤ depth·width per task) before the
+    hour shuffle; the dense array is assembled per hour from ≤
+    depth·width entries — never from raw tokens."""
+    words = events.select(
+        F.expr(
+            f"(unix_micros(cast({ts_col} as timestamp)) div {HOUR_US})"
+            f" * {HOUR_US}"
+        ).alias("t_us"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    rows = F.array(*[F.lit(r) for r in range(depth)])
+    wr = words.select("t_us", "word", F.explode(rows).alias("row"))
+    cells = (
+        wr.select(
+            "t_us",
+            (
+                F.col("row") * width
+                + cms_bucket(F.col("word"), F.col("row"), width)
+            ).alias("idx"),
+        )
+        .groupBy("t_us", "idx")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    n = depth * width
+    return (
+        cells.groupBy("t_us")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("idx", "cnt"))
+            ).alias("_m"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "t_us",
+            F.expr(
+                f"transform(sequence(0, {n - 1}), i -> coalesce(_m[i], 0L))"
+            ).alias("grid"),
+            # every token is counted once per depth row
+            F.expr(f"n_tokens div {depth}").alias("n_tokens"),
+        )
+    )
+
+
+def grid_add(a, b):
+    """Element-wise sum of two grid arrays (the mergeable-tier fold)."""
+    return F.zip_with(a, b, lambda x, y: x + y)
+
+
+def cms_grid_rollup(
+    grids: DataFrame,
+    out_us: int = DAY_US,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Coarser grid tier from a finer one by pure addition (24 hour
+    grids fold into a day grid — shuffle bounded by the OUTPUT tier
+    cardinality, raw tokens never touched; cf. sketches.hll_rollup)."""
+    n = depth * width
+    return (
+        grids.select(
+            F.expr(f"(t_us div {out_us}) * {out_us}").alias("t_us"),
+            "grid",
+            "n_tokens",
+        )
+        .groupBy("t_us")
+        .agg(
+            F.expr(
+                f"aggregate(collect_list(grid), array_repeat(0L, {n}),"
+                " (acc, g) -> zip_with(acc, g, (a, b) -> a + b))"
+            ).alias("grid"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def grid_estimate(
+    candidates: DataFrame,
+    grids: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    word_col: str = "word",
+) -> DataFrame:
+    """(t_us, word, est_count) from a dense-grid tier: min over the
+    depth rows of the word's cell — the grid side broadcasts (one array
+    per time bucket)."""
+    exprs = [
+        F.element_at(
+            F.col("grid"),
+            (
+                F.lit(r * width)
+                + cms_bucket(F.col("word"), F.lit(r), width)
+                + 1
+            ).cast("int"),
+        )
+        for r in range(depth)
+    ]
+    return (
+        candidates.select(F.col(word_col).alias("word"))
+        .distinct()
+        .crossJoin(F.broadcast(grids.select("t_us", "grid")))
+        .select("t_us", "word", F.least(*exprs).alias("est_count"))
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     k: int = 50,

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "quality_classifier",
     "heavy_hitters_cms",
     "link_rank",
+    "funnel_steps",
     "gapfill_minute",
     "counter_increase_hour",
     "ltob_hour",

@@ -106,6 +106,27 @@ class TestCms:
         }
         assert merged == whole
 
+    def test_plans_are_python_free(self, spark, docs):
+        """Classifier, CMS and heavy_hitters never leave the JVM."""
+        from usgs_geomag_algorithms_spark.operators.classifier import (
+            hashed_linear_score,
+        )
+
+        py_nodes = (
+            "BatchEvalPython",
+            "ArrowEvalPython",
+            "FlatMapGroupsInPandas",
+            "MapInPandas",
+        )
+        for df in (
+            hashed_linear_score(docs),
+            heavy_hitters(docs, k=5),
+        ):
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            final = plan.split("== Initial Plan ==")[0]
+            assert not any(n in final for n in py_nodes)
+
     def test_estimate_broadcasts_grid(self, spark, docs):
         grid = cms_counters(docs)
         vocab = docs.select(

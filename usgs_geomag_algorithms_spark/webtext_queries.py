@@ -2682,6 +2682,47 @@ FROM r{N_ITERS}
 """
 
 
+# ------------------------------------------------- funnel sequence match
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-chain view→click→purchase funnel per user (funnel.py);
+    epoch-µs integers -> exact oracle."""
+    from .operators.funnel import funnel
+
+    return funnel(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _funnel_sql() -> str:
+    from .operators.funnel import FUNNEL_STEPS
+
+    a, b, c = FUNNEL_STEPS
+    return f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (
+    SELECT user_id, min(epoch_us(ts)) AS t1_us
+    FROM events WHERE event_type = '{a}' GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t2_us
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = '{b}' AND epoch_us(e.ts) > s1.t1_us
+    GROUP BY 1
+),
+s3 AS (
+    SELECT e.user_id, min(epoch_us(e.ts)) AS t3_us
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = '{c}' AND epoch_us(e.ts) > s2.t2_us
+    GROUP BY 1
+)
+SELECT u.user_id, t1_us, t2_us, t3_us,
+       CASE WHEN t3_us IS NOT NULL THEN 3
+            WHEN t2_us IS NOT NULL THEN 2
+            WHEN t1_us IS NOT NULL THEN 1
+            ELSE 0 END::INT AS depth
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+"""
+
+
 # ------------------------------------------------- count-min heavy hitters
 #: top-k cut for the heavy-hitters query
 HH_K = 50
@@ -2779,6 +2820,7 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "link_rank": q_link_rank,
+    "funnel_steps": q_funnel_steps,
 }
 
 ORACLES = {
@@ -2833,6 +2875,7 @@ ORACLES = {
     "quality_classifier": _quality_classifier_sql(),
     "heavy_hitters_cms": _heavy_hitters_sql(),
     "link_rank": _link_rank_sql(),
+    "funnel_steps": _funnel_sql(),
     # knn_ivf stays rows-only: its coarse centroids are trained from the
     # data (seeded k-means) — not expressible as a fixed SQL oracle
 }

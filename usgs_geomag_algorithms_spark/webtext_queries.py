@@ -2682,6 +2682,51 @@ FROM r{N_ITERS}
 """
 
 
+# ------------------------------------------------- table profiling
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass exact profile of the documents table (profile.py)."""
+    from .operators.profile import profile_table
+
+    return profile_table(_docs(spark, sf_dir))
+
+
+def _profile_sql() -> str:
+    cols = [
+        ("doc_id", "num"),
+        ("text", "str"),
+        ("lang", "str"),
+        ("source", "str"),
+        ("n_chars", "num"),
+    ]
+    aggs, rows = [], []
+    for c, kind in cols:
+        aggs.append(f"count({c})::BIGINT AS nn_{c}")
+        aggs.append(f"count(DISTINCT {c})::BIGINT AS nd_{c}")
+        if kind == "num":
+            aggs.append(f"min({c})::DOUBLE AS mn_{c}")
+            aggs.append(f"max({c})::DOUBLE AS mx_{c}")
+            mn, mx = f"mn_{c}", f"mx_{c}"
+            ln = lx = ls = "NULL::BIGINT"
+        else:
+            aggs.append(f"min(len({c}))::BIGINT AS ln_{c}")
+            aggs.append(f"max(len({c}))::BIGINT AS lx_{c}")
+            aggs.append(f"sum(len({c}))::BIGINT AS ls_{c}")
+            mn = mx = "NULL::DOUBLE"
+            ln, lx, ls = f"ln_{c}", f"lx_{c}", f"ls_{c}"
+        rows.append(
+            f"SELECT '{c}' AS \"column\", n_rows,"
+            f" (n_rows - nn_{c})::BIGINT AS n_null,"
+            f" nd_{c} AS n_distinct, {mn} AS min_num, {mx} AS max_num,"
+            f" {ln} AS min_len, {lx} AS max_len, {ls} AS sum_len FROM a"
+        )
+    return (
+        "WITH a AS (SELECT count(*)::BIGINT AS n_rows, "
+        + ", ".join(aggs)
+        + " FROM documents)\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
 # ------------------------------------------------- funnel sequence match
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Earliest-chain view→click→purchase funnel per user (funnel.py);
@@ -2821,6 +2866,7 @@ QUERIES = {
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "link_rank": q_link_rank,
     "funnel_steps": q_funnel_steps,
+    "profile_documents": q_profile_documents,
 }
 
 ORACLES = {
@@ -2876,6 +2922,7 @@ ORACLES = {
     "heavy_hitters_cms": _heavy_hitters_sql(),
     "link_rank": _link_rank_sql(),
     "funnel_steps": _funnel_sql(),
+    "profile_documents": _profile_sql(),
     # knn_ivf stays rows-only: its coarse centroids are trained from the
     # data (seeded k-means) — not expressible as a fixed SQL oracle
 }

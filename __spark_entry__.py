@@ -269,6 +269,67 @@ def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: CUSUM config for changepoint_cusum — baseline minutes / slack / decision
+CUSUM_B, CUSUM_K, CUSUM_H = 240, 0, 50
+
+
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided tabular CUSUM level-shift detection on the per-minute
+    event rate (operators/changepoint.py — prefix-sum closed form of the
+    max(0, C+d) recurrence, all-BIGINT n0-scaled arithmetic; the
+    sustained-drift complement to rate_anomaly's spike gate)."""
+    from usgs_geomag_algorithms_spark.operators.changepoint import (
+        cusum_changepoints,
+    )
+
+    return cusum_changepoints(
+        _minute_rate(spark, sf_dir),
+        baseline=CUSUM_B,
+        k=CUSUM_K,
+        h=CUSUM_H,
+        series_cols=("event_type",),
+    )
+
+
+#: candidate seasonal lags (minutes) for the ACF sweep — short cycles
+#: through the quarter-day harmonics the sf0.01 events span supports
+ACF_LAGS = [1, 2, 3, 5, 10, 15, 30, 60, 120, 180, 360]
+
+
+def q_acf_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the per-minute event rate at literal
+    candidate lags (operators/seasonality.py — exact-timestamp pair join,
+    BIGINT sufficient statistics, one int64->double IEEE tree; learns the
+    seasonal period SqDist takes as a configured constant)."""
+    from usgs_geomag_algorithms_spark.operators.seasonality import acf_lags
+
+    return acf_lags(
+        _minute_rate(spark, sf_dir),
+        ACF_LAGS,
+        MIN_US,
+        series_cols=("event_type",),
+    )
+
+
+def q_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-scoring ACF lag per event_type — the learned seasonal period
+    (ties break to the shortest lag: fundamental over harmonics)."""
+    from usgs_geomag_algorithms_spark.operators.seasonality import (
+        acf_lags,
+        dominant_period,
+    )
+
+    return dominant_period(
+        acf_lags(
+            _minute_rate(spark, sf_dir),
+            ACF_LAGS,
+            MIN_US,
+            series_cols=("event_type",),
+        ),
+        series_cols=("event_type",),
+    )
+
+
 def q_active_users_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-user count per hour (two-phase partial-distinct
     aggregate — Catalyst rewrites count(DISTINCT) into an expand +
@@ -1159,6 +1220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hour_pctl": q_rollup_hour_pctl,
         "purchase_asof_view": q_purchase_asof_view,
         "rate_anomaly": q_rate_anomaly,
+        "changepoint_cusum": q_changepoint_cusum,
+        "acf_minute": q_acf_minute,
+        "dominant_period": q_dominant_period,
         "active_users_hour": q_active_users_hour,
         "hll_users_day": q_hll_users_day,
         "distinct_users_day": q_distinct_users_day,
@@ -1661,6 +1725,110 @@ SELECT event_type, t_us, v, n AS n_trail, z,
 FROM z_t
 """
 
+    # CUSUM closed form: C_i = P_i - min(P_0..P_i) with P_0 = 0 — two
+    # cumulative windows over n0-scaled BIGINT deltas (exact; the only
+    # doubles are the final single int64/int64 divisions)
+    changepoint_cusum = f"""
+WITH rate AS (
+    SELECT event_type,
+           (epoch_us(ts) // {MIN_US}) * {MIN_US} AS t_us,
+           count(*)::BIGINT AS v
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT event_type, t_us, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY t_us) AS rn
+    FROM rate
+),
+base AS (
+    SELECT event_type, sum(v)::BIGINT AS s0, count(*)::BIGINT AS n0
+    FROM ranked WHERE rn <= {CUSUM_B} GROUP BY 1
+    HAVING count(*) = {CUSUM_B}
+),
+mon AS (
+    SELECT r.event_type, r.t_us, r.v, b.n0,
+           (b.n0 * (r.v - {CUSUM_K}) - b.s0)::BIGINT AS d_hi,
+           (b.s0 - b.n0 * (r.v + {CUSUM_K}))::BIGINT AS d_lo
+    FROM ranked r JOIN base b USING (event_type) WHERE r.rn > {CUSUM_B}
+),
+pre AS (
+    SELECT event_type, t_us, v, n0,
+           (sum(d_hi) OVER w)::BIGINT AS p_hi,
+           (sum(d_lo) OVER w)::BIGINT AS p_lo
+    FROM mon
+    WINDOW w AS (PARTITION BY event_type ORDER BY t_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+st AS (
+    SELECT event_type, t_us, v, n0, p_hi, p_lo,
+           least(min(p_hi) OVER w, 0)::BIGINT AS m_hi,
+           least(min(p_lo) OVER w, 0)::BIGINT AS m_lo
+    FROM pre WINDOW w AS (PARTITION BY event_type ORDER BY t_us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, t_us, v,
+       (p_hi - m_hi)::DOUBLE / n0::DOUBLE AS cusum_hi,
+       (p_lo - m_lo)::DOUBLE / n0::DOUBLE AS cusum_lo,
+       (p_hi - m_hi > {CUSUM_H} * n0) OR (p_lo - m_lo > {CUSUM_H} * n0)
+           AS is_change
+FROM st
+"""
+
+    # ACF: exact-timestamp pair join + BIGINT sufficient statistics; the
+    # final tree num/(sqrt(dx)*sqrt(dy)) mirrors Spark token for token
+    # (sqrt is IEEE correctly rounded -> bit-identical)
+    _acf_stats = f"""
+WITH rate AS (
+    SELECT event_type,
+           (epoch_us(ts) // {MIN_US}) * {MIN_US} AS t_us,
+           count(*)::BIGINT AS v
+    FROM events GROUP BY 1, 2
+),
+head AS (
+    SELECT r.event_type, l.lag, r.v AS x,
+           r.t_us + l.lag * {MIN_US} AS tk
+    FROM rate r CROSS JOIN (
+        SELECT unnest({ACF_LAGS})::BIGINT AS lag
+    ) l
+),
+stats AS (
+    SELECT h.event_type, h.lag,
+           count(*)::BIGINT AS n_pairs,
+           sum(h.x)::BIGINT AS sx, sum(t.v)::BIGINT AS sy,
+           sum(h.x * t.v)::BIGINT AS sxy,
+           sum(h.x * h.x)::BIGINT AS sxx,
+           sum(t.v * t.v)::BIGINT AS syy
+    FROM head h JOIN rate t
+      ON h.event_type = t.event_type AND h.tk = t.t_us
+    GROUP BY 1, 2
+),
+acf AS (
+    SELECT event_type, lag, n_pairs,
+           CASE WHEN n_pairs >= 2
+                 AND n_pairs * sxx - sx * sx > 0
+                 AND n_pairs * syy - sy * sy > 0
+                THEN (n_pairs * sxy - sx * sy)::DOUBLE
+                     / (sqrt((n_pairs * sxx - sx * sx)::DOUBLE)
+                        * sqrt((n_pairs * syy - sy * sy)::DOUBLE))
+           END AS acf
+    FROM stats
+)
+"""
+
+    acf_minute = _acf_stats + "SELECT event_type, lag, n_pairs, acf FROM acf"
+
+    dominant_period = (
+        _acf_stats
+        + """
+SELECT event_type, lag AS period, n_pairs, acf
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY acf DESC, lag ASC) AS rk
+    FROM acf WHERE acf IS NOT NULL
+) WHERE rk = 1
+"""
+    )
+
     purchase_asof_view = """
 WITH e AS (
     SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t_us
@@ -1912,6 +2080,9 @@ FROM s
         "rollup_hour_pctl": rollup_hour_pctl,
         "purchase_asof_view": purchase_asof_view,
         "rate_anomaly": rate_anomaly,
+        "changepoint_cusum": changepoint_cusum,
+        "acf_minute": acf_minute,
+        "dominant_period": dominant_period,
         "gapfill_minute": gapfill_minute,
         "counter_increase_hour": counter_increase_hour,
         "ltob_hour": ltob_hour,

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "domain_cap",
     "upsample_mixture",
     "bm25_topk",
+    "hybrid_rrf",
     "curate_corpus",
     "curate_full",
     "pack_sequences",
@@ -96,6 +97,11 @@ BENCH_QUERIES = [
     "heavy_hitters_cms",
     "link_rank",
     "funnel_steps",
+    "profile_documents",
+    "changepoint_cusum",
+    "acf_minute",
+    "collocations",
+    "readability",
     "gapfill_minute",
     "counter_increase_hour",
     "ltob_hour",

@@ -79,7 +79,7 @@ def funnel(
     )
 
 
-def funnel_counts(funnel_df: DataFrame, n_steps: int = len(FUNNEL_STEPS)) -> DataFrame:
+def funnel_counts(funnel_df: DataFrame) -> DataFrame:
     """(depth, n_users) conversion table including zero rows — the
     classic funnel report, derived from :func:`funnel`'s output."""
     return (

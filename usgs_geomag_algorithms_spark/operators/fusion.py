@@ -1,0 +1,75 @@
+"""Reciprocal-rank fusion (RRF): merge ranked retrieval lists.
+
+The standard hybrid-retrieval combiner (Cormack et al.; Elasticsearch /
+Vespa / OpenSearch all ship it): given rankings of the same id space from
+heterogeneous scorers — BM25 lexical top-k, embedding-cosine ANN top-k,
+a recency ranking — fuse by summing ``1 / (k + rank)`` per id.  In a
+training-data pipeline this is the retrieval layer for deduplicated
+example mining: lexical and semantic evidence vote without any score
+calibration between them.
+
+Exactness: the textbook float ``1/(k+rank)`` is NOT order-stable under
+distributed summation (non-dyadic addends), so points are integer-scaled
+— ``scale div (k + rank)`` in BIGINT (``scale = 10^9`` keeps three ranks
+of resolution past any realistic k + list length; floor division is
+identical in Spark ``div`` and DuckDB ``//`` for non-negative ints) and
+the fused score is an exact integer sum, reproducible under any
+partitioning and oracle-checkable bit-for-bit.
+
+Scale shape: inputs are top-k lists — ALREADY tiny relative to the corpus
+(k rows per query per scorer).  The union + groupBy shuffles k·|lists|
+rows; the final deterministic top-k goes through ``orderBy().limit()``
+(TakeOrderedAndProject — per-partition heaps, no global sort), and the
+output rank is a window over the surviving ``topk`` rows only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+#: default rank constant from the RRF paper; dominates tail-rank noise
+RRF_K = 60
+
+#: integer point scale — three orders of resolution past any realistic
+#: k_rrf + list depth, and Σ points stays far below 2^63
+RRF_SCALE = 10**9
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k_rrf: int = RRF_K,
+    topk: int = 20,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    scale: int = RRF_SCALE,
+) -> DataFrame:
+    """Fuse ranked lists into one top-``topk`` ranking.
+
+    Each input needs (``id_col``, ``rank_col``) with ranks starting at 1;
+    ids absent from a list simply contribute nothing.  Output: id +
+    ``n_lists`` (how many lists voted) + ``rrf_score`` (BIGINT,
+    ``Σ scale div (k_rrf + rank)``) + fused ``rank``; ties break to the
+    smaller id, deterministically on any engine.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k_rrf < 0 or scale <= 0:
+        raise ValueError(f"bad k_rrf={k_rrf} / scale={scale}")
+    pts = F.expr(f"{scale} div ({k_rrf} + {rank_col})")
+    pool = None
+    for r in rankings:
+        leg = r.select(F.col(id_col), pts.cast("long").alias("_pts"))
+        pool = leg if pool is None else pool.unionByName(leg)
+    fused = (
+        pool.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_lists"),
+            F.sum("_pts").cast("long").alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(topk)
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return fused.withColumn("rank", F.row_number().over(w).cast("long"))

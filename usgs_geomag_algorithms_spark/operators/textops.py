@@ -435,3 +435,113 @@ def bm25_topk(
     )
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level bigram collocation mining: adjacent word pairs ranked
+    by PMI *lift* ``P(xy) / (P(x)·P(y))`` — the association statistic
+    behind phrase detection in training-data pipelines (word2vec phrases,
+    n-gram vocab induction).
+
+    Contingency-table formulation (Dunning): every probability comes from
+    the bigram relation alone — ``c_x``/``c_y`` are the left/right
+    MARGINALS of the pair-count table, ``n_pairs`` its grand total — so
+    the corpus is scanned ONCE; the marginals and the scalar total are
+    re-aggregations of the (vocab²-bounded) counts relation, not the
+    corpus. The counts relation is a lazy local checkpoint: three
+    consumers (two marginals + the filtered pair list) read one
+    materialization instead of re-exploding the corpus.
+
+    Exactness: all counts are BIGINT; lift is computed in one fixed
+    expression tree ``(c_xy·N) / (c_x·c_y)`` over DOUBLE operands — each
+    IEEE operation is correctly rounded, so Spark and DuckDB agree
+    bit-for-bit (NOTES.md exact-rational rule; no log, which libm-varies).
+
+    Scale shape: one shuffle over (w1, w2) with map-side partial counts
+    (explode factor = words/doc); everything downstream is vocab-sized.
+    Hot function words spread across their pair keys — no single-key
+    pile-up. 100 TB caveat: ``c_xy·N`` stays in DOUBLE deliberately
+    (int64 would overflow near N≈3·10⁹ when a stopword-stopword pair
+    dominates).
+    """
+    wi = _exploded_gram_index(df, 2, text_col, id_col)
+    counts = (
+        wi.select(
+            F.element_at("w", F.col("i") - 1).alias("w1"),
+            F.element_at("w", F.col("i")).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_xy"))
+        .localCheckpoint(eager=False)
+    )
+    left = counts.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    right = counts.groupBy("w2").agg(F.sum("c_xy").alias("c_y"))
+    total = counts.agg(F.sum("c_xy").alias("n_pairs"))
+    lift = (F.col("c_xy").cast("double") * F.col("n_pairs").cast("double")) / (
+        F.col("c_x").cast("double") * F.col("c_y").cast("double")
+    )
+    return (
+        counts.where(F.col("c_xy") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "c_xy", "c_x", "c_y", "n_pairs", lift.alias("lift"))
+    )
+
+
+#: Flesch reading-ease coefficients — fixed IEEE-double literals so the
+#: score expression tree is engine-portable
+FLESCH_BASE, FLESCH_SENT, FLESCH_SYLL = 206.835, 1.015, 84.6
+
+
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document from three integer counts:
+    words (space runs), sentences (./!/? runs, min 1), and a syllable
+    PROXY (vowel-group runs per word, min 1/word — the classic heuristic;
+    exact hyphenation needs a dictionary, out of scope for corpus-scale
+    screening). Pure column expressions, no explode — O(bytes) per doc.
+
+    ``score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``
+    evaluated in one fixed DOUBLE tree (bit-identical cross-engine), NULL
+    for empty/whitespace-only docs.
+    """
+    text = F.col(text_col)
+    n_words = F.size(F.regexp_extract_all(text, F.lit(r"[^ ]+"), F.lit(0))).cast(
+        "long"
+    )
+    n_sent_raw = F.size(
+        F.regexp_extract_all(text, F.lit(r"[.!?]+"), F.lit(0))
+    ).cast("long")
+    n_sents = F.greatest(n_sent_raw, F.lit(1).cast("long"))
+    # per-word max(1, vowel groups) == vowel groups + words with no vowel;
+    # the latter as n_words − words-containing-a-vowel so every pattern is
+    # lookaround-free (RE2/DuckDB has no lookahead) and the whole op stays
+    # explode-free single-regexp counts
+    vowel_groups = F.size(
+        F.regexp_extract_all(text, F.lit(r"[aeiouyAEIOUY]+"), F.lit(0))
+    ).cast("long")
+    vowel_words = F.size(
+        F.regexp_extract_all(
+            text, F.lit(r"(?:^| )[^ ]*[aeiouyAEIOUY][^ ]*"), F.lit(0)
+        )
+    ).cast("long")
+    n_syll = vowel_groups + (n_words - vowel_words)
+    score = (
+        F.lit(FLESCH_BASE)
+        - F.lit(FLESCH_SENT) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(FLESCH_SYLL) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.when(n_words > 0, score).alias("flesch"),
+    )

@@ -476,6 +476,29 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: hybrid retrieval: per-scorer candidate depth, RRF constant, fused cut
+HYBRID_QVEC, HYBRID_K_EACH, HYBRID_TOPK = 0, 50, 20
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 fused with embedding-cosine
+    top-50 (query = vec 0) by reciprocal-rank fusion
+    (operators/fusion.py — integer-scaled ``scale div (k + rank)`` points
+    so the fused score is an exact BIGINT sum; no score calibration
+    between the two scorers)."""
+    from .operators.fusion import rrf_fuse
+
+    lex = T.bm25_topk(
+        _docs(spark, sf_dir), terms=list(BM25_TERMS), k=HYBRID_K_EACH,
+        k1=BM25_K1, b=BM25_B,
+    ).select("doc_id", "rank")
+    emb = _emb(spark, sf_dir)
+    sem = S.cosine_topk(
+        emb, emb.where(F.col("vec_id") == HYBRID_QVEC), k=HYBRID_K_EACH
+    ).select(F.col("n_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, sem], topk=HYBRID_TOPK)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering end to end: LSH-verified pairs -> connected
     components (min-label propagation + pointer jumping) -> canonical
@@ -1445,7 +1468,7 @@ WHERE round(coalesce(cm.n_common, 0)
 """
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(k: int = BM25_K) -> str:
     """Same arithmetic tree as the Spark plan (left-associative term sum,
     Python-repr'd float literals) so every double matches to the bit before
     the 4-dp pre-rank rounding."""
@@ -1484,7 +1507,62 @@ ranked AS (
            row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
     FROM scored WHERE score > 0
 )
-SELECT doc_id, dl, score, rank FROM ranked WHERE rank <= {BM25_K}
+SELECT doc_id, dl, score, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def _hybrid_rrf_sql() -> str:
+    """Both legs are the proven-exact bm25/knn oracle bodies (nested WITH
+    inside parenthesized derived tables composes them verbatim); the
+    fusion layer is pure BIGINT — DuckDB ``//`` == Spark ``div`` on
+    non-negative ints, HUGEINT sums cast back."""
+    from .operators.fusion import RRF_K, RRF_SCALE
+
+    sem = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS e FROM embeddings
+           WHERE vec_id = {HYBRID_QVEC}),
+c AS (SELECT vec_id AS n_id, embedding AS e FROM embeddings),
+eq AS (SELECT q_id, unnest(e)::DOUBLE AS x, generate_subscripts(e, 1) AS i FROM q),
+ec AS (SELECT n_id, unnest(e)::DOUBLE AS x, generate_subscripts(e, 1) AS i FROM c),
+dots AS (
+    SELECT a.q_id, b.n_id, sum(a.x * b.x) AS dot
+    FROM eq a JOIN ec b ON a.i = b.i
+    WHERE a.q_id != b.n_id
+    GROUP BY 1, 2
+),
+nq AS (SELECT q_id, sum(x * x) AS s FROM eq GROUP BY 1 HAVING sum(x * x) > 0),
+nc AS (SELECT n_id, sum(x * x) AS s FROM ec GROUP BY 1 HAVING sum(x * x) > 0),
+scored AS (
+    SELECT d.q_id, d.n_id,
+           round(d.dot / (sqrt(nq.s) * sqrt(nc.s)), 6) AS cosine
+    FROM dots d JOIN nq ON nq.q_id = d.q_id JOIN nc ON nc.n_id = d.n_id
+),
+rankedv AS (
+    SELECT n_id, row_number() OVER (ORDER BY cosine DESC, n_id ASC) AS rank
+    FROM scored
+)
+SELECT n_id, rank FROM rankedv WHERE rank <= {HYBRID_K_EACH}
+"""
+    return f"""
+WITH lex AS (SELECT doc_id, rank FROM ({_bm25_sql(k=HYBRID_K_EACH)})),
+sem AS (SELECT n_id AS doc_id, rank FROM ({sem})),
+pool AS (
+    SELECT doc_id, {RRF_SCALE} // ({RRF_K} + rank) AS pts FROM lex
+    UNION ALL
+    SELECT doc_id, {RRF_SCALE} // ({RRF_K} + rank) AS pts FROM sem
+),
+fused AS (
+    SELECT doc_id, count(*)::BIGINT AS n_lists, sum(pts)::BIGINT AS rrf_score
+    FROM pool GROUP BY 1
+),
+rankedf AS (
+    SELECT doc_id, n_lists, rrf_score,
+           row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)::BIGINT
+               AS rank
+    FROM fused
+)
+SELECT doc_id, n_lists, rrf_score, rank FROM rankedf
+WHERE rank <= {HYBRID_TOPK}
 """
 
 
@@ -1618,6 +1696,22 @@ def q_corpus_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_word_stats(_docs(spark, sf_dir), rare_below=RARE_BELOW)
 
 
+#: collocation mining pair-count floor
+COLLOC_MIN = 5
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import collocations
+
+    return collocations(_docs(spark, sf_dir), min_count=COLLOC_MIN)
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
 def _pii_enriched_spark(df: DataFrame) -> DataFrame:
     """Deterministically splice synthetic PII into the corpus (the
     driver's documents are PII-free by construction) — mirrored
@@ -1749,6 +1843,58 @@ WITH {_gram_cte(2, 'g2')},
 SELECT a2.doc_id, n_2grams, top_2gram_count, dup_2gram_count,
        n_3grams, top_3gram_count, dup_3gram_count
 FROM a2 LEFT JOIN a3 ON a2.doc_id = a3.doc_id
+"""
+
+
+def _collocations_sql() -> str:
+    # contingency-table PMI lift: every stat derives from the bigram
+    # count relation (same single-scan shape as the Spark plan); the
+    # lift tree (c_xy*N)/(c_x*c_y) over DOUBLEs mirrors Spark token for
+    # token so IEEE rounding agrees bit-for-bit
+    return f"""
+WITH wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ix AS (
+    SELECT doc_id, ws, unnest(generate_series(2, len(ws))) AS i
+    FROM wd WHERE len(ws) >= 2
+),
+counts AS (
+    SELECT ws[i - 1] AS w1, ws[i] AS w2, count(*)::BIGINT AS c_xy
+    FROM ix GROUP BY 1, 2
+),
+lft AS (SELECT w1, sum(c_xy)::BIGINT AS c_x FROM counts GROUP BY 1),
+rgt AS (SELECT w2, sum(c_xy)::BIGINT AS c_y FROM counts GROUP BY 1),
+tot AS (SELECT sum(c_xy)::BIGINT AS n_pairs FROM counts)
+SELECT w1, w2, c_xy, c_x, c_y, n_pairs,
+       (c_xy::DOUBLE * n_pairs::DOUBLE) / (c_x::DOUBLE * c_y::DOUBLE) AS lift
+FROM counts JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+WHERE c_xy >= {COLLOC_MIN}
+"""
+
+
+def _readability_sql() -> str:
+    from .operators.textops import FLESCH_BASE, FLESCH_SENT, FLESCH_SYLL
+
+    return f"""
+WITH c AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[^ ]+'))::BIGINT AS n_words,
+           greatest(len(regexp_extract_all(text, '[.!?]+'))::BIGINT, 1)
+               AS n_sentences,
+           len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::BIGINT AS vg,
+           len(regexp_extract_all(
+               text, '(?:^| )[^ ]*[aeiouyAEIOUY][^ ]*'))::BIGINT AS vw
+    FROM documents
+)
+SELECT doc_id, n_words, n_sentences,
+       (vg + (n_words - vw))::BIGINT AS n_syllables,
+       CASE WHEN n_words > 0 THEN
+           {FLESCH_BASE!r}::DOUBLE
+           - {FLESCH_SENT!r}::DOUBLE
+             * (n_words::DOUBLE / n_sentences::DOUBLE)
+           - {FLESCH_SYLL!r}::DOUBLE
+             * ((vg + (n_words - vw))::DOUBLE / n_words::DOUBLE)
+       END AS flesch
+FROM c
 """
 
 
@@ -2850,11 +2996,14 @@ QUERIES = {
     "domain_cap": q_domain_cap,
     "upsample_mixture": q_upsample_mixture,
     "bm25_topk": q_bm25_topk,
+    "hybrid_rrf": q_hybrid_rrf,
     "repetition_signals": q_repetition_signals,
     "contamination": q_contamination,
     "stratified_sample": q_stratified_sample,
     "pii_scrub": q_pii_scrub,
     "corpus_word_stats": q_corpus_word_stats,
+    "collocations": q_collocations,
+    "readability": q_readability,
     "source_overlap": q_source_overlap,
     "source_overlap_sketch": q_source_overlap_sketch,
     "url_dedup": q_url_dedup,
@@ -2903,6 +3052,7 @@ ORACLES = {
     "domain_cap": _domain_cap_sql(),
     "upsample_mixture": _upsample_sql(),
     "bm25_topk": _bm25_sql(),
+    "hybrid_rrf": _hybrid_rrf_sql(),
     "knn_lsh": _knn_lsh_sql(),
     "knn_ivf_fixed": _knn_ivf_fixed_sql(),
     "knn_ivf_bcast": _knn_ivf_bcast_sql(),
@@ -2912,6 +3062,8 @@ ORACLES = {
     "stratified_sample": _stratified_sql(),
     "pii_scrub": _pii_sql(),
     "corpus_word_stats": _corpus_word_stats_sql(),
+    "collocations": _collocations_sql(),
+    "readability": _readability_sql(),
     "source_overlap": _source_overlap_sql(),
     "url_dedup": _url_dedup_sql(),
     "lm_bigram_bits": _lm_bigram_sql(),

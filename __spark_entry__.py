@@ -330,6 +330,30 @@ def q_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day comparison of the hourly event rate
+    (operators/stats.py::period_over_period — exact-timestamp self-join,
+    gap-robust like acf_lags; BIGINT delta, one int/int double ratio)."""
+    from usgs_geomag_algorithms_spark.operators.stats import (
+        period_over_period,
+    )
+
+    ev = _events(spark, sf_dir)
+    rate = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"(unix_micros(cast(ts as timestamp)) div {HOUR_US}) * {HOUR_US}"
+            ).alias("t_us"),
+        )
+        .groupBy("event_type", "t_us")
+        .agg(F.count("*").alias("v"))
+    )
+    return period_over_period(
+        rate, 86_400_000_000, series_cols=("event_type",)
+    )
+
+
 def q_active_users_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-user count per hour (two-phase partial-distinct
     aggregate — Catalyst rewrites count(DISTINCT) into an expand +
@@ -1223,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint_cusum": q_changepoint_cusum,
         "acf_minute": q_acf_minute,
         "dominant_period": q_dominant_period,
+        "day_over_day": q_day_over_day,
         "active_users_hour": q_active_users_hour,
         "hll_users_day": q_hll_users_day,
         "distinct_users_day": q_distinct_users_day,
@@ -1817,6 +1842,20 @@ acf AS (
 
     acf_minute = _acf_stats + "SELECT event_type, lag, n_pairs, acf FROM acf"
 
+    day_over_day = f"""
+WITH rate AS (
+    SELECT event_type,
+           (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS t_us,
+           count(*)::BIGINT AS v
+    FROM events GROUP BY 1, 2
+)
+SELECT c.event_type, c.t_us, c.v, p.v AS v_prev,
+       (c.v - p.v)::BIGINT AS delta,
+       CASE WHEN p.v != 0 THEN c.v::DOUBLE / p.v::DOUBLE END AS ratio
+FROM rate c LEFT JOIN rate p
+  ON p.event_type = c.event_type AND p.t_us + 86400000000 = c.t_us
+"""
+
     dominant_period = (
         _acf_stats
         + """
@@ -2083,6 +2122,7 @@ FROM s
         "changepoint_cusum": changepoint_cusum,
         "acf_minute": acf_minute,
         "dominant_period": dominant_period,
+        "day_over_day": day_over_day,
         "gapfill_minute": gapfill_minute,
         "counter_increase_hour": counter_increase_hour,
         "ltob_hour": ltob_hour,

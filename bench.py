@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "upsample_mixture",
     "bm25_topk",
     "hybrid_rrf",
+    "tfidf_keywords",
     "curate_corpus",
     "curate_full",
     "pack_sequences",
@@ -100,6 +101,7 @@ BENCH_QUERIES = [
     "profile_documents",
     "changepoint_cusum",
     "acf_minute",
+    "day_over_day",
     "collocations",
     "readability",
     "gapfill_minute",

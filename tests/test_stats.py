@@ -132,3 +132,59 @@ class TestWindowCorr:
             m = [(x, y) for i, x, y in rows if i * M // H == hour]
             expect = np.corrcoef([x for x, _ in m], [y for _, y in m])[0, 1]
             assert abs(out[hour] - expect) < 1e-12
+
+
+class TestPeriodOverPeriod:
+    def test_matches_reference_with_gaps(self, spark):
+        from usgs_geomag_algorithms_spark.operators.stats import (
+            period_over_period,
+        )
+
+        # day-over-day on an hourly grid with holes on both sides
+        day = 24
+        slots = [(s, 10 + s) for s in range(0, 60) if s % 7 != 3]
+        by_t = dict(slots)
+        out = {
+            r.t_us // H: (r.v, r.v_prev, r.delta, r.ratio)
+            for r in period_over_period(
+                sig_df(spark, [(s * 60, v) for s, v in slots]),
+                day * H,
+            ).collect()
+        }
+        assert set(out) == {s for s, _ in slots}
+        for s, v in slots:
+            prev = by_t.get(s - day)
+            exp = (
+                (v, prev, v - prev, v / prev if prev else None)
+                if prev is not None
+                else (v, None, None, None)
+            )
+            assert out[s] == exp, (s, out[s], exp)
+
+    def test_zero_prior_gives_null_ratio(self, spark):
+        from usgs_geomag_algorithms_spark.operators.stats import (
+            period_over_period,
+        )
+
+        df = sig_df(spark, [(0, 0), (1, 5)])
+        row = {
+            r.t_us // M: r
+            for r in period_over_period(df, M).collect()
+        }[1]
+        assert row.v_prev == 0 and row.delta == 5 and row.ratio is None
+
+    def test_series_isolated(self, spark):
+        from usgs_geomag_algorithms_spark.operators.stats import (
+            period_over_period,
+        )
+
+        df = sig_df(spark, [(0, 1), (1, 2)], series="a").unionByName(
+            sig_df(spark, [(0, 100), (1, 300)], series="b")
+        )
+        got = {
+            (r.series, r.t_us // M): (r.v_prev, r.ratio)
+            for r in period_over_period(df, M).collect()
+        }
+        assert got[("a", 1)] == (1, 2.0)
+        assert got[("b", 1)] == (100, 3.0)
+        assert got[("a", 0)] == (None, None)

@@ -173,3 +173,52 @@ def window_corr(
         num / (F.sqrt(dx) * F.sqrt(dy)),
     )
     return stats.select(*series_cols, ts_col, "n", r.alias("r"))
+
+
+def period_over_period(
+    sig: DataFrame,
+    period_us: int,
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "t_us",
+    value_col: str = "v",
+) -> DataFrame:
+    """Calendar comparison per (series, slot): current value vs the value
+    exactly one ``period_us`` earlier — the day-over-day / week-over-week
+    dashboard primitive.
+
+    Pairing is by EXACT shifted timestamp (self-join), the same
+    gap-robustness rule as :func:`operators.seasonality.acf_lags` — a
+    row-offset ``lag()`` silently compares against the wrong slot across
+    grid holes.  Slots with no prior-period observation emit NULL
+    ``v_prev``/``delta``/``ratio`` (left join — a new series' first
+    period still reports); a prior of 0 yields NULL ratio, not ±Inf.
+
+    Exactness: ``delta`` is BIGINT; ``ratio`` is one int64/int64 double
+    division.  Scale shape: one self-join on (series, ts) — both sides
+    hash-partition identically (co-partitioned off the same tier-store
+    bucketing); no windows, no explode.
+    """
+    series_cols = list(series_cols)
+    cur = sig.select(
+        *series_cols,
+        F.col(ts_col),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    prev = sig.select(
+        *series_cols,
+        (F.col(ts_col) + F.lit(int(period_us))).alias(ts_col),
+        F.col(value_col).cast("long").alias("v_prev"),
+    )
+    joined = cur.join(prev, on=series_cols + [ts_col], how="left")
+    ratio = F.when(
+        F.col("v_prev") != 0,
+        F.col("v").cast("double") / F.col("v_prev").cast("double"),
+    )
+    return joined.select(
+        *series_cols,
+        ts_col,
+        "v",
+        "v_prev",
+        (F.col("v") - F.col("v_prev")).alias("delta"),
+        ratio.alias("ratio"),
+    )

@@ -545,3 +545,61 @@ def readability(
         n_syll.alias("n_syllables"),
         F.when(n_words > 0, score).alias("flesch"),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction: top-``top_n`` terms by TF-IDF —
+    the classic summarization / labeling primitive for corpus triage.
+
+    ``score = tf · ln(1 + N/df_t)`` with ``N`` = documents holding at
+    least one token (defined off the term relation itself, so the corpus
+    is scanned ONCE: document frequency and N are both re-aggregations
+    of the (doc, word, tf) relation — same single-scan discipline as
+    :func:`collocations`, lazily checkpointed for its three consumers).
+
+    Determinism: scores round to 4 dp BEFORE ranking (ln is the one libm
+    call — same engine-agreement discipline as :func:`bm25_topk`); ties
+    break (score desc, word asc).  The rank window partitions by doc —
+    never global.  Scale shape: one explode→(doc,word) shuffle, a
+    word-keyed df aggregation, and a word join of the two (both sides
+    word-partitioned); top-n filter drops everything else early.
+    """
+    from pyspark.sql import Window
+
+    wi = _exploded_gram_index(df, 1, text_col, id_col)
+    tf = (
+        wi.select(id_col, _gram_at(F.col("w"), F.col("i"), 1).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    docfreq = tf.groupBy("word").agg(F.count("*").cast("long").alias("df_t"))
+    total = tf.agg(
+        F.count_distinct(F.col(id_col)).cast("long").alias("n_docs")
+    )
+    score = F.round(
+        F.col("tf").cast("double")
+        * F.log(
+            F.lit(1.0)
+            + F.col("n_docs").cast("double") / F.col("df_t").cast("double")
+        ),
+        4,
+    )
+    scored = (
+        tf.join(docfreq, "word")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, "word", "tf", "df_t", score.alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_n)
+        .select(id_col, "word", "tf", "df_t", "score", "rank")
+    )

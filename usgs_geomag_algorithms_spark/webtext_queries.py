@@ -1699,6 +1699,15 @@ def q_corpus_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: collocation mining pair-count floor
 COLLOC_MIN = 5
 
+#: keywords kept per document
+TFIDF_TOPN = 3
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textops import tfidf_keywords
+
+    return tfidf_keywords(_docs(spark, sf_dir), top_n=TFIDF_TOPN)
+
 
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textops import collocations
@@ -1843,6 +1852,33 @@ WITH {_gram_cte(2, 'g2')},
 SELECT a2.doc_id, n_2grams, top_2gram_count, dup_2gram_count,
        n_3grams, top_3gram_count, dup_3gram_count
 FROM a2 LEFT JOIN a3 ON a2.doc_id = a3.doc_id
+"""
+
+
+def _tfidf_sql() -> str:
+    # N and df both re-aggregate the (doc, word, tf) relation, exactly as
+    # the Spark plan; ln agrees cross-engine at the 4-dp pre-rank rounding
+    # (the bm25 precedent)
+    return f"""
+WITH wd AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM wd GROUP BY 1, 2),
+dfq AS (SELECT word, count(*)::BIGINT AS df_t FROM tf GROUP BY 1),
+tot AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf),
+scored AS (
+    SELECT doc_id, word, tf, df_t,
+           round(tf::DOUBLE * ln(1.0 + n_docs::DOUBLE / df_t::DOUBLE), 4)
+               AS score
+    FROM tf JOIN dfq USING (word) CROSS JOIN tot
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, word, tf, df_t, score, rank::BIGINT AS rank
+FROM ranked WHERE rank <= {TFIDF_TOPN}
 """
 
 
@@ -3004,6 +3040,7 @@ QUERIES = {
     "corpus_word_stats": q_corpus_word_stats,
     "collocations": q_collocations,
     "readability": q_readability,
+    "tfidf_keywords": q_tfidf_keywords,
     "source_overlap": q_source_overlap,
     "source_overlap_sketch": q_source_overlap_sketch,
     "url_dedup": q_url_dedup,
@@ -3064,6 +3101,7 @@ ORACLES = {
     "corpus_word_stats": _corpus_word_stats_sql(),
     "collocations": _collocations_sql(),
     "readability": _readability_sql(),
+    "tfidf_keywords": _tfidf_sql(),
     "source_overlap": _source_overlap_sql(),
     "url_dedup": _url_dedup_sql(),
     "lm_bigram_bits": _lm_bigram_sql(),

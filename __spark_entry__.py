@@ -354,6 +354,24 @@ def q_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence within (user, day) baskets — market-basket
+    lift (operators/basket.py: single distinct scan re-aggregated for
+    pairs/marginals/total; one fixed DOUBLE lift tree, same exactness
+    discipline as collocations)."""
+    from usgs_geomag_algorithms_spark.operators.basket import basket_pairs
+
+    ev = _events(spark, sf_dir)
+    be = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) div 86400000000) * 86400000000"
+        ).alias("day_us"),
+        F.col("event_type").alias("item"),
+    )
+    return basket_pairs(be, basket_cols=("user_id", "day_us"))
+
+
 def q_active_users_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-user count per hour (two-phase partial-distinct
     aggregate — Catalyst rewrites count(DISTINCT) into an expand +
@@ -1248,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_minute": q_acf_minute,
         "dominant_period": q_dominant_period,
         "day_over_day": q_day_over_day,
+        "basket_pairs": q_basket_pairs,
         "active_users_hour": q_active_users_hour,
         "hll_users_day": q_hll_users_day,
         "distinct_users_day": q_distinct_users_day,
@@ -1856,6 +1875,32 @@ FROM rate c LEFT JOIN rate p
   ON p.event_type = c.event_type AND p.t_us + 86400000000 = c.t_us
 """
 
+    basket_pairs = """
+WITH si AS (
+    SELECT DISTINCT user_id,
+           (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+           event_type AS item
+    FROM events
+),
+pairs AS (
+    SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS c_ab
+    FROM si a JOIN si b
+      ON a.user_id = b.user_id AND a.day_us = b.day_us
+     AND a.item < b.item
+    GROUP BY 1, 2
+),
+marg AS (SELECT item, count(*)::BIGINT AS c FROM si GROUP BY 1),
+tot AS (
+    SELECT count(*)::BIGINT AS n_baskets
+    FROM (SELECT DISTINCT user_id, day_us FROM si)
+)
+SELECT item_a, item_b, c_ab, ma.c AS c_a, mb.c AS c_b, n_baskets,
+       (c_ab::DOUBLE * n_baskets::DOUBLE) / (ma.c::DOUBLE * mb.c::DOUBLE)
+           AS lift
+FROM pairs JOIN marg ma ON ma.item = pairs.item_a
+JOIN marg mb ON mb.item = pairs.item_b CROSS JOIN tot
+"""
+
     dominant_period = (
         _acf_stats
         + """
@@ -2123,6 +2168,7 @@ FROM s
         "acf_minute": acf_minute,
         "dominant_period": dominant_period,
         "day_over_day": day_over_day,
+        "basket_pairs": basket_pairs,
         "gapfill_minute": gapfill_minute,
         "counter_increase_hour": counter_increase_hour,
         "ltob_hour": ltob_hour,

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "html_extract",
     "media_pixel_stats",
+    "audio_stats",
     "quality_classifier",
     "heavy_hitters_cms",
     "link_rank",
@@ -102,6 +103,7 @@ BENCH_QUERIES = [
     "changepoint_cusum",
     "acf_minute",
     "day_over_day",
+    "basket_pairs",
     "collocations",
     "readability",
     "gapfill_minute",

@@ -852,6 +852,44 @@ class TestWavNative:
             assert np.abs(samples - exp).max() <= 1.0 / 32768 + 1e-12
 
 
+class TestWaveformStats:
+    def test_matches_numpy_through_real_codec(self, spark):
+        import numpy as np
+
+        from usgs_geomag_algorithms_spark.operators.multimodal import (
+            waveform_stats,
+            wav_encode,
+        )
+
+        rng = np.random.default_rng(11)
+        clips = {
+            0: rng.integers(-32768, 32768, size=(100, 1)),
+            1: rng.integers(-32768, 32768, size=(64, 2)),
+            2: np.array([[5], [-3], [0], [2], [-2]]),  # hand-checkable
+        }
+        rows = [
+            (mid, bytearray(wav_encode(v / 32768.0, 8000)))
+            for mid, v in clips.items()
+        ] + [(9, bytearray(b"not audio at all"))]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {r.media_id: r for r in waveform_stats(df).collect()}
+        assert set(got) == set(clips)  # undecodable row 9 skipped
+        for mid, v in clips.items():
+            r = got[mid]
+            c0 = v[:, 0]
+            assert (r.n_samples, r.n_channels, r.sample_rate) == (
+                v.shape[0], v.shape[1], 8000,
+            )
+            assert r.sum_v == int(v.sum())
+            assert r.sum_abs == int(np.abs(v).sum())
+            assert (r.min_v, r.max_v) == (int(v.min()), int(v.max()))
+            assert r.zero_crossings == int(
+                np.count_nonzero(c0[:-1] * c0[1:] < 0)
+            )
+        # hand check clip 2: 5,-3 | -3,0 no | 0,2 no | 2,-2 -> 2 crossings
+        assert got[2].zero_crossings == 2
+
+
 class TestTrainingDataOps:
     def test_repetition_signals_counts(self, spark):
         df = docs_df(spark, ["a b a b a b", "x y z w"])

@@ -573,6 +573,75 @@ def pixel_stats(
     return df.mapInPandas(batches, schema=PIXEL_STATS_SCHEMA)
 
 
+WAVEFORM_STATS_SCHEMA = (
+    "media_id long, n_samples long, n_channels int, sample_rate int, "
+    "sum_v long, sum_abs long, min_v long, max_v long, zero_crossings long"
+)
+
+
+def waveform_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """INTEGER per-clip waveform statistics through the real WAV codec
+    (:func:`wav_decode`) — the audio twin of :func:`pixel_stats`: an
+    independent byte-level reconstruction of the same PCM samples must
+    aggregate to the same sums, so a RIFF-chunk-walk or sign bug in the
+    codec flips the driver oracle.
+
+    Values are reported in the int16-scaled domain ``rint(x · 32768)``:
+    exact for 16-bit PCM (the normalization divides by 32768, a dyadic
+    round trip) and exactly ``(byte − 128)·256`` for 8-bit.
+    ``zero_crossings`` counts strict sign flips (``v[i-1]·v[i] < 0``)
+    over channel 0.  Arrow ``mapInPandas`` batches; undecodable payloads
+    emit no row (the :func:`pixel_stats` skip contract).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "n_samples", "n_channels", "sample_rate",
+                    "sum_v", "sum_abs", "min_v", "max_v", "zero_crossings",
+                )
+            }
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = wav_decode(bytes(payload))
+                if dec is None:
+                    continue
+                x, rate = dec
+                v = np.rint(x * 32768.0).astype(np.int64)
+                c0 = v[:, 0]
+                rows["media_id"].append(mid)
+                rows["n_samples"].append(v.shape[0])
+                rows["n_channels"].append(v.shape[1])
+                rows["sample_rate"].append(rate)
+                rows["sum_v"].append(int(v.sum()))
+                rows["sum_abs"].append(int(np.abs(v).sum()))
+                rows["min_v"].append(int(v.min()))
+                rows["max_v"].append(int(v.max()))
+                rows["zero_crossings"].append(
+                    int(np.count_nonzero(c0[:-1] * c0[1:] < 0))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
+                    "n_channels": pd.Series(rows["n_channels"], dtype="int32"),
+                    "sample_rate": pd.Series(rows["sample_rate"], dtype="int32"),
+                    "sum_v": pd.Series(rows["sum_v"], dtype="int64"),
+                    "sum_abs": pd.Series(rows["sum_abs"], dtype="int64"),
+                    "min_v": pd.Series(rows["min_v"], dtype="int64"),
+                    "max_v": pd.Series(rows["max_v"], dtype="int64"),
+                    "zero_crossings": pd.Series(
+                        rows["zero_crossings"], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=WAVEFORM_STATS_SCHEMA)
+
+
 def bilinear_resize(img: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
     """Pure-NumPy bilinear resample to (target_h, target_w, C), uint8 —
     vectorized over the whole image (edge-clamped sample grid); channel

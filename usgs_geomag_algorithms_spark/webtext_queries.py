@@ -2710,6 +2710,75 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+#: audio driver check: mono 16-bit PCM, 3 md5 digests = 24 samples
+AUDIO_RATE, AUDIO_N = 8000, 24
+
+
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing driver-checked end to end (the WAV twin of
+    media_pixel_stats): build a deterministic RIFF/PCM-16 clip per
+    document (sample bytes = three salted md5 digests), run it through
+    the REAL codec (operators/multimodal.py::waveform_stats — RIFF chunk
+    walk, little-endian int16 frombuffer, dyadic normalize round-trip),
+    and emit all-integer statistics. The oracle rebuilds the same 24
+    little-endian int16 samples straight from the md5 hex — a chunk-walk
+    offset or sign bug flips the comparison."""
+    import struct
+
+    from .operators.multimodal import waveform_stats
+
+    n_bytes = 2 * AUDIO_N
+    header = (
+        b"RIFF" + struct.pack("<I", 36 + n_bytes) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, AUDIO_RATE, 2 * AUDIO_RATE, 2, 16)
+        + b"data" + struct.pack("<I", n_bytes)
+    )
+    digests = [
+        F.unhex(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":a{k}")))
+        )
+        for k in range(3)
+    ]
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(header), *digests).alias("payload"),
+    )
+    return waveform_stats(media).orderBy("media_id")
+
+
+def _audio_stats_sql() -> str:
+    hexes = " || ".join(f"md5(doc_id::VARCHAR || ':a{k}')" for k in range(3))
+    return f"""
+WITH hx AS (SELECT doc_id, {hexes} AS hs FROM documents),
+s AS (
+    SELECT doc_id, k,
+           ('0x' || substr(hs, 4 * k + 1, 2))::INT
+           + 256 * ('0x' || substr(hs, 4 * k + 3, 2))::INT AS raw
+    FROM (SELECT doc_id, hs, unnest(generate_series(0, {AUDIO_N - 1})) AS k
+          FROM hx)
+),
+v AS (
+    SELECT doc_id, k,
+           (CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END)::BIGINT AS v
+    FROM s
+),
+w AS (
+    SELECT doc_id, v,
+           lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+    FROM v
+)
+SELECT doc_id::BIGINT AS media_id,
+       {AUDIO_N}::BIGINT AS n_samples, 1::INT AS n_channels,
+       {AUDIO_RATE}::INT AS sample_rate,
+       sum(v)::BIGINT AS sum_v, sum(abs(v))::BIGINT AS sum_abs,
+       min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v,
+       sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END)::BIGINT
+           AS zero_crossings
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
 LM_TRAIN_LANG = "en"
 
 
@@ -3048,6 +3117,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "html_extract": q_html_extract,
     "media_pixel_stats": q_media_pixel_stats,
+    "audio_stats": q_audio_stats,
     "quality_classifier": q_quality_classifier,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "link_rank": q_link_rank,
@@ -3108,6 +3178,7 @@ ORACLES = {
     "semantic_dedup": _semdedup_sql(),
     "html_extract": _html_extract_sql(),
     "media_pixel_stats": _media_pixel_stats_sql(),
+    "audio_stats": _audio_stats_sql(),
     "quality_classifier": _quality_classifier_sql(),
     "heavy_hitters_cms": _heavy_hitters_sql(),
     "link_rank": _link_rank_sql(),

@@ -643,6 +643,41 @@ def q_rollup_hour_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_day_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day histogram tier built FROM the hour tier by plain addition
+    (operators/rollup.py::histogram_merge — the mergeability algebra the
+    sketch tiers share: HLL by union, CMS/histograms by addition; raw
+    samples are never re-read)."""
+    from usgs_geomag_algorithms_spark.operators.rollup import (
+        histogram_merge,
+    )
+
+    return histogram_merge(
+        q_rollup_hour_hist(spark, sf_dir),
+        86_400_000_000,
+        series_cols=("event_type",),
+    )
+
+
+def q_hist_p95_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p95 per (event_type, hour) estimated from the histogram tier
+    (operators/rollup.py::histogram_quantile — integer-fraction q, all-
+    BIGINT cumulative walk, bin edges reported as the error bound; the
+    sketch-tier answer beside rollup_hour_pctl's exact order
+    statistics)."""
+    from usgs_geomag_algorithms_spark.operators.rollup import (
+        histogram_quantile,
+    )
+
+    return histogram_quantile(
+        q_rollup_hour_hist(spark, sf_dir),
+        19,
+        20,
+        bin_width=2.0,
+        series_cols=("event_type",),
+    )
+
+
 def q_ohlc_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candlestick reduction of the minute rate per hour
     (operators/stats.py::ohlc_rollup — min_by/max_by open/close picks
@@ -1276,6 +1311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_increase_hour": q_counter_increase_hour,
         "ltob_hour": q_ltob_hour,
         "rollup_hour_hist": q_rollup_hour_hist,
+        "rollup_day_hist": q_rollup_day_hist,
+        "hist_p95_hour": q_hist_p95_hour,
         "ohlc_hour": q_ohlc_hour,
         "twa_hour": q_twa_hour,
         "corr_hour": q_corr_hour,
@@ -2064,6 +2101,50 @@ SELECT event_type,
 FROM rate GROUP BY 1, 2, 3
 """
 
+    # day tier = hour tier re-aggregated by addition (mirrors
+    # histogram_merge reading q_rollup_hour_hist's relation)
+    rollup_day_hist = f"""
+WITH {_RATE_CTE},
+hour_hist AS (
+    SELECT event_type,
+           (t_us // {HOUR_US}) * {HOUR_US} AS t_us,
+           least(greatest(floor(v::DOUBLE / 2.0::DOUBLE), 0), 7)::INT AS bin,
+           count(*)::BIGINT AS n
+    FROM rate GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       (t_us // 86400000000) * 86400000000 AS t_us,
+       bin, sum(n)::BIGINT AS n
+FROM hour_hist GROUP BY 1, 2, 3
+"""
+
+    # integer-fraction threshold (19*total+19)//20 == Spark's div tree
+    hist_p95_hour = f"""
+WITH {_RATE_CTE},
+hour_hist AS (
+    SELECT event_type,
+           (t_us // {HOUR_US}) * {HOUR_US} AS t_us,
+           least(greatest(floor(v::DOUBLE / 2.0::DOUBLE), 0), 7)::INT AS bin,
+           count(*)::BIGINT AS n
+    FROM rate GROUP BY 1, 2, 3
+),
+cum AS (
+    SELECT event_type, t_us, bin, n,
+           (sum(n) OVER (PARTITION BY event_type, t_us ORDER BY bin
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           )::BIGINT AS c,
+           (sum(n) OVER (PARTITION BY event_type, t_us))::BIGINT AS total
+    FROM hour_hist
+)
+SELECT event_type, t_us,
+       min(bin)::INT AS bin,
+       min_by(total, bin)::BIGINT AS total,
+       (min(bin)::DOUBLE * 2.0::DOUBLE) AS value_lo,
+       ((min(bin) + 1)::DOUBLE * 2.0::DOUBLE) AS value_hi
+FROM cum WHERE c >= (19 * total + 19) // 20
+GROUP BY 1, 2
+"""
+
     ohlc_hour = f"""
 WITH {_RATE_CTE}
 SELECT event_type,
@@ -2173,6 +2254,8 @@ FROM s
         "counter_increase_hour": counter_increase_hour,
         "ltob_hour": ltob_hour,
         "rollup_hour_hist": rollup_hour_hist,
+        "rollup_day_hist": rollup_day_hist,
+        "hist_p95_hour": hist_p95_hour,
         "ohlc_hour": ohlc_hour,
         "twa_hour": twa_hour,
         "corr_hour": corr_hour,

@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "counter_increase_hour",
     "ltob_hour",
     "rollup_hour_hist",
+    "rollup_day_hist",
+    "hist_p95_hour",
     "ohlc_hour",
     "twa_hour",
     "corr_hour",

@@ -183,3 +183,80 @@ class TestHistogramRollup:
         assert sorted(map(tuple, re_day.collect())) == sorted(
             map(tuple, day.collect())
         )
+        # and the operator form of the same merge
+        from usgs_geomag_algorithms_spark.operators.rollup import (
+            histogram_merge,
+        )
+
+        assert sorted(map(tuple, histogram_merge(hour, D).collect())) == sorted(
+            map(tuple, day.collect())
+        )
+
+
+class TestHistogramQuantile:
+    def _hist(self, spark, values, width=2.0, n_bins=8):
+        from usgs_geomag_algorithms_spark.operators.rollup import (
+            histogram_rollup,
+        )
+
+        df = spark.createDataFrame(
+            [("a", int(i) * M, float(v)) for i, v in enumerate(values)],
+            "series string, t_us long, value double",
+        )
+        # one window spanning every sample (minutes 0..len-1)
+        return histogram_rollup(df, 86400 * M, width, n_bins)
+
+    def test_matches_reference(self, spark):
+        import math
+
+        from usgs_geomag_algorithms_spark.operators.rollup import (
+            histogram_quantile,
+        )
+
+        rng = np.random.default_rng(3)
+        values = [int(v) for v in rng.integers(0, 16, 500)]
+        width, n_bins = 2.0, 8
+        for q_num, q_den in ((1, 2), (19, 20), (1, 100), (1, 1)):
+            got = histogram_quantile(
+                self._hist(spark, values, width, n_bins), q_num, q_den, width
+            ).collect()
+            assert len(got) == 1
+            r = got[0]
+            bins = sorted(min(int(v // width), n_bins - 1) for v in values)
+            thr = math.ceil(q_num * len(bins) / q_den)
+            exp_bin = bins[thr - 1]
+            assert r.bin == exp_bin and r.total == len(values)
+            assert (r.value_lo, r.value_hi) == (
+                exp_bin * width, (exp_bin + 1) * width,
+            )
+
+    def test_sparse_bins_and_series_isolation(self, spark):
+        from usgs_geomag_algorithms_spark.operators.rollup import (
+            histogram_quantile,
+            histogram_rollup,
+        )
+
+        rows = [("a", 0, 0.0)] * 9 + [("a", M, 15.0)] + [("b", 0, 15.0)]
+        df = spark.createDataFrame(
+            [(s, t + i, v) for i, (s, t, v) in enumerate(rows)],
+            "series string, t_us long, value double",
+        )
+        hist = histogram_rollup(df, 3600 * M, 2.0, 8)
+        p90 = {
+            r.series: r.bin
+            for r in histogram_quantile(hist, 9, 10, 2.0).collect()
+        }
+        # series a: 10 samples, ceil(0.9*10)=9 -> bin 0; b: 1 sample bin 7
+        assert p90 == {"a": 0, "b": 7}
+
+    def test_rejects_bad_fraction(self, spark):
+        import pytest
+
+        from usgs_geomag_algorithms_spark.operators.rollup import (
+            histogram_quantile,
+        )
+
+        hist = self._hist(spark, [1, 2, 3])
+        for num, den in ((0, 10), (11, 10), (-1, 2)):
+            with pytest.raises(ValueError):
+                histogram_quantile(hist, num, den, 2.0)

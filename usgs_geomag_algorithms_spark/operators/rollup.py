@@ -46,7 +46,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..tiers import Step
 
@@ -312,4 +312,84 @@ def histogram_rollup(
             bin_.alias("bin"),
         )
         .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def histogram_merge(
+    hist: DataFrame,
+    out_us: int,
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "t_us",
+) -> DataFrame:
+    """Roll a fine histogram tier into a coarser one by PLAIN ADDITION —
+    the mergeability property that makes :func:`histogram_rollup` the
+    distribution sketch of the tier family (HLL merges by union, CMS and
+    histograms by addition).  Hour→day touches only series × windows ×
+    bins rows, never raw samples; one map-side-combined aggregation."""
+    series_cols = list(series_cols)
+    return (
+        hist.groupBy(
+            *series_cols,
+            F.expr(f"({ts_col} div {out_us}) * {out_us}").alias(ts_col),
+            "bin",
+        )
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    q_num: int,
+    q_den: int,
+    bin_width: float,
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "t_us",
+) -> DataFrame:
+    """Quantile estimate per (series, window) from a (sparse) histogram
+    tier: the smallest bin whose cumulative count reaches
+    ``ceil(q · total)``, with ``q = q_num/q_den`` carried as an INTEGER
+    fraction — the threshold ``(q_num·total + q_den − 1) div q_den`` and
+    the cumulative walk are all BIGINT, so the picked bin is exact and
+    engine-portable (no double q, no interpolation ulp; NOTES.md
+    percentile lesson).  Output: picked ``bin`` plus its value edges
+    ``[bin·w, (bin+1)·w)`` — the histogram's resolution IS the error
+    bound, reported rather than hidden.
+
+    Scale shape: one cumulative window per (series, window) over ≤
+    n_bins rows + the same-keyed aggregate — both reuse one hash
+    partitioning; input is tier-sized, never sample-sized.
+    """
+    if not (0 < q_num <= q_den):
+        raise ValueError(f"need 0 < q_num <= q_den, got {q_num}/{q_den}")
+    series_cols = list(series_cols)
+    w = Window.partitionBy(*series_cols, ts_col).orderBy(F.col("bin").asc())
+    cum = hist.select(
+        *series_cols,
+        ts_col,
+        "bin",
+        "n",
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("_cum"),
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).cast("long").alias("total"),
+    )
+    thr = F.expr(f"({q_num} * total + {q_den - 1}) div {q_den}")
+    picked = (
+        cum.where(F.col("_cum") >= thr)
+        .groupBy(*series_cols, ts_col)
+        .agg(
+            F.min("bin").alias("bin"),
+            F.min_by("total", "bin").alias("total"),
+        )
+    )
+    wd = F.lit(float(bin_width))
+    return picked.select(
+        *series_cols,
+        ts_col,
+        "bin",
+        "total",
+        (F.col("bin").cast("double") * wd).alias("value_lo"),
+        ((F.col("bin") + 1).cast("double") * wd).alias("value_hi"),
     )

@@ -360,3 +360,76 @@ class TestTimeTravel:
         assert sorted(
             map(tuple, store.read("minute", as_of_version=v1).collect())
         ) == before
+
+
+class TestDeleteSeries:
+    def rows(self, urls, n=120):
+        return [
+            (u, "text_len", T0 + i * MIN, float(i + 1))
+            for u in urls
+            for i in range(n)
+        ]
+
+    def test_delete_spares_same_bucket_survivors(self, spark, store):
+        urls = [f"u{i}" for i in range(6)]  # 6 urls over 2 buckets
+        store.write(mk(spark, self.rows(urls)).repartition(4), "minute")
+        rep = store.delete_series("minute", ["u1", "u4"])
+        assert rep["rows_deleted"] == 2 * 120 and rep["files_replaced"] > 0
+        got = {r.url for r in store.read("minute").collect()}
+        assert got == {"u0", "u2", "u3", "u5"}
+        # row-level integrity of a survivor sharing the victims' buckets
+        n = store.read("minute").where("url = 'u0'").count()
+        assert n == 120
+        # idempotent: deleting again removes nothing
+        assert store.delete_series("minute", ["u1"])["rows_deleted"] == 0
+
+    def test_emptied_partitions_are_retired(self, spark, tmp_path):
+        st = TierStore(spark, str(tmp_path / "d"), n_buckets=8)
+        st.write(mk(spark, self.rows(["only", "other"], n=60)), "minute")
+        buckets = {
+            r.p_bucket
+            for r in st._partitioned(
+                mk(spark, self.rows(["only"], n=1))
+            ).collect()
+        }
+        rep = st.delete_series("minute", ["only"])
+        assert rep["rows_deleted"] == 60
+        assert {r.url for r in st.read("minute").collect()} == {"other"}
+        # the victim's bucket dirs hold no LIVE files even if "other"
+        # never wrote there — write() alone could not express this
+        m = st._load_manifest(st.path("minute"))
+        live_buckets = {
+            p.split("=")[1]
+            for f in m["files"]
+            for p in f.split("/")
+            if p.startswith("p_bucket=")
+        }
+        assert {str(b) for b in buckets} - live_buckets == {
+            str(b) for b in buckets
+        }
+
+    def test_soft_delete_is_time_travelable_hard_is_not(self, spark, store):
+        store.write(mk(spark, self.rows(["a", "b"], n=30)), "minute")
+        v1 = store._load_manifest(store.path("minute"))["version"]
+        store.delete_series("minute", ["a"])
+        # soft: the pre-delete snapshot still resolves the deleted rows
+        old = store.read("minute", as_of_version=v1)
+        assert old.where("url = 'a'").count() == 30
+        # hard: the replaced live files are physically unlinked NOW (the
+        # earlier SOFT delete's trash legitimately stays through grace)
+        live_before = set(store._load_manifest(store.path("minute"))["files"])
+        store.delete_series("minute", ["b"], hard=True)
+        m = store._load_manifest(store.path("minute"))
+        for f in live_before:
+            assert not os.path.exists(os.path.join(store.path("minute"), f))
+            assert f not in m["trash"]
+        assert store.read("minute").where("url = 'b'").count() == 0
+
+    def test_many_keys_broadcast_path(self, spark, store):
+        urls = [f"w{i}" for i in range(10)]
+        store.write(mk(spark, self.rows(urls, n=20)), "minute")
+        victims = [f"w{i}" for i in range(8)] + [f"nope{i}" for i in range(60)]
+        assert len(victims) > store.MAX_LITERAL_DELETE_KEYS
+        rep = store.delete_series("minute", victims)
+        assert rep["rows_deleted"] == 8 * 20
+        assert {r.url for r in store.read("minute").collect()} == {"w8", "w9"}

@@ -469,6 +469,119 @@ class TierStore:
                 last = e
         raise last
 
+    #: above this many deletion keys the anti-filter ships as a broadcast
+    #: join instead of a literal isin (plan size stays O(1) in key count)
+    MAX_LITERAL_DELETE_KEYS = 64
+
+    def delete_series(
+        self, tier: str, keys: Sequence[str], hard: bool = False
+    ) -> dict:
+        """Targeted deletion of whole series (GDPR / right-to-be-forgotten
+        across a tier): every row whose leading series key is in ``keys``
+        is removed, in one snapshot commit.
+
+        Scan scope is the VICTIM BUCKETS only — the leading series column
+        determines ``p_bucket``, so a delete reads ``|buckets(keys)| /
+        n_buckets`` of the tier, never all of it (the same manifest-
+        pruning property upsert has), across all dates.  Partitions left
+        EMPTY by the delete are retired correctly: the commit replaces
+        every live file of the victim buckets, not just the directories
+        the rewrite produced files for (the plain ``write()`` overwrite
+        cannot express "this partition now has zero rows").
+
+        ``hard=False`` (default) is a normal snapshot commit — replaced
+        files go to trash and time travel within ``GC_GRACE_VERSIONS``
+        still resolves the deleted rows (auditable).  ``hard=True`` adds
+        a second flip that physically unlinks the replaced files NOW —
+        the compliance erasure; snapshots that referenced them stop
+        resolving, by design.
+
+        Returns ``{"buckets", "files_replaced", "rows_deleted"}``.
+        """
+        keys = list(dict.fromkeys(keys))
+        zero = {"buckets": 0, "files_replaced": 0, "rows_deleted": 0}
+        if not keys or not self.exists(tier):
+            return zero
+        key_col = self.series_cols[0]
+        keys_df = self.spark.createDataFrame(
+            [(k,) for k in keys], f"{key_col} string"
+        )
+        buckets = {
+            r.b
+            for r in keys_df.select(
+                F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets))
+                .cast("int")
+                .alias("b")
+            ).collect()
+        }
+        base = self.path(tier)
+        with self._commit_lock(base):
+            m = self._load_manifest(base)
+            before = self._list_parquet(base)
+            if m is None:
+                m = {"version": 0, "files": sorted(before), "trash": {}}
+            dirs = {f"p_bucket={b}" for b in buckets}
+            victims = [
+                f
+                for f in m["files"]
+                if any(part in dirs for part in f.split("/"))
+            ]
+            if not victims:
+                return dict(zero, buckets=len(buckets))
+            scan = (
+                self.spark.read.option("basePath", base)
+                .parquet(*[f"{base}/{f}" for f in victims])
+                .select(*self.series_cols, "t_us", *self.value_cols)
+            )
+            if len(keys) <= self.MAX_LITERAL_DELETE_KEYS:
+                remaining = scan.where(~F.col(key_col).isin(keys))
+            else:
+                remaining = scan.join(
+                    F.broadcast(keys_df), on=key_col, how="left_anti"
+                )
+            n_victim_rows = scan.count()
+            (
+                self._partitioned(remaining)
+                .write.mode("append")
+                .partitionBy("p_date", "p_bucket")
+                .parquet(base)
+            )
+            after = self._list_parquet(base)
+            m2 = self._commit_append(
+                base, m, after - before, victims, listing=after
+            )
+            n_remaining = (
+                self.spark.read.option("basePath", base)
+                .parquet(*[f"{base}/{f}" for f in after - before])
+                .count()
+                if after - before
+                else 0
+            )
+            if hard:
+                gone = set(victims)
+                for f in victims:
+                    try:
+                        os.remove(os.path.join(base, f))
+                    except FileNotFoundError:
+                        pass
+                self._save_manifest(
+                    base,
+                    {
+                        "version": m2["version"] + 1,
+                        "files": m2["files"],
+                        "trash": {
+                            f: v
+                            for f, v in m2["trash"].items()
+                            if f not in gone
+                        },
+                    },
+                )
+        return {
+            "buckets": len(buckets),
+            "files_replaced": len(victims),
+            "rows_deleted": n_victim_rows - n_remaining,
+        }
+
     def _read_partitions(self, tier: str, keys: set) -> DataFrame:
         """Read exactly the given (p_date, p_bucket) partitions of a tier
         (manifest file-list pruning; directory pruning on legacy tiers)."""

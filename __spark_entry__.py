@@ -354,6 +354,25 @@ def q_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: MAD gate multiplier
+MAD_K = 3
+
+
+def q_mad_outliers_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier gate on the per-minute rate, hourly
+    windows (operators/anomaly.py::mad_outliers — integer low-median
+    order statistics from ONE collected array, |v−med| > k·mad all in
+    BIGINT; the spike-immune complement of rate_anomaly's z-score)."""
+    from usgs_geomag_algorithms_spark.operators.anomaly import mad_outliers
+
+    return mad_outliers(
+        _minute_rate(spark, sf_dir),
+        HOUR_US,
+        k=MAD_K,
+        series_cols=("event_type",),
+    )
+
+
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type co-occurrence within (user, day) baskets — market-basket
     lift (operators/basket.py: single distinct scan re-aggregated for
@@ -1302,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_period": q_dominant_period,
         "day_over_day": q_day_over_day,
         "basket_pairs": q_basket_pairs,
+        "mad_outliers_hour": q_mad_outliers_hour,
         "active_users_hour": q_active_users_hour,
         "hll_users_day": q_hll_users_day,
         "distinct_users_day": q_distinct_users_day,
@@ -1912,6 +1932,37 @@ FROM rate c LEFT JOIN rate p
   ON p.event_type = c.event_type AND p.t_us + 86400000000 = c.t_us
 """
 
+    # low-median order statistics: arr[(n+1)//2] is an INTEGER — no
+    # interpolated halves, no percentile-ulp trap; med recomputed inline
+    # inside the MAD transform (same expression, exact)
+    mad_outliers_hour = f"""
+WITH rate AS (
+    SELECT event_type,
+           (epoch_us(ts) // {MIN_US}) * {MIN_US} AS t_us,
+           count(*)::BIGINT AS v
+    FROM events GROUP BY 1, 2
+),
+st AS (
+    SELECT event_type, (t_us // {HOUR_US}) * {HOUR_US} AS w,
+           list_sort(list(v)) AS arr, count(*)::BIGINT AS n
+    FROM rate GROUP BY 1, 2
+),
+sm AS (
+    SELECT event_type, w,
+           arr[((n + 1) // 2)::INT]::BIGINT AS med,
+           list_sort(list_transform(arr,
+               x -> abs(x - arr[((n + 1) // 2)::INT])))
+               [((n + 1) // 2)::INT]::BIGINT AS mad
+    FROM st
+)
+SELECT r.event_type, r.t_us, r.v, s.med, s.mad,
+       abs(r.v - s.med)::BIGINT AS abs_dev,
+       abs(r.v - s.med) > {MAD_K} * s.mad AS is_outlier
+FROM rate r JOIN sm s
+  ON s.event_type = r.event_type
+ AND s.w = (r.t_us // {HOUR_US}) * {HOUR_US}
+"""
+
     basket_pairs = """
 WITH si AS (
     SELECT DISTINCT user_id,
@@ -2250,6 +2301,7 @@ FROM s
         "dominant_period": dominant_period,
         "day_over_day": day_over_day,
         "basket_pairs": basket_pairs,
+        "mad_outliers_hour": mad_outliers_hour,
         "gapfill_minute": gapfill_minute,
         "counter_increase_hour": counter_increase_hour,
         "ltob_hour": ltob_hour,

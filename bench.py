@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "rollup_month_value",
     "rollup_hour_pctl",
     "rate_anomaly",
+    "mad_outliers_hour",
     "active_users_hour",
     "hll_users_day",
     "distinct_users_day",

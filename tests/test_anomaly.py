@@ -73,3 +73,70 @@ class TestApproxDistinctParity:
         ).first()[0]
         assert exact == 9973
         assert abs(approx - exact) / exact < 0.05
+
+
+class TestMadOutliers:
+    M = 60_000_000
+
+    def _df(self, spark, values, series="a"):
+        return spark.createDataFrame(
+            [(series, i * self.M, int(v)) for i, v in enumerate(values)],
+            "series string, t_us long, v long",
+        )
+
+    def test_matches_python_reference(self, spark):
+        import numpy as np
+
+        from usgs_geomag_algorithms_spark.operators.anomaly import (
+            robust_window_stats,
+        )
+
+        rng = np.random.default_rng(9)
+        values = [int(v) for v in rng.integers(0, 100, 180)]
+        H = 60 * self.M  # one hour of minutes
+        got = {
+            r.t_us: (r.n, r.med, r.mad)
+            for r in robust_window_stats(
+                self._df(spark, values), H
+            ).collect()
+        }
+        for w in (0, 1, 2):
+            vs = sorted(values[w * 60 : (w + 1) * 60])
+            med = vs[(len(vs) + 1) // 2 - 1]
+            mad = sorted(abs(v - med) for v in vs)[(len(vs) + 1) // 2 - 1]
+            assert got[w * H] == (60, med, mad), (w, got[w * H])
+
+    def test_spike_flags_mean_shift_does_not_drag(self, spark):
+        from usgs_geomag_algorithms_spark.operators.anomaly import (
+            mad_outliers,
+        )
+
+        # 59 quiet samples + one huge spike: the spike cannot drag the
+        # median/MAD the way it drags mean/stddev
+        values = [10 + (i % 3) for i in range(59)] + [10_000]
+        out = {
+            r.t_us // self.M: r.is_outlier
+            for r in mad_outliers(
+                self._df(spark, values), 3600 * self.M, k=3
+            ).collect()
+        }
+        assert out[59] is True
+        assert sum(out.values()) == 1
+
+    def test_odd_even_medians_and_zero_mad(self, spark):
+        from usgs_geomag_algorithms_spark.operators.anomaly import (
+            mad_outliers,
+            robust_window_stats,
+        )
+
+        # even n: low median picks element (n+1)//2 = 2 of [1,2,3,4] -> 2
+        st = robust_window_stats(
+            self._df(spark, [3, 1, 4, 2]), 3600 * self.M
+        ).collect()[0]
+        assert (st.n, st.med) == (4, 2)
+        # constant window: mad == 0 -> any deviation flags
+        out = mad_outliers(
+            self._df(spark, [5, 5, 5, 5, 6]), 3600 * self.M, k=3
+        ).collect()
+        flags = {r.v: r.is_outlier for r in out}
+        assert flags[6] is True and flags[5] is False

@@ -77,3 +77,92 @@ def rolling_zscore(
         z.alias("z"),
         F.when(z.isNotNull(), F.abs(z) >= threshold).alias("is_anomaly"),
     )
+
+
+def robust_window_stats(
+    sig: DataFrame,
+    out_us: int,
+    series_cols: "Sequence[str]" = ("series",),
+    ts_col: str = "t_us",
+    value_col: str = "v",
+) -> DataFrame:
+    """Per (series, window): LOW-median and MAD of an INTEGER signal —
+    the robust location/scale pair behind outlier gates that a handful
+    of spikes cannot drag (unlike the mean/stddev the z-score uses).
+
+    Exactness: the low median is the order statistic at ``(n+1) div 2``
+    of the sorted values — an INTEGER, never an interpolated half (the
+    NOTES.md percentile-ulp trap does not exist here), and the MAD is
+    the same statistic of ``|v − med|``, computed from ONE collected
+    array with pure array expressions (``transform`` + ``array_sort``) —
+    one aggregate pass, no second shuffle.
+
+    Scale shape: group state is the collected window — bounded by the
+    decimation ratio when run tier-over-tier (the
+    :func:`operators.rollup.quantile_rollup` affordability argument);
+    for unbounded raw groups use the histogram tier instead.
+    """
+    series_cols = list(series_cols)
+    grouped = sig.groupBy(
+        *series_cols,
+        F.expr(f"({ts_col} div {out_us}) * {out_us}").alias(ts_col),
+    ).agg(
+        F.sort_array(F.collect_list(F.col(value_col).cast("long"))).alias(
+            "_arr"
+        )
+    )
+    n = F.size("_arr").cast("long")
+    med = F.element_at("_arr", ((n + 1) / 2).cast("int"))
+    mad = F.element_at(
+        F.array_sort(
+            F.transform(F.col("_arr"), lambda x: F.abs(x - med))
+        ),
+        ((n + 1) / 2).cast("int"),
+    )
+    return grouped.select(
+        *series_cols,
+        ts_col,
+        n.alias("n"),
+        med.alias("med"),
+        mad.alias("mad"),
+    )
+
+
+def mad_outliers(
+    sig: DataFrame,
+    out_us: int,
+    k: int = 3,
+    series_cols: "Sequence[str]" = ("series",),
+    ts_col: str = "t_us",
+    value_col: str = "v",
+) -> DataFrame:
+    """Flag samples whose deviation from their window's low-median
+    exceeds ``k·MAD`` — all-integer comparison (``|v − med| > k·mad``),
+    exact on any engine.  A constant-majority window has ``mad = 0``,
+    where ANY deviation flags (the textbook MAD-gate caveat — pair with
+    a minimum-deviation floor upstream if that bites).
+
+    The stats join back on the same (series, window) keys the aggregate
+    produced — one shuffle keyed (series, window) reused by both sides.
+    """
+    series_cols = list(series_cols)
+    stats = robust_window_stats(
+        sig, out_us, series_cols=series_cols, ts_col=ts_col,
+        value_col=value_col,
+    ).withColumnRenamed(ts_col, "_w")
+    keyed = sig.select(
+        *series_cols,
+        F.col(ts_col),
+        F.col(value_col).cast("long").alias("v"),
+        F.expr(f"({ts_col} div {out_us}) * {out_us}").alias("_w"),
+    )
+    dev = F.abs(F.col("v") - F.col("med"))
+    return keyed.join(stats, on=series_cols + ["_w"]).select(
+        *series_cols,
+        ts_col,
+        "v",
+        "med",
+        "mad",
+        dev.alias("abs_dev"),
+        (dev > F.lit(int(k)) * F.col("mad")).alias("is_outlier"),
+    )

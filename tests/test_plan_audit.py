@@ -425,3 +425,90 @@ class TestSession10OpPlans:
         assert all(n not in p for n in PY_NODES)
         # "*(n)" node prefix == inside a WholeStageCodegen stage
         assert "*(1) Project" in p, p
+
+
+class TestSession12PlanShapes:
+    """Executed-plan guards for the session-12 operators: the properties
+    their docstrings claim must be visible in the plan."""
+
+    M = 60_000_000
+
+    def _sig(self, spark, n=600):
+        return spark.createDataFrame(
+            [("a", i * self.M, (i * 7) % 23) for i in range(n)],
+            "series string, t_us long, v long",
+        )
+
+    def test_changepoint_single_series_exchange(self, spark):
+        # baseline agg + both cumulative windows reuse ONE series hash
+        # partitioning; the baseline joins back broadcast
+        from usgs_geomag_algorithms_spark.operators.changepoint import (
+            cusum_changepoints,
+        )
+
+        out = cusum_changepoints(self._sig(spark), baseline=60, k=0, h=50)
+        out.collect()
+        plan = phys(out).split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in plan
+        assert not any(n in plan for n in PY_NODES)
+
+    def test_mad_one_aggregate_no_python(self, spark):
+        # median AND mad come from ONE collected array: exactly one
+        # aggregate pair (partial+final) feeding the join, zero Python
+        from usgs_geomag_algorithms_spark.operators.anomaly import (
+            mad_outliers,
+        )
+
+        out = mad_outliers(self._sig(spark), 3600 * self.M)
+        out.collect()
+        plan = phys(out).split("== Initial Plan ==")[0]
+        assert not any(n in plan for n in PY_NODES)
+        assert plan.count("ObjectHashAggregate") <= 2  # one partial+final
+
+    def test_basket_distinct_before_pair_join(self, spark):
+        # the volume->membership collapse must happen BEFORE the self
+        # join: both join inputs are aggregates, not raw scans
+        from usgs_geomag_algorithms_spark.operators.basket import (
+            basket_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(i % 7, f"it{i % 5}") for i in range(300)],
+            "basket long, item string",
+        )
+        out = basket_pairs(df)
+        out.collect()
+        plan = phys(out).split("== Initial Plan ==")[0]
+        assert not any(n in plan for n in PY_NODES)
+        # the raw relation appears once per distinct-scan consumer, and
+        # every join input flows through HashAggregate (the distinct)
+        assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_rrf_takeordered_not_global_sort(self, spark):
+        from usgs_geomag_algorithms_spark.operators.fusion import rrf_fuse
+
+        r = spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], "doc_id long, rank long"
+        )
+        out = rrf_fuse([r, r], topk=5)
+        out.collect()
+        plan = phys(out).split("== Initial Plan ==")[0]
+        assert "TakeOrderedAndProject" in plan
+        assert not any(n in plan for n in PY_NODES)
+
+    def test_audio_stats_is_arrow_not_row_python(self, spark):
+        from usgs_geomag_algorithms_spark.operators.multimodal import (
+            waveform_stats,
+            wav_encode,
+        )
+        import numpy as np
+
+        df = spark.createDataFrame(
+            [(0, bytearray(wav_encode(np.zeros((8, 1)) + 0.25, 8000)))],
+            "media_id long, payload binary",
+        )
+        out = waveform_stats(df)
+        out.collect()
+        plan = phys(out).split("== Initial Plan ==")[0]
+        assert "MapInPandas" in plan  # Arrow batches, by design
+        assert "BatchEvalPython" not in plan  # never row-at-a-time

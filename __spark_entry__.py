@@ -373,6 +373,44 @@ def q_mad_outliers_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large×large point-in-interval enrichment: every purchase event
+    joined to its containing user session via the BINNED interval join
+    (operators/intervals.py — equi-join on (user, bin) + exact overlap
+    filter; no BroadcastNestedLoopJoin, no O(N·M))."""
+    from usgs_geomag_algorithms_spark.operators.intervals import (
+        interval_point_join,
+    )
+    from usgs_geomag_algorithms_spark.operators.sessions import sessionize
+
+    ev = _events(spark, sf_dir)
+    sessions = sessionize(
+        ev.select("user_id", F.col("ts").cast("timestamp").alias("ts")),
+        gap=f"{SESSION_GAP_US} microseconds",
+        key_col="user_id",
+        ts_col="ts",
+    ).select(
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        F.col("n_events").alias("session_events"),
+        (F.col("session_end_us") + 1).alias("_end_excl"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+        "event_id",
+    )
+    return interval_point_join(
+        sessions,
+        purchases,
+        bin_us=SESSION_GAP_US,
+        keys=("user_id",),
+        start_col="session_start_us",
+        end_col="_end_excl",
+    ).drop("_end_excl")
+
+
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type co-occurrence within (user, day) baskets — market-basket
     lift (operators/basket.py: single distinct scan re-aggregated for
@@ -1322,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "day_over_day": q_day_over_day,
         "basket_pairs": q_basket_pairs,
         "mad_outliers_hour": q_mad_outliers_hour,
+        "session_purchases": q_session_purchases,
         "active_users_hour": q_active_users_hour,
         "hll_users_day": q_hll_users_day,
         "distinct_users_day": q_distinct_users_day,
@@ -1932,6 +1971,41 @@ FROM rate c LEFT JOIN rate p
   ON p.event_type = c.event_type AND p.t_us + 86400000000 = c.t_us
 """
 
+    session_purchases = f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS t_us FROM events
+),
+marks AS (
+    SELECT user_id, t_us,
+           CASE WHEN t_us - lag(t_us)
+                    OVER (PARTITION BY user_id ORDER BY t_us)
+                    > {SESSION_GAP_US} THEN 1 ELSE 0 END AS brk
+    FROM e
+),
+islands AS (
+    SELECT user_id, t_us,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY t_us
+                          ROWS UNBOUNDED PRECEDING) AS sess
+    FROM marks
+),
+s AS (
+    SELECT user_id,
+           min(t_us) AS session_start_us,
+           max(t_us) AS session_end_us,
+           count(*) AS session_events
+    FROM islands GROUP BY user_id, sess
+),
+p AS (
+    SELECT user_id, epoch_us(ts) AS t_us, event_id
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.t_us, p.event_id,
+       s.session_start_us, s.session_end_us, s.session_events
+FROM p JOIN s
+  ON s.user_id = p.user_id
+ AND p.t_us >= s.session_start_us AND p.t_us < s.session_end_us + 1
+"""
+
     # low-median order statistics: arr[(n+1)//2] is an INTEGER — no
     # interpolated halves, no percentile-ulp trap; med recomputed inline
     # inside the MAD transform (same expression, exact)
@@ -2302,6 +2376,7 @@ FROM s
         "day_over_day": day_over_day,
         "basket_pairs": basket_pairs,
         "mad_outliers_hour": mad_outliers_hour,
+        "session_purchases": session_purchases,
         "gapfill_minute": gapfill_minute,
         "counter_increase_hour": counter_increase_hour,
         "ltob_hour": ltob_hour,

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "top_minutes",
     "user_sessions",
     "session_stats",
+    "session_purchases",
     "text_quality",
     "repetition_signals",
     "contamination",

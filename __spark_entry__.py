@@ -801,6 +801,70 @@ def q_corr_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_corr(click.join(view, "t_us"), HOUR_US, "x", "y")
 
 
+#: signed candidate lags (minutes) for the cross-channel lead/lag scan
+XCORR_LAGS = [-10, -5, -3, -2, -1, 0, 1, 2, 3, 5, 10]
+
+
+def q_xcorr_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of the view vs purchase minute rates at signed
+    literal lags (operators/seasonality.py::xcorr_lags — the lead/lag
+    detector between channels; exact-timestamp pair join, BIGINT
+    sufficient statistics, one int64->double IEEE tree, bit-exact)."""
+    from usgs_geomag_algorithms_spark.operators.seasonality import xcorr_lags
+
+    rate = _minute_rate(spark, sf_dir)
+    x = rate.where(F.col("event_type") == "view").select("t_us", "v")
+    y = rate.where(F.col("event_type") == "purchase").select("t_us", "v")
+    return xcorr_lags(x, y, XCORR_LAGS, MIN_US)
+
+
+def q_lead_lag_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best |xcorr| lag of the view rate against EVERY event type's
+    minute rate — which channels the view signal leads/trails, per type
+    (operators/seasonality.py::lead_lag; ranking on bit-exact doubles,
+    integer tie-breaks: |lag| then lag)."""
+    from usgs_geomag_algorithms_spark.operators.seasonality import (
+        lead_lag,
+        xcorr_lags,
+    )
+
+    rate = _minute_rate(spark, sf_dir)
+    types = rate.select("event_type").distinct()
+    x = (
+        rate.where(F.col("event_type") == "view")
+        .select("t_us", "v")
+        .crossJoin(F.broadcast(types))
+    )
+    xc = xcorr_lags(x, rate, XCORR_LAGS, MIN_US, series_cols=("event_type",))
+    return lead_lag(xc, series_cols=("event_type",))
+
+
+def q_diurnal_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-harmonic (24 h period) amplitude of each event type's hourly
+    rate — the solar-quiet daily-variation strength the reference's
+    SqDist models as seasonal state (operators/seasonality.py::
+    harmonic_power; literal integer cos/sin weight tables keep the DFT
+    sums exact BIGINT; the only doubles are one final IEEE tree)."""
+    from usgs_geomag_algorithms_spark.operators.seasonality import (
+        harmonic_power,
+    )
+
+    ev = _events(spark, sf_dir)
+    rate = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"(unix_micros(cast(ts as timestamp)) div {HOUR_US}) * {HOUR_US}"
+            ).alias("t_us"),
+        )
+        .groupBy("event_type", "t_us")
+        .agg(F.count("*").alias("v"))
+    )
+    return harmonic_power(
+        rate, 24, HOUR_US, series_cols=("event_type",)
+    )
+
+
 #: instrument-metadata config for the calculated-channel query: two
 #: half-open epochs per input channel (epoch 2 starts at the span
 #: midpoint), each with its own (scale, offset) — the reference's
@@ -1375,6 +1439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_hour": q_ohlc_hour,
         "twa_hour": q_twa_hour,
         "corr_hour": q_corr_hour,
+        "xcorr_minute": q_xcorr_minute,
+        "lead_lag_minute": q_lead_lag_minute,
+        "diurnal_power": q_diurnal_power,
     }
 
 
@@ -2075,6 +2142,124 @@ FROM (
 """
     )
 
+    # cross-correlation: identical sufficient-stats discipline to ACF,
+    # two channels instead of one, signed lags
+    xcorr_minute = f"""
+WITH rate AS (
+    SELECT event_type,
+           (epoch_us(ts) // {MIN_US}) * {MIN_US} AS t_us,
+           count(*)::BIGINT AS v
+    FROM events GROUP BY 1, 2
+),
+x AS (SELECT t_us, v FROM rate WHERE event_type = 'view'),
+y AS (SELECT t_us, v FROM rate WHERE event_type = 'purchase'),
+head AS (
+    SELECT l.lag, x.v AS xv, x.t_us + l.lag * {MIN_US} AS tk
+    FROM x CROSS JOIN (SELECT unnest({XCORR_LAGS})::BIGINT AS lag) l
+),
+stats AS (
+    SELECT h.lag,
+           count(*)::BIGINT AS n_pairs,
+           sum(h.xv)::BIGINT AS sx, sum(t.v)::BIGINT AS sy,
+           sum(h.xv * t.v)::BIGINT AS sxy,
+           sum(h.xv * h.xv)::BIGINT AS sxx,
+           sum(t.v * t.v)::BIGINT AS syy
+    FROM head h JOIN y t ON h.tk = t.t_us
+    GROUP BY 1
+)
+SELECT lag, n_pairs,
+       CASE WHEN n_pairs >= 2
+             AND n_pairs * sxx - sx * sx > 0
+             AND n_pairs * syy - sy * sy > 0
+            THEN (n_pairs * sxy - sx * sy)::DOUBLE
+                 / (sqrt((n_pairs * sxx - sx * sx)::DOUBLE)
+                    * sqrt((n_pairs * syy - sy * sy)::DOUBLE))
+       END AS xcorr
+FROM stats
+"""
+
+    lead_lag_minute = f"""
+WITH rate AS (
+    SELECT event_type,
+           (epoch_us(ts) // {MIN_US}) * {MIN_US} AS t_us,
+           count(*)::BIGINT AS v
+    FROM events GROUP BY 1, 2
+),
+x AS (SELECT t_us, v FROM rate WHERE event_type = 'view'),
+head AS (
+    SELECT ty.event_type, l.lag, x.v AS xv,
+           x.t_us + l.lag * {MIN_US} AS tk
+    FROM x
+    CROSS JOIN (SELECT DISTINCT event_type FROM rate) ty
+    CROSS JOIN (SELECT unnest({XCORR_LAGS})::BIGINT AS lag) l
+),
+stats AS (
+    SELECT h.event_type, h.lag,
+           count(*)::BIGINT AS n_pairs,
+           sum(h.xv)::BIGINT AS sx, sum(t.v)::BIGINT AS sy,
+           sum(h.xv * t.v)::BIGINT AS sxy,
+           sum(h.xv * h.xv)::BIGINT AS sxx,
+           sum(t.v * t.v)::BIGINT AS syy
+    FROM head h JOIN rate t
+      ON h.event_type = t.event_type AND h.tk = t.t_us
+    GROUP BY 1, 2
+),
+xc AS (
+    SELECT event_type, lag, n_pairs,
+           CASE WHEN n_pairs >= 2
+                 AND n_pairs * sxx - sx * sx > 0
+                 AND n_pairs * syy - sy * sy > 0
+                THEN (n_pairs * sxy - sx * sy)::DOUBLE
+                     / (sqrt((n_pairs * sxx - sx * sx)::DOUBLE)
+                        * sqrt((n_pairs * syy - sy * sy)::DOUBLE))
+           END AS xcorr
+    FROM stats
+)
+SELECT event_type, lag AS best_lag, n_pairs, xcorr
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY event_type
+        ORDER BY abs(xcorr) DESC, abs(lag) ASC, lag ASC) AS rk
+    FROM xc WHERE xcorr IS NOT NULL
+) WHERE rk = 1
+"""
+
+    # diurnal DFT bin: the SAME integer weight literals the Spark plan
+    # folds (harmonic_weights(24)) embed here, so both engines' weighted
+    # sums are exact BIGINTs and the one double tree is shared
+    from usgs_geomag_algorithms_spark.operators.seasonality import (
+        harmonic_weights as _hw,
+    )
+
+    _wc24, _ws24 = _hw(24)
+    diurnal_power = f"""
+WITH rate AS (
+    SELECT event_type,
+           (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS t_us,
+           count(*)::BIGINT AS v
+    FROM events GROUP BY 1, 2
+),
+proj AS (
+    SELECT event_type, v,
+           ({_wc24})[((t_us // {HOUR_US}) % 24)::INT + 1] AS wc,
+           ({_ws24})[((t_us // {HOUR_US}) % 24)::INT + 1] AS ws
+    FROM rate
+),
+agg AS (
+    SELECT event_type,
+           count(*)::BIGINT AS n_slots,
+           sum(v)::BIGINT AS sum_v,
+           sum(v * wc)::BIGINT AS coef_cos,
+           sum(v * ws)::BIGINT AS coef_sin
+    FROM proj GROUP BY 1
+)
+SELECT event_type, n_slots, sum_v, coef_cos, coef_sin,
+       2.0 * sqrt(coef_cos::DOUBLE * coef_cos::DOUBLE
+                  + coef_sin::DOUBLE * coef_sin::DOUBLE)
+           / ((n_slots * 1000000)::DOUBLE) AS amplitude
+FROM agg
+"""
+
     purchase_asof_view = """
 WITH e AS (
     SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t_us
@@ -2386,6 +2571,9 @@ FROM s
         "ohlc_hour": ohlc_hour,
         "twa_hour": twa_hour,
         "corr_hour": corr_hour,
+        "xcorr_minute": xcorr_minute,
+        "lead_lag_minute": lead_lag_minute,
+        "diurnal_power": diurnal_power,
         "active_users_hour": f"""
 SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS t_us,
        count(DISTINCT user_id) AS n_users,

@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     "ohlc_hour",
     "twa_hour",
     "corr_hour",
+    "xcorr_minute",
+    "lead_lag_minute",
+    "diurnal_power",
 ]
 
 

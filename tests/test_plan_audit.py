@@ -512,3 +512,47 @@ class TestSession12PlanShapes:
         plan = phys(out).split("== Initial Plan ==")[0]
         assert "MapInPandas" in plan  # Arrow batches, by design
         assert "BatchEvalPython" not in plan  # never row-at-a-time
+
+
+class TestSession13PlanShapes:
+    """Executed-plan guards for the xcorr / harmonic operators."""
+
+    M = 60_000_000
+
+    def test_harmonic_power_map_only_single_aggregate(self, spark):
+        # weights are a literal array projection riding the scan: no
+        # join, exactly one aggregate (partial+final), zero Python
+        from usgs_geomag_algorithms_spark.operators.seasonality import (
+            harmonic_power,
+        )
+
+        df = spark.createDataFrame(
+            [("a", i * self.M, (i * 7) % 23) for i in range(600)],
+            "series string, t_us long, v long",
+        )
+        out = harmonic_power(df, 24, self.M, series_cols=("series",))
+        out.collect()
+        plan = phys(out).split("== Initial Plan ==")[0]
+        assert not any(n in plan for n in PY_NODES)
+        assert "Join" not in plan
+        assert plan.count("HashAggregate") == 2  # one partial+final pair
+
+    def test_xcorr_one_equi_join_no_python(self, spark):
+        from usgs_geomag_algorithms_spark.operators.seasonality import (
+            xcorr_lags,
+        )
+
+        x = spark.createDataFrame(
+            [(i * self.M, i % 13) for i in range(500)], "t_us long, v long"
+        )
+        y = spark.createDataFrame(
+            [(i * self.M, i % 11) for i in range(500)], "t_us long, v long"
+        )
+        out = xcorr_lags(x, y, [-2, -1, 0, 1, 2], self.M)
+        out.collect()
+        plan = phys(out).split("== Initial Plan ==")[0]
+        assert not any(n in plan for n in PY_NODES)
+        # exactly one join (the shifted-timestamp pairing)
+        n_joins = sum(plan.count(j) for j in
+                      ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+        assert n_joins == 1

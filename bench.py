@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "xcorr_minute",
     "lead_lag_minute",
     "diurnal_power",
+    "shard_assignment",
+    "dsir_weights",
 ]
 
 

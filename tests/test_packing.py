@@ -135,3 +135,62 @@ class TestSequenceManifest:
 
         with _pytest.raises(ValueError):
             sequence_manifest(None, 0)
+
+
+class TestShuffleShards:
+    def _rows(self, n=200):
+        return [(i, f"doc {i} text") for i in range(n)]
+
+    def _ref(self, ids, num_shards, salt):
+        def h(i):
+            return hashlib.md5(f"{salt}:{i}".encode()).hexdigest()
+
+        out = {}
+        by_shard = {}
+        for i in ids:
+            sh = int(h(i)[:8], 16) % num_shards
+            by_shard.setdefault(sh, []).append(i)
+        for sh, members in by_shard.items():
+            members.sort(key=lambda i: (h(i), i))
+            for pos, i in enumerate(members):
+                out[i] = (sh, pos)
+        return out
+
+    def test_matches_reference(self, spark):
+        from usgs_geomag_algorithms_spark.operators.packing import (
+            shuffle_shards,
+        )
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.shard, r.pos)
+            for r in shuffle_shards(df, 8, salt="epoch0").collect()
+        }
+        assert got == self._ref([i for i, _ in rows], 8, "epoch0")
+
+    def test_positions_dense_per_shard(self, spark):
+        from usgs_geomag_algorithms_spark.operators.packing import (
+            shuffle_shards,
+        )
+
+        df = spark.createDataFrame(self._rows(), "doc_id long, text string")
+        out = shuffle_shards(df, 5).collect()
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        assert sum(len(v) for v in by_shard.values()) == 200
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(len(poss)))
+
+    def test_salt_reshuffles_deterministically(self, spark):
+        from usgs_geomag_algorithms_spark.operators.packing import (
+            shuffle_shards,
+        )
+
+        df = spark.createDataFrame(self._rows(), "doc_id long, text string")
+        a1 = {(r.doc_id, r.shard, r.pos) for r in shuffle_shards(df, 8, salt="e0").collect()}
+        a2 = {(r.doc_id, r.shard, r.pos) for r in shuffle_shards(df, 8, salt="e0").collect()}
+        b = {(r.doc_id, r.shard, r.pos) for r in shuffle_shards(df, 8, salt="e1").collect()}
+        assert a1 == a2  # reproducible epoch
+        assert a1 != b  # new salt = new order

@@ -118,3 +118,40 @@ def sequence_manifest(
         )
         .where(F.col("n") > 0)
     )
+
+def shuffle_shards(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "epoch0",
+) -> DataFrame:
+    """Deterministic epoch shuffle into loader shards: every row gets a
+    (shard, pos) coordinate — shard by a salted content-free hash of the
+    id, pos by rank of the hash within the shard.
+
+    This is the distributed-dataloader contract of a pretraining build:
+    worker ``w`` of ``W`` streams shards ``w, w+W, w+2W, ...`` in pos
+    order and the epoch's global order is reproducible bit-for-bit from
+    (ids, salt) alone — no RNG state, resharding-safe, and a different
+    ``salt`` per epoch reshuffles without rewriting data.
+
+    Scale shape: ONE hash exchange on shard + per-shard sort (the
+    row_number window). Shards are the loader's parallel unit, so
+    ``num_shards`` must scale with the corpus (10^12 docs wants
+    ~10^4-10^5 shards, each a reducer-sized partition); the rank's sort
+    key is (md5, id) — uniform by construction, no skew. All-integer
+    output -> exact DuckDB oracle.
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+        % F.lit(num_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("_key"), F.col(id_col))
+    return (
+        df.select(id_col, key.alias("_key"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w) - F.lit(1))
+        .select(id_col, "shard", F.col("pos").cast("long").alias("pos"))
+    )

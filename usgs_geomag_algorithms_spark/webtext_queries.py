@@ -3062,6 +3062,100 @@ LIMIT {HH_K}
 """
 
 
+# ------------------------------------------------- epoch shard shuffle
+SHARD_COUNT = 8
+SHARD_SALT = "epoch0"
+
+
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic loader-shard shuffle (operators/packing.py::
+    shuffle_shards): every document gets a (shard, pos) coordinate from
+    a salted content-free md5 of its id — a bit-reproducible training
+    epoch order with per-epoch resalting; one hash exchange + per-shard
+    rank, all-integer output."""
+    from .operators.packing import shuffle_shards
+
+    return shuffle_shards(
+        _docs(spark, sf_dir), SHARD_COUNT, salt=SHARD_SALT
+    )
+
+
+def _shard_assignment_sql() -> str:
+    return f"""
+WITH k AS (
+    SELECT doc_id,
+           md5('{SHARD_SALT}:' || doc_id::VARCHAR) AS key
+    FROM documents
+),
+s AS (
+    SELECT doc_id, key,
+           (('0x' || substr(key, 1, 8))::BIGINT % {SHARD_COUNT})::INT AS shard
+    FROM k
+)
+SELECT doc_id, shard,
+       (row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+        - 1)::BIGINT AS pos
+FROM s
+"""
+
+
+# ------------------------------------------------- DSIR importance weights
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-bigram importance weights (operators/dsir.py):
+    score every document by integer bit-surprisal log-ratio against the
+    lang='en' target slice — BL(c_tgt+1) - BL(c_raw+1) per hashed gram
+    plus the totals normalizer, all BIGINT (the lmscore discipline), so
+    the driver oracle is exact. High scores = target-like documents."""
+    from .operators.dsir import dsir_bits
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "is_target", F.col("lang") == DSIR_TARGET_LANG
+    )
+    return dsir_bits(docs, buckets=DSIR_BUCKETS)
+
+
+def _dsir_weights_sql() -> str:
+    bl = lambda c: f"(length(ltrim(bin(({c})::BIGINT), '0')) - 1)"
+    B = DSIR_BUCKETS
+    return f"""
+WITH wd AS (
+    SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS tgt,
+           string_split(text, ' ') AS ws
+    FROM documents
+),
+gb AS (
+    SELECT doc_id, tgt,
+           ('0x' || substr(md5(ws[i - 1] || ' ' || ws[i]), 1, 8))::BIGINT
+               % {B} AS bucket
+    FROM (SELECT doc_id, tgt, ws,
+                 unnest(generate_series(2, len(ws))) AS i FROM wd)
+),
+counts AS MATERIALIZED (
+    SELECT bucket, count(*)::BIGINT AS c_raw,
+           sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS c_tgt
+    FROM gb GROUP BY 1
+),
+tot AS (
+    SELECT ({bl(f'sum(c_raw) + {B}')}
+            - {bl(f'sum(c_tgt) + {B}')})::BIGINT AS norm
+    FROM counts
+),
+sc AS (
+    SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+           sum({bl('c.c_tgt + 1')} - {bl('c.c_raw + 1')})::BIGINT AS sum_bits
+    FROM gb g JOIN counts c USING (bucket) GROUP BY 1
+)
+SELECT doc_id, n_grams,
+       (sum_bits + n_grams * (SELECT norm FROM tot))::BIGINT AS dsir_bits,
+       (sum_bits + n_grams * (SELECT norm FROM tot))::DOUBLE
+           / n_grams::DOUBLE AS avg_bits
+FROM sc
+"""
+
 QUERIES = {
     "minhash_signature": q_minhash_signature,
     "lsh_pairs": q_lsh_pairs,
@@ -3123,6 +3217,8 @@ QUERIES = {
     "link_rank": q_link_rank,
     "funnel_steps": q_funnel_steps,
     "profile_documents": q_profile_documents,
+    "shard_assignment": q_shard_assignment,
+    "dsir_weights": q_dsir_weights,
 }
 
 ORACLES = {
@@ -3175,6 +3271,8 @@ ORACLES = {
     "source_overlap": _source_overlap_sql(),
     "url_dedup": _url_dedup_sql(),
     "lm_bigram_bits": _lm_bigram_sql(),
+    "shard_assignment": _shard_assignment_sql(),
+    "dsir_weights": _dsir_weights_sql(),
     "semantic_dedup": _semdedup_sql(),
     "html_extract": _html_extract_sql(),
     "media_pixel_stats": _media_pixel_stats_sql(),

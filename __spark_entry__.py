@@ -950,6 +950,129 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: exact integer revenue: prices/discounts are 2-decimal doubles, so
+#: floor(x*100 + 0.5) (the engine-exact round-half-up — NOTES.md) lifts
+#: them to cents/percent BIGINTs and revenue sums become order-exact
+_CENTS = "floor(l_extendedprice * 100 + 0.5)"
+_DPCT = "floor(l_discount * 100 + 0.5)"
+Q3_CUTOFF = "1996-06-30"
+Q5_REGION = "ASIA"
+Q5_LO, Q5_HI = "1996-01-01", "1997-01-01"
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style multi-way star join: unshipped-revenue top-10 for
+    one market segment. The plan property under test is Catalyst's
+    dimensional planning — the filtered customer dim broadcasts (no
+    fact-side exchange for it), the orders⨝lineitem equi-join shuffles
+    on the key both sides already aggregate on, AQE sizes the rest.
+    Revenue is exact BIGINT (cents × (100−disc_pct)) so the top-10
+    ordering (revenue desc, orderkey) is deterministic cross-engine."""
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_shipdate") > F.lit(Q3_CUTOFF).cast("timestamp"))
+        .select(
+            "l_orderkey",
+            (F.expr(_CENTS) * (F.lit(100) - F.expr(_DPCT))).alias("_rev"),
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.expr("unix_micros(cast(o_orderdate as timestamp))").alias(
+                "o_date_us"
+            ),
+            "o_orderpriority",
+        )
+        .agg(F.sum("_rev").cast("long").alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style snowflake join: per-nation revenue from LOCAL
+    suppliers (supplier nation == customer nation) in one region-year.
+    region→nation→customer collapses to ONE broadcast dim before it
+    touches the fact side; supplier broadcasts with the locality
+    predicate in the join condition. Exact BIGINT revenue."""
+    nat = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .join(
+            F.broadcast(
+                spark.read.parquet(f"{sf_dir}/region.parquet").where(
+                    F.col("r_name") == Q5_REGION
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(
+            (F.col("o_orderdate") >= F.lit(Q5_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(Q5_HI).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.expr(_CENTS) * (F.lit(100) - F.expr(_DPCT))).alias("_rev"),
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey)
+            & (cust.c_nationkey == sup.s_nationkey),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n_lineitems"),
+        F.sum("_rev").cast("long").alias("revenue_e4"),
+    )
+
+
+def q_revisit_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival cadence stats (operators/stats.py::
+    interarrival_stats — the crawl revisit-scheduling primitive): count /
+    min / LOW-median / max / mean of the gaps between consecutive event
+    timestamps. Integer order statistics, one key exchange reused by
+    both windows."""
+    from usgs_geomag_algorithms_spark.operators.stats import (
+        interarrival_stats,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+    )
+    return interarrival_stats(ev, ("user_id",), "t_us")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: content hash + first-doc-wins duplicate flag (delegates
     to the engine operator so driver query and operator cannot drift)."""
@@ -1442,10 +1565,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xcorr_minute": q_xcorr_minute,
         "lead_lag_minute": q_lead_lag_minute,
         "diurnal_power": q_diurnal_power,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_region_revenue": q_q5_region_revenue,
+        "revisit_intervals": q_revisit_intervals,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    q3_shipping_priority = f"""
+SELECT l.l_orderkey,
+       epoch_us(o.o_orderdate) AS o_date_us,
+       o.o_orderpriority,
+       sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+           * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT))::BIGINT
+           AS revenue_e4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue_e4 DESC, l_orderkey
+LIMIT 10
+"""
+
+    q5_region_revenue = f"""
+SELECT n.n_name,
+       count(*)::BIGINT AS n_lineitems,
+       sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+           * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT))::BIGINT
+           AS revenue_e4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{Q5_LO} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{Q5_HI} 00:00:00'
+GROUP BY 1
+"""
+
+    revisit_intervals = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t_us FROM events),
+g AS (
+    SELECT user_id, t_us,
+           t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us)
+               AS gap
+    FROM e
+),
+gg AS (SELECT * FROM g WHERE gap IS NOT NULL),
+agg AS (
+    SELECT user_id, count(*)::BIGINT AS n_gaps,
+           min(gap)::BIGINT AS min_gap, max(gap)::BIGINT AS max_gap,
+           sum(gap)::BIGINT AS sum_gap
+    FROM gg GROUP BY 1
+),
+med AS (
+    SELECT user_id, gap AS med_gap
+    FROM (
+        SELECT user_id, gap,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY gap, t_us) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM gg
+    ) WHERE rn = (n + 1) // 2
+)
+SELECT a.user_id, a.n_gaps, a.min_gap, m.med_gap, a.max_gap,
+       a.sum_gap::DOUBLE / a.n_gaps::DOUBLE AS mean_gap
+FROM agg a JOIN med m USING (user_id)
+"""
+
     hour_value = f"""
 WITH {_MINUTE_CTE},
 hour AS (
@@ -2574,6 +2767,9 @@ FROM s
         "xcorr_minute": xcorr_minute,
         "lead_lag_minute": lead_lag_minute,
         "diurnal_power": diurnal_power,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "revisit_intervals": revisit_intervals,
         "active_users_hour": f"""
 SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS t_us,
        count(DISTINCT user_id) AS n_users,

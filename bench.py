@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "diurnal_power",
     "shard_assignment",
     "dsir_weights",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "revisit_intervals",
 ]
 
 

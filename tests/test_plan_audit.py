@@ -556,3 +556,32 @@ class TestSession13PlanShapes:
         n_joins = sum(plan.count(j) for j in
                       ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
         assert n_joins == 1
+
+
+class TestRelationalJoinPlans:
+    """q3/q5 star/snowflake joins: dims must broadcast (no fact-side
+    exchange for dimension joins), zero Python."""
+
+    def test_q3_dims_broadcast(self, spark):
+        import __spark_entry__ as entrymod
+
+        out = entrymod.queries()["q3_shipping_priority"](
+            spark, "/root/testdata/sf0.001"
+        )
+        out.collect()
+        plan = phys(out).split("== Initial Plan ==")[0]
+        assert not any(n in plan for n in PY_NODES)
+        assert "BroadcastHashJoin" in plan  # customer dim
+
+    def test_q5_snowflake_collapses_to_broadcasts(self, spark):
+        import __spark_entry__ as entrymod
+
+        out = entrymod.queries()["q5_region_revenue"](
+            spark, "/root/testdata/sf0.001"
+        )
+        out.collect()
+        plan = phys(out).split("== Initial Plan ==")[0]
+        assert not any(n in plan for n in PY_NODES)
+        # region->nation, nation->customer, customer-dim->fact, supplier
+        assert plan.count("BroadcastHashJoin") >= 3
+        # the only shuffled join keys on the order key (fact x fact)

@@ -188,3 +188,75 @@ class TestPeriodOverPeriod:
         assert got[("a", 1)] == (1, 2.0)
         assert got[("b", 1)] == (100, 3.0)
         assert got[("a", 0)] == (None, None)
+
+
+class TestInterarrival:
+    def _events(self):
+        # two series: regular 60s cadence with a few long holes; and an
+        # irregular one (deterministic LCG)
+        a = []
+        t, state = 0, 7
+        for i in range(50):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            t += 60 if i % 9 else 600  # every 9th gap is a 10-minute hole
+            a.append(("a", t * 1_000_000))
+        b = []
+        t = 0
+        for i in range(30):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            t += 10 + state % 300
+            b.append(("b", t * 1_000_000))
+        return a + b + [("c", 5_000_000)]  # single event -> no gaps
+
+    def _ref(self, rows):
+        by_k = {}
+        for k, t in rows:
+            by_k.setdefault(k, []).append(t)
+        out = {}
+        for k, ts in by_k.items():
+            ts.sort()
+            pairs = list(zip(ts[1:], (b - a for a, b in zip(ts, ts[1:]))))
+            if not pairs:
+                continue
+            gaps = [g for _, g in pairs]
+            order = sorted(pairs, key=lambda p: (p[1], p[0]))
+            med = order[(len(gaps) + 1) // 2 - 1][1]
+            out[k] = (
+                len(gaps), min(gaps), med, max(gaps),
+                float(sum(gaps)) / len(gaps),
+            )
+        return out
+
+    def test_matches_reference(self, spark):
+        from usgs_geomag_algorithms_spark.operators.stats import (
+            interarrival_stats,
+        )
+
+        rows = self._events()
+        df = spark.createDataFrame(rows, "series string, t_us long")
+        got = {
+            r.series: (r.n_gaps, r.min_gap, r.med_gap, r.max_gap, r.mean_gap)
+            for r in interarrival_stats(df, ("series",)).collect()
+        }
+        assert got == self._ref(rows)
+        assert "c" not in got  # single-event keys emit nothing
+
+    def test_one_exchange_reused(self, spark):
+        from tests.test_plan_audit import PY_NODES, phys
+        from usgs_geomag_algorithms_spark.operators.stats import (
+            interarrival_stats,
+        )
+
+        df = spark.createDataFrame(
+            self._events(), "series string, t_us long"
+        )
+        out = interarrival_stats(df, ("series",))
+        out.collect()
+        plan = phys(out).split("== Initial Plan ==")[0]
+        assert not any(n in plan for n in PY_NODES)
+        # the lag window, rank window, aggregate, and join all key on
+        # `series` — at most one real Exchange plus reuses
+        import re
+        n_ex = len(re.findall(r"\bExchange hashpartitioning", plan))
+        n_reuse = plan.count("ReusedExchange")
+        assert n_ex - n_reuse <= 2

@@ -222,3 +222,62 @@ def period_over_period(
         (F.col("v") - F.col("v_prev")).alias("delta"),
         ratio.alias("ratio"),
     )
+
+def interarrival_stats(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("series",),
+    ts_col: str = "t_us",
+) -> DataFrame:
+    """Inter-arrival (revisit-cadence) statistics per key: the gaps
+    between consecutive event timestamps, summarized as count / min /
+    LOW-median / max / mean.
+
+    The crawl-scheduling primitive of a web-scale ingest: a url's
+    observed fetch cadence tells the refresh planner how often content
+    actually changes hands (reference analog: the per-channel sampling
+    cadence geomag factories take as CONFIGURED metadata — here it is
+    measured).  Feeds `detect_gaps`' expectations and the rollup tier
+    choice the same way `dominant_period` does.
+
+    Exactness: gaps are BIGINT micros; the median is the LOW order
+    statistic (rank ``(n+1) div 2`` with (gap, ts) tie order) — an
+    integer that exists in the data, never an interpolated half (the
+    mad_outliers discipline); mean is one int64/int64 double division.
+
+    Plan: ONE hash partitioning by key reused by both windows (the lag
+    and the rank — same partition keys, Catalyst reuses the Exchange),
+    then a map-side-combinable aggregate joined back to the selected
+    median row on the same key.  No arrays collected, no per-key state
+    beyond the windows — safe at 10^8 keys x arbitrary events/key.
+    """
+    key_cols = list(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    gaps = (
+        df.select(*key_cols, F.col(ts_col).cast("long").alias(ts_col))
+        .withColumn("_gap", F.col(ts_col) - F.lag(ts_col).over(w))
+        .where(F.col("_gap").isNotNull())
+    )
+    agg = gaps.groupBy(*key_cols).agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.min("_gap").cast("long").alias("min_gap"),
+        F.max("_gap").cast("long").alias("max_gap"),
+        F.sum("_gap").cast("long").alias("_sum_gap"),
+    )
+    wr = Window.partitionBy(*key_cols).orderBy(F.col("_gap"), F.col(ts_col))
+    wn = Window.partitionBy(*key_cols)
+    med = (
+        gaps.withColumn("_rn", F.row_number().over(wr))
+        .withColumn("_n", F.count("*").over(wn))
+        .where(F.expr("_rn = (_n + 1) div 2"))
+        .select(*key_cols, F.col("_gap").alias("med_gap"))
+    )
+    return agg.join(med, key_cols).select(
+        *key_cols,
+        "n_gaps",
+        "min_gap",
+        "med_gap",
+        "max_gap",
+        (F.col("_sum_gap").cast("double") / F.col("n_gaps").cast("double")).alias(
+            "mean_gap"
+        ),
+    )

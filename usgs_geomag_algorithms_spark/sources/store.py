@@ -704,6 +704,77 @@ class TierStore:
             df = df.where(F.col("p_date") <= d1).where(F.col("t_us") <= int(end_us))
         return df.select(*self.series_cols, "t_us", *self.value_cols)
 
+    # --------------------------------------------------------- changelog
+    def _version_manifest(self, tier: str, version: int) -> dict:
+        base = self.path(tier)
+        vp = self._manifest_version_path(base, version)
+        if not os.path.exists(vp):
+            raise TimeTravelError(
+                f"tier {tier!r} snapshot v{version} is not resolvable "
+                f"(resolvable: {self.versions(tier)})"
+            )
+        with open(vp) as f:
+            return json.load(f)
+
+    def changelog(
+        self, tier: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level change feed between two snapshot versions — the
+        Iceberg incremental-read / CDC contract a downstream consumer
+        (derived tier, export, cache invalidation) polls instead of
+        re-scanning the table.
+
+        Returns ``(series..., t_us, value..., op)`` where ``op`` is
+        ``'upsert'`` (row new or value changed in ``to``) or ``'delete'``
+        (key live in ``from``, gone in ``to`` — retention expiry or
+        series erasure). Both versions must still resolve
+        (:class:`TimeTravelError` otherwise — poll within the
+        ``GC_GRACE_VERSIONS`` window, as with Iceberg
+        ``expire_snapshots``).
+
+        Cost is O(changed partitions), never O(table): every commit
+        replaces touched partitions wholesale, so the row diff is fully
+        contained in the manifests' added/removed file sets — only those
+        files are read. Unchanged rows rewritten by the partition
+        overwrite cancel in the full-row EXCEPT (NaN-normalized, as with
+        groupBy), which also makes COMPACTION invisible: a rewrite with
+        identical rows yields an empty changelog. One exchange per side
+        (the set-op / anti-join key hash); nothing touches the driver
+        but the file lists.
+        """
+        m_from = self._version_manifest(tier, from_version)
+        if to_version is None:
+            m_to = self._load_manifest(self.path(tier))
+            if m_to is None:
+                raise TimeTravelError(f"tier {tier!r} has no manifest")
+        else:
+            m_to = self._version_manifest(tier, to_version)
+        added = sorted(set(m_to["files"]) - set(m_from["files"]))
+        removed = sorted(set(m_from["files"]) - set(m_to["files"]))
+        base = self.path(tier)
+        cols = [*self.series_cols, "t_us", *self.value_cols]
+
+        def _read(files):
+            if not files:
+                return self._empty().select(*cols)
+            return (
+                self.spark.read.option("basePath", base)
+                .parquet(*[f"{base}/{f}" for f in files])
+                .select(*cols)
+            )
+
+        new_rows, old_rows = _read(added), _read(removed)
+        keys = [*self.series_cols, "t_us"]
+        upserts = new_rows.exceptAll(old_rows).withColumn(
+            "op", F.lit("upsert")
+        )
+        deletes = (
+            old_rows.join(new_rows.select(*keys), keys, "left_anti")
+            .select(*cols)
+            .withColumn("op", F.lit("delete"))
+        )
+        return upserts.unionByName(deletes)
+
     # ------------------------------------------------------------- stats
     def stats(self, tier: str) -> dict:
         """One-aggregate tier profile for monitoring dashboards: row count,

@@ -4,11 +4,15 @@
     spark-submit --py-files usgs_geomag_algorithms_spark.zip \
         jobs/run_cascade.py --pages /data/pages --store /data/tiers \
         --start 2020-01-06T00:00:00 --end 2020-01-07T00:00:00 \
-        [--mode build|update|maintain] [--update-limit 1] [--retention-now <iso>]
+        [--mode build|update|maintain|sync] [--update-limit 1] \
+        [--retention-now <iso>] [--since-version N]
 
 Modes mirror the reference: ``build`` = bulk backfill (Controller.run),
 ``update`` = gap-driven incremental refresh (Controller.run_as_update),
-plus retention partition drops.
+``sync`` = CDC-driven staleness propagation (recompute downstream slots
+whose minute-tier inputs changed since --since-version; late-data and
+deletion repair the gap audit cannot see), plus retention partition
+drops.
 """
 
 from __future__ import annotations
@@ -36,9 +40,14 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--pages", required=False, help="pages parquet/table path")
     ap.add_argument("--store", required=True, help="tier store root")
-    ap.add_argument("--start", required=True)
-    ap.add_argument("--end", required=True)
-    ap.add_argument("--mode", choices=["build", "update", "maintain"], default="build")
+    ap.add_argument("--start", required=False)
+    ap.add_argument("--end", required=False)
+    ap.add_argument(
+        "--mode",
+        choices=["build", "update", "maintain", "sync"],
+        default="build",
+    )
+    ap.add_argument("--since-version", type=int, default=None)
     ap.add_argument("--channels", nargs="*", default=["text_len", "lang_en"])
     ap.add_argument("--update-limit", type=int, default=1)
     ap.add_argument("--n-buckets", type=int, default=16)
@@ -55,7 +64,10 @@ def main(argv=None) -> int:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     store = TierStore(spark, args.store, n_buckets=args.n_buckets)
     try:
-        start_us, end_us = iso_to_us(args.start), iso_to_us(args.end)
+        if args.mode != "sync":
+            if not args.start or not args.end:
+                ap.error(f"--start/--end required in {args.mode} mode")
+            start_us, end_us = iso_to_us(args.start), iso_to_us(args.end)
         retention_now_us = (
             iso_to_us(args.retention_now) if args.retention_now else None
         )
@@ -72,6 +84,12 @@ def main(argv=None) -> int:
         )
     elif args.mode == "maintain":
         metrics = pipeline.maintain(store, end_us)
+    elif args.mode == "sync":
+        if args.since_version is None:
+            ap.error("--since-version required in sync mode")
+        metrics = pipeline.sync_changed(
+            store, args.since_version, run_id=args.run_id
+        )
     else:
         metrics = pipeline.update_tiers(
             store, start_us, end_us,

@@ -424,3 +424,80 @@ class TestEpochEdgeAnchors:
         )
         assert g0, "expected at least one gap interval"
         assert g0 == [(s - shift, e - shift) for s, e in g1]
+
+
+class TestRefreshChanged:
+    """CDC-driven staleness repair: late-data upserts and deletions under
+    EXISTING output rows — the hole gap-driven run_as_update can't see."""
+
+    def _build(self, spark, store, hours=4):
+        store.write(mk(spark, minute_rows(hours)), "minute")
+        R.run_as_update(
+            store, "minute", "hour", MIN_HOUR,
+            hour_stamp(0), hour_stamp(hours - 1), update_limit=0,
+        )
+        return store.versions("minute")[-1]
+
+    def test_late_update_recomputes_only_touched_hours(self, spark, store):
+        v = self._build(spark, store)
+        stale = {r.t_us: r.value for r in store.read("hour").collect()}
+        # late data changes 5 minutes inside hour 2
+        patch = mk(spark, [
+            ("u", "text_len", T0 + 2 * HOUR + i * MIN, 500.0)
+            for i in range(5)
+        ])
+        store.upsert(patch, "minute")
+        # gap-driven update sees nothing (slot exists)
+        m_gap = R.run_as_update(
+            store, "minute", "hour", MIN_HOUR, hour_stamp(0), hour_stamp(3),
+        )
+        assert m_gap["gaps_filled"] == 0
+        assert store.read("hour").where(
+            F.col("t_us") == hour_stamp(2)
+        ).first().value == pytest.approx(stale[hour_stamp(2)])
+        # CDC refresh recomputes exactly hour 2
+        m = R.refresh_changed(store, "minute", "hour", MIN_HOUR, v)
+        assert m["runs_recomputed"] == 1
+        assert m["rows_retired"] == 0
+        got = {r.t_us: r.value for r in store.read("hour").collect()}
+        expected = {
+            r.t_us: r.value
+            for r in rollup_step(
+                store.read("minute"), MIN_HOUR,
+                range_start_us=T0, range_end_us=T0 + 4 * HOUR - MIN,
+            ).collect()
+        }
+        assert got[hour_stamp(2)] == pytest.approx(expected[hour_stamp(2)])
+        assert got[hour_stamp(2)] != pytest.approx(stale[hour_stamp(2)])
+        for h in (0, 1, 3):  # untouched hours unchanged
+            assert got[hour_stamp(h)] == pytest.approx(stale[hour_stamp(h)])
+
+    def test_series_erasure_retires_output_rows(self, spark, store):
+        store.write(
+            mk(spark, minute_rows(2, url="u") + minute_rows(2, url="v")),
+            "minute",
+        )
+        R.run_as_update(
+            store, "minute", "hour", MIN_HOUR,
+            hour_stamp(0), hour_stamp(1), update_limit=0,
+        )
+        v_ver = store.versions("minute")[-1]
+        store.delete_series("minute", ["v"])
+        m = R.refresh_changed(store, "minute", "hour", MIN_HOUR, v_ver)
+        assert m["rows_retired"] == 2  # v's two hour rows nulled
+        rows = store.read("hour").collect()
+        u_vals = [r for r in rows if r.url == "u"]
+        v_vals = [r for r in rows if r.url == "v"]
+        assert len(u_vals) == 2 and all(r.value is not None for r in u_vals)
+        assert all(r.value is None for r in v_vals)  # auditable no-data
+
+    def test_no_change_is_noop_and_idempotent(self, spark, store):
+        v = self._build(spark, store, hours=2)
+        m = R.refresh_changed(store, "minute", "hour", MIN_HOUR, v)
+        assert m["runs_recomputed"] == 0
+        # after a real refresh, re-running from the new version is a no-op
+        store.upsert(mk(spark, [("u", "text_len", T0, 9.0)]), "minute")
+        R.refresh_changed(store, "minute", "hour", MIN_HOUR, v)
+        v2 = store.versions("minute")[-1]
+        m2 = R.refresh_changed(store, "minute", "hour", MIN_HOUR, v2)
+        assert m2["runs_recomputed"] == 0

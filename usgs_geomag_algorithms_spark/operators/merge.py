@@ -22,6 +22,7 @@ def merge_last_wins(
     value_col: str = "value",
     extra_cols: Sequence[str] = (),
     nan_aware: bool = True,
+    clobber: bool = False,
 ) -> DataFrame:
     """Merge batches; later arguments win on overlap (valid values only).
 
@@ -29,7 +30,10 @@ def merge_last_wins(
     e.g. a sketch tier's (sketch, n_events)). ``nan_aware=False`` drops
     the NaN test from the validity rule — required for non-numeric value
     columns (binary sketches), where ``isnan`` is not defined and a later
-    recompute should replace outright unless it is NULL."""
+    recompute should replace outright unless it is NULL. ``clobber=True``
+    makes the latest batch win UNCONDITIONALLY (NULL/NaN included) — the
+    deletion-propagation write of a CDC refresh, where a later NULL
+    legitimately retires a stale value; never the ingest default."""
     series_cols = list(series_cols)
     extra_cols = list(extra_cols)
     if not batches:
@@ -42,11 +46,16 @@ def merge_last_wins(
         tagged = t if tagged is None else tagged.unionByName(t)
     v = F.col(value_col)
     valid = v.isNotNull() & ~F.isnan(v) if nan_aware else v.isNotNull()
-    w = Window.partitionBy(*series_cols, ts_col).orderBy(
-        # valid values before gaps, then latest batch first
-        F.when(valid, 0).otherwise(1).asc(),
-        F.col("_seq").desc(),
-    )
+    if clobber:
+        w = Window.partitionBy(*series_cols, ts_col).orderBy(
+            F.col("_seq").desc()
+        )
+    else:
+        w = Window.partitionBy(*series_cols, ts_col).orderBy(
+            # valid values before gaps, then latest batch first
+            F.when(valid, 0).otherwise(1).asc(),
+            F.col("_seq").desc(),
+        )
     return (
         tagged.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

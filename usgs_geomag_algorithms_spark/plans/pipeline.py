@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from .. import tiers
 from ..operators.cascade import run_tiers
@@ -100,6 +100,44 @@ def update_tiers(
             run_id=run_id,
         )
     out["month"] = refresh.refresh_month(store, start_us, end_us, run_id=run_id)
+    return out
+
+
+def sync_changed(
+    store: TierStore, since_minute_version: int, run_id: str | None = None
+) -> dict:
+    """CDC-driven cross-tier synchronization: propagate everything that
+    changed in the minute tier since ``since_minute_version`` down the
+    chain — hour and day via :func:`refresh.refresh_changed` (each
+    average step reads the minute tier directly), then the month tier by
+    force-recomputing the calendar months the change range touches.
+
+    The consumer contract: a scheduler records the minute tier's version
+    after each sync and passes it next time — downstream cost is
+    O(changed partitions), never O(table), and a no-change poll is a
+    no-op. Complements (does not replace) gap-driven ``update_tiers``:
+    gaps are for missing slots, sync is for STALE ones."""
+    out = {}
+    rng = (
+        store.changelog("minute", since_minute_version)
+        .agg(F.min("t_us").alias("lo"), F.max("t_us").alias("hi"))
+        .first()
+    )
+    for step in tiers.STEPS:
+        if step.type != "average":
+            continue
+        out[step.data_interval] = refresh.refresh_changed(
+            store,
+            "minute",
+            step.data_interval,
+            step,
+            since_minute_version,
+            run_id=run_id,
+        )
+    if rng.lo is not None:
+        out["month"] = refresh.refresh_month(
+            store, int(rng.lo), int(rng.hi), run_id=run_id, force=True
+        )
     return out
 
 

@@ -401,3 +401,131 @@ def refresh_month(
     metrics["rows_written"] = n
     store.append_lineage("month", [{"run_id": run_id, "metrics": metrics}])
     return metrics
+
+def refresh_changed(
+    store: TierStore,
+    tier_in: str,
+    tier_out: str,
+    step: Step,
+    since_version: int,
+    run_id: str | None = None,
+) -> dict:
+    """CDC-driven staleness repair: recompute exactly the output slots
+    whose INPUT rows changed since ``since_version`` of the input tier.
+
+    :func:`run_as_update` is gap-driven (the reference's semantics): it
+    fills output slots that are MISSING. A late-data upsert that changes
+    already-rolled input values, or a retention/GDPR deletion under an
+    existing output row, leaves the slot present-but-stale — invisible
+    to the gap audit. This pass closes that hole using the store's
+    snapshot diff: ``changelog(tier_in, since_version)`` yields the
+    changed rows (O(changed partitions)), the same anchor arithmetic as
+    ``find_output_gaps`` maps them to affected output slots, and each
+    merged slot run is recomputed from the CURRENT input snapshot.
+
+    Deletion propagation: the recompute emits a row for every series
+    with any live input in a window, so an EXISTING output row in an
+    affected range that the recompute did not produce means that series
+    has no live input there anymore — it is overwritten with a NULL
+    value (the tier convention for "no data", same as masked windows),
+    keeping the grid row auditable rather than silently stale.
+
+    Metrics: {runs_recomputed, rows_written, rows_retired}. Idempotent:
+    recomputes are deterministic and an empty changelog is a no-op.
+    """
+    run_id = run_id or f"cdc-{int(time.time() * 1000)}"
+    metrics = {
+        "run_id": run_id,
+        "since_version": since_version,
+        "runs_recomputed": 0,
+        "rows_written": 0,
+        "rows_retired": 0,
+    }
+    ch = store.changelog(tier_in, since_version)
+    out_us = step.out_us
+    lo_off, hi_off = step.window_lo_offset_us, step.window_hi_offset_us
+    stamp_off = step.stamp_offset_us
+    # affected stamped anchors (identical integer arithmetic + off-grid
+    # guard as find_output_gaps' expected_pairs)
+    _fx = f"((t_us - {hi_off}) + {out_us - 1})"
+    first_a = f"({_fx} - pmod({_fx}, {out_us}))"
+    last_a = f"((t_us - {lo_off}) - pmod(t_us - {lo_off}, {out_us}))"
+    slots = (
+        ch.where(F.pmod(F.col("t_us"), F.lit(step.in_us)) == 0)
+        .where(F.expr(f"{first_a} <= {last_a}"))
+        .select(
+            F.explode(F.expr(f"sequence({first_a}, {last_a}, {out_us})")).alias("_a")
+        )
+        .select((F.col("_a") + stamp_off).cast("long").alias("t_us"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("t_us")
+    runs = (
+        slots.withColumn(
+            "_new",
+            F.when(F.col("t_us") - F.lag("t_us").over(w) == out_us, 0).otherwise(1),
+        )
+        .withColumn(
+            "_grp", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("_grp")
+        .agg(F.min("t_us").alias("s"), F.max("t_us").alias("e"))
+        .orderBy("s")
+        .collect()
+    )
+    for r in runs:
+        gap = (int(r.s), int(r.e))
+        in_lo, in_hi = step.input_interval_us(gap[0], gap[1])
+        src = store.read(tier_in, in_lo, in_hi)
+        out = rollup_step(
+            src,
+            step,
+            range_start_us=in_lo,
+            range_end_us=in_hi,
+            series_cols=store.series_cols,
+        ).persist()
+        n = out.count()
+        if n > 0:
+            store.upsert(out, tier_out)
+        # retire: existing output rows in the recomputed range the fresh
+        # input no longer produces -> NULL values (auditable no-data)
+        keys = [*store.series_cols, "t_us"]
+        existing = store.read(tier_out, gap[0], gap[1]).select(*keys)
+        retire = existing.join(out.select(*keys), keys, "left_anti").select(
+            *keys,
+            *[
+                F.lit(None).cast(t).alias(c)
+                for c, t in zip(
+                    store.value_cols,
+                    [s.strip().split(maxsplit=1)[1] for s in store.value_schema.split(",")],
+                )
+            ],
+        )
+        n_ret = retire.count()
+        if n_ret > 0:
+            store.upsert(retire, tier_out, clobber=True)
+        out.unpersist()
+        store.append_lineage(
+            tier_out,
+            [
+                {
+                    "run_id": run_id,
+                    "tier": tier_out,
+                    "gap_start_us": gap[0],
+                    "gap_end_us": gap[1],
+                    "input_start_us": in_lo,
+                    "input_end_us": in_hi,
+                    "rows": n,
+                    "retired": n_ret,
+                    "cdc_since": since_version,
+                    "ts": time.time(),
+                }
+            ],
+        )
+        metrics["runs_recomputed"] += 1
+        metrics["rows_written"] += n
+        metrics["rows_retired"] += n_ret
+    store.append_lineage(tier_out, [{"run_id": run_id, "metrics": metrics}])
+    return metrics

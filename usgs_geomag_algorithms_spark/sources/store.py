@@ -415,7 +415,7 @@ class TierStore:
             # pays the same role's cost in manifest IO)
             self._commit_append(base, m, new_files, replaced, listing=after)
 
-    def upsert(self, df: DataFrame, tier: str) -> None:
+    def upsert(self, df: DataFrame, tier: str, clobber: bool = False) -> None:
         """Read-modify-write merge into existing partitions (last-wins, new
         data preferred, gaps never clobber values) — the MERGE INTO analog.
 
@@ -461,6 +461,7 @@ class TierStore:
                 extra_cols=self.value_cols[1:],
                 nan_aware=self.value_schema.split(",")[0].split()[-1]
                 == "double",
+                clobber=clobber,
             )
             try:
                 self.write(merged, tier, _based_on=read_manifest)

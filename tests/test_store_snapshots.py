@@ -525,3 +525,27 @@ class TestChangelog:
         assert untouched, "fixture should span multiple days"
         assert not any(os.path.basename(f).split(".")[0] in plan
                        for f in untouched)
+
+
+class TestCompactionSortOrder:
+    def test_files_clustered_after_compact(self, spark, store):
+        # write in deliberately scrambled order across many tasks
+        import random
+
+        rows = minute_rows(3) + minute_rows(3, url="w")
+        random.Random(5).shuffle(rows)
+        store.write(mk(spark, rows).repartition(16), "minute")
+        store.compact("minute")
+        m = store._load_manifest(store.path("minute"))
+        base = store.path("minute")
+        checked = 0
+        for f in m["files"]:
+            got = spark.read.parquet(f"{base}/{f}").select(
+                "url", "channel", "t_us"
+            ).collect()
+            keys = [(r.url, r.channel, r.t_us) for r in got]
+            assert keys == sorted(keys)  # clustered within the file
+            checked += 1
+        assert checked > 0
+        # and the data itself is unchanged
+        assert store.read("minute").count() == len(rows)

@@ -850,6 +850,18 @@ class TierStore:
                 compacted = part.repartition(
                     F.col("p_date"), F.col("p_bucket"), salt
                 )
+            # cluster rows inside each rewritten file (Iceberg
+            # rewrite_data_files sort-order analog): ingest/upsert commits
+            # append in arrival order, so row-group min/max stats on
+            # (series, t_us) are useless until compaction lays them out —
+            # sorted files give parquet row-group pruning teeth on range
+            # reads and RLE/dictionary compression on the series columns
+            # leading with the partition cols satisfies FileFormatWriter's
+            # required ordering, so the writer skips its own (UNSTABLE)
+            # partition-column sort instead of scrambling this one
+            compacted = compacted.sortWithinPartitions(
+                "p_date", "p_bucket", *self.series_cols, "t_us"
+            )
             pre = self._list_parquet(base)
             (
                 compacted.write.mode("append")

@@ -865,6 +865,20 @@ def q_diurnal_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trend_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS drift of the minute event rate (operators/stats.py::
+    trend_fit — the SqDist b-term fit directly as one aggregate):
+    timestamps rebase to small grid indices so all six sufficient
+    statistics stay exact BIGINT; slope/intercept/R² are fixed
+    int64→double IEEE trees, bit-exact cross-engine."""
+    from usgs_geomag_algorithms_spark.operators.stats import trend_fit
+
+    lo, _hi = _bounds(spark, sf_dir)
+    return trend_fit(
+        _minute_rate(spark, sf_dir), MIN_US, lo, ("event_type",)
+    )
+
+
 #: instrument-metadata config for the calculated-channel query: two
 #: half-open epochs per input channel (epoch 2 starts at the span
 #: midpoint), each with its own (scale, offset) — the reference's
@@ -1568,10 +1582,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_region_revenue": q_q5_region_revenue,
         "revisit_intervals": q_revisit_intervals,
+        "trend_minute": q_trend_minute,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    trend_minute = f"""
+WITH rate AS (
+    SELECT event_type,
+           (epoch_us(ts) // {MIN_US}) * {MIN_US} AS t_us,
+           count(*)::BIGINT AS v
+    FROM events GROUP BY 1, 2
+),
+b AS (SELECT min(t_us) AS lo FROM rate),
+st AS (
+    SELECT event_type,
+           count(*)::BIGINT AS n_points,
+           sum((t_us - (SELECT lo FROM b)) // {MIN_US})::BIGINT AS sk,
+           sum(v)::BIGINT AS sy,
+           sum(((t_us - (SELECT lo FROM b)) // {MIN_US}) * v)::BIGINT AS sky,
+           sum(((t_us - (SELECT lo FROM b)) // {MIN_US})
+               * ((t_us - (SELECT lo FROM b)) // {MIN_US}))::BIGINT AS skk,
+           sum(v * v)::BIGINT AS syy
+    FROM rate GROUP BY 1
+)
+SELECT event_type, n_points,
+       CASE WHEN n_points >= 3
+             AND n_points::DOUBLE * skk::DOUBLE - sk::DOUBLE * sk::DOUBLE > 0
+            THEN (n_points::DOUBLE * sky::DOUBLE - sk::DOUBLE * sy::DOUBLE)
+                 / (n_points::DOUBLE * skk::DOUBLE - sk::DOUBLE * sk::DOUBLE)
+       END AS slope_per_step,
+       CASE WHEN n_points >= 3
+             AND n_points::DOUBLE * skk::DOUBLE - sk::DOUBLE * sk::DOUBLE > 0
+            THEN (sy::DOUBLE
+                  - ((n_points::DOUBLE * sky::DOUBLE - sk::DOUBLE * sy::DOUBLE)
+                     / (n_points::DOUBLE * skk::DOUBLE - sk::DOUBLE * sk::DOUBLE))
+                    * sk::DOUBLE)
+                 / n_points::DOUBLE
+       END AS intercept,
+       CASE WHEN n_points >= 3
+             AND n_points::DOUBLE * skk::DOUBLE - sk::DOUBLE * sk::DOUBLE > 0
+             AND n_points::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+            THEN ((n_points::DOUBLE * sky::DOUBLE - sk::DOUBLE * sy::DOUBLE)
+                  * (n_points::DOUBLE * sky::DOUBLE - sk::DOUBLE * sy::DOUBLE))
+                 / ((n_points::DOUBLE * skk::DOUBLE - sk::DOUBLE * sk::DOUBLE)
+                    * (n_points::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+       END AS r2
+FROM st
+"""
     q3_shipping_priority = f"""
 SELECT l.l_orderkey,
        epoch_us(o.o_orderdate) AS o_date_us,
@@ -2770,6 +2828,7 @@ FROM s
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
         "revisit_intervals": revisit_intervals,
+        "trend_minute": trend_minute,
         "active_users_hour": f"""
 SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS t_us,
        count(DISTINCT user_id) AS n_users,

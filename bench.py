@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "revisit_intervals",
+    "trend_minute",
 ]
 
 

@@ -260,3 +260,74 @@ class TestInterarrival:
         n_ex = len(re.findall(r"\bExchange hashpartitioning", plan))
         n_reuse = plan.count("ReusedExchange")
         assert n_ex - n_reuse <= 2
+
+
+class TestTrendFit:
+    STEP = 60_000_000
+    G0 = 1_000_000_000
+
+    def _rows(self):
+        rows = []
+        # series a: y = 7k + 100 + deterministic jitter; holes every 11th
+        for i in range(200):
+            if i % 11 == 0:
+                continue
+            rows.append(("a", self.G0 + i * self.STEP, 7 * i + 100 + (i * 13) % 5))
+        # series b: constant
+        rows += [("b", self.G0 + i * self.STEP, 42) for i in range(10)]
+        # series c: too short
+        rows += [("c", self.G0, 1), ("c", self.G0 + self.STEP, 2)]
+        return rows
+
+    def _ref(self, rows):
+        import math
+
+        by_s = {}
+        for s, t, v in rows:
+            by_s.setdefault(s, []).append(((t - self.G0) // self.STEP, v))
+        out = {}
+        for s, pts in by_s.items():
+            n = len(pts)
+            sk = sum(k for k, _ in pts); sy = sum(v for _, v in pts)
+            sky = sum(k * v for k, v in pts)
+            skk = sum(k * k for k, _ in pts); syy = sum(v * v for _, v in pts)
+            nd, skd, syd = float(n), float(sk), float(sy)
+            num = nd * float(sky) - skd * syd
+            denk = nd * float(skk) - skd * skd
+            deny = nd * float(syy) - syd * syd
+            if n < 3 or denk <= 0:
+                out[s] = (n, None, None, None)
+                continue
+            slope = num / denk
+            r2 = (num * num) / (denk * deny) if deny > 0 else None
+            out[s] = (n, slope, (syd - slope * skd) / nd, r2)
+        return out
+
+    def test_matches_reference_bitexact(self, spark):
+        from usgs_geomag_algorithms_spark.operators.stats import trend_fit
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "series string, t_us long, v long")
+        got = {
+            r.series: (r.n_points, r.slope_per_step, r.intercept, r.r2)
+            for r in trend_fit(df, self.STEP, self.G0, ("series",)).collect()
+        }
+        assert got == self._ref(rows)
+        # sanity: a's slope recovers the constructed 7/step drift
+        assert abs(got["a"][1] - 7.0) < 0.1
+        assert got["b"][3] is None  # constant series: R2 undefined
+        assert got["c"][1] is None  # short series guarded
+
+    def test_map_only_single_aggregate(self, spark):
+        from tests.test_plan_audit import PY_NODES, phys
+        from usgs_geomag_algorithms_spark.operators.stats import trend_fit
+
+        df = spark.createDataFrame(
+            self._rows(), "series string, t_us long, v long"
+        )
+        out = trend_fit(df, self.STEP, self.G0, ("series",))
+        out.collect()
+        plan = phys(out).split("== Initial Plan ==")[0]
+        assert not any(n in plan for n in PY_NODES)
+        assert "Join" not in plan
+        assert plan.count("HashAggregate") == 2

@@ -281,3 +281,67 @@ def interarrival_stats(
             "mean_gap"
         ),
     )
+
+def trend_fit(
+    sig: DataFrame,
+    step_us: int,
+    grid0_us: int,
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "t_us",
+    value_col: str = "v",
+    min_points: int = 3,
+) -> DataFrame:
+    """Per-series OLS trend line over a gridded integer signal — the
+    drift detector (is this channel's level moving, and how fast?):
+    slope per grid step, intercept at ``grid0_us``, and R².
+
+    Reference analog: the linear trend SqDist carries as smoothed state
+    (``SqDistAlgorithm`` b-term) — here fit directly, so a fleet-wide
+    drift scan is ONE aggregate instead of a stateful pass per series.
+
+    Exactness discipline: timestamps are rebased to small grid indices
+    ``k = (t - grid0) div step`` (epoch-microsecond squares would
+    overflow int64), all six sufficient statistics are exact BIGINTs
+    under any partitioning, and the slope/intercept/R² trees are fixed
+    int64→double IEEE expressions evaluated identically by Spark and
+    DuckDB.  NULL when fewer than ``min_points`` rows or a degenerate
+    time spread; R² NULL for constant series.
+
+    Plan: map-only projection + one map-side-combinable aggregate,
+    output bounded by series count — the same rides-the-scan envelope
+    as ``harmonic_power``.
+    """
+    series_cols = list(series_cols)
+    k = F.expr(f"(cast({ts_col} as bigint) - {int(grid0_us)}) div {int(step_us)}")
+    y = F.col(value_col).cast("long")
+    proj = sig.select(
+        *series_cols,
+        k.alias("_k"),
+        y.alias("_y"),
+    )
+    agg = proj.groupBy(*series_cols).agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("_k").cast("long").alias("_sk"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_k") * F.col("_y")).cast("long").alias("_sky"),
+        F.sum(F.col("_k") * F.col("_k")).cast("long").alias("_skk"),
+        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+    )
+    n = F.col("n_points").cast("double")
+    sk = F.col("_sk").cast("double")
+    sy = F.col("_sy").cast("double")
+    sky = F.col("_sky").cast("double")
+    skk = F.col("_skk").cast("double")
+    syy = F.col("_syy").cast("double")
+    num = n * sky - sk * sy
+    denk = n * skk - sk * sk
+    deny = n * syy - sy * sy
+    ok = (F.col("n_points") >= min_points) & (denk > 0)
+    slope = num / denk
+    return agg.select(
+        *series_cols,
+        "n_points",
+        F.when(ok, slope).alias("slope_per_step"),
+        F.when(ok, (sy - slope * sk) / n).alias("intercept"),
+        F.when(ok & (deny > 0), (num * num) / (denk * deny)).alias("r2"),
+    )

@@ -879,6 +879,21 @@ def q_trend_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention triangle over events (operators/sessions.py
+    ::cohort_retention): one distinct shuffle, cohort anchors derived
+    from the same relation, all-integer counts + one exact division."""
+    from usgs_geomag_algorithms_spark.operators.sessions import (
+        cohort_retention,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+    )
+    return cohort_retention(ev, DAY_US)
+
+
 #: instrument-metadata config for the calculated-channel query: two
 #: half-open epochs per input channel (epoch 2 starts at the span
 #: midpoint), each with its own (scale, offset) — the reference's
@@ -1583,10 +1598,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": q_q5_region_revenue,
         "revisit_intervals": q_revisit_intervals,
         "trend_minute": q_trend_minute,
+        "cohort_retention": q_cohort_retention,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    cohort_retention = f"""
+WITH active AS (
+    SELECT DISTINCT user_id,
+           (epoch_us(ts) // {DAY_US}) * {DAY_US} AS w
+    FROM events
+),
+firsts AS (SELECT user_id, min(w) AS cohort FROM active GROUP BY 1),
+joined AS (
+    SELECT f.cohort, (a.w - f.cohort) // {DAY_US} AS k
+    FROM active a JOIN firsts f USING (user_id)
+),
+counts AS (
+    SELECT cohort, k, count(*)::BIGINT AS n_active
+    FROM joined GROUP BY 1, 2
+),
+sizes AS (
+    SELECT cohort, n_active AS cohort_size FROM counts WHERE k = 0
+)
+SELECT c.cohort AS cohort_us, c.k, c.n_active, s.cohort_size,
+       c.n_active::DOUBLE / s.cohort_size::DOUBLE AS retention
+FROM counts c JOIN sizes s USING (cohort)
+"""
     trend_minute = f"""
 WITH rate AS (
     SELECT event_type,
@@ -2829,6 +2867,7 @@ FROM s
         "q5_region_revenue": q5_region_revenue,
         "revisit_intervals": revisit_intervals,
         "trend_minute": trend_minute,
+        "cohort_retention": cohort_retention,
         "active_users_hour": f"""
 SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS t_us,
        count(DISTINCT user_id) AS n_users,

@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "q5_region_revenue",
     "revisit_intervals",
     "trend_minute",
+    "cohort_retention",
 ]
 
 

@@ -182,3 +182,53 @@ class TestSessionizeProperty:
             assert got == sorted(expect)
 
         check()
+
+
+class TestCohortRetention:
+    W = 7 * 86400 * 1_000_000  # weekly cohorts
+
+    def _events(self):
+        rows = []
+        # cohort week 0: users 1-4; u1 active weeks 0,1,2; u2 weeks 0,2;
+        # u3 week 0 only; u4 weeks 0,1
+        plan = {1: [0, 1, 2], 2: [0, 2], 3: [0], 4: [0, 1]}
+        # cohort week 1: users 5-6; u5 weeks 1,3; u6 week 1
+        plan.update({5: [1, 3], 6: [1]})
+        for u, weeks in plan.items():
+            for w in weeks:
+                # several events inside the week (distinct must collapse)
+                rows += [(u, w * self.W + i * 3600 * 1_000_000) for i in range(3)]
+        return rows
+
+    def _ref(self):
+        return {
+            (0, 0): (4, 4), (0, 1): (2, 4), (0, 2): (2, 4),
+            (self.W, 0): (2, 2), (self.W, 2): (1, 2),
+        }
+
+    def test_matches_reference(self, spark):
+        from usgs_geomag_algorithms_spark.operators.sessions import (
+            cohort_retention,
+        )
+
+        df = spark.createDataFrame(self._events(), "user_id long, t_us long")
+        got = {
+            (r.cohort_us, r.k): (r.n_active, r.cohort_size, r.retention)
+            for r in cohort_retention(df, self.W).collect()
+        }
+        ref = self._ref()
+        assert set(got) == set(ref)
+        for key, (n, size) in ref.items():
+            assert got[key] == (n, size, float(n) / float(size))
+
+    def test_single_corpus_shuffle(self, spark):
+        from tests.test_plan_audit import PY_NODES, phys
+        from usgs_geomag_algorithms_spark.operators.sessions import (
+            cohort_retention,
+        )
+
+        df = spark.createDataFrame(self._events(), "user_id long, t_us long")
+        out = cohort_retention(df, self.W)
+        out.collect()
+        plan = phys(out).split("== Initial Plan ==")[0]
+        assert not any(n in plan for n in PY_NODES)

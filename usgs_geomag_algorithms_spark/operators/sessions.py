@@ -81,3 +81,55 @@ def session_stats(
             "events_per_session"
         ),
     )
+
+def cohort_retention(
+    events: DataFrame,
+    window_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "t_us",
+) -> DataFrame:
+    """Cohort retention matrix: bucket each key by its FIRST-activity
+    window (the cohort), then count how many of each cohort are still
+    active k windows later — the classic product-analytics retention
+    triangle, and for a crawl corpus the url-survival curve (how many
+    urls first seen in week W are still being fetched in week W+k).
+
+    Output: (cohort_us, k, n_active, cohort_size, retention) — all
+    integers plus one int64/int64 double division; k=0 rows carry
+    ``n_active == cohort_size`` by construction.
+
+    Plan: ONE distinct over (key, window) — the only corpus-sized
+    shuffle; the cohort anchor derives from that relation by a key
+    aggregate (same hash partitioning, exchange reused), joins back on
+    the key, and the final (cohort, k) aggregate is output-bounded.
+    Nothing rescans the raw events.
+    """
+    win = F.expr(f"(cast({ts_col} as bigint) div {window_us}) * {window_us}")
+    active = (
+        events.select(F.col(key_col).alias("_k"), win.alias("_w"))
+        .distinct()
+    )
+    firsts = active.groupBy("_k").agg(F.min("_w").alias("_cohort"))
+    joined = active.join(firsts, "_k").select(
+        "_cohort",
+        F.expr(f"cast((_w - _cohort) div {window_us} as bigint)").alias("k"),
+    )
+    counts = joined.groupBy("_cohort", "k").agg(
+        F.count("*").cast("long").alias("n_active")
+    )
+    sizes = counts.where(F.col("k") == 0).select(
+        "_cohort", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        counts.join(sizes, "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort_us"),
+            "k",
+            "n_active",
+            "cohort_size",
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )

@@ -549,3 +549,64 @@ class TestCompactionSortOrder:
         assert checked > 0
         # and the data itself is unchanged
         assert store.read("minute").count() == len(rows)
+
+
+class TestChangelogReplayProperty:
+    """Invariant: snapshot(v_from) + changelog(v_from, v_to) == snapshot
+    (v_to), for every adjacent version pair of a mixed op sequence —
+    the consumer-side correctness contract of the CDC feed."""
+
+    def _apply(self, spark, base_rows, ch_rows):
+        state = {(r[0], r[1], r[2]): r[3] for r in base_rows}
+        for r in ch_rows:
+            key = (r.url, r.channel, r.t_us)
+            if r.op == "delete":
+                state.pop(key, None)
+            else:
+                state[key] = r.value
+        return state
+
+    def test_replay_reconstructs_every_version(self, spark, store):
+        import random
+
+        rng = random.Random(17)
+        store.write(mk(spark, minute_rows(3)), "minute")
+        ops = ["upsert", "upsert", "compact", "upsert", "expire", "upsert"]
+        for op in ops:
+            if op == "upsert":
+                patch = [
+                    (
+                        rng.choice(["u", "x"]),
+                        "text_len",
+                        T0 + rng.randrange(0, 180) * MIN,
+                        float(rng.randrange(0, 1000)),
+                    )
+                    for _ in range(8)
+                ]
+                store.upsert(mk(spark, patch), "minute")
+            elif op == "compact":
+                store.compact("minute")
+            elif op == "expire":
+                store.expire_before("minute", T0 + 60 * MIN)
+        versions = store.versions("minute")
+        assert len(versions) >= 2
+        for v_from, v_to in zip(versions, versions[1:]):
+            old = {
+                (r.url, r.channel, r.t_us): r.value
+                for r in store.read(
+                    "minute", as_of_version=v_from
+                ).collect()
+            }
+            new = {
+                (r.url, r.channel, r.t_us): r.value
+                for r in store.read("minute", as_of_version=v_to).collect()
+            }
+            ch = store.changelog("minute", v_from, v_to).collect()
+            replayed = dict(old)
+            for r in ch:
+                key = (r.url, r.channel, r.t_us)
+                if r.op == "delete":
+                    replayed.pop(key, None)
+                else:
+                    replayed[key] = r.value
+            assert replayed == new, f"replay diverged for v{v_from}->v{v_to}"

@@ -523,8 +523,12 @@ class TestChangelog:
         untouched = [f for f in m_all["files"] if "p_date=2020-01-0" in f
                      and "p_date=2020-01-06" not in f]
         assert untouched, "fixture should span multiple days"
-        assert not any(os.path.basename(f).split(".")[0] in plan
-                       for f in untouched)
+        # match full relative paths: partitionBy writes the SAME basename
+        # (part-<task>-<uuid>) into every partition dir of one job, so a
+        # basename check false-positives once the metadata limit is high
+        # enough to print the day-06 file list
+        assert not any(f in plan for f in untouched)
+        assert "p_date=2020-01-07" not in plan and "p_date=2020-01-08" not in plan
 
 
 class TestCompactionSortOrder:

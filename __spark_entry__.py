@@ -879,6 +879,52 @@ def q_trend_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed revisit-budget planner: join the measured cadence
+    (interarrival_stats per event type) with the measured drift
+    (trend_fit) and rank — fast-cadence, fast-drifting channels get the
+    budget first. The composition pattern of the engine: two proven
+    operators, one broadcastable join on the series key, deterministic
+    integer ranks over bit-exact doubles (ties break on the key)."""
+    from usgs_geomag_algorithms_spark.operators.stats import (
+        interarrival_stats,
+        trend_fit,
+    )
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+    )
+    cadence = interarrival_stats(ev, ("event_type",), "t_us")
+    lo, _hi = _bounds(spark, sf_dir)
+    trend = trend_fit(_minute_rate(spark, sf_dir), MIN_US, lo, ("event_type",))
+    j = cadence.join(trend, "event_type")
+    w_c = Window.orderBy(F.col("med_gap").asc(), F.col("event_type").asc())
+    w_d = Window.orderBy(
+        F.col("slope_per_step").desc(), F.col("event_type").asc()
+    )
+    ranked = j.select(
+        "event_type",
+        "med_gap",
+        "slope_per_step",
+        F.row_number().over(w_c).cast("long").alias("cadence_rank"),
+        F.row_number().over(w_d).cast("long").alias("drift_rank"),
+    )
+    w_p = Window.orderBy(
+        (F.col("cadence_rank") + F.col("drift_rank")).asc(),
+        F.col("event_type").asc(),
+    )
+    return ranked.select(
+        "event_type",
+        "med_gap",
+        "slope_per_step",
+        "cadence_rank",
+        "drift_rank",
+        F.row_number().over(w_p).cast("long").alias("priority"),
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort retention triangle over events (operators/sessions.py
     ::cohort_retention): one distinct shuffle, cohort anchors derived
@@ -1599,10 +1645,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_intervals": q_revisit_intervals,
         "trend_minute": q_trend_minute,
         "cohort_retention": q_cohort_retention,
+        "crawl_planner": q_crawl_planner,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    crawl_planner = f"""
+WITH e AS (SELECT event_type, epoch_us(ts) AS t_us FROM events),
+g AS (
+    SELECT event_type, t_us,
+           t_us - lag(t_us) OVER (PARTITION BY event_type ORDER BY t_us)
+               AS gap
+    FROM e
+),
+gg AS (SELECT * FROM g WHERE gap IS NOT NULL),
+med AS (
+    SELECT event_type, gap AS med_gap
+    FROM (
+        SELECT event_type, gap,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY gap, t_us) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM gg
+    ) WHERE rn = (n + 1) // 2
+),
+rate AS (
+    SELECT event_type,
+           (epoch_us(ts) // {MIN_US}) * {MIN_US} AS t_us,
+           count(*)::BIGINT AS v
+    FROM events GROUP BY 1, 2
+),
+b AS (SELECT min(t_us) AS lo FROM rate),
+st AS (
+    SELECT event_type,
+           count(*)::BIGINT AS n_points,
+           sum((t_us - (SELECT lo FROM b)) // {MIN_US})::BIGINT AS sk,
+           sum(v)::BIGINT AS sy,
+           sum(((t_us - (SELECT lo FROM b)) // {MIN_US}) * v)::BIGINT AS sky,
+           sum(((t_us - (SELECT lo FROM b)) // {MIN_US})
+               * ((t_us - (SELECT lo FROM b)) // {MIN_US}))::BIGINT AS skk
+    FROM rate GROUP BY 1
+),
+tr AS (
+    SELECT event_type,
+           CASE WHEN n_points >= 3
+                 AND n_points::DOUBLE * skk::DOUBLE - sk::DOUBLE * sk::DOUBLE > 0
+                THEN (n_points::DOUBLE * sky::DOUBLE - sk::DOUBLE * sy::DOUBLE)
+                     / (n_points::DOUBLE * skk::DOUBLE - sk::DOUBLE * sk::DOUBLE)
+           END AS slope_per_step
+    FROM st
+),
+ranked AS (
+    SELECT m.event_type, m.med_gap, t.slope_per_step,
+           row_number() OVER (ORDER BY m.med_gap ASC, m.event_type ASC)
+               ::BIGINT AS cadence_rank,
+           row_number() OVER (ORDER BY t.slope_per_step DESC,
+                              m.event_type ASC)::BIGINT AS drift_rank
+    FROM med m JOIN tr t USING (event_type)
+)
+SELECT event_type, med_gap, slope_per_step, cadence_rank, drift_rank,
+       row_number() OVER (ORDER BY cadence_rank + drift_rank ASC,
+                          event_type ASC)::BIGINT AS priority
+FROM ranked
+"""
     cohort_retention = f"""
 WITH active AS (
     SELECT DISTINCT user_id,
@@ -2868,6 +2973,7 @@ FROM s
         "revisit_intervals": revisit_intervals,
         "trend_minute": trend_minute,
         "cohort_retention": cohort_retention,
+        "crawl_planner": crawl_planner,
         "active_users_hour": f"""
 SELECT (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS t_us,
        count(DISTINCT user_id) AS n_users,

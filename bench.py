@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "revisit_intervals",
     "trend_minute",
     "cohort_retention",
+    "crawl_planner",
 ]
 
 

@@ -281,3 +281,40 @@ class TestBpeVocab:
             r["token"]: r["freq"] for r in bpe_vocab(docs, 4).collect()
         }
         assert got == expect
+
+
+class TestBpeDecodeRoundTrip:
+    def test_concat_tokens_reconstructs_words(self, spark):
+        """BPE tokens partition each word's characters, so decode is
+        concat — asserted for every distinct word under a trained merge
+        list (the tokenizer's losslessness contract)."""
+        from usgs_geomag_algorithms_spark.operators.bpe import (
+            bpe_encode_words,
+            bpe_train,
+        )
+        from pyspark.sql import functions as F
+
+        texts = [
+            (i, "the quick brown fox jumps over the lazy dog " * 3)
+            for i in range(5)
+        ] + [(9, "unseen zebra words never merged")]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        merges = [
+            (r.lhs, r.rhs)
+            for r in bpe_train(docs, n_merges=6)
+            .orderBy("merge_round")
+            .collect()
+        ]
+        assert merges, "training should produce merges"
+        words = docs.select(
+            F.explode(F.split("text", " ")).alias("word")
+        ).where(F.col("word") != "").distinct()
+        enc = bpe_encode_words(words, merges)
+        # tokens partition word chars + the EOW marker: decode = concat
+        from usgs_geomag_algorithms_spark.operators.bpe import EOW
+
+        bad = enc.where(
+            F.array_join(F.col("tokens"), "")
+            != F.concat(F.col("word"), F.lit(EOW))
+        ).collect()
+        assert bad == []

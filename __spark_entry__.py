@@ -1581,6 +1581,97 @@ FROM (VALUES
 """
 
 
+#: domain shards for churn_day (url→domain analog: user_id % CHURN_DOMAINS)
+CHURN_DOMAINS = 50
+
+
+def _fetch_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-log analog from events: key=user_id (url), digest=event_type
+    (content fingerprint — repeats across consecutive fetches often
+    enough to exercise both changed and unchanged revisits), tie-broken
+    by event_id for a deterministic fetch order."""
+    return _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+        "event_id",
+        F.col("event_type").alias("digest"),
+    )
+
+
+def q_revision_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit-record dedup (operators/churn.py::revision_dedup):
+    keep first fetches + changed revisits, number kept revisions per key."""
+    from usgs_geomag_algorithms_spark.operators.churn import revision_dedup
+
+    return revision_dedup(
+        _fetch_log(spark, sf_dir),
+        key_cols=("user_id",),
+        tiebreak_cols=("event_id",),
+    ).select("user_id", "t_us", "event_id", "digest", "revision_no")
+
+
+def q_churn_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (domain, day) content-churn report (churn_rate): fetches,
+    revisits, changed revisits, change ratio — the crawl-scheduler's
+    refresh-rate signal at domain granularity."""
+    from usgs_geomag_algorithms_spark.operators.churn import churn_rate
+
+    return churn_rate(
+        _fetch_log(spark, sf_dir),
+        DAY_US,
+        group_cols=[(F.col("user_id") % CHURN_DOMAINS).alias("domain")],
+        key_cols=("user_id",),
+        tiebreak_cols=("event_id",),
+    )
+
+
+def q_stale_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key staleness (operators/churn.py::staleness): fetch count,
+    kept-revision count, last-change timestamp, trailing unchanged
+    streak."""
+    from usgs_geomag_algorithms_spark.operators.churn import staleness
+
+    return staleness(
+        _fetch_log(spark, sf_dir),
+        key_cols=("user_id",),
+        tiebreak_cols=("event_id",),
+    )
+
+
+def q_forecast_error_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive skill baseline (operators/forecast.py): score
+    v̂(t)=v(t−1day) against the hourly count signal per (event_type, day),
+    side by side with the 1-hour naive; mase = seasonal MAE / naive MAE.
+    Integer signal → BIGINT-exact sums; three final IEEE divisions."""
+    from usgs_geomag_algorithms_spark.operators.forecast import (
+        seasonal_naive_error,
+    )
+
+    ev = _events(spark, sf_dir)
+    sig = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"(unix_micros(cast(ts as timestamp)) div {HOUR_US})"
+                f" * {HOUR_US}"
+            ).alias("t_us"),
+        )
+        .groupBy("event_type", "t_us")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    seasonal = seasonal_naive_error(
+        sig, DAY_US, DAY_US, ("event_type",), "t_us", "v"
+    )
+    naive1 = seasonal_naive_error(
+        sig, HOUR_US, DAY_US, ("event_type",), "t_us", "v", suffix="_n1"
+    )
+    out = seasonal.join(naive1, ["event_type", "t_us"])
+    mase = F.when(
+        F.col("sum_abs_err_n1") > 0, F.col("mae") / F.col("mae_n1")
+    )
+    return out.select("*", mase.alias("mase"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hour-tier rollup of the events minute signal at sf0.001."""
     return q_rollup_hour_value(spark, "/root/testdata/sf0.001")
@@ -1646,6 +1737,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_minute": q_trend_minute,
         "cohort_retention": q_cohort_retention,
         "crawl_planner": q_crawl_planner,
+        "revision_dedup": q_revision_dedup,
+        "churn_day": q_churn_day,
+        "stale_pages": q_stale_pages,
+        "forecast_error_day": q_forecast_error_day,
     }
 
 
@@ -2971,6 +3066,118 @@ FROM s
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
         "revisit_intervals": revisit_intervals,
+        "revision_dedup": f"""
+WITH f AS (
+    SELECT user_id, epoch_us(ts) AS t_us, event_id,
+           event_type AS digest
+    FROM events
+),
+g AS (
+    SELECT *, lag(digest) OVER (PARTITION BY user_id
+                                ORDER BY t_us, event_id) AS prev
+    FROM f
+),
+k AS (
+    SELECT user_id, t_us, event_id, digest,
+           (prev IS NULL OR digest != prev) AS is_changed,
+           sum(CASE WHEN prev IS NULL OR digest != prev THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS revision_no
+    FROM g
+)
+SELECT user_id, t_us, event_id, digest, revision_no
+FROM k WHERE is_changed
+""",
+        "churn_day": f"""
+WITH f AS (
+    SELECT user_id, epoch_us(ts) AS t_us, event_id,
+           event_type AS digest
+    FROM events
+),
+g AS (
+    SELECT *, lag(digest) OVER (PARTITION BY user_id
+                                ORDER BY t_us, event_id) AS prev
+    FROM f
+),
+a AS (
+    SELECT user_id % {CHURN_DOMAINS} AS domain,
+           (t_us // {DAY_US}) * {DAY_US} AS t_us,
+           count(*)::BIGINT AS n_fetches,
+           sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_revisits,
+           sum(CASE WHEN prev IS NOT NULL AND digest != prev
+                    THEN 1 ELSE 0 END)::BIGINT AS n_changed
+    FROM g GROUP BY 1, 2
+)
+SELECT domain, t_us, n_fetches, n_revisits, n_changed,
+       CASE WHEN n_revisits > 0
+            THEN n_changed::DOUBLE / n_revisits::DOUBLE END AS change_ratio
+FROM a
+""",
+        "stale_pages": f"""
+WITH f AS (
+    SELECT user_id, epoch_us(ts) AS t_us, event_id,
+           event_type AS digest
+    FROM events
+),
+g AS (
+    SELECT *, lag(digest) OVER (PARTITION BY user_id
+                                ORDER BY t_us, event_id) AS prev
+    FROM f
+),
+c AS (SELECT *, (prev IS NULL OR digest != prev) AS chg FROM g),
+l AS (
+    SELECT *, max(CASE WHEN chg THEN t_us END)
+                  OVER (PARTITION BY user_id) AS last_change
+    FROM c
+)
+SELECT user_id, count(*)::BIGINT AS n_fetches,
+       sum(CASE WHEN chg THEN 1 ELSE 0 END)::BIGINT AS n_changes,
+       max(last_change)::BIGINT AS last_change_t_us,
+       sum(CASE WHEN t_us > last_change THEN 1 ELSE 0 END)::BIGINT
+           AS fetches_since_change
+FROM l GROUP BY 1
+""",
+        "forecast_error_day": f"""
+WITH h AS (
+    SELECT event_type, (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS t_us,
+           count(*)::BIGINT AS v
+    FROM events GROUP BY 1, 2
+),
+sp AS (
+    SELECT a.event_type, (a.t_us // {DAY_US}) * {DAY_US} AS t_us,
+           a.v - b.v AS err
+    FROM h a JOIN h b
+      ON a.event_type = b.event_type AND b.t_us = a.t_us - {DAY_US}
+),
+sa AS (
+    SELECT event_type, t_us, count(*)::BIGINT AS n_paired,
+           sum(abs(err))::BIGINT AS sum_abs_err,
+           sum(err)::BIGINT AS sum_err
+    FROM sp GROUP BY 1, 2
+),
+np AS (
+    SELECT a.event_type, (a.t_us // {DAY_US}) * {DAY_US} AS t_us,
+           a.v - b.v AS err
+    FROM h a JOIN h b
+      ON a.event_type = b.event_type AND b.t_us = a.t_us - {HOUR_US}
+),
+na AS (
+    SELECT event_type, t_us, count(*)::BIGINT AS n_paired_n1,
+           sum(abs(err))::BIGINT AS sum_abs_err_n1,
+           sum(err)::BIGINT AS sum_err_n1
+    FROM np GROUP BY 1, 2
+)
+SELECT s.event_type, s.t_us, s.n_paired, s.sum_abs_err, s.sum_err,
+       s.sum_abs_err::DOUBLE / s.n_paired::DOUBLE AS mae,
+       n.n_paired_n1, n.sum_abs_err_n1, n.sum_err_n1,
+       n.sum_abs_err_n1::DOUBLE / n.n_paired_n1::DOUBLE AS mae_n1,
+       CASE WHEN n.sum_abs_err_n1 > 0 THEN
+           (s.sum_abs_err::DOUBLE / s.n_paired::DOUBLE)
+           / (n.sum_abs_err_n1::DOUBLE / n.n_paired_n1::DOUBLE)
+       END AS mase
+FROM sa s JOIN na n USING (event_type, t_us)
+""",
         "trend_minute": trend_minute,
         "cohort_retention": cohort_retention,
         "crawl_planner": crawl_planner,

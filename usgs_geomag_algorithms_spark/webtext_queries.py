@@ -1678,6 +1678,46 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(_docs(spark, sf_dir), n=CONTAM_N, bench_mod=CONTAM_MOD)
 
 
+#: Bloom prefilter geometry for bloom_contamination (m bits, k hashes)
+BLOOM_M = 4096
+BLOOM_K = 4
+
+
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark contamination: build an md5-exact Bloom
+    bitmap over the benchmark slice's word n-grams, probe every corpus
+    gram through it, and report per doc the funnel the filter buys —
+    total grams, bloom hits (includes false positives), exact hits.
+    ``n_bloom_hit >= n_exact_hit`` always; docs with ``n_bloom_hit = 0``
+    skip the exact contamination join entirely at scale
+    (operators/bloom.py; the exact path is the `contamination` query)."""
+    from .operators.bloom import bloom_probe, build_bloom
+    from .operators.textops import _exploded_gram_index, _gram_at
+
+    docs = _docs(spark, sf_dir)
+    wi = _exploded_gram_index(docs, CONTAM_N, "text", "doc_id")
+    grams = wi.select(
+        "doc_id", _gram_at(F.col("w"), F.col("i"), CONTAM_N).alias("gram")
+    ).distinct()
+    is_bench = F.col("doc_id") % CONTAM_MOD == 0
+    bench = grams.where(is_bench).select("gram").distinct()
+    corpus = grams.where(~is_bench)
+    words = build_bloom(bench, "gram", BLOOM_M, BLOOM_K)
+    per_gram = bloom_probe(
+        corpus, words, "gram", ("doc_id", "gram"), BLOOM_M, BLOOM_K
+    )
+    flagged = per_gram.join(
+        F.broadcast(bench.withColumn("_ex", F.lit(True))), "gram", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.col("bloom_hit").cast("long")).cast("long").alias("n_bloom_hit"),
+        F.sum(F.coalesce(F.col("_ex"), F.lit(False)).cast("long"))
+        .cast("long")
+        .alias("n_exact_hit"),
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curate import stratified_sample
 
@@ -1946,6 +1986,48 @@ SELECT c.doc_id,
        count(DISTINCT c.gram)::BIGINT AS n_hit_grams,
        count(DISTINCT b.bench_id)::BIGINT AS n_bench_docs
 FROM corpus c JOIN bench b ON c.gram = b.gram
+GROUP BY 1
+"""
+
+
+def _bloom_contamination_sql() -> str:
+    """Same md5 bit positions, same 32-bit words (BIGINT-identical in
+    both engines — 64-bit masks would overflow DuckDB's checked shift),
+    same bool_and probe: the Bloom verdicts — false positives included —
+    reproduce exactly."""
+    pos = (
+        f"('0x' || substr(md5(gram || '|' || i::VARCHAR), 1, 8))::BIGINT"
+        f" % {BLOOM_M}"
+    )
+    ks = f"(SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i)"
+    return f"""
+WITH {_gram_cte(CONTAM_N, 'gbl')},
+dg AS (SELECT DISTINCT doc_id, gram FROM gbl),
+bench AS (SELECT DISTINCT gram FROM dg WHERE doc_id % {CONTAM_MOD} = 0),
+corpus AS (SELECT doc_id, gram FROM dg WHERE doc_id % {CONTAM_MOD} != 0),
+bpos AS (SELECT {pos} AS p FROM bench CROSS JOIN {ks}),
+words AS (
+    SELECT p // 32 AS word_idx,
+           bit_or(1::BIGINT << (p % 32)::INT)::BIGINT AS w
+    FROM bpos GROUP BY 1
+),
+cpos AS (SELECT doc_id, gram, {pos} AS p FROM corpus CROSS JOIN {ks}),
+hit AS (
+    SELECT doc_id, gram,
+           bool_and(w IS NOT NULL
+                    AND (w & (1::BIGINT << (p % 32)::INT)) != 0)
+               AS bloom_hit
+    FROM cpos LEFT JOIN words ON (p // 32) = word_idx
+    GROUP BY 1, 2
+),
+ex AS (
+    SELECT c.doc_id, c.gram, (b.gram IS NOT NULL) AS ex
+    FROM corpus c LEFT JOIN bench b ON c.gram = b.gram
+)
+SELECT h.doc_id, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN h.bloom_hit THEN 1 ELSE 0 END)::BIGINT AS n_bloom_hit,
+       sum(CASE WHEN e.ex THEN 1 ELSE 0 END)::BIGINT AS n_exact_hit
+FROM hit h JOIN ex e ON h.doc_id = e.doc_id AND h.gram = e.gram
 GROUP BY 1
 """
 
@@ -3198,6 +3280,7 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "repetition_signals": q_repetition_signals,
     "contamination": q_contamination,
+    "bloom_contamination": q_bloom_contamination,
     "stratified_sample": q_stratified_sample,
     "pii_scrub": q_pii_scrub,
     "corpus_word_stats": q_corpus_word_stats,
@@ -3262,6 +3345,7 @@ ORACLES = {
     "lsh_pairs": _lsh_pairs_sql(),
     "repetition_signals": _repetition_sql(),
     "contamination": _contamination_sql(),
+    "bloom_contamination": _bloom_contamination_sql(),
     "stratified_sample": _stratified_sql(),
     "pii_scrub": _pii_sql(),
     "corpus_word_stats": _corpus_word_stats_sql(),

@@ -128,6 +128,11 @@ BENCH_QUERIES = [
     "trend_minute",
     "cohort_retention",
     "crawl_planner",
+    "revision_dedup",
+    "churn_day",
+    "stale_pages",
+    "forecast_error_day",
+    "bloom_contamination",
 ]
 
 

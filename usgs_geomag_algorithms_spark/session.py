@@ -37,6 +37,27 @@ def get_spark(
     if shuffle_partitions is not None:
         n_shuffle = shuffle_partitions
 
+    # real-cluster override: point SPARK_GRAFT_MASTER at a standalone
+    # master (spark://host:7077) and the SAME engine/bench code runs on
+    # separate executor JVMs instead of local-mode threads; the requested
+    # core count becomes the app's core cap (spark.cores.max), so the
+    # N-vs-4N-executor scaling evidence uses genuine multi-executor runs
+    # (tools/bench_standalone.py).
+    cluster_master = os.environ.get("SPARK_GRAFT_MASTER")
+    cluster_conf: dict = {}
+    if cluster_master:
+        master = cluster_master
+        cluster_conf["spark.cores.max"] = str(n_shuffle)
+        cluster_conf["spark.executor.cores"] = os.environ.get(
+            "SPARK_EXECUTOR_CORES", "1"
+        )
+        cluster_conf["spark.executor.memory"] = os.environ.get(
+            "SPARK_EXECUTOR_MEMORY", "8g"
+        )
+        pyfiles = os.environ.get("SPARK_GRAFT_PYFILES")
+        if pyfiles:
+            cluster_conf["spark.submit.pyFiles"] = pyfiles
+
     # shuffle/spill scratch: prefer tmpfs — the sandbox stand-in for the
     # local NVMe a real executor would have (the VM's /tmp disk throttles
     # shuffle writes ~2x)
@@ -59,6 +80,8 @@ def get_spark(
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    for k, v in cluster_conf.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

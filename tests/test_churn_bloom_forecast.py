@@ -56,6 +56,30 @@ class TestChurn:
         assert out[("B", 0)] == (True, True)
         assert out[("C", 2)] == (False, False)
 
+    def test_null_digests(self, spark):
+        # NULL digest = failed fetch: a NULL after a NULL is UNchanged;
+        # NULL after content (and content after NULL) is changed; the
+        # first fetch is first even when its digest is NULL
+        rows = [
+            ("N", 0, 1, None),
+            ("N", 1, 2, None),
+            ("N", 2, 3, "a"),
+            ("N", 3, 4, None),
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, t_us long, fid long, digest string"
+        )
+        out = {
+            r.t_us: (r.is_first, r.is_changed)
+            for r in changed_flag(
+                df, ("url",), "t_us", "digest", ("fid",)
+            ).collect()
+        }
+        assert out[0] == (True, True)
+        assert out[1] == (False, False)
+        assert out[2] == (False, True)
+        assert out[3] == (False, True)
+
     def test_revision_dedup(self, spark):
         kept = revision_dedup(
             _fetches(spark), ("url",), "t_us", "digest", ("fid",)

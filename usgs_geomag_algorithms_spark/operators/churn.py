@@ -56,17 +56,32 @@ def changed_flag(
 ) -> DataFrame:
     """Annotate each fetch with ``is_first`` (no prior capture of the key)
     and ``is_changed`` (digest differs from the previous capture; first
-    fetches count as changed — they introduce content)."""
+    fetches count as changed — they introduce content).
+
+    NULL digests (fetch failed, no content hash) are handled: ``is_first``
+    comes from a row-existence marker, not from ``lag(digest)`` (whose
+    NULL is ambiguous between "no prior row" and "prior digest was
+    NULL"), and the digest comparison is null-safe — a NULL-digest
+    revisit after a NULL digest is UNchanged, after content it is
+    changed."""
     w = _fetch_order(key_cols, ts_col, tiebreak_cols)
     prev = F.lag(digest_col).over(w)
-    return fetches.withColumn("_prev_digest", prev).select(
-        "*",
-        F.col("_prev_digest").isNull().alias("is_first"),
-        (
-            F.col("_prev_digest").isNull()
-            | (F.col(digest_col) != F.col("_prev_digest"))
-        ).alias("is_changed"),
-    ).drop("_prev_digest")
+    is_first = F.lag(F.lit(1)).over(w).isNull()
+    return (
+        fetches.select(
+            "*",
+            prev.alias("_prev_digest"),
+            is_first.alias("is_first"),
+        )
+        .select(
+            "*",
+            (
+                F.col("is_first")
+                | ~F.col(digest_col).eqNullSafe(F.col("_prev_digest"))
+            ).alias("is_changed"),
+        )
+        .drop("_prev_digest")
+    )
 
 
 def revision_dedup(

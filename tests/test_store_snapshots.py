@@ -362,6 +362,69 @@ class TestTimeTravel:
         ) == before
 
 
+class TestTags:
+    def test_tag_resolves_and_pins_past_gc(self, spark, store):
+        from usgs_geomag_algorithms_spark.sources.store import TimeTravelError
+
+        store.write(mk(spark, minute_rows(1)), "minute")
+        v1 = store.versions("minute")[-1]
+        frozen = sorted(map(tuple, store.read("minute").collect()))
+        assert store.tag("minute", "release-1") == v1
+        assert store.tags("minute") == {"release-1": v1}
+
+        # age v1 well past the grace window with overwrites that trash
+        # its files, plus a compaction
+        for i in range(TierStore.GC_GRACE_VERSIONS + 3):
+            store.write(
+                mk(spark, [("u", "text_len", T0, float(1000 + i))]), "minute"
+            )
+        store.compact("minute")
+        assert v1 in store.versions("minute")  # history entry preserved
+        # the tagged snapshot still reads, completely and unchanged
+        assert (
+            sorted(map(tuple, store.read("minute", tag="release-1").collect()))
+            == frozen
+        )
+        # an UNtagged sibling version from the same era is gone
+        with pytest.raises(TimeTravelError):
+            store.read("minute", as_of_version=v1 + 1)
+
+    def test_untag_releases_for_gc(self, spark, store):
+        from usgs_geomag_algorithms_spark.sources.store import TimeTravelError
+
+        store.write(mk(spark, minute_rows(1)), "minute")
+        v1 = store.versions("minute")[-1]
+        store.tag("minute", "keep", v1)
+        for i in range(TierStore.GC_GRACE_VERSIONS + 1):
+            store.write(
+                mk(spark, [("u", "text_len", T0, float(i))]), "minute"
+            )
+        assert store.read("minute", tag="keep").count() == 60
+        store.untag("minute", "keep")
+        # next commits GC the now-unpinned era
+        for i in range(TierStore.GC_GRACE_VERSIONS + 1):
+            store.write(
+                mk(spark, [("u", "text_len", T0 + MIN, float(i))]), "minute"
+            )
+        with pytest.raises(TimeTravelError):
+            store.read("minute", tag="keep")
+        with pytest.raises(TimeTravelError):
+            store.read("minute", as_of_version=v1)
+
+    def test_tag_validation(self, spark, store):
+        from usgs_geomag_algorithms_spark.sources.store import TimeTravelError
+
+        store.write(mk(spark, minute_rows(1)), "minute")
+        with pytest.raises(TimeTravelError):
+            store.tag("minute", "bad", 99999)
+        with pytest.raises(TimeTravelError):
+            store.read("minute", tag="never-created")
+        with pytest.raises(ValueError):
+            store.read(
+                "minute", as_of_version=store.versions("minute")[-1], tag="x"
+            )
+
+
 class TestDeleteSeries:
     def rows(self, urls, n=120):
         return [

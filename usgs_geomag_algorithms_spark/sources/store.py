@@ -159,6 +159,75 @@ class TierStore:
     def _lock_path(self, base: str) -> str:
         return f"{base}/_commit.lock"
 
+    # -------------------------------------------------- named refs (tags)
+    def _refs_path(self, base: str) -> str:
+        return f"{base}/_refs.json"
+
+    def _load_refs(self, base: str) -> dict:
+        p = self._refs_path(base)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _save_refs(self, base: str, refs: dict) -> None:
+        tmp = self._refs_path(base) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f, sort_keys=True)
+        os.replace(tmp, self._refs_path(base))
+
+    def tags(self, tier: str) -> dict:
+        """Named snapshot refs for a tier: ``{name: version}`` (Iceberg
+        tag analog). Tagged snapshots are pinned: their manifest history
+        entries and their live files survive GC until :meth:`untag`."""
+        return self._load_refs(self.path(tier))
+
+    def tag(self, tier: str, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under ``name`` (default: the current version).
+        The tagged manifest and every file it references are protected
+        from trash GC and history pruning for the tag's lifetime, so
+        ``read(tier, tag=name)`` keeps resolving after any number of
+        later commits (Iceberg's ``expire_snapshots`` keeps refs)."""
+        base = self.path(tier)
+        with self._commit_lock(base):
+            if version is None:
+                m = self._load_manifest(base)
+                if m is None:
+                    raise TimeTravelError(f"tier {tier!r} has no snapshot")
+                version = m["version"]
+            if not os.path.exists(
+                self._manifest_version_path(base, version)
+            ):
+                raise TimeTravelError(
+                    f"tier {tier!r} snapshot v{version} is not resolvable"
+                    f" (resolvable: {self.versions(tier)})"
+                )
+            refs = self._load_refs(base)
+            refs[name] = version
+            self._save_refs(base, refs)
+        return version
+
+    def untag(self, tier: str, name: str) -> None:
+        """Drop a tag; the pinned snapshot becomes GC-eligible again once
+        outside the grace window (reclaimed by the next commit's GC)."""
+        base = self.path(tier)
+        with self._commit_lock(base):
+            refs = self._load_refs(base)
+            refs.pop(name, None)
+            self._save_refs(base, refs)
+
+    def _tag_protected(self, base: str) -> tuple[set[int], set[str]]:
+        """(tagged versions, union of their live files) — what GC and
+        history pruning must preserve."""
+        versions = set(self._load_refs(base).values())
+        files: set[str] = set()
+        for v in versions:
+            vp = self._manifest_version_path(base, v)
+            if os.path.exists(vp):
+                with open(vp) as f:
+                    files.update(json.load(f).get("files", []))
+        return versions, files
+
     def _commit_lock(self, base: str):
         """Exclusive tier-commit guard: O_CREAT|O_EXCL lockfile held across
         load-manifest → append-files → manifest-flip. A second writer
@@ -233,13 +302,16 @@ class TierStore:
             json.dump(m, f, sort_keys=True)
         os.replace(vp + ".tmp", vp)
         # prune history beyond the trash grace: those versions may
-        # reference physically deleted files and must not resolve
+        # reference physically deleted files and must not resolve —
+        # EXCEPT tagged snapshots, whose files GC also preserves
         cutoff = m["version"] - self.GC_GRACE_VERSIONS
+        tagged, _ = self._tag_protected(base)
         hist_dir = os.path.dirname(vp)
         for fn in os.listdir(hist_dir):
             if fn.startswith("v") and fn.endswith(".json"):
                 try:
-                    if int(fn[1:-5]) < cutoff:
+                    v = int(fn[1:-5])
+                    if v < cutoff and v not in tagged:
                         os.remove(os.path.join(hist_dir, fn))
                 except ValueError:
                     pass
@@ -263,9 +335,10 @@ class TierStore:
         when a directory ``listing`` is provided — any on-disk orphan from
         a crashed write (present but neither live nor trashed)."""
         cutoff = m["version"] - self.GC_GRACE_VERSIONS
+        _, pinned = self._tag_protected(base)
         kept = {}
         for f, ver in m.get("trash", {}).items():
-            if ver <= cutoff:
+            if ver <= cutoff and f not in pinned:
                 try:
                     os.remove(os.path.join(base, f))
                 except FileNotFoundError:
@@ -274,7 +347,7 @@ class TierStore:
                 kept[f] = ver
         m["trash"] = kept
         if listing is not None:
-            known = set(m["files"]) | set(kept)
+            known = set(m["files"]) | set(kept) | pinned
             for f in listing - known:
                 try:
                     os.remove(os.path.join(base, f))
@@ -642,13 +715,26 @@ class TierStore:
         start_us: int | None = None,
         end_us: int | None = None,
         as_of_version: int | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Snapshot read; ``as_of_version`` time-travels to an earlier
         manifest (Iceberg ``VERSION AS OF``): replaced files stay on disk
         for ``GC_GRACE_VERSIONS`` commits, so any version listed by
         :meth:`versions` resolves to a consistent historical view.
-        Older versions raise :class:`TimeTravelError`."""
+        Older versions raise :class:`TimeTravelError`.  ``tag`` resolves
+        a named ref (:meth:`tag`) — tagged snapshots resolve indefinitely
+        (their manifests and files are GC-pinned)."""
         base = self.path(tier)
+        if tag is not None:
+            if as_of_version is not None:
+                raise ValueError("pass either tag or as_of_version, not both")
+            refs = self._load_refs(base) if os.path.exists(base) else {}
+            if tag not in refs:
+                raise TimeTravelError(
+                    f"tier {tier!r} has no tag {tag!r}"
+                    f" (tags: {sorted(refs)})"
+                )
+            as_of_version = refs[tag]
         if not os.path.exists(base):
             if as_of_version is not None:
                 raise TimeTravelError(f"no such tier {tier!r}")

@@ -43,6 +43,16 @@ def get_spark(
     # core count becomes the app's core cap (spark.cores.max), so the
     # N-vs-4N-executor scaling evidence uses genuine multi-executor runs
     # (tools/bench_standalone.py).
+    # Under spark-submit the JVM gateway already exists and carries the
+    # submit-time --master; calling builder.master() would silently
+    # OVERRIDE it back to local mode (the driver would run the whole job
+    # in-process while the cluster sits idle). Detect that launch path
+    # and leave the master alone so `spark-submit --master spark://...
+    # --py-files engine.zip jobs/run_*.py` behaves as the flag says.
+    submit_managed = "PYSPARK_GATEWAY_PORT" in os.environ
+    if submit_managed:
+        master = None
+
     cluster_master = os.environ.get("SPARK_GRAFT_MASTER")
     cluster_conf: dict = {}
     if cluster_master:
@@ -65,9 +75,11 @@ def get_spark(
     if local_dir is None and os.access("/dev/shm", os.W_OK):
         local_dir = "/dev/shm/spark-local"
 
+    builder = SparkSession.builder
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

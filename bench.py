@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "stale_pages",
     "forecast_error_day",
     "bloom_contamination",
+    "fuzzy_title_pairs",
 ]
 
 

@@ -1682,6 +1682,42 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOOM_M = 4096
 BLOOM_K = 4
 
+#: fuzzy-match geometry: blocking prefix, compared prefix, edit budget
+FUZZY_BLOCK = 12
+FUZZY_KEY = 48
+FUZZY_MAX_DIST = 10
+
+
+def q_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match join (operators/fuzzy.py): document 'titles'
+    (lowercased 48-char prefixes) within 10 edits, compared only inside
+    equal 12-char blocking prefixes — the ER blocking pattern; distance
+    is the JVM levenshtein builtin, integer-exact in DuckDB on this
+    ASCII corpus."""
+    from .operators.fuzzy import blocked_levenshtein_pairs
+
+    docs = _docs(spark, sf_dir)
+    return blocked_levenshtein_pairs(
+        docs,
+        key=F.lower(F.substring("text", 1, FUZZY_KEY)),
+        block=F.lower(F.substring("text", 1, FUZZY_BLOCK)),
+        max_dist=FUZZY_MAX_DIST,
+    )
+
+
+def _fuzzy_sql() -> str:
+    return f"""
+WITH t AS (
+    SELECT doc_id, lower(substr(text, 1, {FUZZY_KEY})) AS k,
+           lower(substr(text, 1, {FUZZY_BLOCK})) AS b
+    FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.k, b.k)::INT AS dist
+FROM t a JOIN t b ON a.b = b.b AND a.doc_id < b.doc_id
+WHERE levenshtein(a.k, b.k) <= {FUZZY_MAX_DIST}
+"""
+
 
 def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered benchmark contamination: build an md5-exact Bloom
@@ -3281,6 +3317,7 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "contamination": q_contamination,
     "bloom_contamination": q_bloom_contamination,
+    "fuzzy_title_pairs": q_fuzzy_title_pairs,
     "stratified_sample": q_stratified_sample,
     "pii_scrub": q_pii_scrub,
     "corpus_word_stats": q_corpus_word_stats,
@@ -3346,6 +3383,7 @@ ORACLES = {
     "repetition_signals": _repetition_sql(),
     "contamination": _contamination_sql(),
     "bloom_contamination": _bloom_contamination_sql(),
+    "fuzzy_title_pairs": _fuzzy_sql(),
     "stratified_sample": _stratified_sql(),
     "pii_scrub": _pii_sql(),
     "corpus_word_stats": _corpus_word_stats_sql(),

@@ -1672,6 +1672,42 @@ def q_forecast_error_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("*", mase.alias("mase"))
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition model of user behavior
+    (operators/paths.py::event_transitions): per (state, next_state)
+    count + row probability; one key exchange, states²-bounded output."""
+    from usgs_geomag_algorithms_spark.operators.paths import (
+        event_transitions,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+        "event_id",
+        "event_type",
+    )
+    return event_transitions(
+        ev, ("user_id",), "t_us", "event_type", ("event_id",)
+    )
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion latency per signup-day cohort
+    (operators/paths.py::conversion_latency): converted counts +
+    LOW-median / mean latency; min-aggregates + one join, no per-user
+    collect."""
+    from usgs_geomag_algorithms_spark.operators.paths import (
+        conversion_latency,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+        "event_type",
+    )
+    return conversion_latency(ev, "signup", "purchase", DAY_US)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hour-tier rollup of the events minute signal at sf0.001."""
     return q_rollup_hour_value(spark, "/root/testdata/sf0.001")
@@ -1741,6 +1777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "churn_day": q_churn_day,
         "stale_pages": q_stale_pages,
         "forecast_error_day": q_forecast_error_day,
+        "event_transitions": q_event_transitions,
+        "conversion_latency": q_conversion_latency,
     }
 
 
@@ -3177,6 +3215,69 @@ SELECT s.event_type, s.t_us, s.n_paired, s.sum_abs_err, s.sum_err,
            / (n.sum_abs_err_n1::DOUBLE / n.n_paired_n1::DOUBLE)
        END AS mase
 FROM sa s JOIN na n USING (event_type, t_us)
+""",
+        "event_transitions": """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS t_us, event_id, event_type
+    FROM events
+),
+g AS (
+    SELECT event_type AS state,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY t_us, event_id) AS next_state
+    FROM e
+),
+t AS (
+    SELECT state, next_state, count(*)::BIGINT AS n
+    FROM g WHERE next_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT state, next_state, n,
+       n::DOUBLE / (sum(n) OVER (PARTITION BY state))::DOUBLE AS p
+FROM t
+""",
+        "conversion_latency": f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS t_us, event_type FROM events
+),
+firsts AS (
+    SELECT user_id, min(t_us) AS t0 FROM e
+    WHERE event_type = 'signup' GROUP BY 1
+),
+conv AS (
+    SELECT f.user_id, f.t0,
+           min(CASE WHEN p.t_us >= f.t0 THEN p.t_us END) AS tconv
+    FROM firsts f
+    LEFT JOIN (SELECT user_id, t_us FROM e WHERE event_type = 'purchase') p
+      USING (user_id)
+    GROUP BY 1, 2
+),
+cohort AS (
+    SELECT user_id, (t0 // {DAY_US}) * {DAY_US} AS cohort_day,
+           tconv - t0 AS lat
+    FROM conv
+),
+ranked AS (
+    SELECT cohort_day, lat,
+           row_number() OVER (PARTITION BY cohort_day
+                              ORDER BY lat, user_id) AS rn,
+           count(*) OVER (PARTITION BY cohort_day) AS nc
+    FROM cohort WHERE lat IS NOT NULL
+),
+med AS (
+    SELECT cohort_day, lat AS med_latency_us
+    FROM ranked WHERE rn = (nc + 1) // 2
+),
+agg AS (
+    SELECT cohort_day, count(*)::BIGINT AS n_triggered,
+           count(lat)::BIGINT AS n_converted,
+           sum(lat)::BIGINT AS sum_latency_us
+    FROM cohort GROUP BY 1
+)
+SELECT a.cohort_day, a.n_triggered, a.n_converted, m.med_latency_us,
+       CASE WHEN a.n_converted > 0
+            THEN a.sum_latency_us::DOUBLE / a.n_converted::DOUBLE
+       END AS mean_latency_us
+FROM agg a LEFT JOIN med m USING (cohort_day)
 """,
         "trend_minute": trend_minute,
         "cohort_retention": cohort_retention,

@@ -134,6 +134,9 @@ BENCH_QUERIES = [
     "forecast_error_day",
     "bloom_contamination",
     "fuzzy_title_pairs",
+    "link_triangles",
+    "event_transitions",
+    "conversion_latency",
 ]
 
 

@@ -3052,6 +3052,78 @@ FROM r{N_ITERS}
 
 
 # ------------------------------------------------- table profiling
+def q_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the deterministic md5 link
+    graph (operators/graphstats.py — local-clustering / link-farm
+    signal; two id-keyed hash joins, node-bounded output)."""
+    from .operators.graphrank import md5_link_graph
+    from .operators.graphstats import triangle_participation
+
+    return triangle_participation(md5_link_graph(_docs(spark, sf_dir)))
+
+
+def q_link_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected degree histogram of the same link graph (crawl
+    link-extraction sanity check; two bounded aggregations)."""
+    from .operators.graphrank import md5_link_graph
+    from .operators.graphstats import degree_histogram
+
+    return degree_histogram(md5_link_graph(_docs(spark, sf_dir)))
+
+
+def _graph_edges_cte() -> str:
+    from .operators.graphrank import OUT_DEGREE
+
+    return f"""nodes AS (SELECT doc_id AS id FROM documents),
+b AS (SELECT min(id) AS lo, max(id) AS hi FROM nodes),
+raw AS (
+    SELECT id AS src,
+           lo + ('0x' || substr(md5(id::VARCHAR || ':' || j::VARCHAR), 1, 8)
+                )::BIGINT % (hi - lo + 1) AS dst
+    FROM nodes CROSS JOIN b
+    CROSS JOIN (SELECT unnest(generate_series(1, {OUT_DEGREE})) AS j)
+),
+edges AS (
+    SELECT DISTINCT src, dst
+    FROM raw JOIN nodes n2 ON raw.dst = n2.id
+    WHERE dst != src
+),
+und AS (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM edges
+)"""
+
+
+def _link_triangles_sql() -> str:
+    return f"""
+WITH {_graph_edges_cte()},
+tri AS (
+    SELECT ab.u AS a, ab.v AS b, bc.v AS c
+    FROM und ab
+    JOIN und bc ON bc.u = ab.v
+    JOIN und ac ON ac.u = ab.u AND ac.v = bc.v
+),
+corners AS (
+    SELECT a AS id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT id, count(*)::BIGINT AS n_triangles FROM corners GROUP BY 1
+"""
+
+
+def _link_degree_hist_sql() -> str:
+    return f"""
+WITH {_graph_edges_cte()},
+deg AS (
+    SELECT id, count(*)::BIGINT AS degree
+    FROM (SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+    GROUP BY 1
+)
+SELECT degree, count(*)::BIGINT AS n_nodes FROM deg GROUP BY 1
+"""
+
+
 def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass exact profile of the documents table (profile.py)."""
     from .operators.profile import profile_table
@@ -3335,6 +3407,8 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "link_rank": q_link_rank,
+    "link_triangles": q_link_triangles,
+    "link_degree_hist": q_link_degree_hist,
     "funnel_steps": q_funnel_steps,
     "profile_documents": q_profile_documents,
     "shard_assignment": q_shard_assignment,
@@ -3402,6 +3476,8 @@ ORACLES = {
     "quality_classifier": _quality_classifier_sql(),
     "heavy_hitters_cms": _heavy_hitters_sql(),
     "link_rank": _link_rank_sql(),
+    "link_triangles": _link_triangles_sql(),
+    "link_degree_hist": _link_degree_hist_sql(),
     "funnel_steps": _funnel_sql(),
     "profile_documents": _profile_sql(),
     # knn_ivf stays rows-only: its coarse centroids are trained from the

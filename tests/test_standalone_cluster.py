@@ -98,6 +98,112 @@ def _stop_cluster(procs):
             pass
 
 
+class TestExecutorLossRecovery:
+    def test_job_survives_killed_worker(self, spark, tmp_path):
+        """Fault tolerance only a real cluster can demonstrate: SIGKILL a
+        worker (and its executor JVM) while the job is running; Spark
+        reschedules the lost tasks / recomputes lost shuffle output on
+        the surviving executors and the job completes with correct
+        results."""
+        from tools.make_pyfiles import build
+        from usgs_geomag_algorithms_spark.sources.pages import generate_pages
+        from usgs_geomag_algorithms_spark.sources.store import TierStore
+
+        pages = str(tmp_path / "pages")
+        generate_pages(spark, n_urls=6, hours=3.0, n_hot=3).write.parquet(
+            pages
+        )
+        zip_path = str(tmp_path / "pkg.zip")
+        build(zip_path)
+        job = str(tmp_path / "run_cascade.py")
+        shutil.copy(
+            os.path.join(
+                os.path.dirname(os.path.dirname(__file__)),
+                "jobs",
+                "run_cascade.py",
+            ),
+            job,
+        )
+        submit = os.path.join(
+            os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+        )
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        env["PYSPARK_PYTHON"] = sys.executable
+        # INFO so the task-start marker is visible in the driver log
+        env["SPARK_GRAFT_LOG_LEVEL"] = "INFO"
+
+        procs = _start_cluster(tmp_path, n_workers=3)
+        try:
+            err_path = str(tmp_path / "driver.err")
+            out_path = str(tmp_path / "driver.out")
+            with open(out_path, "w") as of, open(err_path, "w") as ef:
+                p = subprocess.Popen(
+                    [
+                        submit,
+                        "--master", MASTER_URL,
+                        "--total-executor-cores", "3",
+                        "--executor-cores", "1",
+                        "--executor-memory", "2g",
+                        "--py-files", zip_path,
+                        job,
+                        "--pages", pages,
+                        "--store", str(tmp_path / "t"),
+                        "--start", "2020-01-06T00:00:00",
+                        "--end", "2020-01-06T02:59:59",
+                        "--channels", "text_len",
+                    ],
+                    stdout=of,
+                    stderr=ef,
+                    cwd=str(tmp_path),
+                    env=env,
+                )
+                # wait for the first tasks to actually run, then kill a
+                # worker process group (worker daemon + its executor)
+                deadline = time.time() + 120
+                started = False
+                while time.time() < deadline:
+                    if "Starting task" in open(err_path).read():
+                        started = True
+                        break
+                    time.sleep(0.5)
+                assert started, "job never started tasks"
+                os.killpg(procs[-1].pid, signal.SIGKILL)
+                rc = p.wait(timeout=280)
+            err = open(err_path).read()
+            assert rc == 0, err[-2000:]
+            # the loss actually happened mid-job and was recovered
+            assert (
+                "Lost executor" in err
+                or "ExecutorLostFailure" in err
+                or "worker lost" in err.lower()
+            ), err[-2000:]
+        finally:
+            _stop_cluster(procs)
+
+        line = [
+            l for l in open(out_path).read().splitlines()
+            if l.startswith("{")
+        ][-1]
+        metrics = json.loads(line)
+        assert metrics["tiers"]["minute"] > 0
+        # results are correct despite the loss: equal to an in-process run
+        from usgs_geomag_algorithms_spark.operators.cascade import run_tiers
+        from usgs_geomag_algorithms_spark.sources.signals import page_signals
+        from usgs_geomag_algorithms_spark.tiers import US
+
+        t0 = 1578268800
+        sig = page_signals(
+            spark.read.parquet(pages), channels=("text_len",)
+        )
+        # same scan range the CLI passes to build_tiers (no extra pad)
+        want = run_tiers(
+            sig, 1.0, t0 * US, (t0 + 3 * 3600 - 1) * US
+        )["minute"].count()
+        store = TierStore(spark, str(tmp_path / "t"))
+        assert store.read("minute").count() == metrics["tiers"]["minute"]
+        assert metrics["tiers"]["minute"] == want
+
+
 class TestStandaloneClusterSubmit:
     def test_cascade_job_on_real_executors(self, spark, tmp_path):
         from tools.make_pyfiles import build

@@ -184,6 +184,84 @@ class TestContinuousAggregate:
         second = sorted(map(tuple, store.read("minute").collect()))
         assert first == second
 
+    def test_restart_resumes_from_checkpoint(self, spark, tmp_path):
+        """The north-star resumability contract on the streaming path: a
+        NEW query on the SAME checkpoint continues from committed offsets
+        — the first run's files are not reprocessed, late-arriving files
+        are, and the store ends equal to the batch compute over
+        everything."""
+        from usgs_geomag_algorithms_spark.sources.store import TierStore
+        from usgs_geomag_algorithms_spark.streaming.continuous import (
+            continuous_aggregate,
+        )
+
+        all_pages = generate_pages(spark, n_urls=2, hours=0.5, n_hot=2)
+        # first 15 min at ingest, rest arrives "later"
+        cut = F.timestamp_seconds(F.lit(BASE_EPOCH + 900))
+        path = str(tmp_path / "pages")
+        all_pages.where(F.col("warc_ts") < cut).write.mode("append").parquet(
+            path
+        )
+
+        def run(run_id):
+            stream = (
+                spark.readStream.schema(spark.read.parquet(path).schema)
+                .parquet(path)
+                .select(
+                    "url",
+                    F.col("warc_ts").cast("timestamp").alias("event_ts"),
+                    F.length("text").cast("double").alias("value"),
+                    F.lit("text_len").alias("channel"),
+                )
+            )
+            q = continuous_aggregate(
+                stream, SEC_MIN, store, "minute",
+                checkpoint_dir=str(tmp_path / "ckpt_resume"),
+                watermark="10 seconds", trigger_available_now=True,
+            )
+            q.awaitTermination(180)
+            return q
+
+        store = TierStore(spark, str(tmp_path / "tiers"), n_buckets=4)
+        run("r1")
+        epochs_r1 = sum(
+            1
+            for r in store.read_lineage("minute")
+            if r["run_id"].startswith("stream-epoch-")
+        )
+        # later files land after the first query is gone
+        all_pages.where(F.col("warc_ts") >= cut).write.mode(
+            "append"
+        ).parquet(path)
+        run("r2")
+        epochs_r2 = sum(
+            1
+            for r in store.read_lineage("minute")
+            if r["run_id"].startswith("stream-epoch-")
+        )
+        assert epochs_r2 > epochs_r1  # the restart processed NEW epochs
+
+        stored = {
+            (r.url, r.t_us): r.value for r in store.read("minute").collect()
+        }
+        sig = page_signals(spark.read.parquet(path), channels=("text_len",))
+        batch = {
+            (r.url, r.t_us): r.value
+            for r in rollup_step(
+                sig, SEC_MIN,
+                range_start_us=T0, range_end_us=T0 + (1800 - 1) * US,
+            ).collect()
+        }
+        common = set(stored) & set(batch)
+        assert len(common) > 0
+        for k in common:
+            bv, sv = batch[k], stored[k]
+            assert (bv is None and sv is None) or abs(bv - sv) < 1e-9
+        # and slots from BOTH ingest eras are present (resume didn't
+        # skip the new files or double-apply the old ones)
+        assert any(t < T0 + 900_000_000 for _, t in stored)
+        assert any(t >= T0 + 900_000_000 for _, t in stored)
+
 
 class TestLambdaReconcile:
     def test_late_data_gap_filled_by_batch_refresh(self, spark, tmp_path):

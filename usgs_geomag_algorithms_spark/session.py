@@ -97,5 +97,7 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(
+        os.environ.get("SPARK_GRAFT_LOG_LEVEL", "WARN")
+    )
     return spark

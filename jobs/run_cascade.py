@@ -12,7 +12,10 @@ Modes mirror the reference: ``build`` = bulk backfill (Controller.run),
 ``sync`` = CDC-driven staleness propagation (recompute downstream slots
 whose minute-tier inputs changed since --since-version; late-data and
 deletion repair the gap audit cannot see), plus retention partition
-drops.
+drops. Without --since-version, sync is cursor-managed: the store
+remembers each --consumer's resume pointer (first poll baselines it,
+every later poll syncs from it and advances it after the work lands) —
+a bare cron ``--mode sync`` needs no state threading.
 """
 
 from __future__ import annotations
@@ -48,6 +51,11 @@ def main(argv=None) -> int:
         default="build",
     )
     ap.add_argument("--since-version", type=int, default=None)
+    ap.add_argument(
+        "--consumer",
+        default="downstream",
+        help="cursor name for --mode sync without --since-version",
+    )
     ap.add_argument("--channels", nargs="*", default=["text_len", "lang_en"])
     ap.add_argument("--update-limit", type=int, default=1)
     ap.add_argument("--n-buckets", type=int, default=16)
@@ -85,11 +93,16 @@ def main(argv=None) -> int:
     elif args.mode == "maintain":
         metrics = pipeline.maintain(store, end_us)
     elif args.mode == "sync":
-        if args.since_version is None:
-            ap.error("--since-version required in sync mode")
-        metrics = pipeline.sync_changed(
-            store, args.since_version, run_id=args.run_id
-        )
+        if args.since_version is not None:
+            metrics = pipeline.sync_changed(
+                store, args.since_version, run_id=args.run_id
+            )
+        else:
+            # cursor-managed: the store remembers this consumer's resume
+            # pointer; a bare cron `--mode sync` needs no state threading
+            metrics = pipeline.sync_from_cursor(
+                store, consumer=args.consumer, run_id=args.run_id
+            )
     else:
         metrics = pipeline.update_tiers(
             store, start_us, end_us,

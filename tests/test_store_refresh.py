@@ -501,3 +501,91 @@ class TestRefreshChanged:
         v2 = store.versions("minute")[-1]
         m2 = R.refresh_changed(store, "minute", "hour", MIN_HOUR, v2)
         assert m2["runs_recomputed"] == 0
+
+
+class TestSyncCursor:
+    """Cursor-managed CDC sync: the store remembers each consumer's
+    minute-tier resume pointer so a cron `--mode sync` is stateless."""
+
+    def _build(self, spark, store, hours=3):
+        from usgs_geomag_algorithms_spark.plans import pipeline as P
+
+        store.write(mk(spark, minute_rows(hours)), "minute")
+        R.run_as_update(
+            store, "minute", "hour", MIN_HOUR,
+            hour_stamp(0), hour_stamp(hours - 1), update_limit=0,
+        )
+        return P
+
+    def test_first_poll_baselines_then_sync_advances(self, spark, store):
+        P = self._build(spark, store)
+        m0 = P.sync_from_cursor(store, consumer="c1")
+        v0 = store.current_version("minute")
+        assert m0["synced"] is False and m0["baselined_at"] == v0
+        assert store.get_cursor("minute", "c1") == v0
+        # no-change poll is a no-op
+        m1 = P.sync_from_cursor(store, consumer="c1")
+        assert m1 == {"consumer": "c1", "synced": False, "cursor": v0}
+        # late data inside hour 1 -> poll recomputes exactly that hour
+        stale = {r.t_us: r.value for r in store.read("hour").collect()}
+        store.upsert(
+            mk(spark, [
+                ("u", "text_len", T0 + HOUR + i * MIN, 500.0) for i in range(5)
+            ]),
+            "minute",
+        )
+        m2 = P.sync_from_cursor(store, consumer="c1")
+        assert m2["synced"] is True and m2["from_version"] == v0
+        assert store.get_cursor("minute", "c1") == m2["to_version"]
+        got = {r.t_us: r.value for r in store.read("hour").collect()}
+        assert got[hour_stamp(1)] != pytest.approx(stale[hour_stamp(1)])
+        assert got[hour_stamp(0)] == pytest.approx(stale[hour_stamp(0)])
+        # acknowledged: the same change is not replayed
+        m3 = P.sync_from_cursor(store, consumer="c1")
+        assert m3["synced"] is False
+
+    def test_independent_consumers_and_regression_guard(self, spark, store):
+        P = self._build(spark, store, hours=2)
+        P.sync_from_cursor(store, consumer="a")
+        v0 = store.current_version("minute")
+        store.upsert(mk(spark, [("u", "text_len", T0, 7.0)]), "minute")
+        # consumer b baselines NOW — it never replays a's pending change
+        mb = P.sync_from_cursor(store, consumer="b")
+        assert mb["synced"] is False
+        ma = P.sync_from_cursor(store, consumer="a")
+        assert ma["synced"] is True and ma["from_version"] == v0
+        assert store.cursors("minute") == {
+            "a": store.current_version("minute"),
+            "b": store.current_version("minute"),
+        }
+        with pytest.raises(ValueError, match="regression"):
+            store.set_cursor("minute", "a", v0 - 1)
+        store.set_cursor("minute", "a", v0 - 1, force=True)  # re-baseline
+        assert store.get_cursor("minute", "a") == v0 - 1
+
+    def test_aged_out_cursor_raises_time_travel(self, spark, store):
+        from usgs_geomag_algorithms_spark.sources.store import TimeTravelError
+
+        P = self._build(spark, store, hours=1)
+        P.sync_from_cursor(store, consumer="slow")
+        for i in range(store.GC_GRACE_VERSIONS + 2):
+            store.upsert(
+                mk(spark, [("u", "text_len", T0 + i * MIN, float(i))]),
+                "minute",
+            )
+        with pytest.raises(TimeTravelError, match="re-baseline"):
+            P.sync_from_cursor(store, consumer="slow")
+
+    def test_cli_sync_without_since_version(self, spark, store, capsys):
+        import json as _json
+
+        from jobs.run_cascade import main
+
+        self._build(spark, store)
+        assert main(["--store", store.root, "--mode", "sync"]) == 0
+        m0 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert m0["synced"] is False and "baselined_at" in m0
+        store.upsert(mk(spark, [("u", "text_len", T0, 9.0)]), "minute")
+        assert main(["--store", store.root, "--mode", "sync"]) == 0
+        m1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert m1["synced"] is True

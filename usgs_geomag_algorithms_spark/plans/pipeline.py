@@ -141,6 +141,54 @@ def sync_changed(
     return out
 
 
+def sync_from_cursor(
+    store: TierStore, consumer: str = "downstream", run_id: str | None = None
+) -> dict:
+    """Cursor-managed :func:`sync_changed`: the cron-friendly form where
+    the STORE remembers the consumer's minute-tier resume pointer
+    (:meth:`TierStore.get_cursor` / ``set_cursor``) instead of the
+    scheduler threading ``--since-version`` between invocations — the
+    same advance-after-work-lands contract as the reference statefile
+    (``SqDistAlgorithm.py:122-167``).
+
+    First poll baselines the cursor at the current version and does no
+    work (changes before the consumer existed are the backfill's job —
+    run ``build``/``update`` first). A no-change poll is a no-op. A
+    cursor older than the time-travel window raises
+    :class:`TimeTravelError` — re-baseline explicitly (full ``update``
+    over the retention window, then ``set_cursor(force=True)``); the
+    cursor is only advanced AFTER the sync lands, so a crashed sync
+    re-runs from the same version (recomputes are idempotent last-wins
+    merges)."""
+    v_now = store.current_version("minute")
+    v_from = store.get_cursor("minute", consumer)
+    if v_from is None:
+        store.set_cursor("minute", consumer, v_now)
+        return {"consumer": consumer, "synced": False, "baselined_at": v_now}
+    if v_from == v_now:
+        return {"consumer": consumer, "synced": False, "cursor": v_from}
+    if v_from not in store.versions("minute"):
+        from ..sources.store import TimeTravelError
+
+        raise TimeTravelError(
+            f"cursor {v_from} for consumer {consumer!r} aged out of the "
+            f"minute tier's time-travel window {store.versions('minute')} — "
+            "re-baseline: run a full update over the retention window, then "
+            "set_cursor(force=True)"
+        )
+    # v_now is pinned BEFORE the sync: an ingest landing mid-sync is not
+    # acknowledged and the next poll picks it up.
+    out = sync_changed(store, v_from, run_id=run_id)
+    store.set_cursor("minute", consumer, v_now)
+    return {
+        "consumer": consumer,
+        "synced": True,
+        "from_version": v_from,
+        "to_version": v_now,
+        "tiers": out,
+    }
+
+
 def apply_retention(
     store: TierStore, now_us: int, retention_us: dict | None = None
 ) -> dict:

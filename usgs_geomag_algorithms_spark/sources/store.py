@@ -1181,3 +1181,70 @@ class TierStore:
             return []
         with open(path) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+    # ------------------------------------------------------ consumer cursors
+    # A CDC consumer (``pipeline.sync_from_cursor``, an export job, a cache
+    # invalidator) polls ``changelog(tier, v_cursor)`` and must remember
+    # ``v_cursor`` across invocations. The store owns that bookkeeping so
+    # the cron scheduler stays stateless (the reference's Controller
+    # ``--realtime`` analog keeps its resume pointer in the statefile,
+    # ``SqDistAlgorithm.py:122-167`` — same contract, per consumer): one
+    # tiny JSON per (tier, consumer), written atomically (tmp +
+    # ``os.replace``). Cursors only move forward — a regression is a
+    # consumer bug and raises unless ``force=True`` (the deliberate
+    # re-baseline after a :class:`TimeTravelError`).
+
+    def _cursor_path(self, tier: str, consumer: str) -> str:
+        safe = "".join(
+            ch if ch.isalnum() or ch in "-_." else "_" for ch in consumer
+        )
+        return f"{self.root}/_cursors/{tier}.{safe}.json"
+
+    def get_cursor(self, tier: str, consumer: str) -> int | None:
+        """Last snapshot version ``consumer`` acknowledged for ``tier``,
+        or None if the consumer has never baselined."""
+        path = self._cursor_path(tier, consumer)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return int(json.load(f)["version"])
+
+    def set_cursor(
+        self, tier: str, consumer: str, version: int, force: bool = False
+    ) -> None:
+        """Acknowledge ``version``: the consumer has fully processed every
+        change up to and including it. Regressions raise (replaying a CDC
+        window would double-apply non-idempotent consumers) unless
+        ``force=True``."""
+        prev = self.get_cursor(tier, consumer)
+        if prev is not None and version < prev and not force:
+            raise ValueError(
+                f"cursor regression for {consumer!r} on {tier!r}: "
+                f"{prev} -> {version} (pass force=True to re-baseline)"
+            )
+        path = self._cursor_path(tier, consumer)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": int(version)}, f)
+        os.replace(tmp, path)  # atomic advance
+
+    def cursors(self, tier: str) -> dict:
+        """All recorded consumer cursors for ``tier`` (consumer -> version)."""
+        d = f"{self.root}/_cursors"
+        if not os.path.isdir(d):
+            return {}
+        out = {}
+        for fn in os.listdir(d):
+            if fn.startswith(f"{tier}.") and fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    out[fn[len(tier) + 1 : -5]] = int(json.load(f)["version"])
+        return out
+
+    def current_version(self, tier: str) -> int:
+        """Current snapshot version of ``tier`` (TimeTravelError if the
+        tier has never been written)."""
+        m = self._load_manifest(self.path(tier))
+        if m is None:
+            raise TimeTravelError(f"tier {tier!r} has no manifest")
+        return int(m["version"])

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "session_stats",
     "session_purchases",
     "text_quality",
+    "canonical_dedup",
     "repetition_signals",
     "contamination",
     "source_overlap",

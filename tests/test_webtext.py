@@ -1079,3 +1079,47 @@ class TestPixelStats:
                 assert r[name] == int(img[:, :, c].astype(np.int64).sum())
             assert r["min_px"] == int(img.min())
             assert r["max_px"] == int(img.max())
+
+
+class TestCanonicalize:
+    """Unicode canonicalization (NFC + lower + trim + whitespace
+    collapse) — the pre-dedup text folding key. Fixtures use explicit
+    \\uXXXX escapes: raw non-ASCII literals can arrive decomposed."""
+
+    def test_nfc_composes_combining_marks(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Cafe\u0301"), (2, "Caf\u00e9"), (3, None)],
+            "id int, s string",
+        )
+        got = {
+            r.id: r.n
+            for r in df.select(
+                "id", T.nfc_normalize_col("s").alias("n")
+            ).collect()
+        }
+        assert got[1] == got[2] == "Caf\u00e9"
+        assert got[3] is None
+
+    def test_canonical_key_folds_case_space_and_form(self, spark):
+        rows = [
+            (1, "  The  Quick\tBrown\nFox "),
+            (2, "the quick brown fox"),
+            (3, "Re\u0301sume\u0301 TEXT"),
+            (4, "r\u00e9sum\u00e9 text"),
+            (5, "distinct doc"),
+        ]
+        df = spark.createDataFrame(rows, "id int, s string")
+        out = {
+            r.id: r.canon
+            for r in T.canonicalize_text(df, text_col="s").collect()
+        }
+        assert out[1] == out[2] == "the quick brown fox"
+        assert out[3] == out[4] == "r\u00e9sum\u00e9 text"
+        assert len({out[1], out[3], out[5]}) == 3  # no over-folding
+
+    def test_vertical_tab_not_collapsed(self, spark):
+        # Java \s includes \x0B, RE2's does not — CANON_WS is explicit
+        # so both engines keep \x0B intact
+        df = spark.createDataFrame([(1, "a\x0bb"), (2, "a b")], "id int, s string")
+        out = {r.id: r.canon for r in T.canonicalize_text(df, "s").collect()}
+        assert out[1] == "a\x0bb" and out[1] != out[2]

@@ -603,3 +603,51 @@ def tfidf_keywords(
         .where(F.col("rank") <= top_n)
         .select(id_col, "word", "tf", "df_t", "score", "rank")
     )
+
+
+#: explicit whitespace-run class for canonicalization — Java's ``\s``
+#: includes ``\x0B`` (vertical tab), RE2's does not; an explicit class
+#: keeps Spark and the DuckDB oracle byte-identical
+CANON_WS = "[ \t\r\n]+"
+
+
+def nfc_normalize_col(col) -> F.Column:
+    """Unicode NFC normalization of a string column as an Arrow-batched
+    pandas UDF over ``pandas.Series.str.normalize`` (the ``unicodedata``
+    C kernel per element — UAX#15, the same tables DuckDB's utf8proc
+    implements, so oracles are byte-identical). NOT Arrow's
+    ``utf8_normalize``: this container's build fails to compose
+    (NFC of e + U+0301 stays decomposed — verified). NULLs pass
+    through."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        return s.str.normalize("NFC")
+
+    # real annotation objects: the module's postponed (string) annotations
+    # are unresolvable for pandas_udf's signature inspection
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = pandas_udf(_nfc, "string")
+    return udf(col if isinstance(col, F.Column) else F.col(col))
+
+
+def canonicalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "canon"
+) -> DataFrame:
+    """Dedup-key canonicalization: NFC-normalize (combining sequences
+    fold to precomposed codepoints), lowercase, trim, collapse whitespace
+    runs to single spaces — the standard pre-dedup text folding so that
+    byte-distinct but visually/semantically identical crawls share one
+    exact-dedup key (the per-url byte-identity invariant stays on the RAW
+    text column; this derives a SEPARATE key).
+
+    Everything after the NFC kernel is a JVM column expression; the exact
+    DuckDB twin is
+    ``regexp_replace(trim(lower(nfc_normalize(s))), '[ \\t\\r\\n]+', ' ', 'g')``
+    (both engines trim 0x20 only and lowercase after NFC in the same
+    order, so results are byte-identical)."""
+    canon = F.regexp_replace(
+        F.trim(F.lower(nfc_normalize_col(text_col))), CANON_WS, " "
+    )
+    return df.withColumn(out_col, canon)

@@ -697,6 +697,37 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprint(_docs(spark, sf_dir), n=SHINGLE_N, keep=4)
 
 
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization as a dedup key: two deterministic
+    byte-DISTINCT variants per document — a precomposed-é, upper-cased,
+    space/tab-padded copy vs a combining-mark (e + U+0301), newline-
+    separated copy — must fold to ONE canonical key through the real NFC
+    kernel (Arrow ``utf8_normalize``) + lower/trim/collapse chain; a
+    broken kernel shows up as n_canon=2 and a hash mismatch."""
+    docs = _docs(spark, sf_dir)
+    v1 = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("  Caf\u00e9 \t"), F.upper(F.col("text"))
+        ).alias("s"),
+    )
+    v2 = docs.select(
+        "doc_id",
+        F.concat(F.lit("cafe\u0301\n"), F.col("text")).alias("s"),
+    )
+    canon = T.canonicalize_text(v1.unionByName(v2), text_col="s")
+    return (
+        canon.groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_raw"),
+            F.countDistinct("canon").alias("n_canon"),
+            F.min(F.sha2(F.col("canon"), 256)).alias("canon_sha"),
+            F.min(F.length("canon")).cast("long").alias("canon_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ----------------------------------------------------------------- oracle
 _SHINGLE_CTE = f"""
 pos AS (
@@ -1366,6 +1397,34 @@ SELECT doc_id,
            AS n_tokens_bpe,
        ceil(length(text)::DOUBLE / 4.0)::BIGINT AS n_tokens_bpe_est
 FROM documents
+"""
+
+
+def _canonical_dedup_sql() -> str:
+    # chr(233)=é precomposed, chr(769)=U+0301 combining acute, chr(9)=\t;
+    # the canonical chain is nfc_normalize -> lower -> trim(0x20) ->
+    # collapse explicit [ \t\r\n]+ runs — the same order as
+    # textops.canonicalize_text, so results are byte-identical
+    return """
+WITH variants AS (
+  SELECT doc_id, '  Caf' || chr(233) || ' ' || chr(9) || upper(text) AS s
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'cafe' || chr(769) || chr(10) || text AS s FROM documents
+), canon AS (
+  SELECT doc_id, s,
+         regexp_replace(trim(lower(nfc_normalize(s))),
+                        '[ \t\r\n]+', ' ', 'g') AS canon
+  FROM variants
+)
+SELECT doc_id,
+       count(DISTINCT s)::BIGINT AS n_raw,
+       count(DISTINCT canon)::BIGINT AS n_canon,
+       min(sha256(canon)) AS canon_sha,
+       min(length(canon))::BIGINT AS canon_len
+FROM canon
+GROUP BY doc_id
+ORDER BY doc_id
 """
 
 
@@ -3373,6 +3432,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "doc_fingerprint": q_fingerprint,
+    "canonical_dedup": q_canonical_dedup,
     "curate_corpus": q_curate_corpus,
     "curate_full": q_curate_full,
     "pack_sequences": q_pack_sequences,
@@ -3437,6 +3497,7 @@ ORACLES = {
     "lang_id": _lang_id_sql(),
     "quality_score": _quality_sql(),
     "doc_fingerprint": _fingerprint_sql(),
+    "canonical_dedup": _canonical_dedup_sql(),
     "curate_corpus": _curate_sql(),
     "curate_full": _curate_full_sql(),
     "pack_sequences": _pack_sequences_sql(),

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "html_extract",
     "media_pixel_stats",
     "audio_stats",
+    "audio_stats_g711",
     "quality_classifier",
     "heavy_hitters_cms",
     "link_rank",

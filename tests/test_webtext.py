@@ -1123,3 +1123,116 @@ class TestCanonicalize:
         df = spark.createDataFrame([(1, "a\x0bb"), (2, "a b")], "id int, s string")
         out = {r.id: r.canon for r in T.canonicalize_text(df, "s").collect()}
         assert out[1] == "a\x0bb" and out[1] != out[2]
+
+
+class TestG711:
+    """G.711 A-law/µ-law WAV decode (format tags 6/7): golden extremes
+    from the ITU tables, structural segment properties, and independent
+    textbook encoders round-tripping every byte."""
+
+    def test_mulaw_golden_and_structure(self):
+        t = M._G711_MULAW
+        assert t[0x00] == -32124 and t[0x80] == 32124
+        assert t[0xFF] == 0 and t[0x7F] == 0  # both zero codes
+        # positive half (0x80..0xFF) strictly decreasing to 0
+        pos = t[0x80:0x100]
+        assert np.all(np.diff(pos) < 0) and pos[-1] == 0
+        # perfect odd symmetry byte-wise: flipping the sign bit of the
+        # pre-complement code negates the sample
+        for b in range(256):
+            assert t[b ^ 0x80] == -t[b]
+        # within a segment, mantissa steps are 2^(exp+3)
+        for exp in range(8):
+            seg = [t[0xFF ^ ((exp << 4) | m)] for m in range(16)]
+            assert np.all(np.diff(seg) == 1 << (exp + 3))
+
+    def test_alaw_golden_and_structure(self):
+        t = M._G711_ALAW
+        assert t[0x55] == -8 and t[0xD5] == 8  # smallest magnitudes
+        assert t[0x2A] == -32256 and t[0xAA] == 32256  # extremes
+        assert np.all(t != 0)  # A-law has no zero output
+        for b in range(256):
+            assert t[b ^ 0x80] == -t[b]
+        # segment 0 steps by 16, segment k>=1 by 2^(k+3)
+        for exp in range(8):
+            seg = sorted(abs(t[(0x80 | (exp << 4) | m) ^ 0x55]) for m in range(16))
+            step = 16 if exp == 0 else 1 << (exp + 3)
+            assert np.all(np.diff(seg) == step)
+
+    @staticmethod
+    def _ulaw_encode(x: int) -> int:
+        # textbook linear->µ-law (bias, clip, MSB segment search)
+        sign = 0x80 if x < 0 else 0
+        if x < 0:
+            x = -x
+        x = min(x, 32635) + 0x84
+        exp = 7
+        mask = 0x4000
+        while exp > 0 and not (x & mask):
+            exp -= 1
+            mask >>= 1
+        mant = (x >> (exp + 3)) & 0x0F
+        return ~(sign | (exp << 4) | mant) & 0xFF
+
+    @staticmethod
+    def _alaw_encode(x: int) -> int:
+        sign = 0x80 if x >= 0 else 0
+        if x < 0:
+            x = -x - 1
+        if x < 256:
+            code = x >> 4
+        else:
+            exp = 7
+            mask = 0x4000
+            while exp > 1 and not (x & mask):
+                exp -= 1
+                mask >>= 1
+            mant = (x >> (exp + 3)) & 0x0F
+            code = (exp << 4) | mant
+        return (sign | code) ^ 0x55
+
+    def test_encoders_roundtrip_every_byte(self):
+        # decode is the exact right-inverse of the textbook encoders:
+        # encode(decode(b)) == b for every byte (µ-law excepting the
+        # negative-zero code 0x7F, whose 0 re-encodes as +0 = 0xFF)
+        for b in range(256):
+            if b != 0x7F:
+                assert self._ulaw_encode(int(M._G711_MULAW[b])) == b
+            assert self._alaw_encode(int(M._G711_ALAW[b])) == b
+
+    def _wav(self, fmt_tag, data, channels=1, rate=8000):
+        import struct
+
+        fmt = struct.pack("<HHIIHH", fmt_tag, channels, rate, rate * channels, channels, 8)
+        return (
+            b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def test_wav_decode_g711_and_stats(self, spark):
+        data = bytes(range(48))
+        dec = M.wav_decode(self._wav(7, data))
+        assert dec is not None
+        x, rate = dec
+        assert rate == 8000 and x.shape == (48, 1)
+        v = np.rint(x[:, 0] * 32768.0).astype(np.int64)
+        assert np.array_equal(v, M._G711_MULAW[np.frombuffer(data, np.uint8)])
+        # stereo A-law deinterleaves
+        xa, _ = M.wav_decode(self._wav(6, data, channels=2))
+        assert xa.shape == (24, 2)
+        assert np.array_equal(
+            np.rint(xa * 32768.0).astype(np.int64).ravel(),
+            M._G711_ALAW[np.frombuffer(data, np.uint8)],
+        )
+        # Spark plumbing: waveform_stats emits exact integer sums
+        df = spark.createDataFrame(
+            [(1, bytearray(self._wav(7, data)))], "media_id long, payload binary"
+        )
+        r = M.waveform_stats(df).first()
+        tv = M._G711_MULAW[np.frombuffer(data, np.uint8)]
+        assert (r.n_samples, r.n_channels, r.sample_rate) == (48, 1, 8000)
+        assert r.sum_v == int(tv.sum()) and r.sum_abs == int(np.abs(tv).sum())
+        assert r.min_v == int(tv.min()) and r.max_v == int(tv.max())
+        # unknown format tag still routes to the undecodable path
+        assert M.wav_decode(self._wav(2, data)) is None

@@ -7,12 +7,12 @@ Arrow-batched ``mapInPandas`` stages.
 REAL pure-stdlib/NumPy codecs cover: **PPM (P6)**, **non-interlaced
 8-bit truecolor PNG**, and **baseline JPEG** images (decode, pixel
 stats, bilinear resize, re-encode — see ``jpeg_codec.py``), **WAV
-(PCM 8/16-bit) audio** (decode, waveform stats, linear resample,
-re-encode), and **MJPEG/AVI video** (container walk, per-frame JPEG
-decode, real frame sampling) — genuinely functional paths for all four
-modalities with zero external libraries. The remaining formats
-(progressive JPEG, lossy audio, non-MJPEG video) are STUBBED (no
-pillow/ffmpeg in this container):
+(PCM 8/16-bit + G.711 A-law/µ-law) audio** (decode, waveform stats,
+linear resample, re-encode), and **MJPEG/AVI video** (container walk,
+per-frame JPEG decode, real frame sampling) — genuinely functional
+paths for all four modalities with zero external libraries. The
+remaining formats (progressive JPEG, ADPCM/float audio, non-MJPEG
+video) are STUBBED (no pillow/ffmpeg in this container):
 ``deterministic=True`` produces a seeded fake decode (hash-derived
 dimensions + features) so the Spark-side plumbing — schema, batch
 iteration, partitioning — is real and tested; ``deterministic=False``
@@ -357,11 +357,41 @@ def extract_frames(
 
 
 # ------------------------------------------------------ real WAV codec
+def _g711_mulaw_table() -> np.ndarray:
+    """ITU-T G.711 µ-law byte -> linear int16 (256-entry decode table):
+    complement, then sign/exponent/mantissa expansion with bias 0x84.
+    Extremes ±32124; both zero codes (0xFF, 0x7F) decode to 0."""
+    u = (~np.arange(256, dtype=np.int64)) & 0xFF
+    mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+    return np.where((u & 0x80) != 0, -mag, mag)
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """ITU-T G.711 A-law byte -> linear int16 (256-entry decode table):
+    xor 0x55 (even-bit inversion), then segment expansion. Extremes
+    ±32256, minimum magnitude 8 (A-law has no zero output); the sign
+    bit SET means positive."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = np.where(
+        exp == 0, (mant << 4) + 8,
+        ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
+    )
+    return np.where((a & 0x80) != 0, mag, -mag)
+
+
+_G711_MULAW = _g711_mulaw_table()
+_G711_ALAW = _g711_alaw_table()
+
+
 def wav_decode(payload: bytes) -> tuple[np.ndarray, int] | None:
-    """Pure-stdlib WAV (RIFF, PCM 8/16-bit) decode: returns
-    ``(samples, sample_rate)`` with samples float64 in [-1, 1] shaped
-    ``(n_samples, n_channels)``; None for anything else (float/ADPCM,
-    24-bit, truncated, non-RIFF)."""
+    """Pure-stdlib WAV (RIFF; PCM 8/16-bit, G.711 A-law/µ-law) decode:
+    returns ``(samples, sample_rate)`` with samples float64 in [-1, 1]
+    shaped ``(n_samples, n_channels)``; None for anything else
+    (float/ADPCM, 24-bit, truncated, non-RIFF). G.711 (format tags 6/7,
+    the classic telephony companding) expands through exact integer
+    tables, so stats in the int16-scaled domain stay oracle-exact."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -385,17 +415,28 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int] | None:
     if fmt is None or data is None:
         return None
     audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
-    if audio_fmt != 1 or channels < 1 or bits not in (8, 16):
+    if channels < 1:
         return None
-    if bits == 16:
+    if audio_fmt == 1 and bits == 16:
         usable = len(data) - len(data) % (2 * channels)
         x = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64) / 32768.0
-    else:  # 8-bit PCM is unsigned
+    elif audio_fmt == 1 and bits == 8:  # 8-bit PCM is unsigned
         usable = len(data) - len(data) % channels
         x = (
             np.frombuffer(data[:usable], dtype=np.uint8).astype(np.float64)
             - 128.0
         ) / 128.0
+    elif audio_fmt in (6, 7) and bits == 8:  # G.711 A-law / µ-law
+        usable = len(data) - len(data) % channels
+        tbl = _G711_ALAW if audio_fmt == 6 else _G711_MULAW
+        x = (
+            tbl[np.frombuffer(data[:usable], dtype=np.uint8)].astype(
+                np.float64
+            )
+            / 32768.0
+        )
+    else:
+        return None
     if x.size == 0:
         return None
     return x.reshape(-1, channels), int(rate)

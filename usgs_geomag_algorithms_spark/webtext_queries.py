@@ -2889,6 +2889,7 @@ FROM b GROUP BY 1 ORDER BY 1
 
 #: audio driver check: mono 16-bit PCM, 3 md5 digests = 24 samples
 AUDIO_RATE, AUDIO_N = 8000, 24
+G711_N = 32  # one µ-law sample per md5 byte, two digests
 
 
 def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2922,6 +2923,72 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit(header), *digests).alias("payload"),
     )
     return waveform_stats(media).orderBy("media_id")
+
+
+def q_audio_stats_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The companded-telephony twin of audio_stats: a deterministic
+    G.711 µ-law clip per document (32 sample BYTES = two salted md5
+    digests, format tag 7) through the REAL decode table
+    (multimodal.py::_G711_MULAW inside wav_decode). The oracle expands
+    each byte with the textbook integer formula — complement, then
+    ``((mant·8+132)·2^exp)−132`` with the post-complement sign bit
+    negative — so a companding-table or chunk-walk bug flips the
+    comparison. All-integer outputs."""
+    import struct
+
+    from .operators.multimodal import waveform_stats
+
+    n = G711_N
+    header = (
+        b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 7, 1, AUDIO_RATE, AUDIO_RATE, 1, 8)
+        + b"data" + struct.pack("<I", n)
+    )
+    digests = [
+        F.unhex(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":g{k}")))
+        )
+        for k in range(2)
+    ]
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(header), *digests).alias("payload"),
+    )
+    return waveform_stats(media).orderBy("media_id")
+
+
+def _audio_stats_g711_sql() -> str:
+    hexes = " || ".join(f"md5(doc_id::VARCHAR || ':g{k}')" for k in range(2))
+    return f"""
+WITH hx AS (SELECT doc_id, {hexes} AS hs FROM documents),
+b AS (
+    SELECT doc_id, k,
+           255 - ('0x' || substr(hs, 2 * k + 1, 2))::BIGINT AS u
+    FROM (SELECT doc_id, hs, unnest(generate_series(0, {G711_N - 1})) AS k
+          FROM hx)
+),
+v AS (
+    SELECT doc_id, k,
+           (CASE WHEN u >= 128 THEN -1 ELSE 1 END)
+           * ((((u % 16) * 8 + 132) * (1::BIGINT << ((u // 16) % 8))) - 132)
+               AS v
+    FROM b
+),
+w AS (
+    SELECT doc_id, v,
+           lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+    FROM v
+)
+SELECT doc_id::BIGINT AS media_id,
+       {G711_N}::BIGINT AS n_samples, 1::INT AS n_channels,
+       {AUDIO_RATE}::INT AS sample_rate,
+       sum(v)::BIGINT AS sum_v, sum(abs(v))::BIGINT AS sum_abs,
+       min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v,
+       sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END)::BIGINT
+           AS zero_crossings
+FROM w GROUP BY 1 ORDER BY 1
+"""
 
 
 def _audio_stats_sql() -> str:
@@ -3464,6 +3531,7 @@ QUERIES = {
     "html_extract": q_html_extract,
     "media_pixel_stats": q_media_pixel_stats,
     "audio_stats": q_audio_stats,
+    "audio_stats_g711": q_audio_stats_g711,
     "quality_classifier": q_quality_classifier,
     "heavy_hitters_cms": q_heavy_hitters_cms,
     "link_rank": q_link_rank,
@@ -3534,6 +3602,7 @@ ORACLES = {
     "html_extract": _html_extract_sql(),
     "media_pixel_stats": _media_pixel_stats_sql(),
     "audio_stats": _audio_stats_sql(),
+    "audio_stats_g711": _audio_stats_g711_sql(),
     "quality_classifier": _quality_classifier_sql(),
     "heavy_hitters_cms": _heavy_hitters_sql(),
     "link_rank": _link_rank_sql(),

@@ -1236,3 +1236,126 @@ class TestG711:
         assert r.min_v == int(tv.min()) and r.max_v == int(tv.max())
         # unknown format tag still routes to the undecodable path
         assert M.wav_decode(self._wav(2, data)) is None
+
+
+class TestImaAdpcm:
+    """IMA/DVI ADPCM (WAV format 17): golden state-machine vectors, a
+    textbook encoder round-trip with the quantization error bound, and
+    stereo interleave through the WAV container."""
+
+    def test_golden_state_machine(self):
+        import struct
+
+        # pred=0, idx=0; byte 0x87 = nibbles [7, 8] (low first):
+        # b=7: diff=0+7+3+1=11 -> 11, idx 8; b=8: step16, diff=2, sign -> 9
+        blk = struct.pack("<hBB", 0, 0, 0) + bytes([0x87, 0x00, 0x00, 0x00])
+        out = M._ima_adpcm_decode(blk, 1, 8)
+        assert out.shape == (9, 1)
+        assert out[:3].ravel().tolist() == [0, 11, 9]
+        # all-zero nibbles from rest state stay at rest
+        blk0 = struct.pack("<hBB", 0, 0, 0) + bytes(4)
+        assert np.all(M._ima_adpcm_decode(blk0, 1, 8) == 0)
+        # corrupt step index rejects
+        bad = struct.pack("<hBB", 0, 89, 0) + bytes(4)
+        assert M._ima_adpcm_decode(bad, 1, 8) is None
+
+    @staticmethod
+    def _encode_block(x: np.ndarray) -> bytes:
+        # textbook mono encoder: sample 0 in the header, nibbles low-first
+        import struct
+
+        steps, adj = M._IMA_STEPS, M._IMA_INDEX_ADJ
+        pred, idx = int(x[0]), 0
+        head = struct.pack("<hBB", pred, idx, 0)
+        nibs = []
+        for v in map(int, x[1:]):
+            step = int(steps[idx])
+            delta = v - pred
+            b = 0
+            if delta < 0:
+                b, delta = 8, -delta
+            if delta >= step:
+                b |= 4
+                delta -= step
+            if delta >= step >> 1:
+                b |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                b |= 1
+            # decoder-mirror state update
+            diff = step >> 3
+            if b & 4:
+                diff += step
+            if b & 2:
+                diff += step >> 1
+            if b & 1:
+                diff += step >> 2
+            pred = pred - diff if b & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + int(adj[b & 7])))
+            nibs.append(b)
+        if len(nibs) % 2:
+            nibs.append(0)
+        body = bytes(lo | (hi << 4) for lo, hi in zip(nibs[0::2], nibs[1::2]))
+        return head + body
+
+    def test_encoder_roundtrip_error_bound(self):
+        n = 505  # one standard block: 4 + 252 bytes
+        t = np.arange(n)
+        x = np.rint(8000 * np.sin(2 * np.pi * t / 64)).astype(np.int64)
+        blk = self._encode_block(x)
+        assert len(blk) == 4 + 252
+        out = M._ima_adpcm_decode(blk, 1, len(blk))[:, 0]
+        assert out[0] == x[0]
+        # onset slope-overload is inherent to ADPCM (idx ramps from 0);
+        # after the adaptation window the quantizer tracks tightly
+        err = np.abs(out - x)
+        assert err[50:].max() <= 256
+        assert err[50:].mean() < 100
+
+    def _wav(self, data, channels, block_align, rate=8000):
+        import struct
+
+        fmt = struct.pack(
+            "<HHIIHH", 17, channels, rate,
+            rate * block_align // 505, block_align, 4,
+        )
+        return (
+            b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def test_wav_mono_and_stereo(self, spark):
+        import struct
+
+        x = np.rint(3000 * np.sin(2 * np.pi * np.arange(9) / 8)).astype(np.int64)
+        blk = self._encode_block(x)
+        dec = M.wav_decode(self._wav(blk, 1, len(blk)))
+        assert dec is not None
+        mono, rate = dec
+        assert rate == 8000 and mono.shape == (9, 1)
+        v = np.rint(mono[:, 0] * 32768).astype(np.int64)
+        assert np.array_equal(v, M._ima_adpcm_decode(blk, 1, len(blk))[:, 0])
+        # stereo: two per-channel headers + one interleaved 4-byte word each
+        hl = struct.pack("<hBB", 100, 0, 0)
+        hr = struct.pack("<hBB", -200, 0, 0)
+        wl, wr = bytes([0x87, 0, 0, 0]), bytes([0x00, 0x78, 0, 0])
+        st = M.wav_decode(self._wav(hl + hr + wl + wr, 2, 16))
+        assert st is not None
+        s = np.rint(st[0] * 32768).astype(np.int64)
+        assert s.shape == (9, 2)
+        assert s[0].tolist() == [100, -200]
+        # left channel follows wl's nibbles, right follows wr's
+        l_ref = M._ima_adpcm_decode(struct.pack("<hBB", 100, 0, 0) + wl, 1, 8)
+        r_ref = M._ima_adpcm_decode(struct.pack("<hBB", -200, 0, 0) + wr, 1, 8)
+        assert np.array_equal(s[:, 0], l_ref[:, 0])
+        assert np.array_equal(s[:, 1], r_ref[:, 0])
+        # waveform_stats plumbing emits the exact integer sums
+        df = spark.createDataFrame(
+            [(1, bytearray(self._wav(blk, 1, len(blk))))],
+            "media_id long, payload binary",
+        )
+        r = M.waveform_stats(df).first()
+        ref = M._ima_adpcm_decode(blk, 1, len(blk))[:, 0]
+        assert r.n_samples == 9 and r.sum_v == int(ref.sum())

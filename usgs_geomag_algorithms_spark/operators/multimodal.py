@@ -11,8 +11,8 @@ stats, bilinear resize, re-encode — see ``jpeg_codec.py``), **WAV
 linear resample, re-encode), and **MJPEG/AVI video** (container walk,
 per-frame JPEG decode, real frame sampling) — genuinely functional
 paths for all four modalities with zero external libraries. The
-remaining formats (progressive JPEG, ADPCM/float audio, non-MJPEG
-video) are STUBBED (no pillow/ffmpeg in this container):
+remaining formats (progressive JPEG, float/compressed audio beyond
+G.711+IMA-ADPCM, non-MJPEG video) are STUBBED (no pillow/ffmpeg in this container):
 ``deterministic=True`` produces a seeded fake decode (hash-derived
 dimensions + features) so the Spark-side plumbing — schema, batch
 iteration, partitioning — is real and tested; ``deterministic=False``
@@ -384,12 +384,93 @@ def _g711_alaw_table() -> np.ndarray:
 _G711_MULAW = _g711_mulaw_table()
 _G711_ALAW = _g711_alaw_table()
 
+#: IMA/DVI ADPCM quantizer step table (89 entries) and index-adjust table
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_adpcm_decode(
+    data: bytes, channels: int, block_align: int
+) -> np.ndarray | None:
+    """IMA (DVI) ADPCM block decode -> int16 samples shaped
+    ``(n_samples, channels)``. Per-channel 4-byte block headers
+    (int16 predictor, step index, reserved), then nibble pairs
+    low-first, interleaved 4 bytes (8 samples) per channel for stereo.
+    The quantizer recurrence is inherently sequential per channel, so
+    the inner loop walks samples while NumPy vectorizes across blocks'
+    nibble extraction."""
+    import struct
+
+    if block_align < 4 * channels or block_align % (4 * channels):
+        return None
+    nblocks = len(data) // block_align
+    if nblocks == 0:
+        return None
+    out = []
+    for blk in range(nblocks):
+        base = blk * block_align
+        preds = np.empty(channels, dtype=np.int64)
+        idxs = np.empty(channels, dtype=np.int64)
+        for c in range(channels):
+            p, ix, _r = struct.unpack_from("<hBB", data, base + 4 * c)
+            if ix > 88:
+                return None
+            preds[c], idxs[c] = p, ix
+        body = np.frombuffer(
+            data, dtype=np.uint8, count=block_align - 4 * channels,
+            offset=base + 4 * channels,
+        ).astype(np.int64)
+        # nibbles low-first; stereo interleaves 4-byte words per channel
+        nib = np.empty(body.size * 2, dtype=np.int64)
+        nib[0::2] = body & 0x0F
+        nib[1::2] = body >> 4
+        per_ch = nib.size // channels
+        chan_nib = np.empty((channels, per_ch), dtype=np.int64)
+        if channels == 1:
+            chan_nib[0] = nib
+        else:
+            words = nib.reshape(-1, channels, 8)  # 8 nibbles per word
+            for c in range(channels):
+                chan_nib[c] = words[:, c, :].reshape(-1)
+        blk_out = np.empty((channels, 1 + per_ch), dtype=np.int64)
+        blk_out[:, 0] = preds  # header predictor is sample 0
+        for c in range(channels):
+            pred, idx = int(preds[c]), int(idxs[c])
+            row = chan_nib[c]
+            dst = blk_out[c]
+            for k in range(per_ch):
+                b = int(row[k])
+                step = int(_IMA_STEPS[idx])
+                diff = step >> 3
+                if b & 4:
+                    diff += step
+                if b & 2:
+                    diff += step >> 1
+                if b & 1:
+                    diff += step >> 2
+                pred = pred - diff if b & 8 else pred + diff
+                pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+                idx += int(_IMA_INDEX_ADJ[b & 7])
+                idx = 0 if idx < 0 else (88 if idx > 88 else idx)
+                dst[1 + k] = pred
+        out.append(blk_out.T)
+    return np.concatenate(out, axis=0)
+
 
 def wav_decode(payload: bytes) -> tuple[np.ndarray, int] | None:
     """Pure-stdlib WAV (RIFF; PCM 8/16-bit, G.711 A-law/µ-law) decode:
     returns ``(samples, sample_rate)`` with samples float64 in [-1, 1]
     shaped ``(n_samples, n_channels)``; None for anything else
-    (float/ADPCM, 24-bit, truncated, non-RIFF). G.711 (format tags 6/7,
+    (float, 24-bit, truncated, non-RIFF). IMA ADPCM (format tag 17)
+    decodes via the standard step/index state machine per block. G.711 (format tags 6/7,
     the classic telephony companding) expands through exact integer
     tables, so stats in the int16-scaled domain stay oracle-exact."""
     import struct
@@ -417,6 +498,11 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int] | None:
     audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
     if channels < 1:
         return None
+    if audio_fmt == 17 and bits == 4:  # IMA ADPCM
+        samples = _ima_adpcm_decode(data, channels, _align)
+        if samples is None or samples.size == 0:
+            return None
+        return samples.astype(np.float64) / 32768.0, int(rate)
     if audio_fmt == 1 and bits == 16:
         usable = len(data) - len(data) % (2 * channels)
         x = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64) / 32768.0

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "rolling_users_day",
     "rolling_users_day_sketch",
     "near_dup_verified",
+    "lexical_cosine_topk",
     "incremental_near_dups",
     "substring_dup_fraction",
     "chunk_dedup",

@@ -2,6 +2,7 @@
 multimodal plumbing."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from usgs_geomag_algorithms_spark.operators import dedup as D
@@ -1359,3 +1360,67 @@ class TestImaAdpcm:
         r = M.waveform_stats(df).first()
         ref = M._ima_adpcm_decode(blk, 1, len(blk))[:, 0]
         assert r.n_samples == 9 and r.sum_v == int(ref.sum())
+
+
+class TestSparseCosine:
+    def test_matches_numpy_brute_force(self, spark):
+        docs = [
+            (0, "a b c a b c a b"),
+            (1, "a b c a b c x y"),
+            (2, "x y z x y z x y"),
+            (3, "p q"),  # shorter than n=3: no shingles, absent from output
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = D.sparse_cosine_topk(df, k=2, n=3).collect()
+        # NumPy oracle over 3-gram count vectors
+        from collections import Counter
+
+        vecs = {}
+        for i, t in docs:
+            ws = t.split(" ")
+            vecs[i] = Counter(
+                " ".join(ws[j : j + 3]) for j in range(len(ws) - 2)
+            )
+        import itertools
+
+        def cos(u, v):
+            dot = sum(c * v[g] for g, c in u.items())
+            if dot == 0:
+                return None
+            na = sum(c * c for c in u.values()) ** 0.5
+            nb = sum(c * c for c in v.values()) ** 0.5
+            return dot / (na * nb)
+
+        expect = {}
+        for i in vecs:
+            sims = []
+            for j in vecs:
+                if j == i or not vecs[i] or not vecs[j]:
+                    continue
+                c = cos(vecs[i], vecs[j])
+                if c is not None:
+                    sims.append((-c, j))
+            for rank, (negc, j) in enumerate(sorted(sims)[:2], 1):
+                expect[(i, rank)] = (j, -negc)
+        assert {(r.doc_id, r.rank): (r.other_id, r.cos) for r in got} == {
+            k: (v[0], pytest.approx(v[1])) for k, v in expect.items()
+        }
+        assert not [r for r in got if r.doc_id == 3]  # no-shingle doc absent
+
+    def test_df_cap_drops_boilerplate_shingles(self, spark):
+        # the shared boilerplate trigram appears in all 3 docs; with
+        # df_max=2 it leaves the term space, making docs 0/2 orthogonal
+        docs = [
+            (0, "same same same u1 u2 u3"),
+            (1, "same same same u1 u2 u3"),
+            (2, "same same same w1 w2 w3"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        full = D.sparse_cosine_topk(df, k=2, n=3).collect()
+        assert {(r.doc_id, r.other_id) for r in full} >= {(0, 2), (2, 0)}
+        capped = D.sparse_cosine_topk(df, k=2, n=3, df_max=2).collect()
+        pairs = {(r.doc_id, r.other_id) for r in capped}
+        assert (0, 1) in pairs and (0, 2) not in pairs
+        for r in capped:
+            if (r.doc_id, r.other_id) == (0, 1):
+                assert r.cos == pytest.approx(1.0)

@@ -526,3 +526,104 @@ def near_dup_clusters(
         )
         .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
     )
+
+
+def sparse_cosine_topk(
+    df: DataFrame,
+    k: int = 3,
+    n: int = 3,
+    df_max: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical (sparse count-vector) cosine top-k over word n-gram
+    shingles via a posting-list self-join — the term-space counterpart
+    of the embedding knn family (similarity.py) and the classic
+    bag-of-shingles near-dup scorer.
+
+    Plan (all sufficient statistics BIGINT):
+
+    1. tf per (doc, shingle) — one codegen'd explode over gram end
+       positions, one shuffle.
+    2. document-frequency cap: shingles in more than ``df_max`` docs are
+       dropped from the posting AND the norms (cosine is computed in the
+       capped term space on both sides of the fraction). This is the
+       skew control — the self-join below costs Σ df² per shingle, and
+       at web scale boilerplate n-grams have posting lists ~O(corpus);
+       capping bounds the join by construction instead of trusting AQE
+       to notice.
+    3. pairs: posting self-join on shingle (id_a < id_b), map-side
+       partial ``Σ tf_a·tf_b``. The three consumers of the tf relation
+       (norms + both join sides) share one exchange (ReusedExchange).
+    4. ``cos = dot / (sqrt(n2_a)·sqrt(n2_b))`` — the ONLY double tree,
+       sqrts kept factored, so the value is bit-identical in any IEEE
+       engine and the top-k order is engine-independent.
+    5. mirror pairs, ``row_number`` per doc (cos DESC, other_id ASC).
+    """
+    from . import textops as TX
+
+    grams = TX._exploded_gram_index(df, n, text_col, id_col).select(
+        id_col, TX._gram_at(F.col("w"), F.col("i"), n).alias("shingle")
+    )
+    tf = grams.groupBy(id_col, "shingle").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("shingle").agg(F.count("*").alias("df"))
+    posting = (
+        tf.join(dfreq.where(F.col("df") <= df_max), "shingle")
+        .select(id_col, "shingle", "tf")
+    )
+    n2 = posting.groupBy(id_col).agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = posting.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("tf").alias("tf_a")
+    )
+    b = posting.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("tf").alias("tf_b")
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    mirrored = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"), "dot"
+        )
+    )
+    scored = (
+        mirrored.join(
+            n2.select(F.col(id_col).alias("id_a"), F.col("n2").alias("n2_a")),
+            "id_a",
+        )
+        .join(
+            n2.select(F.col(id_col).alias("id_b"), F.col("n2").alias("n2_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("n2_a").cast("double"))
+                    * F.sqrt(F.col("n2_b").cast("double"))
+                )
+            ).alias("cos"),
+        )
+    )
+    wnd = Window.partitionBy("id_a").orderBy(
+        F.col("cos").desc(), F.col("id_b")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wnd))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("other_id"),
+            F.col("rn").cast("int").alias("rank"),
+            "dot",
+            "cos",
+        )
+    )

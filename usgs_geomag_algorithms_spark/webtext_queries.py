@@ -57,6 +57,54 @@ def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, pairs, n=SHINGLE_N)
 
 
+def q_lexical_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse count-vector cosine top-k over word 3-gram shingles
+    (posting-list self-join; BIGINT dots/norms, one factored-sqrt double
+    tree — exact)."""
+    return D.sparse_cosine_topk(_docs(spark, sf_dir), k=3, n=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+def _lexical_cosine_sql(k: int = 3, df_max: int = 10_000) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+g AS (
+  SELECT doc_id, ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i] AS shingle
+  FROM (SELECT doc_id, ws, unnest(generate_series(3, len(ws))) AS i
+        FROM t WHERE len(ws) >= 3)
+),
+tf AS (SELECT doc_id, shingle, count(*)::BIGINT AS tf FROM g GROUP BY 1, 2),
+dfreq AS (SELECT shingle, count(*) AS df FROM tf GROUP BY 1),
+posting AS (
+  SELECT tf.doc_id, tf.shingle, tf.tf
+  FROM tf JOIN dfreq USING (shingle) WHERE dfreq.df <= {df_max}
+),
+n2 AS (SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM posting GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, sum(a.tf * b.tf)::BIGINT AS dot
+  FROM posting a JOIN posting b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+mir AS (SELECT ia, ib, dot FROM pairs
+        UNION ALL SELECT ib, ia, dot FROM pairs),
+scored AS (
+  SELECT m.ia, m.ib, m.dot,
+         m.dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) AS cos
+  FROM mir m
+  JOIN n2 na ON na.doc_id = m.ia
+  JOIN n2 nb ON nb.doc_id = m.ib
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY ia ORDER BY cos DESC, ib) AS rn
+  FROM scored
+)
+SELECT ia::BIGINT AS doc_id, ib::BIGINT AS other_id, rn::INT AS rank,
+       dot, cos
+FROM ranked WHERE rn <= {k} ORDER BY doc_id, rank
+"""
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS)
@@ -3477,6 +3525,7 @@ QUERIES = {
     "lsh_pairs": q_lsh_pairs,
     "simhash": q_simhash,
     "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
+    "lexical_cosine_topk": q_lexical_cosine,
     "knn_cosine": q_knn_cosine,
     "knn_cosine_int8": q_knn_cosine_int8,
     "knn_int8_rerank": q_knn_int8_rerank,
@@ -3547,6 +3596,7 @@ ORACLES = {
     "minhash_signature": _minhash_sql(),
     "simhash": _simhash_sql(),
     "ngram_jaccard_adjacent": _jaccard_sql(),
+    "lexical_cosine_topk": _lexical_cosine_sql(),
     "knn_cosine": _knn_sql(),
     "knn_cosine_int8": _knn_int8_sql(),
     "knn_int8_rerank": _knn_int8_rerank_sql(),

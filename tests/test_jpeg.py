@@ -222,3 +222,65 @@ class TestMjpegAvi:
             img = png_decode(bytes(r.frame))  # sampled frames are PNG
             assert img is not None and img.shape == (24, 32, 3)
         assert all(sorted(v) == [0, 4, 8] for v in by_id.values())
+
+
+class TestAviDib:
+    """Uncompressed (BI_RGB 24-bit) AVI: DIB frames are bottom-up BGR
+    with 4-byte-padded rows — decode must unpad, flip, and reorder
+    channels exactly."""
+
+    def _frames(self, n=3, w=5, h=4):
+        rng = np.random.default_rng(11)
+        return [
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(n)
+        ]
+
+    def test_roundtrip_odd_width_padding(self):
+        from usgs_geomag_algorithms_spark.operators.multimodal import (
+            avi_dib_encode,
+            avi_dib_frames,
+        )
+
+        frames = self._frames(n=3, w=5, h=4)  # stride 15 -> padded to 16
+        payload = avi_dib_encode(frames, fps=12.0)
+        parsed = avi_dib_frames(payload)
+        assert parsed is not None
+        got, fps = parsed
+        assert abs(fps - 12.0) < 0.01 and len(got) == 3
+        for a, b in zip(got, frames):
+            assert np.array_equal(a, b)
+
+    def test_rejects_mjpeg_and_malformed(self):
+        from usgs_geomag_algorithms_spark.operators.multimodal import (
+            avi_dib_encode,
+            avi_dib_frames,
+            avi_mjpeg_frames,
+        )
+
+        frames = self._frames(n=2, w=4, h=4)
+        payload = avi_dib_encode(frames)
+        # the MJPEG walker refuses DIB payloads and vice versa
+        assert avi_mjpeg_frames(payload) is None
+        assert avi_dib_frames(b"RIFF\x00\x00\x00\x00WAVE") is None
+        assert avi_dib_frames(payload[:-20]) is None  # truncated frame
+
+    def test_extract_frames_dib_path(self, spark):
+        from usgs_geomag_algorithms_spark.operators.multimodal import (
+            avi_dib_encode,
+            extract_frames,
+            png_decode,
+        )
+
+        frames = self._frames(n=5, w=6, h=4)
+        payload = avi_dib_encode(frames, fps=10.0)
+        df = spark.createDataFrame(
+            [(7, bytearray(payload))], "media_id long, payload binary"
+        )
+        rows = extract_frames(df, every_n=2).collect()
+        assert sorted(r.frame_idx for r in rows) == [0, 2, 4]
+        for r in rows:
+            assert (r.width, r.height) == (6, 4)
+            assert np.array_equal(
+                png_decode(bytes(r.frame)), frames[r.frame_idx]
+            )

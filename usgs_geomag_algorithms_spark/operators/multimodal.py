@@ -8,11 +8,12 @@ REAL pure-stdlib/NumPy codecs cover: **PPM (P6)**, **non-interlaced
 8-bit truecolor PNG**, and **baseline JPEG** images (decode, pixel
 stats, bilinear resize, re-encode — see ``jpeg_codec.py``), **WAV
 (PCM 8/16-bit + G.711 A-law/µ-law) audio** (decode, waveform stats,
-linear resample, re-encode), and **MJPEG/AVI video** (container walk,
-per-frame JPEG decode, real frame sampling) — genuinely functional
+linear resample, re-encode), and **MJPEG + uncompressed-DIB AVI video**
+(container walk, per-frame JPEG decode or raw BGR unpack, real frame
+sampling) — genuinely functional
 paths for all four modalities with zero external libraries. The
 remaining formats (progressive JPEG, float/compressed audio beyond
-G.711+IMA-ADPCM, non-MJPEG video) are STUBBED (no pillow/ffmpeg in this container):
+G.711+IMA-ADPCM, inter-frame-coded video) are STUBBED (no pillow/ffmpeg in this container):
 ``deterministic=True`` produces a seeded fake decode (hash-derived
 dimensions + features) so the Spark-side plumbing — schema, batch
 iteration, partitioning — is real and tested; ``deterministic=False``
@@ -298,6 +299,117 @@ def avi_mjpeg_encode(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def avi_dib_frames(payload: bytes) -> tuple[list[np.ndarray], float] | None:
+    """Pure-NumPy AVI walk for UNCOMPRESSED video (biCompression=0 /
+    'DIB ', 24-bit): returns ``([frame (H, W, 3) RGB uint8, ...], fps)``
+    or None. DIB frames are bottom-up BGR with rows padded to 4 bytes —
+    the walk reads biWidth/biHeight/biBitCount from the stream's
+    BITMAPINFOHEADER ('strf') and unpads/flips/reorders each '##db'/
+    '##dc' chunk."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    fps = 0.0
+    dims: list[tuple[int, int, int, bytes]] = []
+    raw: list[bytes] = []
+
+    def walk(lo: int, hi: int):
+        nonlocal fps
+        i = lo
+        while i + 8 <= hi:
+            cid = payload[i : i + 4]
+            (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+            body_lo, body_hi = i + 8, i + 8 + clen
+            if body_hi > hi:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                walk(body_lo + 4, body_hi)
+            elif cid == b"avih" and clen >= 4:
+                (uspf,) = struct.unpack("<I", payload[body_lo : body_lo + 4])
+                fps = 1e6 / uspf if uspf else 0.0
+            elif cid == b"strf" and clen >= 20:
+                _size, w, h, _planes, bits, _comp = struct.unpack(
+                    "<IiiHHI", payload[body_lo : body_lo + 20]
+                )
+                dims.append((w, h, bits, payload[body_lo + 16 : body_lo + 20]))
+            elif len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                raw.append(payload[body_lo:body_hi])
+            i = body_hi + (clen & 1)
+
+    try:
+        walk(12, len(payload))
+    except (ValueError, struct.error):
+        return None
+    if not raw or not dims:
+        return None
+    w, h, bits, comp = dims[0]
+    if comp != b"\x00\x00\x00\x00" or bits != 24 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # DIB rows pad to 4-byte boundaries
+    frames = []
+    for f in raw:
+        if len(f) < stride * h:
+            return None
+        rows = np.frombuffer(f, np.uint8, count=stride * h).reshape(h, stride)
+        img = rows[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            img = img[::-1]
+        frames.append(np.ascontiguousarray(img[:, :, ::-1]))  # BGR -> RGB
+    return frames, fps
+
+
+def avi_dib_encode(
+    frames: list[np.ndarray], fps: float = 10.0
+) -> bytes:
+    """Minimal uncompressed (BI_RGB 24-bit) AVI around (H, W, 3) RGB
+    frames — bottom-up BGR rows padded to 4 bytes, the DIB convention."""
+    import struct
+
+    h, w = frames[0].shape[:2]
+    stride = (w * 3 + 3) & ~3
+
+    def dib(img: np.ndarray) -> bytes:
+        bgr = np.ascontiguousarray(img[::-1, :, ::-1], dtype=np.uint8)
+        if stride == w * 3:
+            return bgr.tobytes()
+        padded = np.zeros((h, stride), np.uint8)
+        padded[:, : w * 3] = bgr.reshape(h, w * 3)
+        return padded.tobytes()
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    n = len(frames)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        int(round(1e6 / fps)), 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, int(round(fps)), 0, n, 0, 0, 0
+        ) + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 FRAME_SCHEMA = (
     "media_id long, frame_idx int, width int, height int, frame binary"
 )
@@ -310,7 +422,8 @@ def extract_frames(
     deterministic: bool = True,
 ) -> DataFrame:
     """REAL frame sampling: MJPEG/AVI payloads have every ``every_n``-th
-    frame JPEG-decoded and re-emitted as lossless PNG rows via
+    frame JPEG-decoded, and uncompressed (BI_RGB 'DIB ') AVIs have it
+    unpacked directly; sampled frames re-emit as lossless PNG rows via
     ``mapInPandas`` (one input row fans out to its sampled frames);
     other video containers follow the stub contract."""
     from .jpeg_codec import jpeg_decode
@@ -320,10 +433,15 @@ def extract_frames(
             ids, idxs, ws, hs, blobs = [], [], [], [], []
             for mid, b in zip(pdf["media_id"], pdf[payload_col]):
                 parsed = avi_mjpeg_frames(bytes(b))
-                if parsed is not None:
-                    frames, _fps = parsed
+                dib = None if parsed is not None else avi_dib_frames(bytes(b))
+                if parsed is not None or dib is not None:
+                    frames = parsed[0] if parsed is not None else dib[0]
                     for k in range(0, len(frames), max(every_n, 1)):
-                        img = jpeg_decode(frames[k])
+                        img = (
+                            jpeg_decode(frames[k])
+                            if parsed is not None
+                            else frames[k]
+                        )
                         if img is None:
                             continue
                         ids.append(mid)

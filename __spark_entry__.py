@@ -1672,6 +1672,30 @@ def q_forecast_error_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("*", mase.alias("mase"))
 
 
+def q_ewma_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-aware dyadic EWMA (operators/forecast.py::ewma_smooth) over
+    the per-(event_type, minute) count signal: per-slot decay 1/2
+    truncated at 16 slots, absent slots renormalize the kernel.
+    Explode-to-anchor, one shuffle; BIGINT num/den, one IEEE division."""
+    from usgs_geomag_algorithms_spark.operators.forecast import ewma_smooth
+
+    ev = _events(spark, sf_dir)
+    sig = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"(unix_micros(cast(ts as timestamp)) div {MIN_US})"
+                f" * {MIN_US}"
+            ).alias("t_us"),
+        )
+        .groupBy("event_type", "t_us")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    return ewma_smooth(
+        sig, MIN_US, window=16, series_cols=("event_type",)
+    ).orderBy("event_type", "t_us")
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition model of user behavior
     (operators/paths.py::event_transitions): per (state, next_state)
@@ -1777,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "churn_day": q_churn_day,
         "stale_pages": q_stale_pages,
         "forecast_error_day": q_forecast_error_day,
+        "ewma_minute": q_ewma_minute,
         "event_transitions": q_event_transitions,
         "conversion_latency": q_conversion_latency,
     }
@@ -3175,6 +3200,24 @@ SELECT user_id, count(*)::BIGINT AS n_fetches,
        sum(CASE WHEN t_us > last_change THEN 1 ELSE 0 END)::BIGINT
            AS fetches_since_change
 FROM l GROUP BY 1
+""",
+        "ewma_minute": f"""
+WITH m AS (
+    SELECT event_type, (epoch_us(ts) // {MIN_US}) * {MIN_US} AS t_us,
+           count(*)::BIGINT AS v
+    FROM events GROUP BY 1, 2
+),
+c AS (
+    SELECT event_type, t_us + j * {MIN_US} AS t_us,
+           v * (1::BIGINT << (15 - j)) AS c,
+           (1::BIGINT << (15 - j)) AS w
+    FROM m CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+)
+SELECT event_type, t_us,
+       sum(c)::BIGINT AS num, sum(w)::BIGINT AS den,
+       count(*)::BIGINT AS n_present,
+       sum(c)::BIGINT::DOUBLE / sum(w)::BIGINT::DOUBLE AS ewma
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "forecast_error_day": f"""
 WITH h AS (

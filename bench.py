@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "churn_day",
     "stale_pages",
     "forecast_error_day",
+    "ewma_minute",
     "bloom_contamination",
     "fuzzy_title_pairs",
     "link_triangles",

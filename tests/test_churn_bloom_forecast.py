@@ -214,3 +214,46 @@ class TestSeasonalNaive:
         assert {"mae", "mae_n1"} <= set(j.columns)
         # seasonal pairs exist only for day 2; the inner join keeps it
         assert j.count() == 1
+
+
+class TestEwma:
+    def test_matches_numpy_with_gap_renormalization(self, spark):
+        from usgs_geomag_algorithms_spark.operators.forecast import (
+            ewma_smooth,
+        )
+
+        SLOT = 60_000_000
+        # slots 0..9 with a hole at 4 and 7
+        present = [0, 1, 2, 3, 5, 6, 8, 9]
+        vals = {t: 10 + 3 * t for t in present}
+        df = spark.createDataFrame(
+            [("a", t * SLOT, v) for t, v in vals.items()],
+            "series string, t_us long, v long",
+        )
+        out = {
+            r.t_us // SLOT: (r.num, r.den, r.n_present, r.ewma)
+            for r in ewma_smooth(df, SLOT, window=4).collect()
+        }
+        # independent reconstruction: anchor k collects lags j=0..3
+        for k in range(0, 13):
+            num = den = n = 0
+            for j in range(4):
+                t = k - j
+                if t in vals:
+                    w = 1 << (3 - j)
+                    num += vals[t] * w
+                    den += w
+                    n += 1
+            if n == 0:
+                assert k not in out
+            else:
+                assert out[k] == (num, den, n, num / den)
+        # a fully-populated window is the classic dyadic EWMA
+        assert out[3] == (
+            19 * 8 + 16 * 4 + 13 * 2 + 10,
+            15,
+            4,
+            (19 * 8 + 16 * 4 + 13 * 2 + 10) / 15,
+        )
+        # anchors 10..12 are decaying forecasts off the last samples
+        assert out[12][2] == 1 and out[12][3] == vals[9]

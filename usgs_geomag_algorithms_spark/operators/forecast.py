@@ -81,3 +81,73 @@ def seasonal_naive_error(
             ).alias(f"mae{suffix}"),
         )
     )
+
+
+def ewma_smooth(
+    sig: DataFrame,
+    slot_us: int,
+    window: int = 16,
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "t_us",
+    value_col: str = "v",
+) -> DataFrame:
+    """Gap-aware dyadic exponential smoother (per-slot decay 1/2,
+    truncated at ``window`` slots — tail mass 2^-window is below double
+    resolution at the default 16, so this IS the EWMA for practical
+    purposes).
+
+    Each sample ``(t, v)`` contributes ``v·2^(window-1-j)`` to anchor
+    ``t + j·slot_us`` for ``j in 0..window-1``; the denominator sums the
+    weights actually present, so grid holes renormalize the kernel —
+    the FIR masked-renormalization rule (operators/rollup.py) applied to
+    an IIR-shaped kernel. Time-anchored by construction: a gap never
+    shifts which sample gets which weight (the lag(k) misalignment trap,
+    operators/seasonality.py).
+
+    Plan: explode-to-anchor — ONE shuffle on (series, anchor), map-side
+    partial aggregation, no self-join. ``num``/``den`` are BIGINT (the
+    weights are Python-literal powers of two), so the single
+    ``num/den`` division is the only floating-point op — exact in any
+    IEEE engine. Anchors after the last sample of a run are genuine
+    decaying forecasts; join back to the signal to keep observed slots
+    only."""
+    series_cols = list(series_cols)
+    jw = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.lit(1 << (window - 1 - j)).cast("long").alias("w"),
+                )
+                for j in range(window)
+            ]
+        )
+    ).alias("jw")
+    contrib = sig.select(
+        *series_cols, F.col(ts_col), F.col(value_col), jw
+    ).select(
+        *series_cols,
+        (
+            F.col(ts_col) + F.col("jw.j").cast("long") * F.lit(slot_us)
+        ).alias(ts_col),
+        (F.col(value_col) * F.col("jw.w")).alias("_c"),
+        F.col("jw.w").alias("_w"),
+    )
+    return (
+        contrib.groupBy(*series_cols, ts_col)
+        .agg(
+            F.sum("_c").alias("num"),
+            F.sum("_w").alias("den"),
+            F.count("*").cast("long").alias("n_present"),
+        )
+        .select(
+            *series_cols,
+            ts_col,
+            "num",
+            "den",
+            "n_present",
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+                "ewma"
+            ),
+        )
+    )

@@ -373,7 +373,18 @@ class TierStore:
         the meantime (a concurrent writer slipped past the lock, e.g. via
         a second store instance on a shared filesystem without O_EXCL
         semantics), committing would orphan that writer's files, so the
-        commit aborts loudly instead."""
+        commit aborts loudly instead.
+
+        Each new file's column bounds (t_us and leading-series min/max,
+        row count) are read from its parquet footer here and recorded in
+        the manifest — the Iceberg data-file-metrics analog (Iceberg
+        write tasks report the same bounds into manifest entries;
+        ``geomagio`` has no equivalent, its fetches are URL-interval
+        requests). :meth:`read` prunes the file list on these bounds
+        driver-side, so a sub-day range read or a single-series fetch
+        plans only the files whose bounds intersect, before Spark lists
+        anything. Stats of surviving files carry forward; trashed files'
+        entries drop."""
         on_disk = self._load_manifest(base)
         base_version = (m or {}).get("version", 0)
         disk_version = (on_disk or {}).get("version", 0)
@@ -389,13 +400,74 @@ class TierStore:
         live = [f for f in m["files"] if f not in set(replaced)]
         trash = dict(m.get("trash", {}))
         trash.update({f: version for f in replaced})
+        all_live = sorted(live + sorted(new_files))
+        old_stats = m.get("stats", {})
+        stats = {f: old_stats[f] for f in live if f in old_stats}
+        stats.update(self._collect_file_stats(base, new_files))
         out = {
             "version": version,
-            "files": sorted(live + sorted(new_files)),
+            "files": all_live,
             "trash": trash,
+            "stats": stats,
         }
         self._gc_trash(base, out, listing)
         self._save_manifest(base, out)
+        return out
+
+    def _collect_file_stats(self, base: str, relpaths) -> dict:
+        """Per-file column bounds from the parquet footers, recorded at
+        commit time: ``{relpath: [t_min, t_max, s_min, s_max, rows]}``.
+
+        Bounds come straight from parquet row-group statistics, so they
+        are valid even when the writer truncated long string min/max
+        (parquet truncation keeps ``min' <= min`` and ``max' >= max`` —
+        pruning on them can only be conservative). Files whose footers
+        lack usable stats simply get no entry and are never pruned.
+        Cost is one footer read per file WRITTEN IN THIS COMMIT (Iceberg
+        pays the same: write tasks report data-file metrics into the
+        manifest), never a rescan of the tier."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow is baked in
+            return {}
+        key_col = self.series_cols[0]
+        out: dict[str, list] = {}
+        for rel in relpaths:
+            try:
+                md = pq.ParquetFile(os.path.join(base, rel)).metadata
+            except Exception:
+                continue
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            t_min = t_max = s_min = s_max = None
+            for name, setter in (("t_us", "t"), (key_col, "s")):
+                i = idx.get(name)
+                if i is None:
+                    continue
+                lo = hi = None
+                ok = True
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(i).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        try:
+                            mn = mn.decode("utf-8")
+                            mx = mx.decode("utf-8")
+                        except UnicodeDecodeError:
+                            ok = False
+                            break
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+                if ok and lo is not None:
+                    if setter == "t":
+                        t_min, t_max = int(lo), int(hi)
+                    else:
+                        s_min, s_max = lo, hi
+            out[rel] = [t_min, t_max, s_min, s_max, md.num_rows]
         return out
 
     def _partitioned(self, df: DataFrame) -> DataFrame:
@@ -580,14 +652,7 @@ class TierStore:
         keys_df = self.spark.createDataFrame(
             [(k,) for k in keys], f"{key_col} string"
         )
-        buckets = {
-            r.b
-            for r in keys_df.select(
-                F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets))
-                .cast("int")
-                .alias("b")
-            ).collect()
-        }
+        buckets = self._buckets_of(keys)
         base = self.path(tier)
         with self._commit_lock(base):
             m = self._load_manifest(base)
@@ -694,6 +759,33 @@ class TierStore:
                 return part.split("=", 1)[1]
         return None
 
+    @staticmethod
+    def _pbucket_of(relpath: str):
+        for part in relpath.split("/"):
+            if part.startswith("p_bucket="):
+                try:
+                    return int(part.split("=", 1)[1])
+                except ValueError:
+                    return None
+        return None
+
+    def _buckets_of(self, keys: Sequence[str]) -> set[int]:
+        """``p_bucket`` values the given series keys hash to — computed by
+        the SAME xxhash64 the write path partitions with (one tiny Spark
+        job over the literal keys; Python has no xxhash64 built-in)."""
+        key_col = self.series_cols[0]
+        keys_df = self.spark.createDataFrame(
+            [(k,) for k in keys], f"{key_col} string"
+        )
+        return {
+            r.b
+            for r in keys_df.select(
+                F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets))
+                .cast("int")
+                .alias("b")
+            ).collect()
+        }
+
     def versions(self, tier: str) -> list[int]:
         """Resolvable snapshot versions (ascending) — the time-travel
         window: current and up to ``GC_GRACE_VERSIONS`` predecessors."""
@@ -716,6 +808,7 @@ class TierStore:
         end_us: int | None = None,
         as_of_version: int | None = None,
         tag: str | None = None,
+        series: str | Sequence[str] | None = None,
     ) -> DataFrame:
         """Snapshot read; ``as_of_version`` time-travels to an earlier
         manifest (Iceberg ``VERSION AS OF``): replaced files stay on disk
@@ -723,7 +816,16 @@ class TierStore:
         :meth:`versions` resolves to a consistent historical view.
         Older versions raise :class:`TimeTravelError`.  ``tag`` resolves
         a named ref (:meth:`tag`) — tagged snapshots resolve indefinitely
-        (their manifests and files are GC-pinned)."""
+        (their manifests and files are GC-pinned).
+
+        ``series`` restricts the read to the given series key(s) — the
+        reference's per-observatory fetch (``TimeseriesFactory
+        .get_timeseries(observatory=...)``), done scan-side: the file
+        list is pruned driver-side to the keys' ``p_bucket`` dirs AND to
+        files whose manifest series bounds contain a requested key, so a
+        one-url history read over a compacted years-deep tier plans
+        O(files-that-can-match), not O(tier). The surviving scan still
+        carries the row-level predicate."""
         base = self.path(tier)
         if tag is not None:
             if as_of_version is not None:
@@ -760,15 +862,50 @@ class TierStore:
             if end_us is not None
             else None
         )
+        keys = (
+            [series]
+            if isinstance(series, str)
+            else sorted(set(series))
+            if series is not None
+            else None
+        )
+        if keys is not None and not keys:
+            return self._empty()
         if m is not None:
-            # snapshot read: exactly the manifest's live files, pruned on
-            # the p_date path component before Spark ever lists anything
-            files = [
-                f
-                for f in m["files"]
-                if (pd := self._pdate_of(f)) is None
-                or ((d0 is None or pd >= d0) and (d1 is None or pd <= d1))
-            ]
+            # snapshot read: exactly the manifest's live files, pruned
+            # driver-side before Spark ever lists anything — on the
+            # p_date path component, on the requested keys' p_bucket
+            # dirs, and on the per-file column bounds the commit recorded
+            # from the parquet footers (t_us range, series range)
+            buckets = self._buckets_of(keys) if keys is not None else None
+            stats = m.get("stats", {})
+
+            def _live(f: str) -> bool:
+                pd = self._pdate_of(f)
+                if pd is not None:
+                    if (d0 is not None and pd < d0) or (
+                        d1 is not None and pd > d1
+                    ):
+                        return False
+                if buckets is not None:
+                    pb = self._pbucket_of(f)
+                    if pb is not None and pb not in buckets:
+                        return False
+                st = stats.get(f)
+                if st:
+                    t_min, t_max, s_min, s_max = st[0], st[1], st[2], st[3]
+                    if start_us is not None and t_max is not None:
+                        if t_max < int(start_us):
+                            return False
+                    if end_us is not None and t_min is not None:
+                        if t_min > int(end_us):
+                            return False
+                    if keys is not None and s_min is not None:
+                        if not any(s_min <= k <= s_max for k in keys):
+                            return False
+                return True
+
+            files = [f for f in m["files"] if _live(f)]
             if not files:
                 return self._empty()
             df = self.spark.read.option("basePath", base).parquet(
@@ -789,6 +926,18 @@ class TierStore:
             df = df.where(F.col("p_date") >= d0).where(F.col("t_us") >= int(start_us))
         if end_us is not None:
             df = df.where(F.col("p_date") <= d1).where(F.col("t_us") <= int(end_us))
+        if keys is not None:
+            key_col = self.series_cols[0]
+            if len(keys) <= self.MAX_LITERAL_DELETE_KEYS:
+                # literal isin: pushed to the parquet scan, so parquet
+                # row-group stats prune WITHIN the surviving files too
+                # (compaction clusters rows on (series, t_us))
+                df = df.where(F.col(key_col).isin(keys))
+            else:
+                keys_df = self.spark.createDataFrame(
+                    [(k,) for k in keys], f"{key_col} string"
+                )
+                df = df.join(F.broadcast(keys_df), key_col, "left_semi")
         return df.select(*self.series_cols, "t_us", *self.value_cols)
 
     # --------------------------------------------------------- changelog
@@ -929,12 +1078,20 @@ class TierStore:
                 # p_bucket) lands whole in one task -> one file per partition
                 compacted = part.repartition(F.col("p_date"), F.col("p_bucket"))
             else:
-                salt = F.pmod(
-                    F.xxhash64(*self.series_cols, F.col("t_us")),
-                    F.lit(int(target_files_per_partition)),
-                )
-                compacted = part.repartition(
-                    F.col("p_date"), F.col("p_bucket"), salt
+                # RANGE split, aligned with the cluster sort below: each
+                # output file covers a contiguous (series, t_us) slice of
+                # its partition, so the manifest's per-file series/t_us
+                # bounds (and parquet row-group stats) become selective —
+                # a hash salt would spread every series across every file
+                # and make the bounds span everything (Iceberg's sorted
+                # rewrite_data_files makes the same choice)
+                n_dirs = len({os.path.dirname(f) for f in m["files"]})
+                compacted = part.repartitionByRange(
+                    max(1, n_dirs * int(target_files_per_partition)),
+                    "p_date",
+                    "p_bucket",
+                    *self.series_cols,
+                    "t_us",
                 )
             # cluster rows inside each rewritten file (Iceberg
             # rewrite_data_files sort-order analog): ingest/upsert commits

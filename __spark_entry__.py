@@ -1732,6 +1732,68 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversion_latency(ev, "signup", "purchase", DAY_US)
 
 
+def _daily_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day) event count — the coarse grid the robust
+    drift fit runs on (quadratic pair cost wants few points/series)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"(unix_micros(cast(ts as timestamp)) div {DAY_US})"
+                f" * {DAY_US}"
+            ).alias("t_us"),
+        )
+        .groupBy("event_type", "t_us")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+
+
+def q_theilsen_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust Theil–Sen drift of the daily event rate per type
+    (operators/robust.py::theilsen_fit — the spike-immune sibling of
+    trend_minute's OLS; LOW-median of exact pairwise-slope doubles,
+    series-local pair join)."""
+    from usgs_geomag_algorithms_spark.operators.robust import theilsen_fit
+
+    rate = _daily_rate(spark, sf_dir)
+    g0 = rate.agg(F.min("t_us")).first()[0]
+    return theilsen_fit(rate, DAY_US, int(g0), ("event_type",))
+
+
+def q_spearman_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly Spearman rank correlation of the click vs view minute
+    rates (operators/robust.py::spearman_window — corr_hour's
+    rank-based sibling; doubled average ranks stay BIGINT, the same
+    exact sufficient-statistic Pearson tree)."""
+    from usgs_geomag_algorithms_spark.operators.robust import (
+        spearman_window,
+    )
+
+    rate = _minute_rate(spark, sf_dir)
+    click = rate.where(F.col("event_type") == "click").select(
+        "t_us", F.col("v").alias("x")
+    )
+    view = rate.where(F.col("event_type") == "view").select(
+        "t_us", F.col("v").alias("y")
+    )
+    return spearman_window(click.join(view, "t_us"), HOUR_US, "x", "y")
+
+
+def q_trimmed_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed daily mean of the nonzero-minute event rate per type
+    (operators/robust.py::trimmed_rollup — the bounded-influence rollup;
+    drop the 6 lowest + 6 highest minute samples of each day, BIGINT sum
+    of the rest, one exact division)."""
+    from usgs_geomag_algorithms_spark.operators.robust import (
+        trimmed_rollup,
+    )
+
+    return trimmed_rollup(
+        _minute_rate(spark, sf_dir), DAY_US, 6, ("event_type",)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hour-tier rollup of the events minute signal at sf0.001."""
     return q_rollup_hour_value(spark, "/root/testdata/sf0.001")
@@ -1802,6 +1864,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stale_pages": q_stale_pages,
         "forecast_error_day": q_forecast_error_day,
         "ewma_minute": q_ewma_minute,
+        "theilsen_drift": q_theilsen_drift,
+        "spearman_hour": q_spearman_hour,
+        "trimmed_day": q_trimmed_day,
         "event_transitions": q_event_transitions,
         "conversion_latency": q_conversion_latency,
     }
@@ -3218,6 +3283,105 @@ SELECT event_type, t_us,
        count(*)::BIGINT AS n_present,
        sum(c)::BIGINT::DOUBLE / sum(w)::BIGINT::DOUBLE AS ewma
 FROM c GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # Theil–Sen: LOW median of exact pairwise-slope doubles over the
+        # daily grid; LOW median residual intercept — row_number-selected
+        # order statistics, identical tie orders on both engines
+        "theilsen_drift": f"""
+WITH rate AS (
+    SELECT event_type, (epoch_us(ts) // {DAY_US}) * {DAY_US} AS t_us,
+           count(*)::BIGINT AS v
+    FROM events GROUP BY 1, 2
+),
+b AS (SELECT min(t_us) AS g0 FROM rate),
+g AS (
+    SELECT event_type,
+           (t_us - (SELECT g0 FROM b)) // {DAY_US} AS k, v AS y
+    FROM rate
+),
+np AS (SELECT event_type, count(*)::BIGINT AS n_points FROM g GROUP BY 1),
+pairs AS (
+    SELECT a.event_type, a.k AS ki, b2.k AS kj,
+           (b2.y - a.y)::DOUBLE / (b2.k - a.k)::DOUBLE AS m
+    FROM g a JOIN g b2 USING (event_type) WHERE a.k < b2.k
+),
+ms AS (
+    SELECT event_type, m AS slope_per_step FROM (
+        SELECT event_type, m,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY m, ki, kj) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM pairs)
+    WHERE rn = (n + 1) // 2
+),
+ic AS (
+    SELECT event_type, r AS intercept FROM (
+        SELECT g.event_type,
+               g.y::DOUBLE - ms.slope_per_step * g.k::DOUBLE AS r,
+               row_number() OVER (PARTITION BY g.event_type
+                                  ORDER BY g.y::DOUBLE
+                                           - ms.slope_per_step
+                                             * g.k::DOUBLE,
+                                           g.k) AS rn,
+               count(*) OVER (PARTITION BY g.event_type) AS n
+        FROM g JOIN ms USING (event_type))
+    WHERE rn = (n + 1) // 2
+)
+SELECT event_type, n_points, slope_per_step, intercept
+FROM np JOIN ms USING (event_type) JOIN ic USING (event_type)
+WHERE n_points >= 2
+""",
+        # Spearman: doubled average ranks (2*min_rank + ties - 1, exact
+        # BIGINT), then the corr_hour sufficient-statistic Pearson tree
+        "spearman_hour": f"""
+WITH {_RATE_CTE},
+xy AS (
+    SELECT (t_us // {HOUR_US}) * {HOUR_US} AS t_us, c.v AS x, w.v AS y
+    FROM (SELECT t_us, v FROM rate WHERE event_type = 'click') c
+    JOIN (SELECT t_us, v FROM rate WHERE event_type = 'view') w
+      USING (t_us)
+),
+r AS (
+    SELECT t_us,
+           (2 * rank() OVER (PARTITION BY t_us ORDER BY x)
+            + count(*) OVER (PARTITION BY t_us, x) - 1)::BIGINT AS rx2,
+           (2 * rank() OVER (PARTITION BY t_us ORDER BY y)
+            + count(*) OVER (PARTITION BY t_us, y) - 1)::BIGINT AS ry2
+    FROM xy
+),
+s AS (
+    SELECT t_us, count(*)::BIGINT AS n,
+           sum(rx2)::BIGINT AS sx, sum(ry2)::BIGINT AS sy,
+           sum(rx2 * ry2)::BIGINT AS sxy,
+           sum(rx2 * rx2)::BIGINT AS sxx, sum(ry2 * ry2)::BIGINT AS syy
+    FROM r GROUP BY 1
+)
+SELECT t_us, n,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                 AND (n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy)::DOUBLE
+                 / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                    * sqrt((n * syy - sy * sy)::DOUBLE))
+       END AS rho
+FROM s
+""",
+        # trimmed mean: double row_number cut on (v, t) total order,
+        # BIGINT sum of survivors, one exact division
+        "trimmed_day": f"""
+WITH {_RATE_CTE},
+rk AS (
+    SELECT event_type, (t_us // {DAY_US}) * {DAY_US} AS w_us, v,
+           row_number() OVER (
+               PARTITION BY event_type, (t_us // {DAY_US}) * {DAY_US}
+               ORDER BY v ASC, t_us ASC) AS ra,
+           row_number() OVER (
+               PARTITION BY event_type, (t_us // {DAY_US}) * {DAY_US}
+               ORDER BY v DESC, t_us DESC) AS rd
+    FROM rate
+)
+SELECT event_type, w_us AS t_us, count(*)::BIGINT AS n_kept,
+       sum(v)::BIGINT::DOUBLE / count(*)::BIGINT::DOUBLE AS trimmed_mean
+FROM rk WHERE ra > 6 AND rd > 6 GROUP BY 1, 2
 """,
         "forecast_error_day": f"""
 WITH h AS (

@@ -129,6 +129,9 @@ BENCH_QUERIES = [
     "q5_region_revenue",
     "revisit_intervals",
     "trend_minute",
+    "theilsen_drift",
+    "spearman_hour",
+    "trimmed_day",
     "cohort_retention",
     "crawl_planner",
     "revision_dedup",

@@ -1,0 +1,135 @@
+"""Rank-based robust statistics (operators/robust.py): Theil–Sen drift,
+Spearman rank correlation, trimmed-mean rollup — verified against
+independent pure-Python references and robustness properties (a spike
+that bends OLS must not move Theil–Sen)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from usgs_geomag_algorithms_spark.operators.robust import (
+    spearman_window,
+    theilsen_fit,
+    trimmed_rollup,
+)
+from usgs_geomag_algorithms_spark.operators.stats import trend_fit
+
+HOUR = 3_600_000_000
+
+
+def sig(spark, rows, schema="series string, t_us long, v long"):
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------- references
+def ref_theilsen(points):
+    """points: [(k, y)] -> (slope, intercept) by LOW medians."""
+    slopes = sorted(
+        ((yj - yi) / (kj - ki), ki, kj)
+        for i, (ki, yi) in enumerate(points)
+        for kj, yj in points[i + 1 :]
+        if ki < kj
+    )
+    m = slopes[(len(slopes) + 1) // 2 - 1][0]
+    resid = sorted((y - m * k, k) for k, y in points)
+    return m, resid[(len(resid) + 1) // 2 - 1][0]
+
+
+def ref_spearman(xs, ys):
+    def ranks2(v):
+        s = sorted(v)
+        return [2 * (s.index(x) + 1) + s.count(x) - 1 for x in v]
+
+    rx, ry = ranks2(xs), ranks2(ys)
+    n = len(rx)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    num = n * sxy - sx * sy
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    return num / (math.sqrt(dx) * math.sqrt(dy))
+
+
+class TestTheilSen:
+    def test_matches_reference(self, spark):
+        pts = [(0, 10), (1, 13), (2, 11), (3, 18), (4, 16), (5, 21)]
+        rows = [("a", k * HOUR, y) for k, y in pts]
+        got = theilsen_fit(
+            sig(spark, rows), HOUR, 0, ("series",)
+        ).collect()[0]
+        m, b = ref_theilsen(pts)
+        assert got.n_points == 6
+        assert got.slope_per_step == m
+        assert got.intercept == b
+
+    def test_spike_immune_where_ols_is_not(self, spark):
+        clean = [(k, 100 + 2 * k) for k in range(20)]
+        spiked = [(k, y + (100000 if k == 10 else 0)) for k, y in clean]
+        rows = [("s", k * HOUR, y) for k, y in spiked]
+        ts = theilsen_fit(sig(spark, rows), HOUR, 0, ("series",)).collect()[0]
+        ols = trend_fit(sig(spark, rows), HOUR, 0, ("series",)).collect()[0]
+        assert ts.slope_per_step == pytest.approx(2.0, abs=0.2)
+        assert abs(ols.slope_per_step - 2.0) > 10  # OLS chased the spike
+
+    def test_multi_series_and_min_points(self, spark):
+        rows = [("a", 0, 1), ("a", HOUR, 5), ("b", 0, 7)]
+        out = theilsen_fit(sig(spark, rows), HOUR, 0, ("series",))
+        got = {r.series: r for r in out.collect()}
+        assert set(got) == {"a"}  # b has 1 point -> dropped
+        assert got["a"].slope_per_step == 4.0
+
+
+class TestSpearman:
+    def test_matches_reference_with_ties(self, spark):
+        xs = [3, 1, 4, 1, 5, 9, 2, 6]
+        ys = [2, 7, 1, 8, 2, 8, 1, 8]
+        rows = [
+            (i * 60_000_000, float(x), float(y))
+            for i, (x, y) in enumerate(zip(xs, ys))
+        ]
+        df = spark.createDataFrame(rows, "t_us long, x double, y double")
+        got = spearman_window(df, HOUR, "x", "y").collect()
+        assert len(got) == 1
+        assert got[0].n == 8
+        assert got[0].rho == ref_spearman(xs, ys)
+
+    def test_monotone_gives_one(self, spark):
+        rows = [(i * 60_000_000, float(i), float(i * i)) for i in range(10)]
+        df = spark.createDataFrame(rows, "t_us long, x double, y double")
+        got = spearman_window(df, HOUR, "x", "y").collect()[0]
+        assert got.rho == 1.0  # nonlinear but monotone
+
+    def test_constant_channel_is_null(self, spark):
+        rows = [(i * 60_000_000, 5.0, float(i)) for i in range(5)]
+        df = spark.createDataFrame(rows, "t_us long, x double, y double")
+        assert spearman_window(df, HOUR, "x", "y").collect()[0].rho is None
+
+
+class TestTrimmed:
+    def test_drops_extremes_exactly(self, spark):
+        vals = [100, 1, 50, 60, 55, 999, 52, 58]
+        rows = [("s", i * 60_000_000, v) for i, v in enumerate(vals)]
+        got = trimmed_rollup(
+            sig(spark, rows), HOUR, 2, ("series",)
+        ).collect()[0]
+        kept = sorted(vals)[2:-2]
+        assert got.n_kept == len(kept)
+        assert got.trimmed_mean == sum(kept) / len(kept)
+
+    def test_tiny_window_trims_away(self, spark):
+        rows = [("s", i * 60_000_000, i) for i in range(4)]
+        assert (
+            trimmed_rollup(sig(spark, rows), HOUR, 2, ("series",)).count()
+            == 0
+        )
+
+    def test_tie_cut_is_deterministic(self, spark):
+        # all-equal values: the (v, t) total order decides which rows cut
+        rows = [("s", i * 60_000_000, 7) for i in range(10)]
+        got = trimmed_rollup(
+            sig(spark, rows), HOUR, 3, ("series",)
+        ).collect()[0]
+        assert got.n_kept == 4
+        assert got.trimmed_mean == 7.0

@@ -1794,6 +1794,38 @@ def q_trimmed_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t_us"),
+        "event_type",
+    )
+
+
+def q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state totals per event_type (operators/states.py::
+    state_durations — the state_agg hyperfunction analog: LOCF closed
+    segments between consecutive per-user events, all-BIGINT durations,
+    one exact division for the mean)."""
+    from usgs_geomag_algorithms_spark.operators.states import (
+        state_durations,
+    )
+
+    return state_durations(_state_events(spark, sf_dir))
+
+
+def q_state_share_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day state share (operators/states.py::state_share_day —
+    midnight-exact BIGINT segment splits; share = ratio of two BIGINT
+    sums, one division)."""
+    from usgs_geomag_algorithms_spark.operators.states import (
+        state_share_day,
+    )
+
+    return state_share_day(_state_events(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: hour-tier rollup of the events minute signal at sf0.001."""
     return q_rollup_hour_value(spark, "/root/testdata/sf0.001")
@@ -1867,6 +1899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theilsen_drift": q_theilsen_drift,
         "spearman_hour": q_spearman_hour,
         "trimmed_day": q_trimmed_day,
+        "state_durations": q_state_durations,
+        "state_share_day": q_state_share_day,
         "event_transitions": q_event_transitions,
         "conversion_latency": q_conversion_latency,
     }
@@ -3382,6 +3416,58 @@ rk AS (
 SELECT event_type, w_us AS t_us, count(*)::BIGINT AS n_kept,
        sum(v)::BIGINT::DOUBLE / count(*)::BIGINT::DOUBLE AS trimmed_mean
 FROM rk WHERE ra > 6 AND rd > 6 GROUP BY 1, 2
+""",
+        # time-in-state: LOCF closed segments via lead() with the same
+        # (t_us, event_id) tie-break; all-BIGINT durations, one division
+        "state_durations": """
+WITH e AS (
+    SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type FROM events
+),
+seg AS (
+    SELECT event_type AS state, user_id, t_us,
+           lead(t_us) OVER (PARTITION BY user_id
+                            ORDER BY t_us, event_id) AS nxt_us
+    FROM e
+)
+SELECT state,
+       sum(nxt_us - t_us)::BIGINT AS total_us,
+       count(*)::BIGINT AS n_segments,
+       count(DISTINCT user_id)::BIGINT AS n_entities,
+       max(nxt_us - t_us)::BIGINT AS max_us,
+       sum(nxt_us - t_us)::BIGINT::DOUBLE / count(*)::BIGINT::DOUBLE
+           AS mean_us
+FROM seg WHERE nxt_us IS NOT NULL
+GROUP BY 1
+""",
+        # midnight-exact day split of each closed segment; share is a
+        # ratio of two BIGINT sums
+        "state_share_day": f"""
+WITH e AS (
+    SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type FROM events
+),
+seg AS (
+    SELECT event_type AS state, t_us,
+           lead(t_us) OVER (PARTITION BY user_id
+                            ORDER BY t_us, event_id) AS nxt_us
+    FROM e
+),
+days AS (
+    SELECT state, t_us, nxt_us,
+           unnest(generate_series(t_us // {DAY_US},
+                                  (nxt_us - 1) // {DAY_US})) AS day_idx
+    FROM seg WHERE nxt_us IS NOT NULL
+),
+per AS (
+    SELECT day_idx * {DAY_US} AS day_us, state,
+           sum(least(nxt_us, (day_idx + 1) * {DAY_US})
+               - greatest(t_us, day_idx * {DAY_US}))::BIGINT AS covered_us
+    FROM days GROUP BY 1, 2
+)
+SELECT day_us, state, covered_us,
+       covered_us::DOUBLE
+           / (sum(covered_us) OVER (PARTITION BY day_us))::BIGINT::DOUBLE
+           AS share
+FROM per
 """,
         "forecast_error_day": f"""
 WITH h AS (

@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "theilsen_drift",
     "spearman_hour",
     "trimmed_day",
+    "state_durations",
+    "state_share_day",
     "cohort_retention",
     "crawl_planner",
     "revision_dedup",

@@ -1,0 +1,157 @@
+"""Store evolution features: add-column schema evolution, rollback to an
+earlier snapshot, write-audit-publish refs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from usgs_geomag_algorithms_spark.sources.store import (
+    TierStore,
+    TimeTravelError,
+)
+
+US = 1_000_000
+DAY_US = 86_400 * US
+T0 = 1577836800 * US  # 2020-01-01
+
+
+def _rows(spark, day, vals, quality=None):
+    data = []
+    for i, v in enumerate(vals):
+        t = T0 + day * DAY_US + i * 60 * US
+        if quality is None:
+            data.append((f"u{i%2}", "text_len", t, float(v)))
+        else:
+            data.append((f"u{i%2}", "text_len", t, float(v), quality))
+    schema = "url string, channel string, t_us long, value double"
+    if quality is not None:
+        schema += ", quality long"
+    return spark.createDataFrame(data, schema=schema)
+
+
+class TestSchemaEvolution:
+    def test_add_column_old_files_read_null(self, spark, tmp_path):
+        s1 = TierStore(spark, str(tmp_path))
+        s1.write(_rows(spark, 0, [1, 2, 3]), "minute")
+        # same tier, evolved declared schema: new writer adds `quality`
+        s2 = TierStore(
+            spark, str(tmp_path), value_schema="value double, quality long"
+        )
+        s2.write(_rows(spark, 1, [4, 5], quality=7), "minute")
+        got = s2.read("minute").orderBy("t_us").collect()
+        assert len(got) == 5
+        assert [r.quality for r in got] == [None, None, None, 7, 7]
+        assert [int(r.value) for r in got] == [1, 2, 3, 4, 5]
+
+    def test_time_travel_under_new_schema(self, spark, tmp_path):
+        s1 = TierStore(spark, str(tmp_path))
+        s1.write(_rows(spark, 0, [1, 2]), "minute")
+        s2 = TierStore(
+            spark, str(tmp_path), value_schema="value double, quality long"
+        )
+        s2.write(_rows(spark, 1, [3], quality=9), "minute")
+        old = s2.read("minute", as_of_version=1).collect()
+        assert len(old) == 2 and all(r.quality is None for r in old)
+
+    def test_dropped_column_ignored(self, spark, tmp_path):
+        s2 = TierStore(
+            spark, str(tmp_path), value_schema="value double, quality long"
+        )
+        s2.write(_rows(spark, 0, [1, 2], quality=3), "minute")
+        s1 = TierStore(spark, str(tmp_path))  # declares only `value`
+        got = s1.read("minute").collect()
+        assert len(got) == 2
+        assert "quality" not in got[0].asDict()
+
+    def test_changelog_across_schema_add(self, spark, tmp_path):
+        s1 = TierStore(spark, str(tmp_path))
+        s1.write(_rows(spark, 0, [1, 2]), "minute")
+        s2 = TierStore(
+            spark, str(tmp_path), value_schema="value double, quality long"
+        )
+        # rewrite the same day's partition with a quality column
+        s2.upsert(_rows(spark, 0, [1, 2], quality=5), "minute")
+        log = s2.changelog("minute", 1, 2).collect()
+        # same (key, t, value) but quality NULL->5: surfaces as upserts
+        assert {r.op for r in log} == {"upsert"}
+        assert all(r.quality == 5 for r in log)
+
+
+class TestRollback:
+    def test_rollback_restores_and_moves_forward(self, spark, tmp_path):
+        s = TierStore(spark, str(tmp_path))
+        s.write(_rows(spark, 0, [1, 2]), "minute")
+        s.upsert(_rows(spark, 0, [8, 9]), "minute")  # v2 clobbers values
+        assert sorted(
+            int(r.value) for r in s.read("minute").collect()
+        ) == [8, 9]
+        v = s.rollback("minute", 1)
+        assert v == 3
+        assert sorted(
+            int(r.value) for r in s.read("minute").collect()
+        ) == [1, 2]
+
+    def test_rolled_back_files_survive_gc(self, spark, tmp_path):
+        s = TierStore(spark, str(tmp_path))
+        s.write(_rows(spark, 0, [1, 2]), "minute")  # v1
+        s.upsert(_rows(spark, 0, [8, 9]), "minute")  # v2
+        s.rollback("minute", 1)  # v3: v1 files re-activated from trash
+        # push GC past the old trash grace: the re-activated files must
+        # NOT be collected (they were popped from trash on re-activation)
+        s.write(_rows(spark, 1, [5]), "minute")  # v4
+        s.write(_rows(spark, 2, [6]), "minute")  # v5
+        s.write(_rows(spark, 3, [7]), "minute")  # v6
+        got = sorted(int(r.value) for r in s.read("minute").collect())
+        assert got == [1, 2, 5, 6, 7]
+
+    def test_rollback_past_grace_raises(self, spark, tmp_path):
+        s = TierStore(spark, str(tmp_path))
+        s.write(_rows(spark, 0, [1]), "minute")
+        for k in range(4):
+            s.upsert(_rows(spark, 0, [10 + k]), "minute")
+        with pytest.raises(TimeTravelError):
+            s.rollback("minute", 1)
+
+
+class TestWriteAuditPublish:
+    def test_consumer_sees_only_published(self, spark, tmp_path):
+        writer = TierStore(spark, str(tmp_path))
+        consumer = TierStore(spark, str(tmp_path), read_ref="published")
+        writer.write(_rows(spark, 0, [1, 2]), "minute")
+        # staged but unpublished: the consumer sees nothing
+        assert consumer.read("minute").count() == 0
+        # audit the staged snapshot through the latest-reading store
+        assert writer.read("minute").count() == 2
+        writer.publish("minute")
+        assert consumer.read("minute").count() == 2
+        # a new bad commit stays invisible until published
+        writer.upsert(_rows(spark, 0, [666, 666]), "minute")
+        vals = sorted(int(r.value) for r in consumer.read("minute").collect())
+        assert vals == [1, 2]
+        writer.rollback("minute", 1)
+        writer.publish("minute")
+        vals = sorted(int(r.value) for r in consumer.read("minute").collect())
+        assert vals == [1, 2]
+
+    def test_published_snapshot_pinned_across_commits(self, spark, tmp_path):
+        writer = TierStore(spark, str(tmp_path))
+        consumer = TierStore(spark, str(tmp_path), read_ref="published")
+        writer.write(_rows(spark, 0, [1, 2]), "minute")
+        writer.publish("minute")
+        # many later unpublished commits: the published snapshot (a tag)
+        # is GC-pinned, so the consumer keeps resolving it
+        for k in range(4):
+            writer.upsert(_rows(spark, 0, [20 + k, 30 + k]), "minute")
+        vals = sorted(int(r.value) for r in consumer.read("minute").collect())
+        assert vals == [1, 2]
+
+    def test_explicit_version_and_tag_bypass_read_ref(self, spark, tmp_path):
+        writer = TierStore(spark, str(tmp_path))
+        consumer = TierStore(spark, str(tmp_path), read_ref="published")
+        writer.write(_rows(spark, 0, [1]), "minute")
+        writer.publish("minute")
+        writer.upsert(_rows(spark, 0, [2]), "minute")
+        # audit path: explicit version pins the unpublished snapshot
+        assert [
+            int(r.value)
+            for r in consumer.read("minute", as_of_version=2).collect()
+        ] == [2]

@@ -120,6 +120,7 @@ class TierStore:
         lock_wait_s: float = 0.0,
         upsert_retries: int = 3,
         value_schema: str = "value double",
+        read_ref: str | None = None,
     ):
         self.spark = spark
         self.root = root.rstrip("/")
@@ -138,6 +139,12 @@ class TierStore:
         self.lock_wait_s = lock_wait_s
         #: bounded optimistic-commit retries for upsert on stale snapshots
         self.upsert_retries = upsert_retries
+        #: write-audit-publish consumer mode: when set (e.g.
+        #: ``"published"``), :meth:`read` resolves THIS named ref instead
+        #: of the latest snapshot — unaudited commits stay invisible until
+        #: :meth:`publish` moves the ref. A tier where the ref was never
+        #: published reads as EMPTY (nothing has passed the audit yet).
+        self.read_ref = read_ref
         os.makedirs(self.root, exist_ok=True)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -206,6 +213,57 @@ class TierStore:
             refs[name] = version
             self._save_refs(base, refs)
         return version
+
+    def publish(
+        self, tier: str, version: int | None = None, ref: str = "published"
+    ) -> int:
+        """Write-audit-publish flip: move the named ref to ``version``
+        (default: the current snapshot). Stage with a normal
+        :meth:`write`/:meth:`upsert`, audit the UNPUBLISHED snapshot
+        through a latest-reading store (or ``read(as_of_version=...)``),
+        then publish; consumers constructed with
+        ``read_ref='published'`` never see a commit that has not passed
+        the audit. A bad staged commit is reverted with
+        :meth:`rollback` and simply never published. The ref is a tag,
+        so the published snapshot is GC-pinned for as long as it stays
+        published (a slow consumer mid-read keeps the grace window on
+        top of that)."""
+        return self.tag(tier, ref, version)
+
+    def rollback(self, tier: str, to_version: int) -> int:
+        """Revert the tier's current state to an earlier resolvable
+        snapshot by committing a NEW version whose live file set is the
+        target's (Iceberg rollback: history only moves forward). Files
+        the undone commits had retired are re-activated out of trash;
+        files they added are trashed. Returns the new version."""
+        base = self.path(tier)
+        with self._commit_lock(base):
+            m = self._load_manifest(base)
+            if m is None:
+                raise TimeTravelError(f"tier {tier!r} has no snapshot")
+            vp = self._manifest_version_path(base, to_version)
+            if not os.path.exists(vp):
+                raise TimeTravelError(
+                    f"tier {tier!r} snapshot v{to_version} is not "
+                    f"resolvable (resolvable: {self.versions(tier)})"
+                )
+            with open(vp) as f:
+                tm = json.load(f)
+            target = set(tm["files"])
+            missing = [
+                f for f in target if not os.path.exists(os.path.join(base, f))
+            ]
+            if missing:
+                raise TimeTravelError(
+                    f"tier {tier!r} v{to_version} references "
+                    f"{len(missing)} physically deleted file(s); rollback "
+                    f"window is GC_GRACE_VERSIONS or a tagged snapshot"
+                )
+            re_added = target - set(m["files"])
+            replaced = [f for f in m["files"] if f not in target]
+            return self._commit_append(base, m, re_added, replaced)[
+                "version"
+            ]
 
     def untag(self, tier: str, name: str) -> None:
         """Drop a tag; the pinned snapshot becomes GC-eligible again once
@@ -401,6 +459,11 @@ class TierStore:
         trash = dict(m.get("trash", {}))
         trash.update({f: version for f in replaced})
         all_live = sorted(live + sorted(new_files))
+        # a file committed as live must not stay in trash (rollback
+        # re-activates files a later version had retired) — otherwise GC
+        # would delete a live file once its trash grace expired
+        for f in all_live:
+            trash.pop(f, None)
         old_stats = m.get("stats", {})
         stats = {f: old_stats[f] for f in live if f in old_stats}
         stats.update(self._collect_file_stats(base, new_files))
@@ -731,9 +794,7 @@ class TierStore:
             files = [f for f in m["files"] if os.path.dirname(f) in dirs]
             if not files:
                 return self._empty()
-            df = self.spark.read.option("basePath", base).parquet(
-                *[f"{base}/{f}" for f in files]
-            )
+            df = self._reader(base).parquet(*[f"{base}/{f}" for f in files])
         else:
             paths = [f"{base}/{d}" for d in dirs if os.path.exists(f"{base}/{d}")]
             if not paths:
@@ -751,6 +812,20 @@ class TierStore:
 
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], schema=self._schema())
+
+    def _reader(self, base: str):
+        """Parquet reader pinned to the tier's DECLARED schema (Iceberg
+        add-column evolution): files written before a value column was
+        added surface that column as NULL — no ``mergeSchema`` footer
+        sweep, the scan plans O(files read), not O(files in tier).
+        Columns present in old files but since dropped from
+        ``value_schema`` are simply not read. Type changes of an
+        existing column are NOT supported (as in Iceberg, only widening
+        via new columns). Partition columns are declared so their types
+        are stable regardless of discovery order."""
+        return self.spark.read.option("basePath", base).schema(
+            f"{self._schema()}, p_date string, p_bucket int"
+        )
 
     @staticmethod
     def _pdate_of(relpath: str):
@@ -841,6 +916,13 @@ class TierStore:
             if as_of_version is not None:
                 raise TimeTravelError(f"no such tier {tier!r}")
             return self._empty()
+        if tag is None and as_of_version is None and self.read_ref is not None:
+            # write-audit-publish consumer: resolve the published ref;
+            # a tier with no published snapshot yet reads as empty
+            refs = self._load_refs(base)
+            if self.read_ref not in refs:
+                return self._empty()
+            as_of_version = refs[self.read_ref]
         if as_of_version is not None:
             vp = self._manifest_version_path(base, as_of_version)
             if not os.path.exists(vp):
@@ -908,9 +990,7 @@ class TierStore:
             files = [f for f in m["files"] if _live(f)]
             if not files:
                 return self._empty()
-            df = self.spark.read.option("basePath", base).parquet(
-                *[f"{base}/{f}" for f in files]
-            )
+            df = self._reader(base).parquet(*[f"{base}/{f}" for f in files])
         else:
             # legacy directory read (tier written by an external tool)
             has_data = any(
@@ -993,11 +1073,13 @@ class TierStore:
         def _read(files):
             if not files:
                 return self._empty().select(*cols)
-            return (
-                self.spark.read.option("basePath", base)
-                .parquet(*[f"{base}/{f}" for f in files])
-                .select(*cols)
-            )
+            # declared-schema read: a changelog spanning a schema-add
+            # commit compares old files (added column -> NULL) against
+            # new ones, so the column addition itself surfaces as value
+            # upserts, not a scan error
+            return self._reader(base).parquet(
+                *[f"{base}/{f}" for f in files]
+            ).select(*cols)
 
         new_rows, old_rows = _read(added), _read(removed)
         keys = [*self.series_cols, "t_us"]

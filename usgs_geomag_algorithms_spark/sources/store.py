@@ -250,8 +250,11 @@ class TierStore:
             with open(vp) as f:
                 tm = json.load(f)
             target = set(tm["files"])
+            tdels = tm.get("deletes", [])
             missing = [
-                f for f in target if not os.path.exists(os.path.join(base, f))
+                f
+                for f in target | {e["file"] for e in tdels}
+                if not os.path.exists(os.path.join(base, f))
             ]
             if missing:
                 raise TimeTravelError(
@@ -261,9 +264,20 @@ class TierStore:
                 )
             re_added = target - set(m["files"])
             replaced = [f for f in m["files"] if f not in target]
-            return self._commit_append(base, m, re_added, replaced)[
-                "version"
-            ]
+            # restore the target's LOGICAL state: its pending equality
+            # deletes come back (files re-activated out of trash by the
+            # commit) and re-added data files keep their ORIGINAL
+            # sequence numbers, so those masks reach exactly the rows
+            # they did at the target version
+            tseq = tm.get("seq", {})
+            return self._commit_append(
+                base,
+                m,
+                re_added,
+                replaced,
+                set_deletes=tdels,
+                seq_override={f: int(tseq.get(f, 0)) for f in re_added},
+            )["version"]
 
     def untag(self, tier: str, name: str) -> None:
         """Drop a tag; the pinned snapshot becomes GC-eligible again once
@@ -283,7 +297,11 @@ class TierStore:
             vp = self._manifest_version_path(base, v)
             if os.path.exists(vp):
                 with open(vp) as f:
-                    files.update(json.load(f).get("files", []))
+                    vm = json.load(f)
+                files.update(vm.get("files", []))
+                # a tagged snapshot's equality-delete files are part of
+                # its logical state — resolving the tag must keep masking
+                files.update(e["file"] for e in vm.get("deletes", []))
         return versions, files
 
     def _commit_lock(self, base: str):
@@ -381,8 +399,14 @@ class TierStore:
     @staticmethod
     def _list_parquet(base: str) -> set[str]:
         out = set()
-        for root, _dirs, files in os.walk(base):
+        for root, dirs, files in os.walk(base):
             rel = os.path.relpath(root, base)
+            if rel == ".":
+                # equality-delete files live under _deletes/ and are
+                # tracked by the manifest's "deletes" list, never the data
+                # file list — a legacy-directory adoption or a write()'s
+                # before/after diff must not see them as data files
+                dirs[:] = [d for d in dirs if d != "_deletes"]
             for fn in files:
                 if fn.endswith(".parquet"):
                     out.add(fn if rel == "." else f"{rel}/{fn}")
@@ -411,6 +435,23 @@ class TierStore:
                     os.remove(os.path.join(base, f))
                 except FileNotFoundError:
                     pass
+            # crash-debris sweep for the _deletes dir (not walked by
+            # _list_parquet): a delete file written but never committed
+            live_dels = {e["file"] for e in m.get("deletes", [])}
+            ddir = os.path.join(base, "_deletes")
+            if os.path.isdir(ddir):
+                for fn in os.listdir(ddir):
+                    rel = f"_deletes/{fn}"
+                    if (
+                        fn.endswith(".parquet")
+                        and rel not in live_dels
+                        and rel not in kept
+                        and rel not in pinned
+                    ):
+                        try:
+                            os.remove(os.path.join(ddir, fn))
+                        except FileNotFoundError:
+                            pass
 
     def _commit_append(
         self,
@@ -419,6 +460,10 @@ class TierStore:
         new_files: set[str],
         replaced: list[str],
         listing: set[str] | None = None,
+        *,
+        new_deletes: list[str] | None = None,
+        set_deletes: list[dict] | None = None,
+        seq_override: dict | None = None,
     ) -> dict:
         """Advance the manifest one version: ``new_files`` become live,
         ``replaced`` move to trash, expired trash is collected.
@@ -467,11 +512,39 @@ class TierStore:
         old_stats = m.get("stats", {})
         stats = {f: old_stats[f] for f in live if f in old_stats}
         stats.update(self._collect_file_stats(base, new_files))
+        # per-file sequence numbers (Iceberg data-sequence-number analog):
+        # the commit version a file became live at — an equality delete
+        # masks only rows in files with a LOWER sequence, so a partition
+        # rewritten after the delete (upsert/compaction, which already
+        # read through the mask) is never double-masked, and a key
+        # re-inserted after its delete survives
+        old_seq = m.get("seq", {})
+        seq = {f: int(old_seq.get(f, 0)) for f in live}
+        seq.update({f: version for f in new_files})
+        if seq_override:
+            seq.update({f: int(v) for f, v in seq_override.items() if f in seq})
+        deletes = list(m.get("deletes", []))
+        if set_deletes is not None:
+            dropped = {e["file"] for e in deletes} - {
+                e["file"] for e in set_deletes
+            }
+            trash.update({f: version for f in dropped})
+            deletes = [dict(e) for e in set_deletes]
+        if new_deletes:
+            deletes.extend(
+                {"file": f, "version": version} for f in new_deletes
+            )
+        # a delete file re-activated by rollback must leave trash, or GC
+        # would unlink it while the manifest still applies it
+        for e in deletes:
+            trash.pop(e["file"], None)
         out = {
             "version": version,
             "files": all_live,
             "trash": trash,
             "stats": stats,
+            "seq": seq,
+            "deletes": deletes,
         }
         self._gc_trash(base, out, listing)
         self._save_manifest(base, out)
@@ -730,10 +803,11 @@ class TierStore:
             ]
             if not victims:
                 return dict(zero, buckets=len(buckets))
-            scan = (
-                self.spark.read.option("basePath", base)
-                .parquet(*[f"{base}/{f}" for f in victims])
-                .select(*self.series_cols, "t_us", *self.value_cols)
+            # masked read: a pending equality delete on a victim bucket
+            # must not be resurrected by this rewrite (the rewritten
+            # files get a new sequence number, ending the mask's reach)
+            scan = self._read_live(base, m, victims).select(
+                *self.series_cols, "t_us", *self.value_cols
             )
             if len(keys) <= self.MAX_LITERAL_DELETE_KEYS:
                 remaining = scan.where(~F.col(key_col).isin(keys))
@@ -768,21 +842,168 @@ class TierStore:
                         pass
                 self._save_manifest(
                     base,
-                    {
-                        "version": m2["version"] + 1,
-                        "files": m2["files"],
-                        "trash": {
+                    dict(
+                        m2,
+                        version=m2["version"] + 1,
+                        trash={
                             f: v
                             for f, v in m2["trash"].items()
                             if f not in gone
                         },
-                    },
+                    ),
                 )
         return {
             "buckets": len(buckets),
             "files_replaced": len(victims),
             "rows_deleted": n_victim_rows - n_remaining,
         }
+
+    # ------------------------------------------- merge-on-read deletes
+    def delete_rows(self, df: DataFrame, tier: str) -> dict:
+        """Merge-on-read row-level delete (Iceberg v2 equality-delete
+        files): the delete keys — one row per ``(series..., t_us)`` — are
+        written as a SMALL delete file under ``_deletes/`` and recorded
+        in the manifest; no data file is rewritten. Readers mask matching
+        rows in files whose sequence number predates the delete (one
+        broadcast anti-join), so at 100 TB a GDPR erasure of rows
+        scattered across a million files costs one tiny commit instead of
+        a table rewrite (``delete_series`` is the copy-on-write
+        alternative for whole-series erasure — it rewrites, but bounds
+        the rewrite to the victim buckets).
+
+        The mask composes with every other commit type: an upsert or
+        compaction rewrites partitions THROUGH the mask (materializing
+        it for those files), a key re-inserted after the delete has a
+        newer file sequence and survives, time travel to a pre-delete
+        snapshot still sees the rows, and :meth:`changelog` spanning the
+        delete commit emits the masked rows as ``op='delete'``.
+        :meth:`materialize_deletes` (or a full :meth:`compact`) retires
+        the delete files once applied. Not supported on packed tiers
+        (``read_packed`` bypasses the row mask).
+
+        Returns ``{"keys", "version"}`` (0 keys commits nothing)."""
+        import shutil
+        import uuid
+
+        if tier.endswith("_packed"):
+            raise ValueError(
+                "delete_rows() operates on long-layout tiers; packed "
+                "tiers are rewritten by write_packed"
+            )
+        if not self.exists(tier):
+            return {"keys": 0, "version": 0}
+        zero = {"keys": 0, "version": 0}
+        key_cols = [*self.series_cols, "t_us"]
+        kd = df.select(*key_cols).distinct()
+        base = self.path(tier)
+        ddir = os.path.join(base, "_deletes")
+        os.makedirs(ddir, exist_ok=True)
+        with self._commit_lock(base):
+            m = self._load_manifest(base)
+            if m is None:
+                before = self._list_parquet(base)
+                m = {"version": 0, "files": sorted(before), "trash": {}}
+            tmp = os.path.join(ddir, f".tmp-{uuid.uuid4().hex}")
+            kd.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+            name = f"eqdel-{uuid.uuid4().hex[:12]}.parquet"
+            os.replace(os.path.join(tmp, part[0]), os.path.join(ddir, name))
+            shutil.rmtree(tmp)
+            # footer-metadata count (no data scan) — also the 0-key gate
+            n = self.spark.read.parquet(f"{base}/_deletes/{name}").count()
+            if n == 0:
+                os.remove(os.path.join(ddir, name))
+                return dict(zero, version=m.get("version", 0))
+            m2 = self._commit_append(
+                base, m, set(), [], new_deletes=[f"_deletes/{name}"]
+            )
+        return {"keys": n, "version": m2["version"]}
+
+    def pending_deletes(self, tier: str) -> list[dict]:
+        """The current snapshot's unapplied equality-delete entries
+        (``{"file", "version"}``), oldest first."""
+        m = self._load_manifest(self.path(tier)) if self.exists(tier) else None
+        if m is None:
+            return []
+        return sorted(m.get("deletes", []), key=lambda e: e["version"])
+
+    def materialize_deletes(self, tier: str) -> dict:
+        """Apply pending equality deletes to the data files they can
+        reach and retire the delete files (Iceberg
+        ``rewrite_position_delete_files`` + targeted
+        ``rewrite_data_files``). Surgical: a file is rewritten only if
+        some delete entry's version exceeds its sequence number AND the
+        entry's key buckets / time bounds overlap the file's manifest
+        stats — everything else stays live untouched. Reader-safe like
+        every commit (append + manifest flip; old files linger through
+        trash grace)."""
+        base = self.path(tier)
+        out = {"files_rewritten": 0, "delete_files_dropped": 0}
+        if not os.path.exists(base):
+            return out
+        with self._commit_lock(base):
+            m = self._load_manifest(base)
+            if m is None or not m.get("deletes"):
+                return out
+            seq = m.get("seq", {})
+            stats = m.get("stats", {})
+            # per-entry reach: buckets of the entry's series keys and its
+            # t_us envelope (the key sets are bounded by what was deleted
+            # — collected driver-side like the other maintenance ops)
+            reach = []
+            for e in m["deletes"]:
+                kdf = self.spark.read.parquet(f"{base}/{e['file']}")
+                keys = [
+                    r[0]
+                    for r in kdf.select(self.series_cols[0])
+                    .distinct()
+                    .collect()
+                ]
+                t = kdf.agg(
+                    F.min("t_us").alias("lo"), F.max("t_us").alias("hi")
+                ).first()
+                reach.append(
+                    (int(e["version"]), self._buckets_of(keys), t.lo, t.hi)
+                )
+
+            def _affected(f: str) -> bool:
+                s = int(seq.get(f, 0))
+                pb = self._pbucket_of(f)
+                st = stats.get(f)
+                for dv, buckets, lo, hi in reach:
+                    if dv <= s:
+                        continue
+                    if pb is not None and pb not in buckets:
+                        continue
+                    if st and st[0] is not None and hi is not None:
+                        if st[0] > hi or (st[1] is not None and st[1] < lo):
+                            continue
+                    return True
+                return False
+
+            affected = [f for f in m["files"] if _affected(f)]
+            pre = self._list_parquet(base)
+            if affected:
+                (
+                    self._read_live(base, m, affected)
+                    .write.mode("append")
+                    .partitionBy("p_date", "p_bucket")
+                    .parquet(base)
+                )
+            after = self._list_parquet(base)
+            self._commit_append(
+                base,
+                m,
+                after - pre,
+                affected,
+                listing=after,
+                set_deletes=[],
+            )
+            out = {
+                "files_rewritten": len(affected),
+                "delete_files_dropped": len(m["deletes"]),
+            }
+        return out
 
     def _read_partitions(self, tier: str, keys: set) -> DataFrame:
         """Read exactly the given (p_date, p_bucket) partitions of a tier
@@ -794,7 +1015,11 @@ class TierStore:
             files = [f for f in m["files"] if os.path.dirname(f) in dirs]
             if not files:
                 return self._empty()
-            df = self._reader(base).parquet(*[f"{base}/{f}" for f in files])
+            # deletes applied HERE so upsert's read-modify-write rewrites
+            # the partition without the masked rows — the rewrite (new
+            # sequence number) materializes the delete instead of
+            # resurrecting it
+            df = self._read_live(base, m, files)
         else:
             paths = [f"{base}/{d}" for d in dirs if os.path.exists(f"{base}/{d}")]
             if not paths:
@@ -826,6 +1051,71 @@ class TierStore:
         return self.spark.read.option("basePath", base).schema(
             f"{self._schema()}, p_date string, p_bucket int"
         )
+
+    def _read_live(self, base: str, m: dict, files: list[str]) -> DataFrame:
+        """Scan the given live data files of snapshot ``m`` with the
+        snapshot's pending equality deletes applied (Iceberg v2
+        merge-on-read): rows matching a delete key are masked iff the
+        delete's commit version exceeds the file's sequence number, so a
+        partition rewritten after the delete (which already read through
+        the mask) is not double-masked and a re-inserted key survives.
+
+        Files whose sequence is >= every delete version pass through
+        untouched; only the remainder pays a broadcast anti-join against
+        the (small, bounded-by-deleted-keys) delete relation — at 100 TB
+        a scattered GDPR delete costs one tiny broadcast, not a table
+        rewrite. With no pending deletes this is exactly the plain scan."""
+        reader = self._reader(base)
+        dels = m.get("deletes") or []
+        if not dels:
+            return reader.parquet(*[f"{base}/{f}" for f in files])
+        seq = m.get("seq", {})
+        max_dv = max(int(e["version"]) for e in dels)
+        dirty = [f for f in files if int(seq.get(f, 0)) < max_dv]
+        clean = [f for f in files if int(seq.get(f, 0)) >= max_dv]
+        parts = []
+        if clean:
+            parts.append(reader.parquet(*[f"{base}/{f}" for f in clean]))
+        if dirty:
+            d = reader.parquet(*[f"{base}/{f}" for f in dirty])
+            # per-row file sequence via the parquet metadata column; the
+            # (relpath -> seq) map is a tiny broadcast, never a shuffle
+            d = d.withColumn(
+                "_rel",
+                F.substring_index(
+                    F.col("_metadata.file_path"),
+                    base.rstrip("/") + "/",
+                    -1,
+                ),
+            )
+            seqdf = self.spark.createDataFrame(
+                [(f, int(seq.get(f, 0))) for f in dirty],
+                "_rel string, _seq int",
+            )
+            d = d.join(F.broadcast(seqdf), "_rel")
+            keys = [*self.series_cols, "t_us"]
+            kd = None
+            for e in dels:
+                one = (
+                    self.spark.read.parquet(f"{base}/{e['file']}")
+                    .select(*keys)
+                    .withColumn("_dv", F.lit(int(e["version"])))
+                )
+                kd = one if kd is None else kd.unionByName(one)
+            cond = F.lit(True)
+            for k in keys:
+                cond = cond & (d[k] == kd[k])
+            cond = cond & (kd["_dv"] > d["_seq"])
+            d = d.join(F.broadcast(kd), cond, "left_anti").drop(
+                "_rel", "_seq"
+            )
+            parts.append(d)
+        if not parts:
+            return self._empty()
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     @staticmethod
     def _pdate_of(relpath: str):
@@ -990,7 +1280,7 @@ class TierStore:
             files = [f for f in m["files"] if _live(f)]
             if not files:
                 return self._empty()
-            df = self._reader(base).parquet(*[f"{base}/{f}" for f in files])
+            df = self._read_live(base, m, files)
         else:
             # legacy directory read (tier written by an external tool)
             has_data = any(
@@ -1070,18 +1360,17 @@ class TierStore:
         base = self.path(tier)
         cols = [*self.series_cols, "t_us", *self.value_cols]
 
-        def _read(files):
+        def _read(mf, files):
             if not files:
                 return self._empty().select(*cols)
-            # declared-schema read: a changelog spanning a schema-add
-            # commit compares old files (added column -> NULL) against
-            # new ones, so the column addition itself surfaces as value
-            # upserts, not a scan error
-            return self._reader(base).parquet(
-                *[f"{base}/{f}" for f in files]
-            ).select(*cols)
+            # declared-schema read (a changelog spanning a schema-add
+            # commit compares old files — added column -> NULL — against
+            # new ones, so the column addition surfaces as value upserts)
+            # through each snapshot's OWN equality-delete mask, so rows a
+            # pending delete hides are consistently absent from that side
+            return self._read_live(base, mf, files).select(*cols)
 
-        new_rows, old_rows = _read(added), _read(removed)
+        new_rows, old_rows = _read(m_to, added), _read(m_from, removed)
         keys = [*self.series_cols, "t_us"]
         upserts = new_rows.exceptAll(old_rows).withColumn(
             "op", F.lit("upsert")
@@ -1091,7 +1380,40 @@ class TierStore:
             .select(*cols)
             .withColumn("op", F.lit("delete"))
         )
-        return upserts.unionByName(deletes)
+        out = upserts.unionByName(deletes)
+        # equality deletes committed in (from, to] mask rows in files
+        # COMMON to both snapshots — invisible to the file diff above.
+        # Common files necessarily have sequence <= from_version < the
+        # delete's version, so the mask condition collapses to a plain
+        # key match. Old values come from the from-snapshot restricted to
+        # the delete keys; keys re-inserted via added files are excluded
+        # (they surface as upserts instead).
+        new_dels = [
+            e
+            for e in m_to.get("deletes", [])
+            if int(e["version"]) > from_version
+        ]
+        common = sorted(set(m_from["files"]) & set(m_to["files"]))
+        if new_dels and common:
+            kd = None
+            for e in new_dels:
+                one = self.spark.read.parquet(
+                    f"{base}/{e['file']}"
+                ).select(*keys)
+                kd = one if kd is None else kd.unionByName(one)
+            kd = kd.distinct()
+            cand = (
+                self._read_live(base, m_from, common)
+                .select(*cols)
+                .join(F.broadcast(kd), keys, "left_semi")
+            )
+            eq_deleted = (
+                cand.join(new_rows.select(*keys), keys, "left_anti")
+                .select(*cols)
+                .withColumn("op", F.lit("delete"))
+            )
+            out = out.unionByName(eq_deleted)
+        return out
 
     # ------------------------------------------------------------- stats
     def stats(self, tier: str) -> dict:
@@ -1195,8 +1517,16 @@ class TierStore:
             )
             after = self._list_parquet(base)
             new_files = after - pre
+            # the rewrite read through the equality-delete mask and
+            # replaced every data file, so pending deletes are fully
+            # materialized — retire their files with this commit
             self._commit_append(
-                base, m, new_files, list(m["files"]), listing=after
+                base,
+                m,
+                new_files,
+                list(m["files"]),
+                listing=after,
+                set_deletes=[],
             )
         return {
             "tier": tier,

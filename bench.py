@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     "source_overlap_sketch",
     "url_dedup",
     "stratified_sample",
+    "dedup_weights",
+    "novelty_share",
+    "containment_pairs",
     "pii_scrub",
     "corpus_word_stats",
     "lm_bigram_bits",

@@ -1424,3 +1424,61 @@ class TestSparseCosine:
         for r in capped:
             if (r.doc_id, r.other_id) == (0, 1):
                 assert r.cos == pytest.approx(1.0)
+
+
+class TestNoveltyContainment:
+    def test_novelty_first_doc_is_all_novel(self, spark):
+        df = docs_df(spark, ["abcdefghij", "abcdefghij", "zzzzzzzzzzz"])
+        out = {r.doc_id: r for r in D.novelty_share(df, n=8).collect()}
+        # doc 0: 3 distinct 8-grams, all first-seen here
+        assert out[0].n_shingles == 3 and out[0].novelty == 1.0
+        # doc 1: identical -> nothing novel
+        assert out[1].n_novel == 0 and out[1].novelty == 0.0
+        # doc 2: one distinct shingle ("zzzzzzzz"), novel
+        assert out[2].n_shingles == 1 and out[2].novelty == 1.0
+
+    def test_novelty_partial_overlap(self, spark):
+        # doc1 shares doc0's prefix shingle but adds new ones
+        df = docs_df(spark, ["abcdefgh", "abcdefghXY"])
+        out = {r.doc_id: r for r in D.novelty_share(df, n=8).collect()}
+        assert out[0].n_shingles == 1 and out[0].n_novel == 1
+        assert out[1].n_shingles == 3 and out[1].n_novel == 2
+        assert abs(out[1].novelty - 2 / 3) < 1e-15
+
+    def test_containment_detects_quote_inside_page(self, spark):
+        quote = "the sky above the port was tuned to a dead channel"
+        page = (
+            "boilerplate header menu items "
+            + quote
+            + " unrelated footer text about cookies and privacy"
+        )
+        other = "completely different content with no sharing at all, none"
+        df = docs_df(spark, [quote, page, other])
+        got = D.ngram_containment_pairs(
+            df, n=8, min_df=2, max_df=4, threshold_num=4, threshold_den=5
+        ).collect()
+        assert [(r.id_a, r.id_b) for r in got] == [(0, 1)]
+        # every shingle of the quote appears in the page
+        assert got[0].containment == 1.0
+
+    def test_containment_threshold_is_integer_exact(self, spark):
+        # overlap below 0.8 of the smaller doc -> filtered out
+        df = docs_df(spark, ["abcdefghij", "abcdefgZZZZZZZ"])
+        got = D.ngram_containment_pairs(
+            df, n=8, min_df=2, max_df=4, threshold_num=4, threshold_den=5
+        ).collect()
+        assert got == []
+
+    def test_cluster_weights_sum_one_per_cluster(self, spark):
+        same = "exactly the same near duplicate text body " * 3
+        df = docs_df(spark, [same, same + "x", "unique other content " * 4])
+        w = D.cluster_weights(
+            D.near_dup_clusters(df, k=16, shingle_n=8, bands=4, threshold=0.3)
+        ).collect()
+        by_cluster = {}
+        for r in w:
+            by_cluster.setdefault(r.cluster_id, []).append(r.weight)
+        for ws in by_cluster.values():
+            assert abs(sum(ws) - 1.0) < 1e-12
+        sizes = {r.doc_id: r.cluster_size for r in w}
+        assert sizes[0] == 2 and sizes[1] == 2 and sizes[2] == 1

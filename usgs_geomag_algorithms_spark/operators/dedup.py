@@ -352,6 +352,136 @@ def ngram_jaccard_pairs(
     )
 
 
+def novelty_share(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temporal novelty per document: the fraction of its distinct char
+    n-grams whose FIRST appearance in the corpus (minimum doc id =
+    ingestion order) is this document. The corpus-growth curve a crawl
+    pipeline watches — a feed whose novelty share decays to ~0 is
+    re-crawling what the corpus already holds (the document-level analog
+    of the reference's coverage `monitor`, ``geomagio/api/secure``-less
+    ops view; dedup tells you WHAT to drop, novelty tells you what new
+    data is WORTH ingesting).
+
+    One shuffle: a min-window over the shingle relation (partitioned by
+    shingle — the same key distribution MinHash/LSH already proved
+    balanced), then a map-side-combinable per-doc aggregate. No joins,
+    no driver state; at 100 TB the window key is the shingle hash space.
+    Integer counts + one double division — exactly oracle-checkable."""
+    from pyspark.sql import Window
+
+    sh = char_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    first = F.min(id_col).over(Window.partitionBy("shingle"))
+    return (
+        sh.withColumn("_first", first)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_shingles")).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    n: int = 8,
+    min_df: int = 2,
+    max_df: int = 4,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric near-dup (quote / subset) detection: pairs where the
+    SMALLER document's shingles are >= threshold contained in the other
+    — ``|A ∩ B| / min(|A|, |B|)``. Jaccard misses these (a short quote
+    inside a long page has tiny |∩|/|∪|); containment is the dedup
+    signal for boilerplate extraction and quote-chain collapse.
+
+    Scale shape: candidates are blocked on RARE shingles (document
+    frequency in [min_df, max_df]) — a contained quote shares its rare
+    n-grams with its source while hot boilerplate shingles never form
+    candidates, and the per-shingle pair fan-out is bounded by
+    max_df^2. Verification is the pair-driven exact intersection count
+    (linear in candidates, same plan as :func:`ngram_jaccard_pairs` —
+    broadcast pairs, merge-join posting side). The threshold compares as
+    cross-multiplied INTEGERS (den*|∩| >= num*min) so the cut is
+    bit-exact in any engine; the reported containment is one double
+    division of exact integers."""
+    sh = char_shingles(
+        df, n=n, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=False)
+    posting = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df").between(min_df, max_df))
+        .select("shingle"),
+        "shingle",
+        "left_semi",
+    )
+    pairs = (
+        posting.select("shingle", F.col(id_col).alias("id_a"))
+        .join(posting.select("shingle", F.col(id_col).alias("id_b")), "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    common = (
+        F.broadcast(pairs)
+        .join(sh.withColumnRenamed(id_col, "id_a"), on="id_a")
+        .join(
+            sh.withColumnRenamed(id_col, "id_b").hint("merge"),
+            on=["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    counts = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    return (
+        common.hint("broadcast")
+        .join(
+            counts.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            on="id_a",
+        )
+        .hint("broadcast")
+        .join(
+            counts.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            on="id_b",
+        )
+        .where(
+            F.col("n_common") * threshold_den
+            >= F.least("n_a", "n_b") * threshold_num
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / F.least("n_a", "n_b")
+            ).alias("containment"),
+        )
+    )
+
+
 def near_dup_pairs_verified(
     df: DataFrame,
     k: int = 16,
@@ -526,6 +656,28 @@ def near_dup_clusters(
         )
         .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
     )
+
+
+def cluster_weights(
+    clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Dedup-aware sampling weights: every document gets weight
+    1/|its near-dup cluster|, so a training-data sampler that keeps ALL
+    copies (for freshness / formatting diversity) still gives each
+    distinct content unit one unit of total probability mass — the
+    soft alternative to hard canonical-only dedup. ONE shuffle: a
+    count-window on cluster_id (the relation is corpus-sized — every
+    singleton is its own cluster — so a groupBy+join would shuffle twice
+    and a broadcast would ship the corpus through the driver). Exact:
+    integer sizes, one double division."""
+    from pyspark.sql import Window
+
+    size = F.count("*").over(Window.partitionBy("cluster_id"))
+    return clusters.select(
+        id_col,
+        "cluster_id",
+        size.alias("cluster_size"),
+    ).withColumn("weight", F.lit(1.0) / F.col("cluster_size"))
 
 
 def sparse_cosine_topk(

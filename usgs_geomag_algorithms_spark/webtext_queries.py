@@ -559,6 +559,49 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware sampling weights (operators/dedup.py::cluster_weights)
+    over the near-dup clustering: 1/|cluster| per doc — each distinct
+    content unit carries one unit of sampling mass even when all copies
+    are kept. Exactly oracle-checked against the recursive-closure
+    clustering."""
+    return D.cluster_weights(
+        D.near_dup_clusters(
+            _docs(spark, sf_dir), k=K_MINHASH, shingle_n=SHINGLE_N,
+            bands=4, threshold=NEAR_DUP_JACCARD,
+        )
+    )
+
+
+def q_novelty_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal novelty per document (operators/dedup.py::novelty_share):
+    fraction of its distinct char 8-grams first seen (min doc_id) in this
+    document — the corpus-growth signal behind crawl-budget decisions.
+    One window shuffle + one aggregate; exactly oracle-checked."""
+    return D.novelty_share(_docs(spark, sf_dir), n=SHINGLE_N)
+
+
+#: containment blocking: document frequency band for "rare" shingles and
+#: the integer-exact containment cut (4/5 = 0.8)
+CONTAIN_MIN_DF, CONTAIN_MAX_DF = 2, 4
+CONTAIN_NUM, CONTAIN_DEN = 4, 5
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup (quote/subset) pairs
+    (operators/dedup.py::ngram_containment_pairs): rare-shingle blocking
+    + exact |A∩B|/min(|A|,|B|) >= 0.8, the subset relation Jaccard-LSH
+    misses. Integer-exact threshold; exactly oracle-checked."""
+    return D.ngram_containment_pairs(
+        _docs(spark, sf_dir),
+        n=SHINGLE_N,
+        min_df=CONTAIN_MIN_DF,
+        max_df=CONTAIN_MAX_DF,
+        threshold_num=CONTAIN_NUM,
+        threshold_den=CONTAIN_DEN,
+    ).orderBy("id_a", "id_b")
+
+
 #: mixture weights with rates ABOVE 1 — dyadic fractional parts so the
 #: u < frac comparison is bit-identical in any engine
 UPSAMPLE_RATES = {f"src{i}": (i % 8) / 4.0 for i in range(20)}
@@ -851,6 +894,62 @@ FROM pairs p
 LEFT JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b
 JOIN counts ca ON ca.doc_id = p.id_a
 JOIN counts cb ON cb.doc_id = p.id_b
+"""
+
+
+def _novelty_sql() -> str:
+    return f"""
+WITH {_SHINGLE_CTE},
+f AS (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY s) AS first_id FROM sh
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)::DOUBLE / count(*)
+           AS novelty
+FROM f GROUP BY doc_id
+"""
+
+
+def _containment_sql() -> str:
+    return f"""
+WITH {_SHINGLE_CTE},
+dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+posting AS (
+    SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s)
+    WHERE dfreq.df BETWEEN {CONTAIN_MIN_DF} AND {CONTAIN_MAX_DF}
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+common AS (
+    SELECT p.id_a, p.id_b, count(*) AS n_common
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.id_a
+    JOIN sh sb ON sb.doc_id = p.id_b AND sb.s = sa.s
+    GROUP BY 1, 2
+),
+counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+SELECT c.id_a, c.id_b, c.n_common::BIGINT AS n_common,
+       c.n_common::DOUBLE / least(ca.n, cb.n) AS containment
+FROM common c
+JOIN counts ca ON ca.doc_id = c.id_a
+JOIN counts cb ON cb.doc_id = c.id_b
+WHERE c.n_common * {CONTAIN_DEN} >= least(ca.n, cb.n) * {CONTAIN_NUM}
+"""
+
+
+def _dedup_weights_sql() -> str:
+    return f"""
+WITH cl AS (
+{_dedup_clusters_sql()}
+)
+SELECT doc_id, cluster_id,
+       (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS cluster_size,
+       1.0::DOUBLE / count(*) OVER (PARTITION BY cluster_id) AS weight
+FROM cl
 """
 
 
@@ -3566,6 +3665,9 @@ QUERIES = {
     "contamination": q_contamination,
     "bloom_contamination": q_bloom_contamination,
     "fuzzy_title_pairs": q_fuzzy_title_pairs,
+    "dedup_weights": q_dedup_weights,
+    "novelty_share": q_novelty_share,
+    "containment_pairs": q_containment_pairs,
     "stratified_sample": q_stratified_sample,
     "pii_scrub": q_pii_scrub,
     "corpus_word_stats": q_corpus_word_stats,
@@ -3637,6 +3739,9 @@ ORACLES = {
     "contamination": _contamination_sql(),
     "bloom_contamination": _bloom_contamination_sql(),
     "fuzzy_title_pairs": _fuzzy_sql(),
+    "dedup_weights": _dedup_weights_sql(),
+    "novelty_share": _novelty_sql(),
+    "containment_pairs": _containment_sql(),
     "stratified_sample": _stratified_sql(),
     "pii_scrub": _pii_sql(),
     "corpus_word_stats": _corpus_word_stats_sql(),

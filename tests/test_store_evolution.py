@@ -155,3 +155,129 @@ class TestWriteAuditPublish:
             int(r.value)
             for r in consumer.read("minute", as_of_version=2).collect()
         ] == [2]
+
+
+def _urows(spark, day, url_vals):
+    """(url, minute-slot, value) triples on one day."""
+    data = [
+        (u, "text_len", T0 + day * DAY_US + i * 60 * US, float(v))
+        for u, i, v in url_vals
+    ]
+    return spark.createDataFrame(
+        data, "url string, channel string, t_us long, value double"
+    )
+
+
+class TestBucketSpecEvolution:
+    def test_evolve_is_metadata_only_and_reads_both_layouts(
+        self, spark, tmp_path
+    ):
+        s = TierStore(spark, str(tmp_path), n_buckets=2)
+        s.write(_urows(spark, 0, [("u0", 0, 1), ("u1", 1, 2), ("u2", 2, 3)]), "minute")
+        m0 = s._load_manifest(s.path("minute"))
+        v = s.evolve_buckets("minute", 8)
+        m1 = s._load_manifest(s.path("minute"))
+        assert v == 2 and m1["specs"] == [2, 8]
+        # metadata-only: same live files, untouched
+        assert m1["files"] == m0["files"]
+        # new writes land under the new modulus; reads see both layouts
+        s.write(_urows(spark, 1, [("u0", 0, 4), ("u3", 1, 5)]), "minute")
+        got = sorted(int(r.value) for r in s.read("minute").collect())
+        assert got == [1, 2, 3, 4, 5]
+
+    def test_key_pruned_read_correct_across_specs(self, spark, tmp_path):
+        s = TierStore(spark, str(tmp_path), n_buckets=2)
+        urls = [f"u{i}" for i in range(8)]
+        s.write(
+            _urows(spark, 0, [(u, i, i) for i, u in enumerate(urls)]),
+            "minute",
+        )
+        s.evolve_buckets("minute", 16)
+        s.write(
+            _urows(spark, 1, [(u, i, 100 + i) for i, u in enumerate(urls)]),
+            "minute",
+        )
+        for i, u in enumerate(urls):
+            got = sorted(
+                int(r.value) for r in s.read("minute", series=u).collect()
+            )
+            assert got == [i, 100 + i], u
+
+    def test_upsert_across_evolution_no_loss_no_duplicates(
+        self, spark, tmp_path
+    ):
+        s = TierStore(spark, str(tmp_path), n_buckets=2)
+        urls = [f"u{i}" for i in range(6)]
+        s.write(
+            _urows(spark, 0, [(u, i, i) for i, u in enumerate(urls)]),
+            "minute",
+        )
+        s.evolve_buckets("minute", 8)
+        # update u0's slot 0 and add a new slot — spans the boundary
+        s.upsert(_urows(spark, 0, [("u0", 0, 50), ("u0", 10, 51)]), "minute")
+        rows = s.read("minute").collect()
+        # no duplicate (url, t) keys
+        keys = [(r.url, r.t_us) for r in rows]
+        assert len(keys) == len(set(keys))
+        vals = sorted(int(r.value) for r in rows)
+        assert vals == [1, 2, 3, 4, 5, 50, 51]
+        # and every url still fully readable via the key-pruned path
+        assert sorted(
+            int(r.value) for r in s.read("minute", series="u0").collect()
+        ) == [50, 51]
+
+    def test_compact_migrates_to_current_spec(self, spark, tmp_path):
+        s = TierStore(spark, str(tmp_path), n_buckets=2)
+        urls = [f"u{i}" for i in range(6)]
+        s.write(
+            _urows(spark, 0, [(u, i, i) for i, u in enumerate(urls)]),
+            "minute",
+        )
+        s.evolve_buckets("minute", 8)
+        s.upsert(_urows(spark, 0, [("u1", 1, 9)]), "minute")
+        s.compact("minute")
+        m = s._load_manifest(s.path("minute"))
+        # pure current layout: every live file tagged with the new spec
+        cur = len(m["specs"]) - 1
+        assert all(int(m["spec"][f]) == cur for f in m["files"])
+        vals = sorted(int(r.value) for r in s.read("minute").collect())
+        assert vals == [0, 2, 3, 4, 5, 9]
+        assert sorted(
+            int(r.value) for r in s.read("minute", series="u1").collect()
+        ) == [9]
+
+    def test_delete_series_and_eq_deletes_across_specs(self, spark, tmp_path):
+        s = TierStore(spark, str(tmp_path), n_buckets=2)
+        s.write(
+            _urows(spark, 0, [("u0", 0, 1), ("u1", 1, 2), ("u2", 2, 3)]),
+            "minute",
+        )
+        s.evolve_buckets("minute", 8)
+        s.write(_urows(spark, 1, [("u1", 0, 4), ("u3", 1, 5)]), "minute")
+        # series erasure must catch u1's rows under BOTH layouts
+        s.delete_series("minute", ["u1"])
+        vals = sorted(int(r.value) for r in s.read("minute").collect())
+        assert vals == [1, 3, 5]
+        # merge-on-read delete of an old-spec row, then materialize
+        kd = spark.createDataFrame(
+            [("u0", "text_len", T0)], "url string, channel string, t_us long"
+        )
+        s.delete_rows(kd, "minute")
+        assert sorted(
+            int(r.value) for r in s.read("minute").collect()
+        ) == [3, 5]
+        s.materialize_deletes("minute")
+        assert s.pending_deletes("minute") == []
+        assert sorted(
+            int(r.value) for r in s.read("minute").collect()
+        ) == [3, 5]
+
+    def test_evolve_noop_and_validation(self, spark, tmp_path):
+        s = TierStore(spark, str(tmp_path), n_buckets=4)
+        s.write(_urows(spark, 0, [("u0", 0, 1)]), "minute")
+        v1 = s.evolve_buckets("minute", 4)  # same modulus: no commit
+        assert v1 == 1
+        with pytest.raises(ValueError):
+            s.evolve_buckets("minute", 0)
+        with pytest.raises(TimeTravelError):
+            s.evolve_buckets("nope", 8)

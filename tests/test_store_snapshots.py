@@ -177,8 +177,8 @@ class TestConcurrentWriterGuard:
         real_read_partitions = store._read_partitions
         interleaved = []
 
-        def read_then_interleave(tier, keys):
-            out = real_read_partitions(tier, keys)
+        def read_then_interleave(tier, keys, **kw):
+            out = real_read_partitions(tier, keys, **kw)
             out.collect()  # force B's read before A's interleaved commit
             if not interleaved:  # one-shot: A commits once, mid-merge
                 interleaved.append(True)
@@ -210,8 +210,8 @@ class TestConcurrentWriterGuard:
         real_read_partitions = store._read_partitions
         calls = []
 
-        def read_then_interleave(tier, keys):
-            out = real_read_partitions(tier, keys)
+        def read_then_interleave(tier, keys, **kw):
+            out = real_read_partitions(tier, keys, **kw)
             out.collect()
             calls.append(len(calls))
             if len(calls) == 1:  # same url -> same (p_date, p_bucket)
@@ -253,8 +253,8 @@ class TestConcurrentWriterGuard:
         real_read_partitions = store._read_partitions
         calls = []
 
-        def always_interleave(tier, keys):
-            out = real_read_partitions(tier, keys)
+        def always_interleave(tier, keys, **kw):
+            out = real_read_partitions(tier, keys, **kw)
             out.collect()
             calls.append(len(calls))
             rows_a = [

@@ -270,6 +270,7 @@ class TierStore:
             # sequence numbers, so those masks reach exactly the rows
             # they did at the target version
             tseq = tm.get("seq", {})
+            tspec = tm.get("spec", {})
             return self._commit_append(
                 base,
                 m,
@@ -277,6 +278,9 @@ class TierStore:
                 replaced,
                 set_deletes=tdels,
                 seq_override={f: int(tseq.get(f, 0)) for f in re_added},
+                # spec list never truncates (ids stay stable); re-added
+                # files take their ORIGINAL spec ids back
+                spec_override={f: int(tspec.get(f, 0)) for f in re_added},
             )["version"]
 
     def untag(self, tier: str, name: str) -> None:
@@ -464,6 +468,8 @@ class TierStore:
         new_deletes: list[str] | None = None,
         set_deletes: list[dict] | None = None,
         seq_override: dict | None = None,
+        set_specs: list[int] | None = None,
+        spec_override: dict | None = None,
     ) -> dict:
         """Advance the manifest one version: ``new_files`` become live,
         ``replaced`` move to trash, expired trash is collected.
@@ -538,6 +544,25 @@ class TierStore:
         # would unlink it while the manifest still applies it
         for e in deletes:
             trash.pop(e["file"], None)
+        # partition-spec history (Iceberg partition-spec evolution): the
+        # list of n_buckets values this tier has been bucketed with; each
+        # file records WHICH spec laid it out ("spec" map, index into the
+        # list) so key-pruned reads hash under the right modulus per
+        # file. Spec ids only ever append — a rollback keeps the list and
+        # restores the re-added files' original ids
+        specs = list(
+            set_specs
+            if set_specs is not None
+            else (m.get("specs") or [self.n_buckets])
+        )
+        cur_spec = len(specs) - 1
+        old_spec = m.get("spec", {})
+        spec = {f: int(old_spec.get(f, 0)) for f in live}
+        spec.update({f: cur_spec for f in new_files})
+        if spec_override:
+            spec.update(
+                {f: int(v) for f, v in spec_override.items() if f in spec}
+            )
         out = {
             "version": version,
             "files": all_live,
@@ -545,6 +570,8 @@ class TierStore:
             "stats": stats,
             "seq": seq,
             "deletes": deletes,
+            "specs": specs,
+            "spec": spec,
         }
         self._gc_trash(base, out, listing)
         self._save_manifest(base, out)
@@ -606,15 +633,42 @@ class TierStore:
             out[rel] = [t_min, t_max, s_min, s_max, md.num_rows]
         return out
 
-    def _partitioned(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            "p_date", F.date_format(F.timestamp_micros(F.col("t_us")), "yyyy-MM-dd")
-        ).withColumn(
-            "p_bucket",
-            F.pmod(F.xxhash64(F.col(self.series_cols[0])), F.lit(self.n_buckets)).cast(
-                "int"
-            ),
+    def _partitioned(self, df: DataFrame, n_buckets: int | None = None) -> DataFrame:
+        # a "_pb" provenance column (upsert across a bucket-spec
+        # evolution) pins each row to the physical partition it already
+        # lives in — rows never migrate outside the dirs the merge read,
+        # which is what makes dynamic-overwrite retirement safe there
+        bucket = (
+            F.col("_pb").cast("int")
+            if "_pb" in df.columns
+            else F.pmod(
+                F.xxhash64(F.col(self.series_cols[0])),
+                F.lit(int(n_buckets or self.n_buckets)),
+            ).cast("int")
         )
+        out = df.withColumn(
+            "p_date", F.date_format(F.timestamp_micros(F.col("t_us")), "yyyy-MM-dd")
+        ).withColumn("p_bucket", bucket)
+        return out.drop("_pb") if "_pb" in df.columns else out
+
+    def _tier_specs(self, m: dict | None) -> list[int]:
+        """The tier's partition-spec history (bucket-count per spec id);
+        pre-evolution manifests mean one spec — the store default."""
+        if m is None:
+            return [self.n_buckets]
+        return [int(s) for s in (m.get("specs") or [self.n_buckets])]
+
+    def _buckets_by_spec(
+        self, m: dict | None, keys: Sequence[str]
+    ) -> dict[int, set[int]]:
+        """For each spec id the tier has files under, the p_bucket values
+        the given keys hash to — so key-pruned reads stay correct across
+        a bucket-count evolution (each file is tested under ITS spec)."""
+        specs = self._tier_specs(m)
+        return {
+            i: self._buckets_of(keys, n_buckets=n)
+            for i, n in enumerate(specs)
+        }
 
     @staticmethod
     def _changed_dirs(old_m: dict | None, new_m: dict | None) -> set[str]:
@@ -632,7 +686,11 @@ class TierStore:
 
     # ------------------------------------------------------------- write
     def write(
-        self, df: DataFrame, tier: str, _based_on: dict | None = None
+        self,
+        df: DataFrame,
+        tier: str,
+        _based_on: dict | None = None,
+        _replace_dirs: set[str] | None = None,
     ) -> None:
         """Partition overwrite through the snapshot manifest: new files are
         APPENDED (never clobbering live ones), then one atomic manifest
@@ -667,8 +725,9 @@ class TierStore:
                 # adopt a legacy (pre-manifest) directory: every existing
                 # file is live at version 0, so untouched partitions survive
                 m = {"version": 0, "files": sorted(before), "trash": {}}
+            mixed = "_pb" in df.columns
             (
-                self._partitioned(df)
+                self._partitioned(df, n_buckets=self._tier_specs(m)[-1])
                 .write.mode("append")
                 .partitionBy("p_date", "p_bucket")
                 .parquet(base)
@@ -676,6 +735,12 @@ class TierStore:
             after = self._list_parquet(base)
             new_files = after - before
             touched = {os.path.dirname(f) for f in new_files}
+            if _replace_dirs:
+                # the caller's read-modify-write read these dirs WHOLLY
+                # and its output contains all their surviving rows, so
+                # they retire even where no new file landed (a merged row
+                # that moved dirs, or a dir the merge emptied)
+                touched |= set(_replace_dirs)
             overlap = conflict_dirs & touched
             if overlap:
                 raise StaleSnapshotError(
@@ -693,8 +758,19 @@ class TierStore:
             # the post-write listing doubles as the orphan sweep — a write
             # is exactly two directory walks (the pre-write set
             # distinguishes crash debris from this write's files; Iceberg
-            # pays the same role's cost in manifest IO)
-            self._commit_append(base, m, new_files, replaced, listing=after)
+            # pays the same role's cost in manifest IO). Provenance-kept
+            # writes can mix bucket layouts inside one file -> spec -1
+            # (key pruning tests the union of all specs for those)
+            self._commit_append(
+                base,
+                m,
+                new_files,
+                replaced,
+                listing=after,
+                spec_override=(
+                    {f: -1 for f in new_files} if mixed else None
+                ),
+            )
 
     def upsert(self, df: DataFrame, tier: str, clobber: bool = False) -> None:
         """Read-modify-write merge into existing partitions (last-wins, new
@@ -711,14 +787,6 @@ class TierStore:
         if not self.exists(tier):
             self.write(df, tier)
             return
-        new_part = self._partitioned(df)
-        # keys collected, not joined: the key list is what prunes the scan
-        keys = {
-            (r.p_date, r.p_bucket)
-            for r in new_part.select("p_date", "p_bucket").distinct().collect()
-        }
-        if not keys:
-            return
         # optimistic commit (Iceberg MERGE INTO semantics): pin the
         # snapshot the merge reads from; if another writer lands a commit
         # before our flip, write() validates at partition granularity —
@@ -726,6 +794,8 @@ class TierStore:
         # StaleSnapshotError and the WHOLE merge recomputes against the
         # fresh snapshot (bounded retries). Nothing committed is ever
         # clobbered by a stale merge.
+        key_col = self.series_cols[0]
+        nan_aware = self.value_schema.split(",")[0].split()[-1] == "double"
         last: StaleSnapshotError | None = None
         for _ in range(max(1, self.upsert_retries)):
             read_manifest = self._load_manifest(self.path(tier)) or {
@@ -733,19 +803,72 @@ class TierStore:
                 "files": [],
                 "trash": {},
             }
-            old_touched = self._read_partitions(tier, keys)
+            specs = self._tier_specs(read_manifest)
+            # keys collected, not joined: the key list is what prunes the
+            # scan. Across a bucket-spec evolution the same url may live
+            # under any spec's modulus, so the touched set is the union
+            # over specs (bounded: dates x buckets x specs)
+            bcols = [
+                F.pmod(F.xxhash64(F.col(key_col)), F.lit(int(n)))
+                .cast("int")
+                .alias(f"_b{i}")
+                for i, n in enumerate(specs)
+            ]
+            tuples = (
+                df.select(
+                    F.date_format(
+                        F.timestamp_micros(F.col("t_us")), "yyyy-MM-dd"
+                    ).alias("p_date"),
+                    *bcols,
+                )
+                .distinct()
+                .collect()
+            )
+            keys = {
+                (r.p_date, r[f"_b{i}"])
+                for r in tuples
+                for i in range(len(specs))
+            }
+            if not keys:
+                return
+            multi = len(specs) > 1
+            old_touched = self._read_partitions(
+                tier, keys, with_bucket=multi
+            )
+            new_side = df.select(
+                *self.series_cols, "t_us", *self.value_cols
+            )
+            if multi:
+                # provenance merge: surviving old rows keep their physical
+                # bucket, new/winning rows take the current spec's — no
+                # row leaves the dirs this merge read, so retiring exactly
+                # those dirs (write _replace_dirs) loses nothing
+                new_side = new_side.withColumn(
+                    "_pb",
+                    F.pmod(
+                        F.xxhash64(F.col(key_col)), F.lit(int(specs[-1]))
+                    ).cast("int"),
+                )
             merged = merge_last_wins(
                 old_touched,
-                df.select(*self.series_cols, "t_us", *self.value_cols),
+                new_side,
                 series_cols=self.series_cols,
                 value_col=self.value_cols[0],
-                extra_cols=self.value_cols[1:],
-                nan_aware=self.value_schema.split(",")[0].split()[-1]
-                == "double",
+                extra_cols=[*self.value_cols[1:], *(["_pb"] if multi else [])],
+                nan_aware=nan_aware,
                 clobber=clobber,
             )
             try:
-                self.write(merged, tier, _based_on=read_manifest)
+                self.write(
+                    merged,
+                    tier,
+                    _based_on=read_manifest,
+                    _replace_dirs=(
+                        {f"p_date={d}/p_bucket={b}" for d, b in keys}
+                        if multi
+                        else None
+                    ),
+                )
                 return
             except StaleSnapshotError as e:
                 last = e
@@ -788,13 +911,18 @@ class TierStore:
         keys_df = self.spark.createDataFrame(
             [(k,) for k in keys], f"{key_col} string"
         )
-        buckets = self._buckets_of(keys)
         base = self.path(tier)
         with self._commit_lock(base):
             m = self._load_manifest(base)
             before = self._list_parquet(base)
             if m is None:
                 m = {"version": 0, "files": sorted(before), "trash": {}}
+            # victim dirs under EVERY spec the tier has been bucketed
+            # with — after an evolution the keys' history spans both
+            # layouts (mixed upsert files share those dir names too)
+            buckets = set().union(
+                *self._buckets_by_spec(m, keys).values()
+            )
             dirs = {f"p_bucket={b}" for b in buckets}
             victims = [
                 f
@@ -817,7 +945,7 @@ class TierStore:
                 )
             n_victim_rows = scan.count()
             (
-                self._partitioned(remaining)
+                self._partitioned(remaining, n_buckets=self._tier_specs(m)[-1])
                 .write.mode("append")
                 .partitionBy("p_date", "p_bucket")
                 .parquet(base)
@@ -919,6 +1047,36 @@ class TierStore:
             )
         return {"keys": n, "version": m2["version"]}
 
+    def evolve_buckets(self, tier: str, n_buckets: int) -> int:
+        """Partition-spec evolution (Iceberg ``ALTER TABLE .. ADD
+        PARTITION FIELD bucket(N, url)`` analog): change the tier's
+        url-hash bucket count in ONE metadata-only commit — no data file
+        is touched. At 100 TB re-bucketing a skewing tier by rewrite is a
+        full-table job; here new writes use the new modulus immediately
+        while existing files keep their original spec id recorded per
+        file, so key-pruned reads hash each file under the modulus that
+        laid it out. Upserts spanning the boundary merge
+        provenance-safely (surviving rows keep their physical dirs), and
+        a later :meth:`compact` migrates the whole tier to the pure new
+        layout. Spec ids only append — time travel and rollback stay
+        consistent. Returns the commit version."""
+        if int(n_buckets) < 1:
+            raise ValueError("n_buckets must be >= 1")
+        base = self.path(tier)
+        if not self.exists(tier):
+            raise TimeTravelError(f"no such tier {tier!r}")
+        with self._commit_lock(base):
+            m = self._load_manifest(base)
+            if m is None:
+                before = self._list_parquet(base)
+                m = {"version": 0, "files": sorted(before), "trash": {}}
+            specs = self._tier_specs(m)
+            if specs[-1] == int(n_buckets):
+                return m.get("version", 0)
+            return self._commit_append(
+                base, m, set(), [], set_specs=[*specs, int(n_buckets)]
+            )["version"]
+
     def pending_deletes(self, tier: str) -> list[dict]:
         """The current snapshot's unapplied equality-delete entries
         (``{"file", "version"}``), oldest first."""
@@ -950,6 +1108,7 @@ class TierStore:
             # per-entry reach: buckets of the entry's series keys and its
             # t_us envelope (the key sets are bounded by what was deleted
             # — collected driver-side like the other maintenance ops)
+            spec_map = m.get("spec", {})
             reach = []
             for e in m["deletes"]:
                 kdf = self.spark.read.parquet(f"{base}/{e['file']}")
@@ -963,16 +1122,26 @@ class TierStore:
                     F.min("t_us").alias("lo"), F.max("t_us").alias("hi")
                 ).first()
                 reach.append(
-                    (int(e["version"]), self._buckets_of(keys), t.lo, t.hi)
+                    (
+                        int(e["version"]),
+                        self._buckets_by_spec(m, keys),
+                        t.lo,
+                        t.hi,
+                    )
                 )
 
             def _affected(f: str) -> bool:
                 s = int(seq.get(f, 0))
                 pb = self._pbucket_of(f)
                 st = stats.get(f)
-                for dv, buckets, lo, hi in reach:
+                sid = int(spec_map.get(f, 0))
+                for dv, by_spec, lo, hi in reach:
                     if dv <= s:
                         continue
+                    if sid < 0 or sid not in by_spec:
+                        buckets = set().union(*by_spec.values())
+                    else:
+                        buckets = by_spec[sid]
                     if pb is not None and pb not in buckets:
                         continue
                     if st and st[0] is not None and hi is not None:
@@ -998,6 +1167,10 @@ class TierStore:
                 affected,
                 listing=after,
                 set_deletes=[],
+                # the rewrite preserves each row's physical partition
+                # (the reader carries p_date/p_bucket through), so output
+                # files can mix bucket layouts -> spec -1
+                spec_override={f: -1 for f in after - pre},
             )
             out = {
                 "files_rewritten": len(affected),
@@ -1005,27 +1178,41 @@ class TierStore:
             }
         return out
 
-    def _read_partitions(self, tier: str, keys: set) -> DataFrame:
+    def _read_partitions(
+        self, tier: str, keys: set, with_bucket: bool = False
+    ) -> DataFrame:
         """Read exactly the given (p_date, p_bucket) partitions of a tier
-        (manifest file-list pruning; directory pruning on legacy tiers)."""
+        (manifest file-list pruning; directory pruning on legacy tiers).
+        ``with_bucket`` keeps each row's physical p_bucket as ``_pb`` —
+        upsert provenance across a partition-spec evolution."""
         base = self.path(tier)
         dirs = {f"p_date={d}/p_bucket={b}" for d, b in keys}
         m = self._load_manifest(base)
         if m is not None:
             files = [f for f in m["files"] if os.path.dirname(f) in dirs]
             if not files:
-                return self._empty()
-            # deletes applied HERE so upsert's read-modify-write rewrites
-            # the partition without the masked rows — the rewrite (new
-            # sequence number) materializes the delete instead of
-            # resurrecting it
-            df = self._read_live(base, m, files)
+                df = self._empty()
+            else:
+                # deletes applied HERE so upsert's read-modify-write
+                # rewrites the partition without the masked rows — the
+                # rewrite (new sequence number) materializes the delete
+                # instead of resurrecting it
+                df = self._read_live(base, m, files)
         else:
             paths = [f"{base}/{d}" for d in dirs if os.path.exists(f"{base}/{d}")]
             if not paths:
-                return self._empty()
-            df = self.spark.read.option("basePath", base).parquet(*paths)
-        return df.select(*self.series_cols, "t_us", *self.value_cols)
+                df = self._empty()
+            else:
+                df = self.spark.read.option("basePath", base).parquet(*paths)
+        cols = [*self.series_cols, "t_us", *self.value_cols]
+        if with_bucket:
+            pb = (
+                F.col("p_bucket")
+                if "p_bucket" in df.columns
+                else F.lit(None)
+            )
+            return df.select(*cols, pb.cast("int").alias("_pb"))
+        return df.select(*cols)
 
     # -------------------------------------------------------------- read
     def exists(self, tier: str) -> bool:
@@ -1134,7 +1321,9 @@ class TierStore:
                     return None
         return None
 
-    def _buckets_of(self, keys: Sequence[str]) -> set[int]:
+    def _buckets_of(
+        self, keys: Sequence[str], n_buckets: int | None = None
+    ) -> set[int]:
         """``p_bucket`` values the given series keys hash to — computed by
         the SAME xxhash64 the write path partitions with (one tiny Spark
         job over the literal keys; Python has no xxhash64 built-in)."""
@@ -1145,7 +1334,10 @@ class TierStore:
         return {
             r.b
             for r in keys_df.select(
-                F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets))
+                F.pmod(
+                    F.xxhash64(F.col(key_col)),
+                    F.lit(int(n_buckets or self.n_buckets)),
+                )
                 .cast("int")
                 .alias("b")
             ).collect()
@@ -1249,8 +1441,11 @@ class TierStore:
             # p_date path component, on the requested keys' p_bucket
             # dirs, and on the per-file column bounds the commit recorded
             # from the parquet footers (t_us range, series range)
-            buckets = self._buckets_of(keys) if keys is not None else None
+            by_spec = (
+                self._buckets_by_spec(m, keys) if keys is not None else None
+            )
             stats = m.get("stats", {})
+            spec_map = m.get("spec", {})
 
             def _live(f: str) -> bool:
                 pd = self._pdate_of(f)
@@ -1259,8 +1454,17 @@ class TierStore:
                         d1 is not None and pd > d1
                     ):
                         return False
-                if buckets is not None:
+                if by_spec is not None:
                     pb = self._pbucket_of(f)
+                    # test the file's bucket under the spec that laid it
+                    # out — across an evolution old files keep pruning
+                    # correctly under their original modulus; spec -1
+                    # (mixed provenance upsert file) tests the union
+                    sid = int(spec_map.get(f, 0))
+                    if sid < 0 or sid not in by_spec:
+                        buckets = set().union(*by_spec.values())
+                    else:
+                        buckets = by_spec[sid]
                     if pb is not None and pb not in buckets:
                         return False
                 st = stats.get(f)
@@ -1476,7 +1680,11 @@ class TierStore:
             if before == 0:
                 return {"tier": tier, "files_before": 0, "files_after": 0}
             df = self.read(tier)
-            part = self._partitioned(df)
+            # re-bucket under the CURRENT spec: compaction is what
+            # finishes a partition-spec evolution (old-spec and mixed
+            # files migrate to one pure layout, like Iceberg's
+            # rewrite_data_files after a spec change)
+            part = self._partitioned(df, n_buckets=self._tier_specs(m)[-1])
             if target_files_per_partition <= 1:
                 # hash-repartition on the partition cols: every (p_date,
                 # p_bucket) lands whole in one task -> one file per partition

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "html_extract",
     "media_pixel_stats",
+    "image_dhash",
     "audio_stats",
     "audio_stats_g711",
     "quality_classifier",

@@ -1482,3 +1482,41 @@ class TestNoveltyContainment:
             assert abs(sum(ws) - 1.0) < 1e-12
         sizes = {r.doc_id: r.cluster_size for r in w}
         assert sizes[0] == 2 and sizes[1] == 2 and sizes[2] == 1
+
+
+class TestImageDhash:
+    def test_brightness_shift_same_hash(self, spark):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 200, size=(4, 4, 3), dtype=np.uint8)
+        shifted = np.clip(img.astype(np.int64) + 30, 0, 255).astype(np.uint8)
+        other = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        rows = [
+            (0, M.ppm_encode(img)),
+            (1, M.ppm_encode(shifted)),
+            (2, M.ppm_encode(other)),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {r.media_id: r for r in M.image_dhash(df).collect()}
+        # uniform brightness shift preserves every pairwise gray order
+        assert got[0].dhash == got[1].dhash
+        assert got[0].bits == 12
+        assert got[2].dhash != got[0].dhash
+
+    def test_local_replica_and_skip_contract(self, spark):
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+        big = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)  # 240 bits
+        rows = [
+            (0, M.ppm_encode(img)),
+            (1, M.ppm_encode(big)),
+            (2, b"not an image"),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {r.media_id: r for r in M.image_dhash(df).collect()}
+        # >63 difference bits and undecodable payloads emit no row
+        assert set(got) == {0}
+        g = img.astype(np.int64).sum(axis=2)
+        expect = 0
+        for b in (g[:, :-1] > g[:, 1:]).ravel():
+            expect = (expect << 1) | int(b)
+        assert got[0].dhash == expect and got[0].bits == 12

@@ -818,6 +818,62 @@ def pixel_stats(
     return df.mapInPandas(batches, schema=PIXEL_STATS_SCHEMA)
 
 
+DHASH_SCHEMA = "media_id long, width int, height int, dhash long, bits int"
+
+
+def image_dhash(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) through the real native codecs
+    (:func:`decode_image`): gray = r+g+b per pixel (INTEGER — no float
+    luma weights, so the whole pipeline stays exactly oracle-checkable
+    like :func:`pixel_stats`), bit(y, x) = gray[y, x] > gray[y, x+1],
+    packed row-major MSB-first into a signed long. Equal dhash means
+    perceptually near-identical at the hashed resolution — the image
+    analog of SimHash for the dedup family; bucket on the hash (or band
+    it) for near-dup image pairs without any pairwise pixel compare.
+
+    The classic pipeline downscales to 9x8 first; that resize is
+    bilinear float (:func:`resize_media`) and sits OUTSIDE this exact
+    operator — hash either native thumbnails or resized output.
+    Images needing more than 63 difference bits (h*(w-1) > 63) or
+    undecodable payloads emit no row (``pixel_stats``'s skip contract).
+    Arrow ``mapInPandas`` batches."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ws, hs, vals, nbits = [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                img, _fmt = decode_image(bytes(payload))
+                if img is None:
+                    continue
+                g = img[:, :, :3].astype(np.int64).sum(axis=2)
+                h, w = g.shape
+                nb = h * (w - 1)
+                if w < 2 or nb > 63:
+                    continue
+                diff = (g[:, :-1] > g[:, 1:]).ravel()
+                val = 0
+                for b in diff:
+                    val = (val << 1) | int(b)
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                vals.append(val)
+                nbits.append(nb)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "dhash": pd.Series(vals, dtype="int64"),
+                    "bits": pd.Series(nbits, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=DHASH_SCHEMA)
+
+
 WAVEFORM_STATS_SCHEMA = (
     "media_id long, n_samples long, n_channels int, sample_rate int, "
     "sum_v long, sum_abs long, min_v long, max_v long, zero_crossings long"

@@ -3034,6 +3034,60 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing driver-checked end to end
+    (operators/multimodal.py::image_dhash): the media_pixel_stats
+    deterministic PPM per document through the REAL decode, gray = r+g+b
+    (integer), difference bits packed MSB-first. The oracle rebuilds the
+    48 pixel bytes from the md5 hex and packs the same 12 bits — a
+    decode offset, gray order, or bit-packing bug flips the comparison."""
+    from .operators.multimodal import image_dhash
+
+    digests = [
+        F.unhex(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":m{k}")))
+        )
+        for k in range(3)
+    ]
+    header = F.lit(f"P6\n{MEDIA_W} {MEDIA_H}\n255\n".encode())
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, *digests).alias("payload"),
+    )
+    return image_dhash(media).orderBy("media_id")
+
+
+def _image_dhash_sql() -> str:
+    hexes = " || ".join(
+        f"md5(doc_id::VARCHAR || ':m{k}')" for k in range(3)
+    )
+    nb = MEDIA_H * (MEDIA_W - 1)
+    return f"""
+WITH hx AS (SELECT doc_id, {hexes} AS hs FROM documents),
+px AS (
+    SELECT doc_id, p,
+           ('0x' || substr(hs, 6 * p + 1, 2))::BIGINT
+         + ('0x' || substr(hs, 6 * p + 3, 2))::BIGINT
+         + ('0x' || substr(hs, 6 * p + 5, 2))::BIGINT AS g
+    FROM (SELECT doc_id, hs,
+                 unnest(generate_series(0, {MEDIA_W * MEDIA_H - 1})) AS p
+          FROM hx)
+),
+bits AS (
+    SELECT a.doc_id,
+           (a.p // {MEDIA_W}) * {MEDIA_W - 1} + (a.p % {MEDIA_W}) AS i,
+           CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+    FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+    WHERE a.p % {MEDIA_W} < {MEDIA_W - 1}
+)
+SELECT doc_id::BIGINT AS media_id,
+       {MEDIA_W}::INT AS width, {MEDIA_H}::INT AS height,
+       sum(bit * (1::BIGINT << ({nb - 1} - i)))::BIGINT AS dhash,
+       {nb}::INT AS bits
+FROM bits GROUP BY doc_id ORDER BY media_id
+"""
+
+
 #: audio driver check: mono 16-bit PCM, 3 md5 digests = 24 samples
 AUDIO_RATE, AUDIO_N = 8000, 24
 G711_N = 32  # one µ-law sample per md5 byte, two digests
@@ -3681,6 +3735,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "html_extract": q_html_extract,
     "media_pixel_stats": q_media_pixel_stats,
+    "image_dhash": q_image_dhash,
     "audio_stats": q_audio_stats,
     "audio_stats_g711": q_audio_stats_g711,
     "quality_classifier": q_quality_classifier,
@@ -3756,6 +3811,7 @@ ORACLES = {
     "semantic_dedup": _semdedup_sql(),
     "html_extract": _html_extract_sql(),
     "media_pixel_stats": _media_pixel_stats_sql(),
+    "image_dhash": _image_dhash_sql(),
     "audio_stats": _audio_stats_sql(),
     "audio_stats_g711": _audio_stats_g711_sql(),
     "quality_classifier": _quality_classifier_sql(),

@@ -47,7 +47,7 @@ def main(argv=None) -> int:
     ap.add_argument("--end", required=False)
     ap.add_argument(
         "--mode",
-        choices=["build", "update", "maintain", "sync"],
+        choices=["build", "update", "maintain", "sync", "erase", "publish"],
         default="build",
     )
     ap.add_argument("--since-version", type=int, default=None)
@@ -61,6 +61,14 @@ def main(argv=None) -> int:
     ap.add_argument("--n-buckets", type=int, default=16)
     ap.add_argument("--retention-now", default=None)
     ap.add_argument("--run-id", default=None)
+    ap.add_argument(
+        "--urls", nargs="*", default=None,
+        help="victim series for --mode erase (GDPR across all tiers)",
+    )
+    ap.add_argument(
+        "--hard", action="store_true",
+        help="erase mode: physically unlink replaced files NOW",
+    )
     args = ap.parse_args(argv)
 
     from usgs_geomag_algorithms_spark.plans import pipeline
@@ -72,7 +80,7 @@ def main(argv=None) -> int:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     store = TierStore(spark, args.store, n_buckets=args.n_buckets)
     try:
-        if args.mode != "sync":
+        if args.mode not in ("sync", "erase", "publish"):
             if not args.start or not args.end:
                 ap.error(f"--start/--end required in {args.mode} mode")
             start_us, end_us = iso_to_us(args.start), iso_to_us(args.end)
@@ -92,6 +100,12 @@ def main(argv=None) -> int:
         )
     elif args.mode == "maintain":
         metrics = pipeline.maintain(store, end_us)
+    elif args.mode == "erase":
+        if not args.urls:
+            ap.error("--urls required in erase mode")
+        metrics = pipeline.erase_urls(store, args.urls, hard=args.hard)
+    elif args.mode == "publish":
+        metrics = pipeline.publish_tiers(store)
     elif args.mode == "sync":
         if args.since_version is not None:
             metrics = pipeline.sync_changed(

@@ -148,3 +148,73 @@ class TestSparkSubmit:
         assert metrics["tiers"]["minute"] > 0
         store = TierStore(spark, str(tmp_path / "t"))
         assert store.read("minute").count() == metrics["tiers"]["minute"]
+
+
+class TestEraseAndPublish:
+    def _seed(self, spark, tmp_path):
+        store = TierStore(spark, str(tmp_path / "t"), n_buckets=4)
+        rows = [
+            (u, "text_len", T0 + i * 60 * US, float(i))
+            for u in ("u0", "u1", "u2")
+            for i in range(90)
+        ]
+        store.write(
+            spark.createDataFrame(
+                rows, "url string, channel string, t_us long, value double"
+            ),
+            "minute",
+        )
+        store.write_packed(store.read("minute"), "minute")
+        return store
+
+    def test_erase_cli_all_layouts(self, spark, tmp_path):
+        store = self._seed(spark, tmp_path)
+        from jobs.run_cascade import main as cascade_main
+        import io, contextlib, json as _json
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cascade_main([
+                "--store", str(tmp_path / "t"), "--mode", "erase",
+                "--urls", "u1",
+            ])
+        assert rc == 0
+        m = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert m["minute"]["rows_deleted"] == 90
+        assert m["minute_packed"]["segments_deleted"] >= 1
+        assert store.read("minute").where("url = 'u1'").count() == 0
+        assert store.read_packed("minute").where("url = 'u1'").count() == 0
+        # survivors intact in BOTH layouts
+        assert store.read("minute").count() == 180
+        assert store.read_packed("minute").count() == 180
+
+    def test_erase_packed_only_segment_filter(self, spark, tmp_path):
+        store = self._seed(spark, tmp_path)
+        out = store.erase_packed_series("minute", ["u0", "u1"])
+        assert out["segments_deleted"] >= 2
+        assert store.read_packed("minute").where(
+            "url in ('u0','u1')"
+        ).count() == 0
+        assert store.read_packed("minute").count() == 90
+        # idempotent: second erase is a no-op
+        again = store.erase_packed_series("minute", ["u0", "u1"])
+        assert again["segments_deleted"] == 0
+
+    def test_publish_cli_flips_all_tiers(self, spark, tmp_path):
+        store = self._seed(spark, tmp_path)
+        consumer = TierStore(
+            spark, str(tmp_path / "t"), n_buckets=4, read_ref="published"
+        )
+        assert consumer.read("minute").count() == 0
+        from jobs.run_cascade import main as cascade_main
+        import io, contextlib, json as _json
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cascade_main([
+                "--store", str(tmp_path / "t"), "--mode", "publish",
+            ])
+        assert rc == 0
+        m = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert m["minute"] == store.current_version("minute")
+        assert consumer.read("minute").count() == 270

@@ -207,6 +207,42 @@ def apply_retention(
     return dropped
 
 
+def erase_urls(
+    store: TierStore,
+    urls: list[str],
+    hard: bool = False,
+    tiers: tuple = ("minute", "hour", "day", "month"),
+) -> dict:
+    """Right-to-be-forgotten across the WHOLE cascade: every long-layout
+    tier drops the victim series via the bucket-pruned copy-on-write
+    delete (``delete_series``; ``hard=True`` physically unlinks now),
+    and every packed sibling drops the victim SEGMENT rows without any
+    Gorilla decode (``erase_packed_series``). One entry point so an
+    erasure request cannot miss a derived tier — the operational gap
+    audits actually flag."""
+    out: dict = {}
+    for t in tiers:
+        if store.exists(t):
+            out[t] = store.delete_series(t, urls, hard=hard)
+        if store.exists(f"{t}_packed"):
+            out[f"{t}_packed"] = store.erase_packed_series(t, urls)
+    return out
+
+
+def publish_tiers(
+    store: TierStore,
+    tiers: tuple = ("minute", "hour", "day", "month"),
+    ref: str = "published",
+) -> dict:
+    """Write-audit-publish flip for the whole cascade: move the named
+    ref of every existing tier to its current snapshot, after the audit
+    ran against the latest-reading store. Consumers constructed with
+    ``read_ref=ref`` switch atomically per tier."""
+    return {
+        t: store.publish(t, ref=ref) for t in tiers if store.exists(t)
+    }
+
+
 def maintain(
     store: TierStore,
     now_us: int,

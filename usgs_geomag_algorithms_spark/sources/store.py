@@ -986,6 +986,85 @@ class TierStore:
             "rows_deleted": n_victim_rows - n_remaining,
         }
 
+    def erase_packed_series(self, tier: str, keys: Sequence[str]) -> dict:
+        """GDPR erasure on a packed sibling tier: drop the victim series'
+        SEGMENT rows — segment filtering only, no Gorilla decode or
+        re-encode, pruned to the victim buckets. Packed tiers keep the
+        legacy directory layout (documented non-concurrent; no spec
+        evolution — the store-level bucket count applies): surviving
+        segments are materialized (checkpoint) BEFORE the partition
+        overwrite so the rewrite never reads files it is replacing, and
+        partitions left fully victim are removed explicitly (dynamic
+        overwrite cannot express an emptied partition)."""
+        import shutil
+
+        base = self.path(f"{tier}_packed")
+        zero = {"segments_deleted": 0, "partitions_rewritten": 0}
+        keys = list(dict.fromkeys(keys))
+        if not keys or not os.path.exists(base):
+            return zero
+        key_col = self.series_cols[0]
+        meta_path = f"{base}/_segment_meta.json"
+        nb = self.n_buckets
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                nb = int(json.load(f).get("n_buckets", nb))
+        buckets = self._buckets_of(keys, n_buckets=nb)
+        vdirs = []
+        for dd in os.listdir(base):
+            if not dd.startswith("p_date="):
+                continue
+            for bb in os.listdir(os.path.join(base, dd)):
+                if bb.startswith("p_bucket="):
+                    try:
+                        if int(bb.split("=", 1)[1]) in buckets:
+                            vdirs.append(f"{dd}/{bb}")
+                    except ValueError:
+                        pass
+        if not vdirs:
+            return zero
+        segs = self.spark.read.option("basePath", base).parquet(
+            *[f"{base}/{d}" for d in vdirs]
+        )
+        if len(keys) <= self.MAX_LITERAL_DELETE_KEYS:
+            n_vic = segs.where(F.col(key_col).isin(keys)).count()
+            rem = segs.where(~F.col(key_col).isin(keys))
+        else:
+            kd = self.spark.createDataFrame(
+                [(k,) for k in keys], f"{key_col} string"
+            )
+            n_vic = segs.join(F.broadcast(kd), key_col, "left_semi").count()
+            rem = segs.join(F.broadcast(kd), key_col, "left_anti")
+        if n_vic == 0:
+            return zero
+        remaining = rem.localCheckpoint()
+        # partition discovery infers p_date as DATE — compare as strings
+        # or the emptied-partition sweep would remove rewritten dirs
+        rem_parts = {
+            (r.d, int(r.b))
+            for r in remaining.select(
+                F.col("p_date").cast("string").alias("d"),
+                F.col("p_bucket").cast("int").alias("b"),
+            )
+            .distinct()
+            .collect()
+        }
+        if rem_parts:
+            (
+                remaining.write.mode("overwrite")
+                .partitionBy("p_date", "p_bucket")
+                .parquet(base)
+            )
+        for d in vdirs:
+            dd, bb = d.split("/")
+            part = (dd.split("=", 1)[1], int(bb.split("=", 1)[1]))
+            if part not in rem_parts:
+                shutil.rmtree(f"{base}/{d}", ignore_errors=True)
+        return {
+            "segments_deleted": n_vic,
+            "partitions_rewritten": len(rem_parts),
+        }
+
     # ------------------------------------------- merge-on-read deletes
     def delete_rows(self, df: DataFrame, tier: str) -> dict:
         """Merge-on-read row-level delete (Iceberg v2 equality-delete
@@ -1777,7 +1856,14 @@ class TierStore:
             .parquet(path)
         )
         with open(f"{path}/_segment_meta.json", "w") as f:
-            json.dump({"segment_us": int(segment_us)}, f)
+            # n_buckets recorded so maintenance ops (erase) hash victim
+            # keys under the modulus that laid the dirs out, regardless
+            # of the store instance's default (packed tiers have no
+            # manifest to carry a spec history)
+            json.dump(
+                {"segment_us": int(segment_us), "n_buckets": self.n_buckets},
+                f,
+            )
 
     def read_packed(
         self,

@@ -206,3 +206,39 @@ class TestChangelogAndRollback:
         s.rollback("minute", 2)  # v4: mask back on
         assert _vals(s) == [2]
         assert [e["version"] for e in s.pending_deletes("minute")] == [2]
+
+
+class TestDeletePlanShape:
+    def _phys(self, df):
+        df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "10000")
+        # AQE finalizes subplans lazily — execute before reading the plan
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_mask_is_broadcast_anti_join(self, spark, tmp_path):
+        s = TierStore(spark, str(tmp_path))
+        s.write(_rows(spark, 0, [float(i) for i in range(40)]), "minute")
+        s.delete_rows(_keys(spark, 0, [1, 2]), "minute")
+        plan = self._phys(s.read("minute"))
+        # the mask is ONE broadcast anti-join: the delete relation ships
+        # broadcast (bounded by deleted keys), the corpus side is never
+        # exchanged for it
+        assert "LeftAnti" in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_clean_files_bypass_and_materialize_removes_join(
+        self, spark, tmp_path
+    ):
+        s = TierStore(spark, str(tmp_path))
+        s.write(_rows(spark, 0, [1.0, 2.0]), "minute")
+        s.delete_rows(_keys(spark, 0, [0]), "minute")
+        # rewrite a DIFFERENT day: its files get a newer sequence than
+        # the delete and must bypass the mask join entirely
+        s.write(_rows(spark, 3, [5.0]), "minute")
+        plan = self._phys(s.read("minute", series="u1"))
+        assert "LeftAnti" in plan  # day-0 files still masked
+        s.materialize_deletes("minute")
+        plan2 = self._phys(s.read("minute"))
+        # mask gone: plain scan again, no join node at all
+        assert "LeftAnti" not in plan2 and "Join" not in plan2

@@ -159,3 +159,48 @@ class TestBackwardCompat:
             json.dump(m, f)
         got = store.read("minute", series="u01")
         assert rows_of(got) == expected
+
+
+class TestExplainRead:
+    def test_prune_reasons_match_actual_read(self, spark, tmp_path):
+        from usgs_geomag_algorithms_spark.sources.store import TierStore
+
+        US = 1_000_000
+        DAY = 86_400 * US
+        T0 = 1577836800 * US
+        s = TierStore(spark, str(tmp_path), n_buckets=4)
+        rows = [
+            (u, "text_len", T0 + d * DAY + i * 60 * US, float(i))
+            for u in ("u0", "u1", "u2")
+            for d in range(3)
+            for i in range(5)
+        ]
+        s.write(
+            spark.createDataFrame(
+                rows, "url string, channel string, t_us long, value double"
+            ),
+            "minute",
+        )
+        # full read: everything scanned, nothing pruned
+        e = s.explain_read("minute")
+        assert e["scanned"] == e["files_total"] > 0
+        assert e["pruned_date"] == e["pruned_bucket"] == 0
+        # day-restricted: date pruning engages; scan matches read()
+        e1 = s.explain_read("minute", start_us=T0 + DAY, end_us=T0 + DAY + 3600 * US)
+        assert e1["pruned_date"] > 0
+        assert e1["scanned"] + e1["pruned_date"] + e1["pruned_bounds"] == e1["files_total"]
+        # series-restricted: bucket pruning engages
+        e2 = s.explain_read("minute", series="u0")
+        assert e2["pruned_bucket"] + e2["pruned_bounds"] > 0
+        assert e2["scanned"] < e2["files_total"]
+        # pending delete accounting
+        kd = spark.createDataFrame(
+            [("u0", "text_len", T0)], "url string, channel string, t_us long"
+        )
+        s.delete_rows(kd, "minute")
+        e3 = s.explain_read("minute")
+        assert e3["pending_delete_files"] == 1
+        assert e3["masked_scan"] == e3["scanned"]  # all files predate the delete
+        s.materialize_deletes("minute")
+        e4 = s.explain_read("minute")
+        assert e4["pending_delete_files"] == 0 and e4["masked_scan"] == 0

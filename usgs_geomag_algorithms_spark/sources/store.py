@@ -1593,6 +1593,104 @@ class TierStore:
                 df = df.join(F.broadcast(keys_df), key_col, "left_semi")
         return df.select(*self.series_cols, "t_us", *self.value_cols)
 
+    def explain_read(
+        self,
+        tier: str,
+        start_us: int | None = None,
+        end_us: int | None = None,
+        series: str | Sequence[str] | None = None,
+    ) -> dict:
+        """Dry-run of :meth:`read`'s driver-side pruning: how many live
+        files the scan would plan and WHY the rest were skipped
+        (p_date path, key bucket under the file's spec, manifest column
+        bounds) — the observability hook an operator checks before
+        blaming Spark for a slow range read. Also reports pending
+        equality deletes (files that will pay the mask anti-join).
+        Metadata only; no Spark job except the key-bucket hash."""
+        base = self.path(tier)
+        m = self._load_manifest(base) if os.path.exists(base) else None
+        if m is None:
+            return {"tier": tier, "files_total": 0, "scanned": 0}
+        d0 = (
+            time.strftime("%Y-%m-%d", time.gmtime(start_us // US))
+            if start_us is not None
+            else None
+        )
+        d1 = (
+            time.strftime("%Y-%m-%d", time.gmtime(end_us // US))
+            if end_us is not None
+            else None
+        )
+        keys = (
+            [series]
+            if isinstance(series, str)
+            else sorted(set(series))
+            if series is not None
+            else None
+        )
+        by_spec = (
+            self._buckets_by_spec(m, keys) if keys is not None else None
+        )
+        stats = m.get("stats", {})
+        spec_map = m.get("spec", {})
+        seq = m.get("seq", {})
+        dels = m.get("deletes", [])
+        max_dv = max((int(e["version"]) for e in dels), default=0)
+        out = {
+            "tier": tier,
+            "files_total": len(m["files"]),
+            "pruned_date": 0,
+            "pruned_bucket": 0,
+            "pruned_bounds": 0,
+            "scanned": 0,
+            "masked_scan": 0,
+            "pending_delete_files": len(dels),
+        }
+        for f in m["files"]:
+            pd = self._pdate_of(f)
+            if pd is not None and (
+                (d0 is not None and pd < d0) or (d1 is not None and pd > d1)
+            ):
+                out["pruned_date"] += 1
+                continue
+            if by_spec is not None:
+                pb = self._pbucket_of(f)
+                sid = int(spec_map.get(f, 0))
+                buckets = (
+                    set().union(*by_spec.values())
+                    if sid < 0 or sid not in by_spec
+                    else by_spec[sid]
+                )
+                if pb is not None and pb not in buckets:
+                    out["pruned_bucket"] += 1
+                    continue
+            st = stats.get(f)
+            if st:
+                t_min, t_max = st[0], st[1]
+                if (
+                    start_us is not None
+                    and t_max is not None
+                    and t_max < int(start_us)
+                ) or (
+                    end_us is not None
+                    and t_min is not None
+                    and t_min > int(end_us)
+                ):
+                    out["pruned_bounds"] += 1
+                    continue
+                s_min, s_max = st[2], st[3]
+                if (
+                    keys is not None
+                    and s_min is not None
+                    and not any(s_min <= k <= s_max for k in keys)
+                ):
+                    out["pruned_bounds"] += 1
+                    continue
+            out["scanned"] += 1
+            if int(seq.get(f, 0)) < max_dv:
+                out["masked_scan"] += 1
+        return out
+
     # --------------------------------------------------------- changelog
     def _version_manifest(self, tier: str, version: int) -> dict:
         base = self.path(tier)

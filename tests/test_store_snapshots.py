@@ -677,3 +677,125 @@ class TestChangelogReplayProperty:
                 else:
                     replayed[key] = r.value
             assert replayed == new, f"replay diverged for v{v_from}->v{v_to}"
+
+
+class TestMetadataTables:
+    """Iceberg metadata-relation analogs: files / partitions / snapshots /
+    refs as queryable DataFrames built from the manifest (no data scan)."""
+
+    def test_meta_files_inventory(self, spark, store):
+        store.write(mk(spark, minute_rows(2, "a") + minute_rows(2, "b")), "minute")
+        mf = store.meta_files("minute")
+        rows = mf.collect()
+        assert all(r.content == "data" for r in rows)
+        # manifest and relation agree exactly
+        m = store._load_manifest(store.path("minute"))
+        assert sorted(r.file for r in rows) == sorted(m["files"])
+        # footer metrics surfaced: row counts sum to the tier's rows
+        assert sum(r.rows for r in rows) == store.read("minute").count()
+        # partition coordinates parsed from the path
+        assert {r.p_date for r in rows} == {"2020-01-06"}
+        assert {r.p_bucket for r in rows} <= {0, 1}
+        assert all(r.bytes and r.bytes > 0 for r in rows)
+        assert all(r.t_min_us >= T0 and r.t_max_us > r.t_min_us for r in rows)
+
+    def test_meta_files_shows_pending_equality_deletes(self, spark, store):
+        store.write(mk(spark, minute_rows(1, "a") + minute_rows(1, "b")), "minute")
+        store.delete_rows(
+            spark.createDataFrame(
+                [("a", "text_len", T0)], "url string, channel string, t_us long"
+            ),
+            "minute",
+        )
+        mf = store.meta_files("minute")
+        dels = mf.where("content = 'equality_deletes'").collect()
+        assert len(dels) == 1
+        assert dels[0].file.startswith("_deletes/")
+        # the delete's seq is its commit version, ABOVE every data file's
+        data_seq = [r.seq for r in mf.where("content = 'data'").collect()]
+        assert dels[0].seq > max(data_seq)
+        store.compact("minute")  # materializes; delete file retires
+        assert (
+            store.meta_files("minute")
+            .where("content = 'equality_deletes'")
+            .count()
+            == 0
+        )
+
+    def test_meta_files_time_travel_and_tag(self, spark, store):
+        store.write(mk(spark, minute_rows(1)), "minute")
+        store.tag("minute", "rel1")
+        v1_files = {r.file for r in store.meta_files("minute").collect()}
+        store.upsert(
+            mk(spark, [("u", "text_len", T0, 42.0)]), "minute"
+        )
+        cur_files = {r.file for r in store.meta_files("minute").collect()}
+        assert cur_files != v1_files
+        assert {
+            r.file for r in store.meta_files("minute", as_of_version=1).collect()
+        } == v1_files
+        assert {
+            r.file for r in store.meta_files("minute", tag="rel1").collect()
+        } == v1_files
+        from usgs_geomag_algorithms_spark.sources.store import TimeTravelError
+
+        with pytest.raises(TimeTravelError):
+            store.meta_files("minute", tag="nope")
+
+    def test_meta_partitions_rollup(self, spark, store):
+        store.write(
+            mk(spark, minute_rows(2, "a") + minute_rows(2, "b")).repartition(4),
+            "minute",
+        )
+        parts = store.meta_partitions("minute").collect()
+        mf = store.meta_files("minute").collect()
+        assert sum(p.n_files for p in parts) == len(mf)
+        assert sum(p.rows for p in parts) == store.read("minute").count()
+        store.compact("minute")
+        after = store.meta_partitions("minute").collect()
+        assert all(p.n_files == 1 for p in after)
+        assert sum(p.rows for p in after) == sum(p.rows for p in parts)
+
+    def test_meta_snapshots_history(self, spark, store):
+        store.write(mk(spark, minute_rows(1)), "minute")
+        store.upsert(mk(spark, [("u", "text_len", T0, 1.0)]), "minute")
+        store.delete_rows(
+            spark.createDataFrame(
+                [("u", "text_len", T0 + MIN)],
+                "url string, channel string, t_us long",
+            ),
+            "minute",
+        )
+        snaps = {r.version: r for r in store.meta_snapshots("minute").collect()}
+        assert snaps[3].is_current and not snaps[1].is_current
+        assert snaps[2].added_files >= 1 and snaps[2].removed_files >= 1
+        # delete commit: no data files change, one pending delete appears
+        assert snaps[3].added_files == 0 and snaps[3].removed_files == 0
+        assert snaps[3].pending_deletes == 1 and snaps[2].pending_deletes == 0
+        # row totals come from manifest metrics, no scan: v1 == tier rows
+        assert snaps[1].rows == 60
+
+    def test_meta_refs(self, spark, store):
+        store.write(mk(spark, minute_rows(1)), "minute")
+        store.tag("minute", "audit")
+        store.publish("minute")
+        refs = {r.name: r for r in store.meta_refs("minute").collect()}
+        assert refs["audit"].version == 1 and refs["audit"].resolvable
+        assert refs["published"].version == 1
+        store.untag("minute", "audit")
+        assert store.meta_refs("minute").where("name='audit'").count() == 0
+
+    def test_meta_tables_are_sql_queryable(self, spark, store):
+        store.write(mk(spark, minute_rows(2, "a") + minute_rows(2, "b")), "minute")
+        store.meta_files("minute").createOrReplaceTempView("minute_files")
+        small = spark.sql(
+            "SELECT p_date, p_bucket, count(*) AS n, sum(rows) AS r "
+            "FROM minute_files WHERE content='data' "
+            "GROUP BY p_date, p_bucket ORDER BY p_date, p_bucket"
+        ).collect()
+        parts = {
+            (p.p_date, p.p_bucket): p
+            for p in store.meta_partitions("minute").collect()
+        }
+        for row in small:
+            assert parts[(row.p_date, row.p_bucket)].rows == row.r

@@ -1824,6 +1824,176 @@ class TierStore:
             "approx_series": r.approx_series,
         }
 
+    # ------------------------------------------------- metadata tables
+    # Iceberg exposes table internals as queryable relations
+    # (``db.table.files`` / ``.snapshots`` / ``.partitions`` / ``.refs``);
+    # these are the same contract over the manifest store. Everything is
+    # built from the manifest JSON the planner already loads driver-side
+    # — O(live files), the same bound read() pays before listing anything
+    # — so a health dashboard can join/filter/aggregate them as ordinary
+    # DataFrames without touching a single data file. (The reference has
+    # no analog; its storage is opaque Edge/miniSEED services.)
+
+    _META_FILES_SCHEMA = (
+        "file string, content string, p_date string, p_bucket int, "
+        "spec_id int, seq int, rows bigint, bytes bigint, "
+        "t_min_us bigint, t_max_us bigint, "
+        "series_min string, series_max string"
+    )
+
+    def meta_files(
+        self,
+        tier: str,
+        as_of_version: int | None = None,
+        tag: str | None = None,
+    ) -> DataFrame:
+        """The tier's file inventory as a DataFrame (Iceberg ``files`` +
+        ``delete_files`` in one relation, told apart by ``content``:
+        ``'data'`` rows are live data files with their commit sequence,
+        partition coordinates, footer bounds and row counts straight from
+        the manifest's data-file metrics; ``'equality_deletes'`` rows are
+        pending merge-on-read delete files (their ``seq`` is the delete's
+        commit version — the sequence-number gate readers mask with).
+        Time-travels with ``as_of_version``/``tag`` like :meth:`read`."""
+        base = self.path(tier)
+        if tag is not None:
+            refs = self._load_refs(base)
+            if tag not in refs:
+                raise TimeTravelError(
+                    f"tier {tier!r} has no ref {tag!r} (refs: {sorted(refs)})"
+                )
+            as_of_version = refs[tag]
+        if as_of_version is not None:
+            m = self._version_manifest(tier, as_of_version)
+        else:
+            m = self._load_manifest(base)
+        rows = []
+        if m is not None:
+            stats = m.get("stats", {})
+            seq = m.get("seq", {})
+            spec = m.get("spec", {})
+            for f in m.get("files", []):
+                st = stats.get(f) or [None] * 5
+                try:
+                    nbytes = os.path.getsize(os.path.join(base, f))
+                except OSError:
+                    nbytes = None
+                rows.append(
+                    (
+                        f,
+                        "data",
+                        self._pdate_of(f),
+                        self._pbucket_of(f),
+                        int(spec.get(f, 0)),
+                        int(seq.get(f, 0)),
+                        st[4],
+                        nbytes,
+                        st[0],
+                        st[1],
+                        st[2],
+                        st[3],
+                    )
+                )
+            for e in m.get("deletes", []):
+                try:
+                    nbytes = os.path.getsize(os.path.join(base, e["file"]))
+                except OSError:
+                    nbytes = None
+                rows.append(
+                    (
+                        e["file"],
+                        "equality_deletes",
+                        None,
+                        None,
+                        None,
+                        int(e["version"]),
+                        None,
+                        nbytes,
+                        None,
+                        None,
+                        None,
+                        None,
+                    )
+                )
+        return self.spark.createDataFrame(rows, self._META_FILES_SCHEMA)
+
+    def meta_partitions(
+        self,
+        tier: str,
+        as_of_version: int | None = None,
+        tag: str | None = None,
+    ) -> DataFrame:
+        """Per-partition rollup of :meth:`meta_files` (Iceberg
+        ``partitions``): file count, row count, bytes, and time bounds per
+        (p_date, p_bucket) — the compaction/skew dashboard (a partition
+        with many small files wants :meth:`compact`; one with outsized
+        rows is the skew candidate for :meth:`evolve_buckets`)."""
+        return (
+            self.meta_files(tier, as_of_version=as_of_version, tag=tag)
+            .where(F.col("content") == "data")
+            .groupBy("p_date", "p_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("rows").alias("rows"),
+                F.sum("bytes").alias("bytes"),
+                F.min("t_min_us").alias("t_min_us"),
+                F.max("t_max_us").alias("t_max_us"),
+            )
+        )
+
+    def meta_snapshots(self, tier: str) -> DataFrame:
+        """Resolvable snapshot history as a DataFrame (Iceberg
+        ``snapshots``/``history``): per version — live file/row totals,
+        files added and removed vs the previous *resolvable* version, the
+        pending equality-delete count, and whether it is the current
+        snapshot. Rows are bounded by the GC grace window plus tagged
+        pins, exactly the versions :meth:`read` can time-travel to."""
+        base = self.path(tier)
+        cur = self._load_manifest(base)
+        cur_v = (cur or {}).get("version")
+        rows = []
+        prev_files: set[str] | None = None
+        for v in self.versions(tier):
+            m = self._version_manifest(tier, v)
+            files = set(m.get("files", []))
+            stats = m.get("stats", {})
+            nrows = sum(
+                (stats.get(f) or [None] * 5)[4] or 0 for f in files
+            )
+            rows.append(
+                (
+                    v,
+                    len(files),
+                    int(nrows),
+                    len(files - prev_files) if prev_files is not None else None,
+                    len(prev_files - files) if prev_files is not None else None,
+                    len(m.get("deletes", [])),
+                    v == cur_v,
+                )
+            )
+            prev_files = files
+        return self.spark.createDataFrame(
+            rows,
+            "version int, n_files int, rows bigint, added_files int, "
+            "removed_files int, pending_deletes int, is_current boolean",
+        )
+
+    def meta_refs(self, tier: str) -> DataFrame:
+        """Named refs as a DataFrame (Iceberg ``refs``): tag name, pinned
+        version, and whether the pinned manifest still resolves."""
+        base = self.path(tier)
+        rows = [
+            (
+                name,
+                int(v),
+                os.path.exists(self._manifest_version_path(base, int(v))),
+            )
+            for name, v in sorted(self._load_refs(base).items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, version int, resolvable boolean"
+        )
+
     # --------------------------------------------------------- compaction
     def compact(self, tier: str, target_files_per_partition: int = 1) -> dict:
         """Rewrite each (p_date, p_bucket) partition's accumulated small

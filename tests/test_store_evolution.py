@@ -281,3 +281,39 @@ class TestBucketSpecEvolution:
             s.evolve_buckets("minute", 0)
         with pytest.raises(TimeTravelError):
             s.evolve_buckets("nope", 8)
+
+
+class TestSpecEvolutionWriteGuard:
+    """Plain dynamic overwrite is refused on dates that still hold live
+    old-spec files (the write could not retire the same keys' old-spec
+    rows without dropping innocent keys); fresh dates pass, and compact
+    (which migrates the layout) re-enables overwrites everywhere."""
+
+    def test_overwrite_refused_until_compact(self, spark, tmp_path):
+        from usgs_geomag_algorithms_spark.sources.store import (
+            SpecEvolutionError,
+        )
+
+        s = TierStore(spark, str(tmp_path), n_buckets=2)
+        s.write(_rows(spark, 0, [1, 2, 3, 4]), "minute")
+        s.evolve_buckets("minute", 5)
+        # day-0 still holds spec-0 files -> overwrite there is ambiguous
+        with pytest.raises(SpecEvolutionError):
+            s.write(_rows(spark, 0, [9, 9]), "minute")
+        # the refused write's appended files are swept, content intact
+        before = sorted(s.read("minute").collect(), key=lambda r: r.t_us)
+        assert [r.value for r in before] == [1.0, 2.0, 3.0, 4.0]
+        # a FRESH date has no old-spec files: plain append-style write ok
+        s.write(_rows(spark, 1, [7, 8]), "minute")
+        assert s.read("minute").count() == 6
+        # upsert (provenance merge) still spans the boundary fine
+        s.upsert(_rows(spark, 0, [10]), "minute")
+        got = {r.t_us: r.value for r in s.read("minute").collect()}
+        assert got[T0] == 10.0
+        # compact migrates day-0 to the new spec; overwrite allowed again
+        s.compact("minute")
+        s.write(_rows(spark, 0, [5, 6]), "minute")
+        got = sorted(
+            r.value for r in s.read("minute").where(f"t_us < {T0+DAY_US}").collect()
+        )
+        assert got == [5.0, 6.0]

@@ -71,6 +71,15 @@ class TimeTravelError(RuntimeError):
     physically collected."""
 
 
+class SpecEvolutionError(RuntimeError):
+    """A plain partition overwrite hit a date that still has live files
+    under an older bucket spec (mid :meth:`TierStore.evolve_buckets`
+    migration) — overwrite granularity follows the new spec, so the
+    write cannot retire the same logical rows' old-spec files without
+    dropping other keys. Use :meth:`TierStore.upsert` (provenance-safe
+    merge) or :meth:`TierStore.compact` (finishes the migration)."""
+
+
 def _atomic_swap_dirs(live: str, staged: str) -> None:
     """Replace directory ``live`` with ``staged`` without any window in
     which ``live`` is missing.
@@ -726,6 +735,50 @@ class TierStore:
                 # file is live at version 0, so untouched partitions survive
                 m = {"version": 0, "files": sorted(before), "trash": {}}
             mixed = "_pb" in df.columns
+            if m is not None and not mixed:
+                # dynamic overwrite is ill-defined across a partition-spec
+                # evolution: a row's partition identity changed, so
+                # overwriting the NEW spec's dir cannot retire the same
+                # logical rows in an OLD spec's dir (and retiring the old
+                # dir wholesale would drop innocent keys that share the old
+                # bucket). Iceberg has the same footgun; this store refuses
+                # loudly instead of returning duplicates. Upsert reads
+                # through both layouts and merges provenance-safely
+                # (``_pb``); ``compact`` migrates the tier to the pure new
+                # layout, after which plain writes are safe again. Only
+                # dates that actually have live old-spec files are
+                # ambiguous — appends of fresh dates pass.
+                cur_spec = len(self._tier_specs(m)) - 1
+                spec_of = m.get("spec", {})
+                old_dates = {
+                    self._pdate_of(f)
+                    for f in m.get("files", [])
+                    if int(spec_of.get(f, 0)) != cur_spec
+                }
+                old_dates.discard(None)
+                if old_dates:
+                    write_dates = {
+                        r.p_date
+                        for r in df.select(
+                            F.date_format(
+                                F.timestamp_micros(F.col("t_us")),
+                                "yyyy-MM-dd",
+                            ).alias("p_date")
+                        )
+                        .distinct()
+                        .collect()
+                    }
+                    clash = sorted(old_dates & write_dates)
+                    if clash:
+                        raise SpecEvolutionError(
+                            f"tier {tier!r} has live files under an older "
+                            f"bucket spec for date(s) {clash[:3]}… — a "
+                            f"partition overwrite there is ambiguous "
+                            f"(it cannot retire the same keys' old-spec "
+                            f"rows without dropping other keys). Use "
+                            f"upsert() (provenance merge) or compact() "
+                            f"to migrate the layout first."
+                        )
             (
                 self._partitioned(df, n_buckets=self._tier_specs(m)[-1])
                 .write.mode("append")

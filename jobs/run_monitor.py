@@ -32,8 +32,25 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--store", required=True)
     ap.add_argument("--tier", default="minute")
-    ap.add_argument("--start", required=True)
-    ap.add_argument("--end", required=True)
+    ap.add_argument(
+        "--mode",
+        choices=["coverage", "layout"],
+        default="coverage",
+        help="coverage: gap/CUSUM health over a window (default); "
+        "layout: metadata-only maintenance advisor (small files, bucket "
+        "skew, aged equality deletes, unfinished spec migrations, stale "
+        "refs) -- no data scan, no --start/--end needed",
+    )
+    ap.add_argument(
+        "--small-files", type=int, default=4,
+        help="layout mode: files-per-partition compaction threshold",
+    )
+    ap.add_argument(
+        "--skew-ratio", type=float, default=8.0,
+        help="layout mode: hottest-bucket/median rows evolve threshold",
+    )
+    ap.add_argument("--start", required=False)
+    ap.add_argument("--end", required=False)
     ap.add_argument("--delta-s", type=float, default=60.0)
     ap.add_argument("--warn-pct", type=float, default=10.0)
     ap.add_argument("--top", type=int, default=10)
@@ -51,8 +68,31 @@ def main(argv=None) -> int:
     from usgs_geomag_algorithms_spark.tiers import iso_to_us
 
     spark = SparkSession.builder.getOrCreate()
-    t0, t1 = iso_to_us(args.start), iso_to_us(args.end)
     store = TierStore(spark, args.store, n_buckets=args.n_buckets)
+    if args.mode == "layout":
+        tiers = (
+            [args.tier]
+            if args.tier != "all"
+            else sorted(
+                d
+                for d in os.listdir(args.store)
+                if os.path.isdir(os.path.join(args.store, d))
+                and not d.startswith("_")
+            )
+        )
+        reports = [
+            store.maintenance_report(
+                t,
+                small_files_per_partition=args.small_files,
+                skew_ratio=args.skew_ratio,
+            )
+            for t in tiers
+        ]
+        print(json.dumps({"mode": "layout", "tiers": reports}))
+        return 0
+    if not args.start or not args.end:
+        ap.error("--start/--end required in coverage mode")
+    t0, t1 = iso_to_us(args.start), iso_to_us(args.end)
     df = store.read(args.tier, t0, t1)
 
     cov = coverage_metrics(df, args.delta_s, t0, t1).cache()

@@ -82,3 +82,79 @@ class TestMonitorCli:
         assert shifts[0]["first_flag_us"] >= T0 + 700 * MIN
         flagged_urls = {s["url"] for s in shifts}
         assert "u_ok" not in flagged_urls
+
+
+class TestLayoutMode:
+    """--mode layout: the metadata-only maintenance advisor."""
+
+    def test_recommendations_cover_the_matrix(self, spark, tmp_path):
+        store = TierStore(spark, str(tmp_path / "t"), n_buckets=2)
+        # small-file buildup: 6 appended files per partition via upserts
+        rows = [
+            ("u0", "text_len", T0 + i * MIN, float(i)) for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            rows, "url string, channel string, t_us long, value double"
+        )
+        # one write, 6 tasks -> up to 6 files in the day's partition
+        store.write(df.repartition(6), "minute")
+        # pending equality delete; the evolve commit below ages it
+        store.delete_rows(
+            spark.createDataFrame(
+                [("u0", "text_len", T0)],
+                "url string, channel string, t_us long",
+            ),
+            "minute",
+        )
+        # unfinished spec migration (also the commit that ages the delete)
+        store.evolve_buckets("minute", 5)
+        rc, out = run(
+            ["--store", str(tmp_path / "t"), "--tier", "minute",
+             "--mode", "layout", "--small-files", "2"]
+        )
+        assert rc == 0
+        (rep,) = out["tiers"]
+        actions = {a for a, _ in rep["recommendations"]}
+        assert "compact" in actions  # small files AND old-spec files
+        assert "materialize_deletes" in actions
+        assert rep["pending_delete_files"] == 1
+        assert rep["files_on_old_spec"] == rep["n_files"]
+        assert rep["small_file_partitions"]
+        # maintenance clears every advisory
+        store.materialize_deletes("minute")
+        store.compact("minute")
+        rep2 = store.maintenance_report("minute", small_files_per_partition=2)
+        assert rep2["recommendations"] == []
+        assert rep2["files_on_old_spec"] == 0
+
+    def test_skew_advisory(self, spark, tmp_path):
+        store = TierStore(spark, str(tmp_path / "t"), n_buckets=2)
+        # u0/u1 land in different buckets at n=2; u0 gets 100x the rows
+        rows = [
+            ("u0", "text_len", T0 + i * MIN, 1.0) for i in range(1200)
+        ] + [("u1", "text_len", T0 + i * MIN, 1.0) for i in range(10)]
+        store.write(
+            spark.createDataFrame(
+                rows, "url string, channel string, t_us long, value double"
+            ),
+            "minute",
+        )
+        rep = store.maintenance_report("minute", skew_ratio=8.0)
+        if len(rep.get("bucket_rows", {})) == 2:
+            assert any(
+                a == "evolve_buckets" for a, _ in rep["recommendations"]
+            )
+
+    def test_coverage_mode_still_requires_window(self, spark, tmp_path):
+        import pytest
+
+        store = TierStore(spark, str(tmp_path / "t"), n_buckets=2)
+        store.write(
+            spark.createDataFrame(
+                [("u", "text_len", T0, 1.0)],
+                "url string, channel string, t_us long, value double",
+            ),
+            "minute",
+        )
+        with pytest.raises(SystemExit):
+            run(["--store", str(tmp_path / "t"), "--tier", "minute"])

@@ -2031,6 +2031,129 @@ class TierStore:
             "removed_files int, pending_deletes int, is_current boolean",
         )
 
+    def maintenance_report(
+        self,
+        tier: str,
+        small_files_per_partition: int = 4,
+        skew_ratio: float = 8.0,
+        delete_age_versions: int = 1,
+    ) -> dict:
+        """Maintenance advisor over the tier's metadata (no data scan, no
+        Spark job — pure manifest math, the Iceberg maintenance-procedure
+        checklist): which partitions want :meth:`compact` (small-file
+        buildup), whether the row distribution across buckets is skewed
+        enough to want :meth:`evolve_buckets`, whether pending
+        equality-delete files have aged enough to want
+        :meth:`materialize_deletes`, whether a spec migration is
+        unfinished, and refs that no longer resolve. Returns a dict with
+        a ``recommendations`` list of ``(action, reason)`` pairs —
+        advisory only; nothing is mutated."""
+        base = self.path(tier)
+        m = self._load_manifest(base)
+        report: dict = {
+            "tier": tier,
+            "version": (m or {}).get("version", 0),
+            "n_files": len((m or {}).get("files", [])),
+            "recommendations": [],
+        }
+        if m is None:
+            return report
+        stats = m.get("stats", {})
+        spec_of = m.get("spec", {})
+        specs = self._tier_specs(m)
+        cur_spec = len(specs) - 1
+        by_part: dict[tuple, list[str]] = {}
+        by_bucket_rows: dict[int, int] = {}
+        for f in m.get("files", []):
+            part = (self._pdate_of(f), self._pbucket_of(f))
+            by_part.setdefault(part, []).append(f)
+            rows = (stats.get(f) or [None] * 5)[4] or 0
+            if part[1] is not None:
+                by_bucket_rows[part[1]] = by_bucket_rows.get(part[1], 0) + rows
+        rec = report["recommendations"]
+        crowded = sorted(
+            f"p_date={d}/p_bucket={b}"
+            for (d, b), fs in by_part.items()
+            if len(fs) > small_files_per_partition
+        )
+        report["small_file_partitions"] = crowded
+        if crowded:
+            rec.append(
+                (
+                    "compact",
+                    f"{len(crowded)} partition(s) exceed "
+                    f"{small_files_per_partition} files "
+                    f"(worst: {crowded[0]} with "
+                    f"{max(len(fs) for fs in by_part.values())})",
+                )
+            )
+        if len(by_bucket_rows) >= 2:
+            ordered = sorted(by_bucket_rows.values())
+            med = ordered[len(ordered) // 2]
+            hot = ordered[-1]
+            report["bucket_rows"] = dict(sorted(by_bucket_rows.items()))
+            if med > 0 and hot / med > skew_ratio:
+                rec.append(
+                    (
+                        "evolve_buckets",
+                        f"hottest bucket holds {hot} rows vs median {med} "
+                        f"({hot / med:.1f}x > {skew_ratio}x) — re-bucket "
+                        f"to spread it, then compact",
+                    )
+                )
+        version = m["version"]
+        aged = [
+            e
+            for e in m.get("deletes", [])
+            if version - int(e["version"]) >= delete_age_versions
+        ]
+        report["pending_delete_files"] = len(m.get("deletes", []))
+        if aged:
+            rec.append(
+                (
+                    "materialize_deletes",
+                    f"{len(aged)} equality-delete file(s) pending for "
+                    f">= {delete_age_versions} commit(s) — every read "
+                    f"pays their anti-join until materialized",
+                )
+            )
+        migrating = sorted(
+            {
+                f
+                for f in m.get("files", [])
+                if int(spec_of.get(f, 0)) != cur_spec
+            }
+        )
+        report["files_on_old_spec"] = len(migrating)
+        if migrating:
+            rec.append(
+                (
+                    "compact",
+                    f"{len(migrating)} file(s) still laid out under an "
+                    f"older bucket spec (specs={specs}) — compact to "
+                    f"finish the migration and re-enable plain "
+                    f"partition overwrites",
+                )
+            )
+        stale_refs = sorted(
+            name
+            for name, v in self._load_refs(base).items()
+            if not os.path.exists(
+                self._manifest_version_path(base, int(v))
+            )
+        )
+        report["unresolvable_refs"] = stale_refs
+        if stale_refs:
+            rec.append(
+                (
+                    "untag",
+                    f"ref(s) {stale_refs} pin version(s) whose manifest "
+                    f"no longer resolves",
+                )
+            )
+        report["trash_files"] = len(m.get("trash", {}))
+        return report
+
     def meta_refs(self, tier: str) -> DataFrame:
         """Named refs as a DataFrame (Iceberg ``refs``): tag name, pinned
         version, and whether the pinned manifest still resolves."""

@@ -1794,6 +1794,53 @@ def q_trimmed_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: pivot_day_report's declared column set — literal so the plan is ONE
+#: aggregate (no distinct() discovery pass; see plans/serve.py::pivot_report)
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_rollup_levels_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level subtotal report (plans/serve.py::grouping_levels_report
+    — SQL ROLLUP): per (event_type, day) counts and exact integer-cents
+    sums, plus per-type totals and the grand total, in ONE Expand-fed
+    aggregate (one shuffle — not len(dims)+1 unioned groupBys). ``lvl``
+    is the grouping id that tells a subtotal row's NULLs from data
+    NULLs."""
+    from usgs_geomag_algorithms_spark.plans.serve import (
+        grouping_levels_report,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return grouping_levels_report(
+        ev,
+        ["event_type", "day"],
+        {"n": F.count(F.lit(1)), "cents": F.sum("v")},
+    )
+
+
+def q_pivot_day_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-day report, one exact-cents column per event type
+    (plans/serve.py::pivot_report — SQL PIVOT semantics as conditional
+    aggregation over a DECLARED literal column set: ONE hash aggregate,
+    one shuffle; Spark's own .pivot() plans two aggregate passes even
+    with declared values, and without them adds a distinct() discovery
+    scan)."""
+    from usgs_geomag_algorithms_spark.plans.serve import pivot_report
+
+    ev = _events(spark, sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return pivot_report(
+        ev, "day", "event_type", PIVOT_EVENT_TYPES, (F.sum, "v")
+    )
+
+
 def _state_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events(spark, sf_dir).select(
         "event_id",
@@ -1902,6 +1949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_durations": q_state_durations,
         "state_share_day": q_state_share_day,
         "event_transitions": q_event_transitions,
+        "rollup_levels_report": q_rollup_levels_report,
+        "pivot_day_report": q_pivot_day_report,
         "conversion_latency": q_conversion_latency,
     }
 
@@ -3527,6 +3576,30 @@ t AS (
 SELECT state, next_state, n,
        n::DOUBLE / (sum(n) OVER (PARTITION BY state))::DOUBLE AS p
 FROM t
+""",
+        "rollup_levels_report": """
+WITH e AS (
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+)
+SELECT event_type, day, count(*) AS n, sum(v) AS cents,
+       GROUPING(event_type, day) AS lvl
+FROM e GROUP BY ROLLUP(event_type, day)
+""",
+        "pivot_day_report": """
+WITH e AS (
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(round(value * 100) AS BIGINT) AS v
+    FROM events
+)
+SELECT day,
+       sum(CASE WHEN event_type = 'click' THEN v END) AS click,
+       sum(CASE WHEN event_type = 'error' THEN v END) AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN v END) AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN v END) AS signup,
+       sum(CASE WHEN event_type = 'view' THEN v END) AS view
+FROM e GROUP BY day
 """,
         "conversion_latency": f"""
 WITH e AS (

@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "calculated_channel",
     "purchase_asof_view",
+    "rollup_levels_report",
+    "pivot_day_report",
     "dedup_exact",
     "minhash_signature",
     "simhash",

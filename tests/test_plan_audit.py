@@ -585,3 +585,60 @@ class TestRelationalJoinPlans:
         # region->nation, nation->customer, customer-dim->fact, supplier
         assert plan.count("BroadcastHashJoin") >= 3
         # the only shuffled join keys on the order key (fact x fact)
+
+
+class TestReportPlans:
+    """Serve-layer report shapes: ROLLUP is ONE Expand-fed aggregate
+    (one shuffle, not len(dims)+1 unioned groupBys); PIVOT with declared
+    literal values is ONE aggregate over ONE scan (no distinct()
+    value-discovery job)."""
+
+    @pytest.fixture(scope="class")
+    def events(self, spark):
+        rows = [
+            (i, 1578268800_000_000 + i * 60_000_000,
+             ["click", "view", "error"][i % 3], float(i % 7))
+            for i in range(500)
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, t_us long, event_type string, value double"
+        ).select(
+            "event_type",
+            F.date_format(F.timestamp_micros("t_us"), "yyyy-MM-dd").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+
+    def test_rollup_one_expand_one_shuffle(self, spark, events):
+        from usgs_geomag_algorithms_spark.plans.serve import (
+            grouping_levels_report,
+        )
+
+        out = grouping_levels_report(
+            events, ["event_type", "day"],
+            {"n": F.count(F.lit(1)), "cents": F.sum("v")},
+        )
+        out.collect()
+        p = phys(out).split("== Initial Plan ==")[0]
+        assert p.count("Expand") == 1
+        assert p.count("Exchange") == 1  # map-side partials + one shuffle
+        assert not any(n in p for n in PY_NODES)
+        # all four levels present: finest, day-rolled, grand total
+        lvls = {r.lvl for r in out.collect()}
+        assert lvls == {0, 1, 3}
+
+    def test_pivot_single_aggregate_single_scan(self, spark, events):
+        from usgs_geomag_algorithms_spark.plans.serve import pivot_report
+
+        out = pivot_report(
+            events, "day", "event_type",
+            ["click", "view", "error"], (F.sum, "v"),
+        )
+        out.collect()
+        p = phys(out).split("== Initial Plan ==")[0]
+        # declared values -> no distinct-discovery pass: one shuffle,
+        # one scan of the input relation
+        assert p.count("Exchange") == 1
+        assert not any(n in p for n in PY_NODES)
+        row = out.where(F.col("day").isNotNull()).first()
+        assert set(out.columns) == {"day", "click", "view", "error"}
+        assert row is not None

@@ -171,3 +171,71 @@ def _pad_month(df, store: TierStore, start_us: int, end_us: int):
     return spine.join(df, [*store.series_cols, "t_us"], "left").select(
         *store.series_cols, "t_us", "value"
     )
+
+
+def grouping_levels_report(
+    df,
+    dims: Sequence[str],
+    measures: dict,
+):
+    """Multi-level subtotal report in ONE aggregate (``ROLLUP``): totals
+    at every prefix of ``dims`` plus the grand total, each row labeled
+    with its ``lvl`` grouping id (0 = finest; bit i set = dims[i] rolled
+    away — disambiguates a genuine NULL dimension value from a subtotal
+    row, the classic ROLLUP trap).
+
+    Scale shape: Spark plans one Expand (×(len(dims)+1) row fan-out)
+    feeding a single hash aggregate with map-side partials — one shuffle
+    total, identical to a plain groupBy. The tempting alternative — one
+    groupBy per level unioned — scans the input len(dims)+1 times and
+    shuffles each; at 100 TB that is the difference between 1 and N
+    passes. ``measures`` maps output name -> aggregate Column; keep the
+    aggregates algebraic (sum/count/min/max) so the partials hold.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [c.alias(name) for name, c in measures.items()]
+    return df.rollup(*dims).agg(*aggs, F.grouping_id().alias("lvl"))
+
+
+def pivot_report(
+    df,
+    row_dim: str,
+    col_dim: str,
+    col_values: Sequence[str],
+    measure,
+):
+    """Wide one-row-per-``row_dim`` report: ``measure`` aggregated into
+    one column per declared ``col_values`` entry (SQL ``PIVOT``).
+
+    ``col_values`` MUST be the explicit literal list: Spark's
+    two-argument ``pivot(col)`` first runs a distinct() JOB over the
+    column to discover values — a full extra scan + shuffle before the
+    real aggregate, and a plan whose width depends on the data (schema
+    instability downstream).
+
+    Deliberately NOT ``df.groupBy(...).pivot(values, ...)``: even with
+    declared values Spark plans pivot as TWO aggregates — a first
+    groupBy(row, col) pass, then a PivotFirst re-aggregate on row — i.e.
+    two shuffles of the same data. Conditional aggregation (one
+    ``agg(measure FILTER col = v)`` per declared value) computes the
+    identical result in ONE hash aggregate with map-side partials — one
+    shuffle, and each filtered aggregate is codegen'd column math.
+    Combinations with no rows surface as NULL in both formulations.
+
+    ``measure`` is a callable ``Column -> Column`` aggregate factory
+    applied to a value masked to each pivot column (e.g.
+    ``lambda c: F.sum(c)``), or a plain aggregate Column over a value
+    column named by ``measure_col`` when given as ``(agg, value_col)``
+    — the simple common case is ``pivot_report(df, "day",
+    "event_type", types, (F.sum, "v"))``."""
+    from pyspark.sql import functions as F
+
+    agg, value_col = measure
+    aggs = [
+        agg(
+            F.when(F.col(col_dim) == F.lit(v), F.col(value_col))
+        ).alias(str(v))
+        for v in col_values
+    ]
+    return df.groupBy(row_dim).agg(*aggs)

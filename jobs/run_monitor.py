@@ -49,6 +49,16 @@ def main(argv=None) -> int:
         "--skew-ratio", type=float, default=8.0,
         help="layout mode: hottest-bucket/median rows evolve threshold",
     )
+    ap.add_argument(
+        "--fsck", action="store_true",
+        help="layout mode: also verify manifest<->disk consistency per "
+        "tier (missing live files flip the exit code to 1)",
+    )
+    ap.add_argument(
+        "--fsck-repair", action="store_true",
+        help="with --fsck: sweep crash-debris orphans and dead trash "
+        "entries (missing LIVE files are never auto-repaired)",
+    )
     ap.add_argument("--start", required=False)
     ap.add_argument("--end", required=False)
     ap.add_argument("--delta-s", type=float, default=60.0)
@@ -80,16 +90,20 @@ def main(argv=None) -> int:
                 and not d.startswith("_")
             )
         )
-        reports = [
-            store.maintenance_report(
+        reports = []
+        unsafe = 0
+        for t in tiers:
+            rep = store.maintenance_report(
                 t,
                 small_files_per_partition=args.small_files,
                 skew_ratio=args.skew_ratio,
             )
-            for t in tiers
-        ]
+            if args.fsck:
+                rep["fsck"] = store.fsck(t, repair=args.fsck_repair)
+                unsafe += 0 if rep["fsck"]["ok"] else 1
+            reports.append(rep)
         print(json.dumps({"mode": "layout", "tiers": reports}))
-        return 0
+        return 1 if unsafe else 0
     if not args.start or not args.end:
         ap.error("--start/--end required in coverage mode")
     t0, t1 = iso_to_us(args.start), iso_to_us(args.end)

@@ -799,3 +799,70 @@ class TestMetadataTables:
         }
         for row in small:
             assert parts[(row.p_date, row.p_bucket)].rows == row.r
+
+
+class TestFsck:
+    """Manifest<->disk consistency checker: loud on missing live files,
+    repairs crash debris and dead trash entries, never drops data."""
+
+    def test_clean_store_is_ok(self, spark, store):
+        store.write(mk(spark, minute_rows(1)), "minute")
+        rep = store.fsck("minute")
+        assert rep["ok"] and not any(
+            rep[k] for k in
+            ("missing_live", "missing_trashed", "orphans", "stats_gaps")
+        )
+
+    def test_missing_live_detected_never_repaired(self, spark, store):
+        store.write(mk(spark, minute_rows(1)), "minute")
+        m = store._load_manifest(store.path("minute"))
+        victim = m["files"][0]
+        os.remove(os.path.join(store.path("minute"), victim))
+        rep = store.fsck("minute", repair=True)
+        assert not rep["ok"]
+        assert victim in rep["missing_live"]
+        # repair must NOT have dropped the committed file from the manifest
+        m2 = store._load_manifest(store.path("minute"))
+        assert victim in m2["files"]
+
+    def test_orphan_swept_on_repair(self, spark, store):
+        store.write(mk(spark, minute_rows(1)), "minute")
+        # plant crash debris where a partition dir already exists
+        m = store._load_manifest(store.path("minute"))
+        d = os.path.dirname(m["files"][0])
+        debris = os.path.join(store.path("minute"), d, "part-debris.parquet")
+        with open(debris, "wb") as f:
+            f.write(b"not parquet")
+        rep = store.fsck("minute")
+        assert rep["ok"] and rep["orphans"] == [f"{d}/part-debris.parquet"]
+        rep = store.fsck("minute", repair=True)
+        assert rep["repaired"] and not os.path.exists(debris)
+        assert store.fsck("minute")["orphans"] == []
+        # content untouched
+        assert store.read("minute").count() == 60
+
+    def test_dead_trash_entry_dropped_via_commit(self, spark, store):
+        store.write(mk(spark, minute_rows(1)), "minute")
+        store.compact("minute")  # old files -> trash
+        base = store.path("minute")
+        m = store._load_manifest(base)
+        dead = next(iter(m["trash"]))
+        os.remove(os.path.join(base, dead))
+        v_before = m["version"]
+        rep = store.fsck("minute", repair=True)
+        assert dead in rep["missing_trashed"] and rep["repaired"]
+        m2 = store._load_manifest(base)
+        assert dead not in m2["trash"]
+        assert m2["version"] == v_before + 1  # hygiene is a real commit
+        assert store.read("minute").count() == 60
+
+    def test_tag_pinned_file_not_orphan(self, spark, store):
+        store.write(mk(spark, minute_rows(1)), "minute")
+        store.tag("minute", "keep")
+        # age the tagged files fully out of live+trash windows
+        for i in range(4):
+            store.write(mk(spark, minute_rows(1)), "minute")
+            store.compact("minute")
+        rep = store.fsck("minute")
+        assert rep["ok"]
+        assert rep["orphans"] == []  # pinned era files are not debris

@@ -2154,6 +2154,97 @@ class TierStore:
         report["trash_files"] = len(m.get("trash", {}))
         return report
 
+    def fsck(self, tier: str, repair: bool = False) -> dict:
+        """Manifest↔disk consistency check (the ops primitive the
+        manifest design needs but no normal code path runs: commits
+        validate versions forward, never that yesterday's files still
+        exist). Classifies every discrepancy:
+
+        - ``missing_live``: manifest-live data or delete files absent on
+          disk (bit rot, manual deletion, a restored partial backup) —
+          reads WILL fail; never auto-repaired (repair would silently
+          drop committed rows — restore the files or roll back instead).
+        - ``missing_trashed``: trash entries whose file is already gone
+          (harmless — GC would have unlinked them); ``repair`` drops the
+          entries.
+        - ``orphans``: on-disk parquet neither live nor trashed nor
+          tag-pinned (crash debris from an aborted write); ``repair``
+          unlinks them (same rule the next commit's listing sweep
+          applies — fsck just does it without requiring a commit).
+        - ``stats_gaps``: live files with no recorded bounds (never
+          pruned — correct but slow); informational.
+
+        Returns the report dict; ``ok`` is True when reads are safe
+        (no ``missing_live``)."""
+        base = self.path(tier)
+        m = self._load_manifest(base)
+        report: dict = {
+            "tier": tier,
+            "ok": True,
+            "missing_live": [],
+            "missing_trashed": [],
+            "orphans": [],
+            "stats_gaps": [],
+            "repaired": False,
+        }
+        if m is None:
+            return report
+        listing = self._list_parquet(base)
+        ddir = os.path.join(base, "_deletes")
+        if os.path.isdir(ddir):
+            listing |= {
+                f"_deletes/{fn}"
+                for fn in os.listdir(ddir)
+                if fn.endswith(".parquet")
+            }
+        live = set(m.get("files", []))
+        live_deletes = {e["file"] for e in m.get("deletes", [])}
+        trash = dict(m.get("trash", {}))
+        stats = m.get("stats", {})
+        _, pinned = self._tag_protected(base)
+        report["missing_live"] = sorted(
+            (live | live_deletes) - listing
+        )
+        report["missing_trashed"] = sorted(set(trash) - listing)
+        report["orphans"] = sorted(
+            listing - live - live_deletes - set(trash) - pinned
+        )
+        report["stats_gaps"] = sorted(f for f in live if f not in stats)
+        report["ok"] = not report["missing_live"]
+        if repair and (report["orphans"] or report["missing_trashed"]):
+            with self._commit_lock(base):
+                m2 = self._load_manifest(base)
+                # classifications were computed against `m`; only repair
+                # what still holds under the re-read manifest
+                live2 = set(m2.get("files", [])) | {
+                    e["file"] for e in m2.get("deletes", [])
+                }
+                _, pinned2 = self._tag_protected(base)
+                for f in report["orphans"]:
+                    if f in live2 or f in m2.get("trash", {}) or f in pinned2:
+                        continue
+                    try:
+                        os.remove(os.path.join(base, f))
+                    except FileNotFoundError:
+                        pass
+                t2 = dict(m2.get("trash", {}))
+                dropped = [
+                    f
+                    for f in report["missing_trashed"]
+                    if f in t2
+                    and not os.path.exists(os.path.join(base, f))
+                ]
+                for f in dropped:
+                    del t2[f]
+                if dropped:
+                    # a real commit, not an in-place edit: snapshot
+                    # manifests are immutable history (changelog and time
+                    # travel resolve them) — hygiene advances the version
+                    m2["trash"] = t2
+                    self._commit_append(base, m2, set(), [])
+            report["repaired"] = True
+        return report
+
     def meta_refs(self, tier: str) -> DataFrame:
         """Named refs as a DataFrame (Iceberg ``refs``): tag name, pinned
         version, and whether the pinned manifest still resolves."""

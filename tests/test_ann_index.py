@@ -91,3 +91,90 @@ class TestPersistedIndex:
         assert set(idx.columns) == {"n_id", "codes", "cell"}
         n = idx.count()
         assert n > 0
+
+
+class TestIndexMaintenance:
+    """Incremental maintenance: append new vectors under the sidecar's
+    geometry, merge-on-read tombstone deletes, compaction that applies
+    tombstones and merges append files."""
+
+    def test_append_equals_full_rebuild(self, spark, corpus, tmp_path):
+        from usgs_geomag_algorithms_spark.operators.annindex import (
+            append_ivf_pq_index,
+        )
+
+        inc = str(tmp_path / "inc")
+        full = str(tmp_path / "full")
+        write_ivf_pq_index(corpus.where(F.col("vec_id") < 400), inc)
+        append_ivf_pq_index(corpus.where(F.col("vec_id") >= 400), inc)
+        write_ivf_pq_index(corpus, full)
+        queries = corpus.where(F.col("vec_id") < 5)
+        # deterministic encode -> the incremental index probes
+        # bit-identically to a from-scratch rebuild
+        assert _topk(probe_ivf_pq_index(spark, inc, queries)) == _topk(
+            probe_ivf_pq_index(spark, full, queries)
+        )
+
+    def test_tombstone_masks_probe(self, spark, corpus, tmp_path):
+        from usgs_geomag_algorithms_spark.operators.annindex import (
+            delete_from_ivf_pq_index,
+        )
+
+        path = str(tmp_path / "idx")
+        write_ivf_pq_index(corpus, path)
+        queries = corpus.where(F.col("vec_id") < 5)
+        before = probe_ivf_pq_index(spark, path, queries, k=3)
+        victims = sorted(
+            {r.n_id for r in before.where("rank = 1").collect()}
+        )
+        n = delete_from_ivf_pq_index(spark, path, victims)
+        assert n == len(victims)
+        after = probe_ivf_pq_index(spark, path, queries, k=3)
+        hit = {r.n_id for r in after.collect()}
+        assert not (hit & set(victims))
+        # mask == rebuild on the surviving corpus
+        clean = str(tmp_path / "clean")
+        write_ivf_pq_index(
+            corpus.where(~F.col("vec_id").isin(victims)), clean
+        )
+        assert _topk(after) == _topk(
+            probe_ivf_pq_index(spark, clean, queries, k=3)
+        )
+
+    def test_compact_applies_and_retires(self, spark, corpus, tmp_path):
+        import os
+
+        from usgs_geomag_algorithms_spark.operators.annindex import (
+            append_ivf_pq_index,
+            compact_ivf_pq_index,
+            delete_from_ivf_pq_index,
+        )
+
+        path = str(tmp_path / "idx")
+        write_ivf_pq_index(corpus.where(F.col("vec_id") < 300), path)
+        append_ivf_pq_index(
+            corpus.where(
+                (F.col("vec_id") >= 300) & (F.col("vec_id") < 400)
+            ),
+            path,
+        )
+        append_ivf_pq_index(corpus.where(F.col("vec_id") >= 400), path)
+        delete_from_ivf_pq_index(spark, path, [7, 123, 456])
+        queries = corpus.where(F.col("vec_id") < 5)
+        before = _topk(probe_ivf_pq_index(spark, path, queries))
+        rep = compact_ivf_pq_index(spark, path)
+        assert rep["tombstones_applied"] == 3
+        assert rep["files_after"] < rep["files_before"]
+        # results identical, tombstone dir retired, meta survives
+        assert _topk(probe_ivf_pq_index(spark, path, queries)) == before
+        assert not os.path.isdir(os.path.join(path, "_tombstones"))
+        assert read_index_meta(path)["m"] > 0
+        # compacted layout: at most one file per cell partition
+        for d in os.listdir(path):
+            if d.startswith("cell="):
+                files = [
+                    f
+                    for f in os.listdir(os.path.join(path, d))
+                    if f.endswith(".parquet")
+                ]
+                assert len(files) <= 1

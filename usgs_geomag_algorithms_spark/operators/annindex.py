@@ -131,6 +131,11 @@ def probe_ivf_pq_index(
         queries, planes, codebooks, n_probe, id_col, vec_col
     )
     index = spark.read.parquet(path)
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        # merge-on-read mask: one broadcast anti-join, bounded by the
+        # pending tombstone count; compact_ivf_pq_index retires them
+        index = index.join(F.broadcast(tomb), "n_id", "left_anti")
     if prune == "static":
         # bounded collect: |Q| x n_probe ints -> a literal IN list the
         # scan prunes partitions with at PLAN time
@@ -144,3 +149,128 @@ def probe_ivf_pq_index(
         F.col("q_id") != F.col("n_id")
     )
     return _adc_rank(joined, meta["m"], k)
+
+
+_TOMB_DIR = "_tombstones"
+
+
+def _index_geometry(meta: dict):
+    """Rebuild the exact encode geometry from the sidecar — appends and
+    probes share one codebook/plane derivation, so an incremental write
+    can never mix codebooks with the files already on disk."""
+    codebooks = md5_sign_codebooks(
+        m=meta["m"], ks=meta["ks"], d=meta["d"], seed=meta["codebook_seed"]
+    )
+    planes = [
+        [int(v) for v in row]
+        for row in md5_sign_planes(
+            meta["n_cells"], meta["m"] * meta["d"], seed=meta["plane_seed"]
+        )
+    ]
+    return codebooks, planes
+
+
+def append_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental index maintenance: encode NEW vectors under the
+    existing index's geometry (rebuilt from the sidecar seeds — appends
+    cannot mix codebooks) and append them into the same cell partitions.
+    Map-only over the new batch; nothing existing is read or rewritten —
+    at 10^12 indexed vectors a daily-crawl increment costs O(increment),
+    not O(index). IDs are expected new (the curation pipeline upstream
+    is the dedup); updating a vector = ``delete_from_ivf_pq_index`` its
+    id + append the new row (the merge-on-read pattern, same shape as
+    the TierStore's equality deletes)."""
+    meta = read_index_meta(path)
+    codebooks, planes = _index_geometry(meta)
+    index = pq_index_arrow(
+        corpus, codebooks, planes, id_col, vec_col, out_id="n_id"
+    )
+    index.write.mode("append").partitionBy("cell").parquet(path)
+    return meta
+
+
+def delete_from_ivf_pq_index(spark: SparkSession, path: str, ids) -> int:
+    """Merge-on-read deletion: the ids land as a tombstone file under
+    ``_tombstones/`` (invisible to the index scan — Spark ignores
+    ``_``-prefixed paths); probes mask them with ONE broadcast anti-join
+    (bounded by live tombstone count). No cell partition is rewritten —
+    a delete scattered across a trillion-vector index is one tiny file,
+    exactly the TierStore equality-delete trade. ``compact`` applies and
+    retires tombstones. ``ids``: iterable of vector ids or a DataFrame
+    whose first column is the id."""
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(F.col(ids.columns[0]).cast("long").alias("n_id"))
+    else:
+        tomb = spark.createDataFrame(
+            [(int(i),) for i in ids], "n_id long"
+        )
+        if not tomb.head(1):
+            return 0
+    n = tomb.count()
+    tomb.coalesce(1).write.mode("append").parquet(
+        os.path.join(path, _TOMB_DIR)
+    )
+    return n
+
+
+def _tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    tdir = os.path.join(path, _TOMB_DIR)
+    if not os.path.isdir(tdir) or not any(
+        f.endswith(".parquet") for f in os.listdir(tdir)
+    ):
+        return None
+    return spark.read.parquet(tdir).select("n_id").distinct()
+
+
+def compact_ivf_pq_index(
+    spark: SparkSession, path: str, target_files_per_cell: int = 1
+) -> dict:
+    """Apply pending tombstones and merge each cell's accumulated append
+    files (one rewrite pass, cell-partitioned writes). The swap is
+    atomic at the directory level; unlike the TierStore there is no
+    snapshot history — the index is DERIVED data (rebuildable from the
+    embeddings table), so maintenance is an offline step between serving
+    generations, the way segment-merge works in FAISS/Lucene-shaped
+    systems. In-flight probes should finish on the old generation before
+    compaction swaps it."""
+    from ..sources.store import _atomic_swap_dirs
+
+    meta = read_index_meta(path)
+    idx = spark.read.parquet(path)
+    tomb = _tombstones(spark, path)
+    applied = 0
+    if tomb is not None:
+        applied = tomb.count()
+        idx = idx.join(F.broadcast(tomb), "n_id", "left_anti")
+    files_before = sum(
+        1
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet") and _TOMB_DIR not in root
+    )
+    staged = path + ".staged"
+    (
+        idx.repartition(max(1, int(target_files_per_cell)), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(staged)
+    )
+    with open(os.path.join(staged, _META_NAME), "w") as fh:
+        json.dump(meta, fh)
+    _atomic_swap_dirs(path, staged)
+    files_after = sum(
+        1
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet") and _TOMB_DIR not in root
+    )
+    return {
+        "tombstones_applied": applied,
+        "files_before": files_before,
+        "files_after": files_after,
+    }

@@ -570,6 +570,46 @@ def q_rollup_hour_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_day_pctl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact day-level p50/p95 of the per-minute rate — the
+    oracle-carrying twin of rollup_day_pctl_sketch (same grouping and
+    output schema, Spark's exact ``percentile`` instead of merged
+    t-digests; this is the plan whose per-day re-sort of raw samples
+    the digest tier exists to avoid at scale)."""
+    from usgs_geomag_algorithms_spark.operators.rollup import quantile_rollup
+
+    rate = _minute_rate(spark, sf_dir).select(
+        "event_type", "t_us", F.col("v").cast("double").alias("value")
+    )
+    return quantile_rollup(
+        rate, 86_400_000_000, ps=(0.5, 0.95), series_cols=("event_type",)
+    )
+
+
+def q_rollup_day_pctl_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch tier (operators/tdigest.py): per-hour t-digests of
+    the minute rate, MERGED into day digests, quantiles served off the
+    digest column — the mergeable path that derives coarser percentile
+    tiers without re-sorting raw samples (exact quantiles cannot roll
+    up). Build is two-phase: map-side partial digests (mapInPandas, no
+    shuffle), then one centroid-only shuffle. Rank-approximate by
+    construction -> rows-only driver entry; the exact twin of the same
+    shape is rollup_day_pctl, and tests/test_tdigest.py bounds the rank
+    error and checks merge-vs-direct consistency."""
+    from usgs_geomag_algorithms_spark.operators.tdigest import (
+        tdigest_quantiles,
+        tdigest_rollup,
+        tdigest_tier,
+    )
+
+    rate = _minute_rate(spark, sf_dir).select(
+        "event_type", "t_us", F.col("v").cast("double").alias("value")
+    )
+    hour = tdigest_tier(rate, HOUR_US, series_cols=("event_type",))
+    day = tdigest_rollup(hour, 86_400_000_000, series_cols=("event_type",))
+    return tdigest_quantiles(day, ps=(0.5, 0.95))
+
+
 #: inactivity gap separating user-activity sessions (30 min, in us)
 SESSION_GAP_US = 1_800_000_000
 
@@ -1906,6 +1946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "session_stats": q_session_stats,
         "rollup_hour_pctl": q_rollup_hour_pctl,
+        "rollup_day_pctl": q_rollup_day_pctl,
+        "rollup_day_pctl_sketch": q_rollup_day_pctl_sketch,
         "purchase_asof_view": q_purchase_asof_view,
         "rate_anomaly": q_rate_anomaly,
         "changepoint_cusum": q_changepoint_cusum,
@@ -2599,6 +2641,27 @@ SELECT event_type, t_us,
 FROM sorted
 """
 
+    rollup_day_pctl = f"""
+WITH rate AS (
+    SELECT event_type,
+           (epoch_us(ts) // {MIN_US}) * {MIN_US} AS t_us,
+           count(*)::DOUBLE AS v
+    FROM events GROUP BY 1, 2
+),
+sorted AS (
+    SELECT event_type,
+           (t_us // {86_400_000_000}) * {86_400_000_000} AS t_us,
+           list(v ORDER BY v) AS l,
+           count(*) AS n
+    FROM rate GROUP BY 1, 2
+)
+SELECT event_type, t_us,
+       {_pctl_expr('0.5')} AS p50,
+       {_pctl_expr('0.95')} AS p95,
+       n AS n_values
+FROM sorted
+"""
+
     # exact-integer trailing variance: (Σv² − (Σv)²/n)/(n−1) with BIGINT
     # window sums (order-independent), same expression tree as Spark;
     # stddev()/var_samp() on either engine are order-dependent Welford
@@ -3253,6 +3316,7 @@ FROM s
         "user_sessions": user_sessions,
         "session_stats": session_stats_sql,
         "rollup_hour_pctl": rollup_hour_pctl,
+        "rollup_day_pctl": rollup_day_pctl,
         "purchase_asof_view": purchase_asof_view,
         "rate_anomaly": rate_anomaly,
         "changepoint_cusum": changepoint_cusum,

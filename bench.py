@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "embedding_near_dups_bucketed",
     "rollup_month_value",
     "rollup_hour_pctl",
+    "rollup_day_pctl_sketch",
     "rate_anomaly",
     "mad_outliers_hour",
     "active_users_hour",

@@ -1,0 +1,297 @@
+"""Mergeable t-digest quantile sketches as a retention tier.
+
+The exact percentile tier (``operators/rollup.py::quantile_rollup``) is
+affordable only because its groups are bounded by the decimation ratio;
+quantiles over UNBOUNDED groups (raw samples per bucket) cannot roll up:
+an hour's p95 tells you nothing about the day's p95, so a naive
+continuous aggregate re-sorts raw data for every coarser tier, and the
+fixed-bin histogram tier (``histogram_rollup``) trades that for a preset
+bin grid that must be chosen before the data is seen. The standard fix
+is a MERGEABLE quantile sketch per fine bucket — here Dunning's t-digest
+(arXiv:1902.04023), built as fully vectorized NumPy kernels — so every
+coarser tier derives by merging fine-tier digests, exactly like the
+boxcar tiers derive day from hour (tiers.py) and the HLL tier unions
+sketches (operators/sketches.py): raw samples are read once, at the
+finest tier.
+
+Scale shape (the part that matters at 100 TB): the hour tier builds in
+TWO phases — a map-side ``mapInPandas`` pass turns each input partition's
+rows into per-(series, bucket) PARTIAL digests (no shuffle; this is the
+hand-built analog of an aggregate's partial state, since Spark has no
+pandas UDAF), then one ``applyInPandas`` merge keyed (series, bucket) —
+so the only shuffle carries centroid arrays bounded by ``delta``
+(~128 doubles), never the raw value column. Day-from-hour is a second
+digest merge whose input is already tier-sized. Estimates are
+rank-approximate by construction -> the driver entry is rows-only; the
+exact twin (``rollup_day_pctl``, same plan shape with Spark's exact
+``percentile``) carries the DuckDB oracle, and tests/test_tdigest.py
+bounds the rank error and checks merge-vs-direct consistency.
+
+Construction is the "one-shot" sorted build with the k1 scale function:
+cluster boundaries fall at integer crossings of
+``k(q) = delta * (asin(2q-1)/pi + 1/2)``, which concentrates clusters at
+the tails (cluster width ~ sqrt(q(1-q))/delta in rank space). Sorting +
+floor assignment is deterministic — no RNG — so digests are reproducible
+across runs and partitionings of the SAME rows; different partial splits
+produce different (equally valid) centroid sets, which is why parity
+tests compare extracted quantiles, not bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+
+#: compression factor — max ~delta+1 centroids per digest; rank error
+#: near the median ~ O(1/delta), far tighter at the tails
+DELTA = 128
+
+_MAGIC = b"TD1\x00"
+
+
+# --------------------------------------------------------------- kernels
+def compress(
+    means: np.ndarray, weights: np.ndarray, delta: int = DELTA
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge weighted points (or centroids) into <= delta+1 t-digest
+    centroids — one vectorized pass: sort by mean, assign each point the
+    integer cell of k1(q) at its weight-midpoint rank, segment-reduce.
+    Total weight is preserved exactly; centroid means are weighted
+    averages so they stay inside [min, max]."""
+    means = np.asarray(means, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.float64)
+    if means.size == 0:
+        return means, weights
+    order = np.argsort(means, kind="stable")
+    m = means[order]
+    w = weights[order]
+    total = w.sum()
+    qmid = (np.cumsum(w) - 0.5 * w) / total
+    # k1 scale, shifted to [0, delta]; qmid is strictly inside (0, 1)
+    kk = delta * (np.arcsin(2.0 * qmid - 1.0) / np.pi + 0.5)
+    cid = np.floor(kk).astype(np.int64)
+    starts = np.flatnonzero(np.r_[True, cid[1:] != cid[:-1]])
+    ow = np.add.reduceat(w, starts)
+    om = np.add.reduceat(w * m, starts) / ow
+    return om, ow
+
+
+def pack_digest(
+    means: np.ndarray, weights: np.ndarray, vmin: float, vmax: float
+) -> bytes:
+    """Serialize centroids + exact extrema to a little-endian binary
+    column value: magic, n (u32), min, max (f8), means[n], weights[n]."""
+    m = np.ascontiguousarray(means, dtype="<f8")
+    w = np.ascontiguousarray(weights, dtype="<f8")
+    return (
+        _MAGIC
+        + struct.pack("<Idd", m.size, float(vmin), float(vmax))
+        + m.tobytes()
+        + w.tobytes()
+    )
+
+
+def unpack_digest(
+    payload: bytes,
+) -> tuple[np.ndarray, np.ndarray, float, float]:
+    """Inverse of :func:`pack_digest`; raises ValueError on a foreign or
+    truncated payload (a tier column should only ever hold our bytes)."""
+    if payload[:4] != _MAGIC:
+        raise ValueError("not a TD1 digest payload")
+    n, vmin, vmax = struct.unpack_from("<Idd", payload, 4)
+    need = 24 + 16 * n
+    if len(payload) < need:
+        raise ValueError("truncated TD1 digest payload")
+    means = np.frombuffer(payload, "<f8", n, 24)
+    weights = np.frombuffer(payload, "<f8", n, 24 + 8 * n)
+    return means, weights, vmin, vmax
+
+
+def digest_of(values: np.ndarray, delta: int = DELTA) -> bytes:
+    """Build a packed digest from raw (unit-weight) values."""
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    if v.size == 0:
+        raise ValueError("digest_of: no non-NaN values")
+    m, w = compress(v, np.ones_like(v), delta)
+    return pack_digest(m, w, v.min(), v.max())
+
+
+def merge_digests(payloads: Iterable[bytes], delta: int = DELTA) -> bytes:
+    """Merge packed digests into one: concatenate centroid sets, then
+    one :func:`compress` pass; extrema are exact (min of mins)."""
+    ms, ws, mns, mxs = [], [], [], []
+    for p in payloads:
+        m, w, mn, mx = unpack_digest(p)
+        ms.append(m)
+        ws.append(w)
+        mns.append(mn)
+        mxs.append(mx)
+    m, w = compress(np.concatenate(ms), np.concatenate(ws), delta)
+    return pack_digest(m, w, min(mns), max(mxs))
+
+
+def digest_quantile(payload: bytes, qs: Sequence[float]) -> np.ndarray:
+    """Extract quantiles: linear interpolation of the centroid means at
+    their weight-midpoint cumulative ranks, anchored at the exact
+    extrema (rank 0 -> min, rank W -> max)."""
+    m, w, vmin, vmax = unpack_digest(payload)
+    total = w.sum()
+    c = np.cumsum(w) - 0.5 * w
+    xs = np.r_[0.0, c, total]
+    ys = np.r_[vmin, m, vmax]
+    return np.interp(np.asarray(qs, dtype=np.float64) * total, xs, ys)
+
+
+# ----------------------------------------------------------- Spark layer
+def _tier_schema(df: DataFrame, series_cols: Sequence[str]) -> str:
+    parts = [
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in set(series_cols)
+    ]
+    return ", ".join(parts + ["t_us long", "digest binary", "n long"])
+
+
+def tdigest_tier(
+    sig: DataFrame,
+    out_us: int,
+    series_cols: Sequence[str] = ("series",),
+    ts_col: str = "t_us",
+    value_col: str = "value",
+    delta: int = DELTA,
+) -> DataFrame:
+    """(series, t_us, digest, n): the storable quantile-sketch tier over
+    an unbounded-cardinality signal. Two-phase: map-side partial digests
+    per input partition (mapInPandas — zero shuffle, the hand-built
+    partial-aggregate state), then ONE shuffle keyed (series, bucket)
+    whose rows are centroid arrays, merged by applyInPandas."""
+    series_cols = list(series_cols)
+    v = F.col(value_col)
+    keyed = sig.where(v.isNotNull() & ~F.isnan(v)).select(
+        *series_cols,
+        F.expr(f"({ts_col} div {out_us}) * {out_us}").alias("t_us"),
+        v.cast("double").alias("_v"),
+    )
+    schema = _tier_schema(keyed, series_cols)
+    gcols = series_cols + ["t_us"]
+
+    def _partials(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for key, grp in pdf.groupby(gcols, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                vals = grp["_v"].to_numpy(dtype=np.float64)
+                out.append(
+                    (*key, digest_of(vals, delta), len(vals))
+                )
+            yield pd.DataFrame(out, columns=gcols + ["digest", "n"])
+
+    partial = keyed.mapInPandas(_partials, schema=schema)
+
+    def _merge(key, pdf):
+        import pandas as pd
+
+        d = merge_digests(pdf["digest"].tolist(), delta)
+        return pd.DataFrame(
+            [(*key, d, int(pdf["n"].sum()))],
+            columns=gcols + ["digest", "n"],
+        )
+
+    return partial.groupBy(*gcols).applyInPandas(_merge, schema=schema)
+
+
+def tdigest_rollup(
+    fine: DataFrame,
+    out_us: int,
+    series_cols: Sequence[str] = ("series",),
+    delta: int = DELTA,
+) -> DataFrame:
+    """Derive a coarser quantile tier by MERGING fine-tier digests —
+    never re-reading raw samples. Input/output schema: series + t_us +
+    digest + n."""
+    series_cols = list(series_cols)
+    gcols = series_cols + ["t_us"]
+    rekeyed = fine.select(
+        *series_cols,
+        F.expr(f"(t_us div {out_us}) * {out_us}").alias("t_us"),
+        "digest",
+        "n",
+    )
+    schema = _tier_schema(rekeyed, series_cols)
+
+    def _merge(key, pdf):
+        import pandas as pd
+
+        d = merge_digests(pdf["digest"].tolist(), delta)
+        return pd.DataFrame(
+            [(*key, d, int(pdf["n"].sum()))],
+            columns=gcols + ["digest", "n"],
+        )
+
+    return rekeyed.groupBy(*gcols).applyInPandas(_merge, schema=schema)
+
+
+def tdigest_quantiles(
+    tier: DataFrame,
+    ps: Sequence[float] = (0.5, 0.95),
+    digest_col: str = "digest",
+    round_dp: int | None = 4,
+) -> DataFrame:
+    """Serve quantiles off a digest tier: one ``p<nn>`` column per
+    requested quantile (same naming as quantile_rollup so the sketch
+    tier is a drop-in beside the exact one) + ``n_values``. The
+    extraction UDF is Arrow-batched over tier rows — bounded by tier
+    cardinality, the raw samples are long gone."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    ps = list(ps)
+
+    @pandas_udf("array<double>")
+    def _extract(col):
+        import pandas as pd
+
+        return pd.Series(
+            [digest_quantile(p, ps).tolist() for p in col]
+        )
+
+    qcol = _extract(F.col(digest_col))
+    out = []
+    for i, p in enumerate(ps):
+        c = F.element_at(qcol, i + 1)
+        if round_dp is not None:
+            c = F.round(c, round_dp)
+        out.append(c.alias(f"p{str(p).replace('0.', '').ljust(2, '0')}"))
+    keep = [c for c in tier.columns if c not in (digest_col, "n")]
+    return tier.select(*keep, *out, F.col("n").alias("n_values"))
+
+
+# ------------------------------------------------------ store integration
+#
+# Digest tiers persist through the SAME snapshot-manifest TierStore as the
+# signal and HLL tiers (value_schema="digest binary, n long") and inherit
+# partition pruning, snapshot isolation, optimistic upsert (a recomputed
+# bucket REPLACES its digest — merging on upsert would double-count
+# re-ingested samples), retention drops, and time travel, unchanged.
+
+
+def tdigest_store(spark, root: str, series_col: str = "series"):
+    """A TierStore configured for digest tiers."""
+    from ..sources.store import TierStore
+
+    return TierStore(
+        spark,
+        root,
+        series_cols=(series_col,),
+        value_schema="digest binary, n long",
+    )

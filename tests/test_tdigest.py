@@ -207,3 +207,91 @@ class TestSparkTier:
             series_cols=("series",),
         )
         assert day.count() == 1
+
+
+class TestTdigestStream:
+    """Streaming digest maintenance: per-batch merge, replay skip."""
+
+    def _run_stream(self, spark, tmp_path, batches, store=None, ck="ck"):
+        import os
+
+        from usgs_geomag_algorithms_spark.streaming.tdigest_stream import (
+            streaming_tdigest_maintenance,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src, exist_ok=True)
+        schema = "t_us long, value double"
+        for i, df in enumerate(batches):
+            stage = str(tmp_path / f"stage{ck}{i}")
+            df.coalesce(1).write.parquet(stage)
+            for f in os.listdir(stage):
+                if f.endswith(".parquet"):
+                    os.rename(f"{stage}/{f}", f"{src}/b{ck}{i}.parquet")
+        if store is None:
+            store = tdigest_store(
+                spark, str(tmp_path / "store"), series_col="series"
+            )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_tdigest_maintenance(
+            stream,
+            store,
+            checkpoint_dir=str(tmp_path / ck),
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return store
+
+    def _samples(self, spark, hours=3, per_hour=400, seed=3):
+        rng = np.random.default_rng(seed)
+        rows = []
+        for h in range(hours):
+            ts = rng.integers(0, HOUR_US, per_hour) + h * HOUR_US
+            vals = rng.lognormal(0.0, 1.0, per_hour)
+            rows += [(int(t), float(v)) for t, v in zip(ts, vals)]
+        return (
+            spark.createDataFrame(rows, "t_us long, value double"),
+            rows,
+        )
+
+    def test_batches_merge_within_hour(self, spark, tmp_path):
+        df, rows = self._samples(spark)
+        b0 = df.where(F.col("t_us") % 2 == 0)
+        b1 = df.where(F.col("t_us") % 2 == 1)
+        store = self._run_stream(spark, tmp_path, [b0, b1])
+        by_hour = {}
+        for t, v in rows:
+            by_hour.setdefault((t // HOUR_US) * HOUR_US, []).append(v)
+        got = store.read("hour_digest").collect()
+        assert {r["t_us"] for r in got} == set(by_hour)
+        for r in got:
+            vals = np.array(by_hour[r["t_us"]])
+            assert r["n"] == len(vals)  # weights add exactly across batches
+            for q in (0.5, 0.95):
+                est = digest_quantile(bytes(r["digest"]), [q])[0]
+                assert rank_error(vals, q, est) <= 0.04
+
+    def test_replayed_epoch_skipped(self, spark, tmp_path):
+        import shutil
+
+        df, _ = self._samples(spark, hours=2)
+        store = self._run_stream(spark, tmp_path, [df])
+        before = {
+            (r["t_us"], r["n"], bytes(r["digest"]))
+            for r in store.read("hour_digest").collect()
+        }
+        # wipe the checkpoint (NOT the epoch markers): the restarted
+        # query re-delivers epoch 0 — the marker must skip it, else the
+        # additive merge would double every weight
+        shutil.rmtree(str(tmp_path / "ck"))
+        store = self._run_stream(spark, tmp_path, [], store=store, ck="ck2")
+        after = {
+            (r["t_us"], r["n"], bytes(r["digest"]))
+            for r in store.read("hour_digest").collect()
+        }
+        assert after == before

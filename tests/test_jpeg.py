@@ -1,7 +1,10 @@
-"""Pure-NumPy baseline JPEG codec: Huffman tables against the spec's
-canonical codes, IDCT against the naive O(N^4) definition, round trips at
-4:4:4 / 4:2:0 / grayscale / restart markers, scope rejections, and the
-Spark decode+resize path with deterministic=False."""
+"""Pure-NumPy JPEG codec: Huffman tables against the spec's canonical
+codes, IDCT against the naive O(N^4) definition, round trips at 4:4:4 /
+4:2:0 / grayscale / restart markers, scope rejections, the Spark
+decode+resize path with deterministic=False, and PROGRESSIVE (SOF2)
+decode — progressive streams must reproduce the baseline pixels
+bit-for-bit (same quantized coefficients), plus a real libjpeg-produced
+progressive file when one is present on the host."""
 
 import struct
 import zlib  # noqa: F401  (parallel structure with the PNG tests)
@@ -112,8 +115,19 @@ class TestJpegScope:
         corrupt[10] = 0x00  # break the APP0 walk
         assert jpeg_decode(bytes(corrupt[:20])) is None
 
-    def test_progressive_rejected(self):
-        # minimal SOI + SOF2 header: out of baseline scope -> None
+    def test_arithmetic_and_lossless_rejected(self):
+        # SOF9 (arithmetic) / SOF3 (lossless): out of scope -> None
+        sof = struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0])
+        for marker in (b"\xff\xc9", b"\xff\xc3"):
+            payload = (
+                b"\xff\xd8"
+                + marker + struct.pack(">H", len(sof) + 2) + sof
+                + b"\xff\xd9"
+            )
+            assert jpeg_decode(payload) is None
+
+    def test_progressive_headers_only_rejected(self):
+        # SOF2 with no DQT and no scans: nothing to reconstruct -> None
         sof2 = struct.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0])
         payload = (
             b"\xff\xd8"
@@ -121,6 +135,103 @@ class TestJpegScope:
             + b"\xff\xd9"
         )
         assert jpeg_decode(payload) is None
+
+
+#: libjpeg-produced progressive files that ship with toolchains commonly
+#: present on dev hosts — used for external validation when available
+REAL_PROGRESSIVE = [
+    "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/share/doc/"
+    "rust/html/embedded-book/assets/f3.jpg",
+    "/root/.rustup/toolchains/nightly-x86_64-unknown-linux-gnu/share/doc/"
+    "rust/html/embedded-book/assets/f3.jpg",
+]
+
+
+class TestJpegProgressive:
+    """Progressive (SOF2) decode + the progressive encoder. The load-
+    bearing property: jpeg_encode_progressive emits the SAME quantized
+    coefficients as jpeg_encode, so decoding either stream must produce
+    bit-identical pixels — any drift in the four scan-type codecs
+    (DC/AC x first/refine), EOB-run handling, or successive-
+    approximation bit bookkeeping breaks the equality."""
+
+    @pytest.mark.parametrize("sub", ["444", "420"])
+    @pytest.mark.parametrize("quality", [75, 92])
+    def test_matches_baseline_bit_for_bit(self, sub, quality):
+        from usgs_geomag_algorithms_spark.operators.jpeg_codec import (
+            jpeg_encode_progressive,
+        )
+
+        img = smooth_img(43, 61)
+        base = jpeg_decode(jpeg_encode(img, quality=quality, subsampling=sub))
+        prog_bytes = jpeg_encode_progressive(
+            img, quality=quality, subsampling=sub
+        )
+        assert prog_bytes[3] == 0xE0 and b"\xff\xc2" in prog_bytes
+        prog = jpeg_decode(prog_bytes)
+        assert prog is not None
+        np.testing.assert_array_equal(base, prog)
+
+    def test_grayscale_matches_baseline(self):
+        from usgs_geomag_algorithms_spark.operators.jpeg_codec import (
+            jpeg_encode_progressive,
+        )
+
+        g = smooth_img(30, 34)[..., 0]
+        base = jpeg_decode(jpeg_encode(g, quality=85))
+        prog = jpeg_decode(jpeg_encode_progressive(g, quality=85))
+        np.testing.assert_array_equal(base, prog)
+
+    def test_spectral_selection_only_script(self):
+        """A custom script with no successive approximation (Al=0
+        everywhere) exercises the plain spectral-selection paths."""
+        from usgs_geomag_algorithms_spark.operators.jpeg_codec import (
+            jpeg_encode_progressive,
+        )
+
+        img = smooth_img(25, 33)
+        script = [
+            ((0, 1, 2), 0, 0, 0, 0),
+            ((0,), 1, 20, 0, 0),
+            ((1,), 1, 63, 0, 0),
+            ((2,), 1, 63, 0, 0),
+            ((0,), 21, 63, 0, 0),
+        ]
+        base = jpeg_decode(jpeg_encode(img, quality=88))
+        prog = jpeg_decode(
+            jpeg_encode_progressive(img, quality=88, scans=script)
+        )
+        np.testing.assert_array_equal(base, prog)
+
+    def test_truncated_progressive_degrades_gracefully(self):
+        from usgs_geomag_algorithms_spark.operators.jpeg_codec import (
+            jpeg_encode_progressive,
+        )
+
+        full = jpeg_encode_progressive(smooth_img(24, 24), quality=80)
+        for frac in (0.3, 0.6, 0.9):
+            out = jpeg_decode(full[: int(len(full) * frac)])
+            # never raises; either cleanly refused or a partial render
+            assert out is None or (
+                out.dtype == np.uint8 and out.shape == (24, 24, 3)
+            )
+
+    def test_real_libjpeg_progressive_file(self):
+        """External validation: a progressive JPEG produced by a REAL
+        encoder (libjpeg standard script, 4:2:2, per-scan optimal
+        tables) must decode deterministically to its SOF dimensions
+        with a plausible pixel distribution."""
+        import os
+
+        path = next((p for p in REAL_PROGRESSIVE if os.path.exists(p)), None)
+        if path is None:
+            pytest.skip("no real progressive fixture on this host")
+        payload = open(path, "rb").read()
+        out = jpeg_decode(payload)
+        assert out is not None and out.shape == (477, 720, 3)
+        assert 40 < out.mean() < 215 and out.std() > 20
+        out2 = jpeg_decode(payload)
+        np.testing.assert_array_equal(out, out2)
 
 
 class TestJpegSpark:

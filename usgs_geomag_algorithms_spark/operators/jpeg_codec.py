@@ -1,16 +1,26 @@
-"""Pure-NumPy baseline JPEG codec (no PIL/libjpeg).
+"""Pure-NumPy JPEG codec (no PIL/libjpeg): baseline AND progressive.
 
-Decoder: baseline sequential DCT (SOF0), 8-bit precision, 1 or 3
-components, Huffman entropy coding, 1x1/2x1/1x2/2x2 sampling factors
-(4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), restart markers, 0xFF00 byte stuffing.
-Anything else (progressive SOF2, arithmetic coding, 12-bit, CMYK)
-returns ``None`` so callers fall through to their stub branches — the
-same contract as the PPM/PNG/WAV codecs beside it
-(``operators/multimodal.py``).
+Decoder: DCT, 8-bit precision, 1 or 3 components, Huffman entropy
+coding, 1x1/2x1/1x2/2x2 sampling factors (4:4:4 / 4:2:2 / 4:4:0 /
+4:2:0), restart markers, 0xFF00 byte stuffing — for BOTH baseline
+sequential (SOF0/1) and progressive (SOF2) frames. Progressive support
+is the full T.81 Annex G repertoire real web encoders emit (libjpeg's
+standard scan script): interleaved/non-interleaved DC scans, spectral
+selection AC bands, successive approximation (DC and AC first +
+refinement passes), and EOB runs. All scans accumulate into raw
+per-component coefficient stores; dequantization + the vectorized IDCT
+run once at EOI. Anything else (arithmetic coding, lossless/
+hierarchical SOFs, 12-bit, CMYK) returns ``None`` so callers fall
+through to their stub branches — the same contract as the PPM/PNG/WAV
+codecs beside it (``operators/multimodal.py``).
 
-Encoder: baseline 4:4:4 (or grayscale) with the JPEG Annex K example
-quantization and Huffman tables, quality-scaled the libjpeg way — enough
-to produce real interoperable files and to round-trip-test the decoder.
+Encoder: baseline 4:4:4/4:2:0 (or grayscale) with the JPEG Annex K
+example tables quality-scaled the libjpeg way; plus a progressive
+encoder (``jpeg_encode_progressive``) emitting the libjpeg standard
+scan script with per-scan OPTIMAL Huffman tables (two-pass: count
+symbols, build length-limited canonical tables, emit) — enough to
+produce real interoperable progressive files and to round-trip-test
+every progressive decode path without external fixtures.
 
 The IDCT/FDCT run vectorized over ALL blocks at once (einsum against the
 8x8 orthonormal DCT-II basis); only the entropy coding walks bits in
@@ -19,7 +29,8 @@ scale (the Spark plumbing batches via Arrow either way).
 
 Reference for scope: the reference repo treats media as opaque binary
 columns; this codec exists so the multimodal pipeline's decode /
-feature / resize stages are REAL for the most common web image format.
+feature / resize stages are REAL for the most common web image format —
+and a large share of real crawled JPEGs are progressive.
 """
 
 from __future__ import annotations
@@ -210,12 +221,41 @@ def _extend(v: int, size: int) -> int:
 
 # --------------------------------------------------------------- decoder
 def jpeg_decode(payload: bytes) -> np.ndarray | None:
-    """Baseline JPEG -> (H, W, 3) uint8 RGB (grayscale replicated).
-    Returns None for anything outside baseline-sequential scope."""
+    """Baseline or progressive JPEG -> (H, W, 3) uint8 RGB (grayscale
+    replicated). Returns None for anything outside scope (arithmetic
+    coding, lossless/hierarchical, 12-bit) or malformed streams."""
     try:
         return _jpeg_decode(payload)
     except (IndexError, ValueError, KeyError, struct.error):
         return None  # malformed streams route to the stub fallback
+
+
+def _next_marker(d: bytes, pos: int) -> int:
+    """Skip entropy bytes/stuffing/RSTs/fill from ``pos`` to the next
+    real marker's 0xFF byte (or end of data)."""
+    n = len(d)
+    j = pos
+    while j + 1 < n:
+        if d[j] == 0xFF:
+            b = d[j + 1]
+            if b == 0x00 or 0xD0 <= b <= 0xD7:
+                j += 2
+                continue
+            if b == 0xFF:  # fill byte
+                j += 1
+                continue
+            return j
+        j += 1
+    return n
+
+
+def _comp_blocks(frame, c) -> tuple[int, int]:
+    """Non-interleaved block-grid dims (rows, cols) of one component:
+    ceil over the component's own sampled size, NOT the MCU-padded
+    grid (T.81 A.2.2)."""
+    ch = -(-frame["h"] * c["v"] // frame["vmax"])
+    cw = -(-frame["w"] * c["h"] // frame["hmax"])
+    return -(-ch // 8), -(-cw // 8)
 
 
 def _jpeg_decode(payload: bytes) -> np.ndarray | None:
@@ -224,6 +264,7 @@ def _jpeg_decode(payload: bytes) -> np.ndarray | None:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    stores = None
     restart_interval = 0
     i = 2
     n = len(payload)
@@ -257,9 +298,11 @@ def _jpeg_decode(payload: bytes) -> np.ndarray | None:
                 syms = list(seg[j + 17 : j + 17 + total])
                 htables[(tc, th)] = build_huffman(counts, syms)
                 j += 17 + total
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            if frame is not None:
+                return None
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-            if prec != 8 or ncomp not in (1, 3):
+            if prec != 8 or ncomp not in (1, 3) or not h or not w:
                 return None
             comps = []
             for c in range(ncomp):
@@ -269,47 +312,81 @@ def _jpeg_decode(payload: bytes) -> np.ndarray | None:
                 )
             if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
                 return None
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "hmax": hmax, "vmax": vmax,
+                "mcus_x": -(-w // (8 * hmax)),
+                "mcus_y": -(-h // (8 * vmax)),
+                "progressive": marker == 0xC2,
+            }
+            # raw coefficient stores in zigzag order; scans accumulate,
+            # dequant + IDCT happen once at the end
+            stores = [
+                np.zeros(
+                    (frame["mcus_y"] * c["v"], frame["mcus_x"] * c["h"], 64),
+                    np.int64,
+                )
+                for c in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # progressive/arithmetic/hierarchical
+            return None  # lossless/arithmetic/hierarchical
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
             ns = seg[0]
-            scan = {}
+            ids = {c["id"]: idx for idx, c in enumerate(frame["comps"])}
+            scans = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c : 3 + 2 * c]
-                scan[cid] = (tt >> 4, tt & 0xF)
-            return _decode_scan(
-                payload, i + 2 + seglen, frame, scan, qtables, htables,
-                restart_interval,
-            )
+                if cid not in ids:
+                    return None
+                scans.append((ids[cid], tt >> 4, tt & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            reader = _BitReader(payload, i + 2 + seglen)
+            if frame["progressive"]:
+                ok = _decode_scan_progressive(
+                    reader, frame, scans, ss, se, ah, al, htables, stores,
+                    restart_interval,
+                )
+            else:
+                ok = _decode_scan_baseline(
+                    reader, frame, scans, htables, stores, restart_interval
+                )
+            if not ok:
+                return None
+            if not frame["progressive"]:
+                break  # baseline: single scan
+            i = _next_marker(payload, reader.pos)
+            continue
         i += 2 + seglen
-    return None
+    if frame is None or stores is None:
+        return None
+    return _reconstruct(frame, stores, qtables)
 
 
-def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
+def _decode_scan_baseline(
+    reader, frame, scans, htables, stores, restart_interval
+):
     comps = frame["comps"]
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-w // mcu_w)
-    mcus_y = -(-h // mcu_h)
-    reader = _BitReader(data, pos)
-    # coefficient stores, one (rows, cols, 8, 8) per component
-    planes_coef = []
-    for c in comps:
-        planes_coef.append(
-            np.zeros((mcus_y * c["v"], mcus_x * c["h"], 8, 8), np.float64)
-        )
+    if len(scans) != len(comps):
+        return None
+    tbls = {}
+    for ci, dc_t, ac_t in scans:
+        dct = htables.get((0, dc_t))
+        act = htables.get((1, ac_t))
+        if dct is None or act is None:
+            return None
+        tbls[ci] = (dct, act)
     preds = [0] * len(comps)
     mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
+    for my in range(frame["mcus_y"]):
+        for mx in range(frame["mcus_x"]):
             if restart_interval and mcu_count and (
                 mcu_count % restart_interval == 0
             ):
@@ -318,21 +395,15 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                 preds = [0] * len(comps)
             mcu_count += 1
             for ci, c in enumerate(comps):
-                dc_t, ac_t = scan[c["id"]]
-                dct = htables.get((0, dc_t))
-                act = htables.get((1, ac_t))
-                if dct is None or act is None:
-                    return None
-                q = qtables[c["tq"]]
+                dct, act = tbls[ci]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        coef = np.zeros(64, np.float64)
+                        blk = stores[ci][my * c["v"] + by, mx * c["h"] + bx]
                         s = reader.decode(dct)
                         if s is None:
                             return None
-                        diff = _extend(reader.read_bits(s), s)
-                        preds[ci] += diff
-                        coef[0] = preds[ci] * q[0]
+                        preds[ci] += _extend(reader.read_bits(s), s)
+                        blk[0] = preds[ci]
                         k = 1
                         while k < 64:
                             rs = reader.decode(act)
@@ -347,19 +418,207 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                             k += r
                             if k > 63:
                                 return None
-                            coef[k] = (
-                                _extend(reader.read_bits(size), size) * q[k]
-                            )
+                            blk[k] = _extend(reader.read_bits(size), size)
                             k += 1
-                        planes_coef[ci][
-                            my * c["v"] + by, mx * c["h"] + bx
-                        ] = coef[UNZIGZAG].reshape(8, 8)
-    # vectorized IDCT over every block of every component
+    return True
+
+
+# ------------------------------------------------- progressive scans (G.2)
+def _decode_scan_progressive(
+    reader, frame, scans, ss, se, ah, al, htables, stores, restart_interval
+):
+    if ss == 0:
+        if se != 0:
+            return None
+        return _prog_dc_scan(
+            reader, frame, scans, ah, al, htables, stores, restart_interval
+        )
+    if len(scans) != 1 or se > 63 or ss > se:
+        return None  # AC scans are single-component by spec
+    return _prog_ac_scan(
+        reader, frame, scans[0], ss, se, ah, al, htables, stores,
+        restart_interval,
+    )
+
+
+def _prog_dc_scan(
+    reader, frame, scans, ah, al, htables, stores, restart_interval
+):
+    comps = frame["comps"]
+    tbls = {}
+    for ci, dc_t, _ in scans:
+        if ah == 0:
+            dct = htables.get((0, dc_t))
+            if dct is None:
+                return None
+            tbls[ci] = dct
+    preds = {ci: 0 for ci, _, _ in scans}
+    if len(scans) > 1:  # interleaved MCU order
+        order = []
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                unit = []
+                for ci, _, _ in scans:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            unit.append(
+                                (ci, my * c["v"] + by, mx * c["h"] + bx)
+                            )
+                order.append(unit)
+    else:  # single component: non-interleaved, its own block grid
+        ci = scans[0][0]
+        rows, cols = _comp_blocks(frame, comps[ci])
+        order = [
+            [(ci, by, bx)] for by in range(rows) for bx in range(cols)
+        ]
+    done = 0
+    for unit in order:
+        if restart_interval and done and done % restart_interval == 0:
+            if not reader.restart():
+                return None
+            preds = {k: 0 for k in preds}
+        done += 1
+        for ci, row, col in unit:
+            blk = stores[ci][row, col]
+            if ah == 0:  # first pass: diffs of (DC >> Al)
+                s = reader.decode(tbls[ci])
+                if s is None:
+                    return None
+                preds[ci] += _extend(reader.read_bits(s), s)
+                blk[0] = preds[ci] << al
+            else:  # refinement: append one bit
+                if reader.read_bit():
+                    blk[0] = int(blk[0]) | (1 << al)
+    return True
+
+
+def _prog_ac_scan(
+    reader, frame, scan, ss, se, ah, al, htables, stores, restart_interval
+):
+    ci, _, ac_t = scan
+    act = htables.get((1, ac_t))
+    if act is None:
+        return None
+    rows, cols = _comp_blocks(frame, frame["comps"][ci])
+    store = stores[ci]
+    eobrun = 0
+    done = 0
+    for by in range(rows):
+        for bx in range(cols):
+            if restart_interval and done and done % restart_interval == 0:
+                if not reader.restart():
+                    return None
+                eobrun = 0
+            done += 1
+            blk = store[by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(reader, act, blk, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(
+                    reader, act, blk, ss, se, al, eobrun
+                )
+            if eobrun is None:
+                return None
+    return True
+
+
+def _ac_first_block(reader, act, blk, ss, se, al, eobrun):
+    """First AC pass of a band (G.2.2): values arrive at precision Al;
+    EOB runs span whole blocks. Returns the updated eobrun (None on
+    corrupt stream)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode(act)
+        if rs is None:
+            return None
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:  # EOBn: run of (1<<r)+bits blocks incl. this one
+                eb = (1 << r) - 1
+                if r:
+                    eb += reader.read_bits(r)
+                return eb
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            return None
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(reader, act, blk, ss, se, al, eobrun):
+    """AC successive-approximation refinement (G.2.2 / libjpeg
+    decode_mcu_AC_refine): correction bits for already-nonzero
+    coefficients, magnitude-1 births for new ones, EOB runs carrying
+    correction bits. Returns updated eobrun (None on corrupt stream)."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode(act)
+            if rs is None:
+                return None
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break  # rest of band: correction bits only
+                # r == 15: ZRL skips 16 zero-history positions
+            else:
+                if s != 1:
+                    return None  # refinement births are magnitude 1
+                val = p1 if reader.read_bit() else -p1
+            # advance: corrections for nonzero-history positions, count
+            # down r zero-history ones, land on the (r+1)-th zero
+            while k <= se:
+                cur = int(blk[k])
+                if cur != 0:
+                    if reader.read_bit() and (cur & p1) == 0:
+                        blk[k] = cur + (p1 if cur >= 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        # this block belongs to an EOB run: remaining nonzero positions
+        # still receive their correction bits
+        while k <= se:
+            cur = int(blk[k])
+            if cur != 0:
+                if reader.read_bit() and (cur & p1) == 0:
+                    blk[k] = cur + (p1 if cur >= 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame, stores, qtables):
+    """Dequantize the raw zigzag coefficient stores and run ONE
+    vectorized IDCT + upsample + color convert pass."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for ci, c in enumerate(comps):
-        blocks = planes_coef[ci]
+        q = qtables.get(c["tq"])
+        if q is None:
+            return None
+        deq = stores[ci].astype(np.float64) * q[None, None, :]
+        rows, cols = deq.shape[:2]
+        blocks = deq[..., UNZIGZAG].reshape(rows, cols, 8, 8)
         spatial = np.einsum("ku,rcuv,vl->rckl", _A.T, blocks, _A)
-        rows, cols = blocks.shape[:2]
         plane = spatial.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
         plane = np.clip(np.rint(plane + 128.0), 0, 255)
         # upsample to full resolution (nearest; spec-legal)
@@ -452,17 +711,10 @@ def _box2(plane: np.ndarray) -> np.ndarray:
     return 0.25 * (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])
 
 
-def jpeg_encode(
-    img: np.ndarray,
-    quality: int = 90,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """(H, W, 3) uint8 RGB (or (H, W) / (H, W, 1) grayscale) -> baseline
-    JFIF bytes with Annex K tables quality-scaled. ``subsampling``:
-    '444' (each component full-resolution) or '420' (chroma box-averaged
-    2x2, the web default). ``restart_interval`` > 0 emits DRI + RSTn
-    markers every that many MCUs (resettable streams)."""
+def _prepare_coefs(img: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half: color convert, subsample, FDCT,
+    quantize. Returns (gray, h, w, hv, qts, tq, tsel, coefs, mcus_x,
+    mcus_y) — coefs are quantized zigzag int64 per component."""
     img = np.asarray(img)
     gray = img.ndim == 2 or img.shape[2] == 1
     h, w = img.shape[:2]
@@ -490,13 +742,7 @@ def jpeg_encode(
     q_chroma = _quality_scale(QTBL_CHROMA, quality)
     qts = [q_luma] if gray else [q_luma, q_chroma, q_chroma]
     tq = [0] if gray else [0, 1, 1]
-    dc_encs = [build_huffman_encode(*DC_LUMA)]
-    ac_encs = [build_huffman_encode(*AC_LUMA)]
-    if not gray:
-        dc_encs.append(build_huffman_encode(*DC_CHROMA))
-        ac_encs.append(build_huffman_encode(*AC_CHROMA))
     tsel = [0] if gray else [0, 1, 1]
-
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     # pad each plane to its MCU-aligned block grid, FDCT all blocks at once
@@ -514,6 +760,30 @@ def jpeg_encode(
             / qts[pi][None, None, :].astype(np.float64)
         ).astype(np.int64)
         coefs.append(qz)
+    return gray, h, w, hv, qts, tq, tsel, coefs, mcus_x, mcus_y
+
+
+def jpeg_encode(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W, 3) uint8 RGB (or (H, W) / (H, W, 1) grayscale) -> baseline
+    JFIF bytes with Annex K tables quality-scaled. ``subsampling``:
+    '444' (each component full-resolution) or '420' (chroma box-averaged
+    2x2, the web default). ``restart_interval`` > 0 emits DRI + RSTn
+    markers every that many MCUs (resettable streams)."""
+    gray, h, w, hv, qts, tq, tsel, coefs, mcus_x, mcus_y = _prepare_coefs(
+        img, quality, subsampling
+    )
+    q_luma, q_chroma = qts[0], qts[-1]
+    planes = coefs
+    dc_encs = [build_huffman_encode(*DC_LUMA)]
+    ac_encs = [build_huffman_encode(*AC_LUMA)]
+    if not gray:
+        dc_encs.append(build_huffman_encode(*DC_CHROMA))
+        ac_encs.append(build_huffman_encode(*AC_CHROMA))
 
     bw = _BitWriter()
     preds = [0] * len(planes)
@@ -542,40 +812,374 @@ def jpeg_encode(
                         )
     bw.flush()
 
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    def dqt(tid, tbl):
-        return seg(0xDB, bytes([tid]) + bytes(int(x) for x in tbl))
-
-    def dht(tc, th, counts, syms):
-        return seg(
-            0xC4,
-            bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms),
-        )
-
     ncomp = len(planes)
-    sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sof_body += bytes(
-            [ci + 1, (hv[ci][0] << 4) | hv[ci][1], tq[ci]]
-        )
     sos_body = bytes([ncomp])
     for ci in range(ncomp):
         sos_body += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
     sos_body += bytes([0, 63, 0])
-    out = b"\xff\xd8"
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
-    out += dqt(0, q_luma[ZIGZAG])
+    out = _encode_headers(
+        0xC0, gray, h, w, hv, tq, q_luma, q_chroma, restart_interval
+    )
+    out += _dht(0, 0, *DC_LUMA) + _dht(1, 0, *AC_LUMA)
     if not gray:
-        out += dqt(1, q_chroma[ZIGZAG])
-    out += seg(0xC0, sof_body)
-    out += dht(0, 0, *DC_LUMA) + dht(1, 0, *AC_LUMA)
-    if not gray:
-        out += dht(0, 1, *DC_CHROMA) + dht(1, 1, *AC_CHROMA)
-    out += seg(0xDA, sos_body)
+        out += _dht(0, 1, *DC_CHROMA) + _dht(1, 1, *AC_CHROMA)
+    out += _seg(0xDA, sos_body)
     out += bytes(bw.out)
+    out += b"\xff\xd9"
+    return out
+
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt(tid, tbl):
+    return _seg(0xDB, bytes([tid]) + bytes(int(x) for x in tbl))
+
+
+def _dht(tc, th, counts, syms):
+    return _seg(
+        0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms)
+    )
+
+
+def _encode_headers(
+    sof_marker, gray, h, w, hv, tq, q_luma, q_chroma, restart_interval
+) -> bytes:
+    """SOI + JFIF + DRI? + DQTs + SOF — shared by both encoders."""
+    ncomp = 1 if gray else 3
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof_body += bytes([ci + 1, (hv[ci][0] << 4) | hv[ci][1], tq[ci]])
+    out = b"\xff\xd8"
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    out += _dqt(0, q_luma[ZIGZAG])
+    if not gray:
+        out += _dqt(1, q_chroma[ZIGZAG])
+    out += _seg(sof_marker, sof_body)
+    return out
+
+
+# ------------------------------------------------- progressive encoder
+def _optimal_table(freq: list[int]) -> tuple[list[int], list[int]]:
+    """JPEG optimal Huffman table from symbol frequencies (the jchuff.c
+    jpeg_gen_optimal_table algorithm): pair-merge code sizes, fold to
+    the 16-bit limit, reserve one code point so no symbol gets the
+    all-ones code. Returns (counts[16], symbols)."""
+    freq = list(freq) + [1]  # slot 256: reserved code point
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        alive = [i for i in range(257) if freq[i] > 0]
+        if len(alive) <= 1:
+            break
+        alive.sort(key=lambda i: (freq[i], -i))  # ties: larger index first
+        c1, c2 = alive[0], alive[1]
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[min(codesize[i], 32)] += 1
+    for i in range(32, 16, -1):  # fold lengths > 16 (Annex K.3 method)
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while i > 0 and bits[i] == 0:
+        i -= 1
+    if i > 0:
+        bits[i] -= 1  # drop the reserved code point
+    syms = sorted(
+        (s for s in range(256) if codesize[s]),
+        key=lambda s: (codesize[s], s),
+    )
+    return bits[1:17], syms
+
+
+class _SymSink:
+    """Counting pass: tallies Huffman symbols, discards raw bits."""
+
+    def __init__(self):
+        self.freq = [0] * 256
+
+    def sym(self, s):
+        self.freq[s] += 1
+
+    def bits(self, v, n):
+        pass
+
+
+class _CodeSink:
+    """Emitting pass: writes Huffman codes + raw bits to the writer."""
+
+    def __init__(self, table, bw):
+        self.table = table
+        self.bw = bw
+
+    def sym(self, s):
+        ln, code = self.table[s]
+        self.bw.write(code, ln)
+
+    def bits(self, v, n):
+        if n:
+            self.bw.write(v, n)
+
+
+def _enc_block_order(gray, hv, mcus_x, mcus_y, h, w, comp_ids):
+    """Block visit order for one scan: interleaved MCU order when the
+    scan holds >1 component, the component's own (non-MCU-padded) grid
+    otherwise — mirroring the decoder's _comp_blocks geometry."""
+    hmax = max(x for x, _ in hv)
+    vmax = max(y for _, y in hv)
+    if len(comp_ids) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in comp_ids:
+                    ch, cv = hv[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            yield ci, my * cv + by, mx * ch + bx
+    else:
+        ci = comp_ids[0]
+        ch, cv = hv[ci]
+        rows = -(-(-(-h * cv // vmax)) // 8)
+        cols = -(-(-(-w * ch // hmax)) // 8)
+        for by in range(rows):
+            for bx in range(cols):
+                yield ci, by, bx
+
+
+def _enc_dc_scan(coefs, order, tsel, al, ah, sinks, raw):
+    """DC scan: first pass (Ah=0) codes diffs of DC>>Al per component
+    table; refinement emits one raw bit per block."""
+    preds = {}
+    for ci, row, col in order:
+        dc = int(coefs[ci][row, col, 0])
+        if ah == 0:
+            t = dc >> al  # arithmetic shift, as the decoder assumes
+            diff = t - preds.get(ci, 0)
+            preds[ci] = t
+            size = abs(diff).bit_length()
+            em = sinks[(0, tsel[ci])]
+            em.sym(size)
+            if size:
+                em.bits(diff if diff > 0 else diff + (1 << size) - 1, size)
+        else:
+            raw.bits((dc >> al) & 1, 1)
+
+
+def _enc_ac_first_scan(coefs, order, tsel, ss, se, al, sinks):
+    """AC spectral-selection first pass (G.1.2.2): magnitudes at
+    precision Al, ZRL runs, cross-block EOB runs."""
+    eobrun = 0
+    em = None
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            em.sym(nbits << 4)
+            em.bits(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+
+    for ci, row, col in order:
+        em = sinks[(1, tsel[ci])]
+        blk = coefs[ci][row, col]
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            t = abs(v) >> al
+            if t == 0:
+                r += 1
+                continue
+            flush()
+            while r > 15:
+                em.sym(0xF0)
+                r -= 16
+            size = t.bit_length()
+            em.sym((r << 4) | size)
+            vv = t if v > 0 else -t
+            em.bits(vv if vv > 0 else vv + (1 << size) - 1, size)
+            r = 0
+        if r > 0:  # trailing zeros join an EOB run
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _enc_ac_refine_scan(coefs, order, tsel, ss, se, ah, al, sinks):
+    """AC successive-approximation refinement (G.1.2.3 / jcphuff.c
+    encode_mcu_AC_refine): correction bits buffered per symbol segment
+    and across EOB runs."""
+    eobrun = 0
+    runbits: list[int] = []
+    em = None
+
+    def flush():
+        nonlocal eobrun, runbits
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            em.sym(nbits << 4)
+            em.bits(eobrun & ((1 << nbits) - 1), nbits)
+            for b in runbits:
+                em.bits(b, 1)
+            eobrun = 0
+            runbits = []
+
+    for ci, row, col in order:
+        em = sinks[(1, tsel[ci])]
+        blk = coefs[ci][row, col]
+        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eobpos = -1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eobpos = i
+        r = 0
+        br: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            # pending ZRLs emit here (even at correction positions),
+            # unless they fold into the block's EOB
+            while r > 15 and i <= eobpos:
+                flush()
+                em.sym(0xF0)
+                r -= 16
+                for b in br:
+                    em.bits(b, 1)
+                br = []
+            if t > 1:  # already nonzero: buffer the next magnitude bit
+                br.append(t & 1)
+                continue
+            flush()
+            em.sym((r << 4) | 1)
+            em.bits(1 if int(blk[ss + i]) > 0 else 0, 1)
+            for b in br:
+                em.bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            runbits.extend(br)
+            if eobrun == 0x7FFF or len(runbits) > 900:
+                flush()
+    flush()
+
+
+#: libjpeg's standard progressive scan script (jcparam.c): DC Al=1,
+#: luma AC split 1-5 / 6-63 at Al=2, chroma full band at Al=1, then the
+#: refinement passes. Entries: (comp_ids, Ss, Se, Ah, Al).
+_PROG_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_PROG_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def jpeg_encode_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    scans: list[tuple] | None = None,
+) -> bytes:
+    """(H, W, 3) uint8 RGB (or grayscale) -> progressive (SOF2) JFIF
+    bytes: libjpeg's standard scan script by default, per-scan OPTIMAL
+    Huffman tables built in a counting pass (progressive symbol
+    alphabets — EOBn codes — are not in the Annex K sequential tables,
+    so fixed tables cannot be reused). The quantized coefficients are
+    identical to :func:`jpeg_encode`'s at the same quality/subsampling,
+    so a decode of either stream yields bit-identical pixels — the
+    round-trip property the tests assert."""
+    gray, h, w, hv, qts, tq, tsel, coefs, mcus_x, mcus_y = _prepare_coefs(
+        img, quality, subsampling
+    )
+    if scans is None:
+        scans = _PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_COLOR
+    out = _encode_headers(
+        0xC2, gray, h, w, hv, tq, qts[0], qts[-1], 0
+    )
+    for comp_ids, ss, se, ah, al in scans:
+        order = list(
+            _enc_block_order(gray, hv, mcus_x, mcus_y, h, w, comp_ids)
+        )
+        dc_refine = ss == 0 and ah > 0
+        # ---- pass 1: count symbols per (class, table-id)
+        tables: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
+        if not dc_refine:
+            counters: dict[tuple[int, int], _SymSink] = {}
+            for ci in comp_ids:
+                cls = 0 if ss == 0 else 1
+                counters.setdefault((cls, tsel[ci]), _SymSink())
+            if ss == 0:
+                _enc_dc_scan(coefs, order, tsel, al, ah, counters, _SymSink())
+            elif ah == 0:
+                _enc_ac_first_scan(coefs, order, tsel, ss, se, al, counters)
+            else:
+                _enc_ac_refine_scan(
+                    coefs, order, tsel, ss, se, ah, al, counters
+                )
+            for key, sink in counters.items():
+                if sum(sink.freq) == 0:
+                    sink.freq[0] = 1  # degenerate scan: dummy symbol
+                tables[key] = _optimal_table(sink.freq)
+                out += _dht(key[0], key[1], *tables[key])
+        # ---- SOS header: DC scans carry Td (0 in refine — unused),
+        # AC scans carry Ta
+        sos = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            td = tsel[ci] if ss == 0 and not dc_refine else 0
+            ta = tsel[ci] if ss > 0 else 0
+            sos += bytes([ci + 1, (td << 4) | ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        # ---- pass 2: emit
+        bw = _BitWriter()
+        sinks = {
+            key: _CodeSink(build_huffman_encode(*tbl), bw)
+            for key, tbl in tables.items()
+        }
+        raw = _CodeSink({}, bw)
+        if ss == 0:
+            _enc_dc_scan(coefs, order, tsel, al, ah, sinks, raw)
+        elif ah == 0:
+            _enc_ac_first_scan(coefs, order, tsel, ss, se, al, sinks)
+        else:
+            _enc_ac_refine_scan(coefs, order, tsel, ss, se, ah, al, sinks)
+        bw.flush()
+        out += bytes(bw.out)
     out += b"\xff\xd9"
     return out

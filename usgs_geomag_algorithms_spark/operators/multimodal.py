@@ -5,15 +5,17 @@ metadata; decode / feature-extraction / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages.
 
 REAL pure-stdlib/NumPy codecs cover: **PPM (P6)**, **non-interlaced
-8-bit truecolor PNG**, and **baseline JPEG** images (decode, pixel
-stats, bilinear resize, re-encode — see ``jpeg_codec.py``), **WAV
+8-bit truecolor PNG**, and **JPEG — baseline AND progressive (SOF2:
+spectral selection, successive approximation, EOB runs)** images
+(decode, pixel stats, bilinear resize, re-encode — see
+``jpeg_codec.py``), **WAV
 (PCM 8/16-bit + G.711 A-law/µ-law) audio** (decode, waveform stats,
 linear resample, re-encode), and **MJPEG + uncompressed-DIB AVI video**
 (container walk, per-frame JPEG decode or raw BGR unpack, real frame
 sampling) — genuinely functional
 paths for all four modalities with zero external libraries. The
-remaining formats (progressive JPEG, float/compressed audio beyond
-G.711+IMA-ADPCM, inter-frame-coded video) are STUBBED (no pillow/ffmpeg in this container):
+remaining formats (arithmetic-coded/lossless JPEG, float/compressed
+audio beyond G.711+IMA-ADPCM, inter-frame-coded video) are STUBBED (no pillow/ffmpeg in this container):
 ``deterministic=True`` produces a seeded fake decode (hash-derived
 dimensions + features) so the Spark-side plumbing — schema, batch
 iteration, partitioning — is real and tested; ``deterministic=False``
@@ -1061,10 +1063,10 @@ def decode_media(
                     decoded.append(_fake_decode(d, k, feat_dim))
                 else:
                     raise NotImplementedError(
-                        "decoding progressive-JPEG/lossy-audio/video "
+                        "decoding arithmetic-JPEG/lossy-audio/video "
                         "requires PIL/ffmpeg; not in container (PPM/P6, "
-                        "8-bit truecolor PNG, baseline JPEG, and PCM WAV "
-                        "decode natively)"
+                        "8-bit truecolor PNG, baseline+progressive JPEG, "
+                        "and PCM WAV decode natively)"
                     )
             out["width"] = pd.Series([d[0] for d in decoded], dtype="int32")
             out["height"] = pd.Series([d[1] for d in decoded], dtype="int32")
@@ -1227,8 +1229,10 @@ def synthetic_avi(
 def synthetic_jpeg(
     spark, n: int = 8, w: int = 32, h: int = 24, quality: int = 92
 ) -> DataFrame:
-    """Real baseline JPEGs (smooth per-id gradients; 4:2:0 for odd ids)."""
-    from .jpeg_codec import jpeg_encode
+    """Real JPEGs (smooth per-id gradients): 4:2:0 for odd ids, and
+    every third file PROGRESSIVE (libjpeg standard scan script) so the
+    Spark decode path exercises the SOF2 codec too."""
+    from .jpeg_codec import jpeg_encode, jpeg_encode_progressive
 
     rows = []
     for i in range(n):
@@ -1241,7 +1245,8 @@ def synthetic_jpeg(
             ],
             axis=-1,
         )
-        payload = jpeg_encode(
+        enc = jpeg_encode_progressive if i % 3 == 2 else jpeg_encode
+        payload = enc(
             img, quality=quality, subsampling="420" if i % 2 else "444"
         )
         rows.append((i, "image", bytearray(payload)))

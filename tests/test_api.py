@@ -1,0 +1,250 @@
+"""Web-service request contract (plans/api.py): DataApiQuery-parity
+validation, /data dispatch to the tier store with both renderings, and
+the element/observatory metadata registries."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from usgs_geomag_algorithms_spark.plans.api import (
+    DEFAULT_ELEMENTS,
+    DataRequest,
+    ELEMENTS,
+    OBSERVATORIES,
+    parse_data_request,
+    elements_df,
+    observatories_df,
+    observatory_geojson,
+    serve_data_request,
+)
+from usgs_geomag_algorithms_spark.sources.store import TierStore
+from usgs_geomag_algorithms_spark.tiers import US
+
+T0 = 1577836800 * US  # 2020-01-01T00:00:00Z
+MIN = 60 * US
+NOW = T0 + 7 * 3600 * US  # mid-day "now" for default-time tests
+
+
+class TestParseDataRequest:
+    def test_defaults(self):
+        req = parse_data_request({"id": "BOU"}, now_us=NOW)
+        assert req.observatory == "BOU"
+        assert req.elements == DEFAULT_ELEMENTS
+        assert req.sampling_period == 60.0
+        assert req.data_type == "variation"
+        assert req.format == "iaga2002"
+        # start of current UTC day; end = start + 86400 - 0.001 s
+        assert req.start_us == T0
+        assert req.end_us == T0 + 86_400_000_000 - 1_000
+
+    def test_comma_separated_elements(self):
+        req = parse_data_request(
+            {"id": "BOU", "elements": "H, E ,Z"}, now_us=NOW
+        )
+        assert req.elements == ("H", "E", "Z")
+
+    def test_unknown_param_rejected(self):
+        with pytest.raises(ValueError, match="Invalid query parameter"):
+            parse_data_request({"id": "BOU", "bogus": 1}, now_us=NOW)
+
+    def test_bad_observatory(self):
+        with pytest.raises(ValueError, match="Bad observatory id 'XXX'"):
+            parse_data_request({"id": "XXX"}, now_us=NOW)
+
+    def test_bad_element_but_3letter_codes_pass(self):
+        with pytest.raises(ValueError, match="Bad element 'Q'"):
+            parse_data_request({"id": "BOU", "elements": "Q"}, now_us=NOW)
+        # raw 3-letter EDGE channel codes are allowed
+        req = parse_data_request(
+            {"id": "BOU", "elements": "MVH"}, now_us=NOW
+        )
+        assert req.elements == ("MVH",)
+
+    def test_edge_location_code_as_type(self):
+        req = parse_data_request(
+            {"id": "BOU", "type": "R0"}, now_us=NOW
+        )
+        assert req.data_type == "R0"
+        with pytest.raises(ValueError, match="Bad data type"):
+            parse_data_request({"id": "BOU", "type": "bogus"}, now_us=NOW)
+
+    def test_iaga2002_element_ceiling(self):
+        with pytest.raises(ValueError, match="four elements"):
+            parse_data_request(
+                {"id": "BOU", "elements": "H,E,Z,F,G"}, now_us=NOW
+            )
+        # json format allows more
+        req = parse_data_request(
+            {"id": "BOU", "elements": "H,E,Z,F,G", "format": "json"},
+            now_us=NOW,
+        )
+        assert len(req.elements) == 5
+
+    def test_time_order_and_sample_cap(self):
+        with pytest.raises(ValueError, match="Starttime must be before"):
+            parse_data_request(
+                {
+                    "id": "BOU",
+                    "starttime": "2020-01-02T00:00:00Z",
+                    "endtime": "2020-01-01T00:00:00Z",
+                },
+                now_us=NOW,
+            )
+        # 4 elements x 7 days at 1 s >> 345600
+        with pytest.raises(ValueError, match="exceeds limit"):
+            parse_data_request(
+                {
+                    "id": "BOU",
+                    "starttime": "2020-01-01T00:00:00Z",
+                    "endtime": "2020-01-08T00:00:00Z",
+                    "sampling_period": 1,
+                },
+                now_us=NOW,
+            )
+
+    def test_sampling_period_enum(self):
+        for sp, ok in ((0.1, True), (1, True), (7, False)):
+            if ok:
+                parse_data_request(
+                    {
+                        "id": "BOU",
+                        "sampling_period": sp,
+                        "starttime": "2020-01-01T00:00:00Z",
+                        "endtime": "2020-01-01T00:10:00Z",
+                    },
+                    now_us=NOW,
+                )
+            else:
+                with pytest.raises(ValueError, match="Bad sampling_period"):
+                    parse_data_request(
+                        {"id": "BOU", "sampling_period": sp}, now_us=NOW
+                    )
+
+
+class TestServeDataRequest:
+    def seed(self, spark, tmp_path):
+        store = TierStore(spark, str(tmp_path / "t"), n_buckets=2)
+        rows = []
+        for i in range(5):
+            rows += [
+                ("BOU", "H", T0 + i * MIN, 20000.0 + i),
+                ("BOU", "E", T0 + i * MIN, -100.0 + i),
+                ("BOU", "Z", T0 + i * MIN, 47000.0 + i),
+            ]
+        df = spark.createDataFrame(
+            rows, schema="url string, channel string, t_us long, value double"
+        )
+        store.write(df, "minute")
+        return store
+
+    def _req(self, fmt, elements="H,E,Z"):
+        return parse_data_request(
+            {
+                "id": "BOU",
+                "starttime": "2020-01-01T00:00:00Z",
+                "endtime": "2020-01-01T00:04:00Z",
+                "elements": elements,
+                "format": fmt,
+            },
+            now_us=NOW,
+        )
+
+    def test_json_rendering(self, spark, tmp_path):
+        store = self.seed(spark, tmp_path)
+        df, media = serve_data_request(store, self._req("json"))
+        assert media == "application/json"
+        rows = {r["channel"]: json.loads(r["json"]) for r in df.collect()}
+        assert set(rows) == {"H", "E", "Z"}
+        assert rows["H"]["values"] == [20000.0 + i for i in range(5)]
+
+    def test_iaga2002_rendering(self, spark, tmp_path):
+        store = self.seed(spark, tmp_path)
+        df, media = serve_data_request(store, self._req("iaga2002"))
+        assert media == "text/plain"
+        lines = [r["value"] for r in df.collect()]
+        assert lines[0].startswith(" Format                 IAGA-2002")
+        data = [ln for ln in lines if ln.startswith("2020-01-01")]
+        assert len(data) == 5
+        assert "20000.00" in data[0] and "99999.00" not in data[0]
+
+    def test_derive_missing_channel_on_read(self, spark, tmp_path):
+        """Request X,Y over an H,D store: the derive-on-read path (the
+        DerivedTimeseriesFactory wrap) computes them in the serve plan
+        (X/Y derive from H/D per DerivedTimeseriesFactory's rules)."""
+        store = TierStore(spark, str(tmp_path / "hd"), n_buckets=2)
+        rows = []
+        for i in range(5):
+            rows += [
+                ("BOU", "H", T0 + i * MIN, 20000.0 + i),
+                ("BOU", "D", T0 + i * MIN, 0.01 + i * 1e-4),
+            ]
+        store.write(
+            spark.createDataFrame(
+                rows,
+                schema="url string, channel string, t_us long, value double",
+            ),
+            "minute",
+        )
+        req = parse_data_request(
+            {
+                "id": "BOU",
+                "starttime": "2020-01-01T00:00:00Z",
+                "endtime": "2020-01-01T00:04:00Z",
+                "elements": "X,Y",
+                "format": "json",
+            },
+            now_us=NOW,
+        )
+        df, _ = serve_data_request(store, req)
+        rows = {r["channel"]: json.loads(r["json"]) for r in df.collect()}
+        assert set(rows) == {"X", "Y"}
+        assert all(v is not None for v in rows["X"]["values"])
+
+    def test_gap_rows_render_as_sentinels(self, spark, tmp_path):
+        store = self.seed(spark, tmp_path)
+        req = parse_data_request(
+            {
+                "id": "BOU",
+                "starttime": "2020-01-01T00:00:00Z",
+                "endtime": "2020-01-01T00:06:00Z",  # 2 slots past data
+                "elements": "H,E,Z",
+            },
+            now_us=NOW,
+        )
+        df, _ = serve_data_request(store, req)
+        data = [
+            r["value"] for r in df.collect()
+            if r["value"].startswith("2020-01-01")
+        ]
+        assert len(data) == 7
+        assert "99999.00" in data[-1]  # padded gap -> IAGA sentinel
+
+
+class TestRegistries:
+    def test_elements_and_observatories_queryable(self, spark):
+        el = elements_df(spark)
+        assert el.count() == len(ELEMENTS)
+        assert el.where("id = 'G'").first()["abbreviation"] == "ΔF"
+        obs = observatories_df(spark)
+        assert obs.count() == len(OBSERVATORIES)
+        row = obs.where("id = 'BOU'").first()
+        assert row["agency_name"].startswith("United States")
+        assert row["sensor_orientation"] == "HDZF"
+        # GSC default orientation differs
+        assert (
+            obs.where("id = 'OTT'").first()["sensor_orientation"] == "XYZF"
+        )
+
+    def test_geojson_feature(self):
+        g = observatory_geojson("BOU")
+        assert g["type"] == "Feature" and g["id"] == "BOU"
+        assert g["geometry"]["coordinates"] == [254.763, 40.137, 1682]
+        assert g["properties"]["declination_base"] == 5527
+        with pytest.raises(ValueError):
+            observatory_geojson("nope")
+
+    def test_request_dataclass_frozen(self):
+        req = DataRequest("BOU", 0, 1)
+        with pytest.raises(Exception):
+            req.observatory = "XXX"

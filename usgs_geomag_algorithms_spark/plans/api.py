@@ -1,0 +1,361 @@
+"""Web-service request contract: the reference's ``GET /data/`` endpoint
+re-expressed as pure functions over the serving plan.
+
+The reference serves data through FastAPI (``geomagio/api/ws/data.py``)
+with a pydantic ``DataApiQuery`` doing all validation
+(``geomagio/api/ws/DataApiQuery.py:43-126``). The HTTP framework itself
+stays a non-goal (SURVEY §7.4), but the REQUEST CONTRACT — parameter
+names, defaults, element/observatory registries, the 345,600-sample
+limit, sampling-period negotiation, derive-on-read, and the two output
+renderings — is the part a switching user actually depends on, so it
+lives here as framework-independent functions any HTTP front (FastAPI
+router, lambda, CLI) can call:
+
+- :func:`parse_data_request` — dict of query params -> validated
+  :class:`DataRequest`, replicating every ``DataApiQuery`` validator
+  (unknown-param rejection, element list splitting + registry check,
+  2-letter EDGE location codes as data_type, current-UTC-day defaults,
+  starttime<=endtime, iaga2002's 4-element ceiling, the sample cap
+  computed over elements x duration / period).
+- :func:`serve_data_request` — dispatch to the tier store through
+  ``plans/serve.get_timeseries`` (sampling period -> tier, always with
+  derive-on-read, mirroring the DerivedTimeseriesFactory wrap at
+  ``geomagio/api/ws/data.py:21-47``) and render IAGA2002 text or
+  IMFJSON rows (``format_timeseries``, ``:135-153``).
+- :func:`elements_df` / :func:`observatories_df` — the ``/elements`` and
+  ``/observatories`` registries as queryable DataFrames (the reference
+  serves them as JSON/GeoJSON from in-code tables,
+  ``geomagio/api/ws/Element.py``, ``Observatory.py``); the same rows
+  back :func:`observatory_geojson`.
+
+Everything here is driver-side plan construction and small literal
+registries — no Spark job runs until the returned DataFrame executes.
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass, field
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..sources.store import TierStore
+from . import serve
+
+US = 1_000_000
+REQUEST_LIMIT = 345_600
+DEFAULT_ELEMENTS = ("X", "Y", "Z", "F")
+DATA_TYPES = ("variation", "adjusted", "quasi-definitive", "definitive")
+OUTPUT_FORMATS = ("iaga2002", "json")
+
+#: sampling period (seconds) -> materialized tier name
+SAMPLING_PERIOD_TIERS = {
+    0.1: "tenhertz",
+    1.0: "second",
+    60.0: "minute",
+    3600.0: "hour",
+    86400.0: "day",
+}
+
+#: (id, abbreviation, name, units) — geomagio/api/ws/Element.py ELEMENTS
+ELEMENTS = (
+    ("U", None, "North Component(miniseed)", "nT"),
+    ("V", None, "East Component(miniseed)", "nT"),
+    ("W", None, "Vertical Component(miniseed)", "nT"),
+    ("H", None, "North Component", "nT"),
+    ("E", None, "East Component", "nT"),
+    ("X", None, "Geographic North Magnitude", "nT"),
+    ("Y", None, "Geographic East Magnitude", "nT"),
+    ("D", None, "Declination (deci-arcminute)", "dam"),
+    ("Z", None, "Vertical Component", "nT"),
+    ("F", None, "Total Field Magnitude", "nT"),
+    ("G", "ΔF", "Delta F", "∆nT"),
+    ("DIST", None, "Disturbance", "nT"),
+    ("E-E", None, "E=Field East", "mV/km"),
+    ("E-N", None, "E-Field North", "mV/km"),
+    ("SQ", None, "Solar Quiet", "nT"),
+    ("SV", None, "Solar Variation", "nT"),
+    ("UK1", "T-Electric", "Electronics Temperature", "°C"),
+    ("UK2", "T-Total Field", "Total Field Temperature", "°C"),
+    ("UK3", "T-Fluxgate", "Fluxgate Temperature", "°C"),
+    ("UK4", "T-Outside", "Outside Temperature", "°C"),
+)
+VALID_ELEMENTS = frozenset(e[0] for e in ELEMENTS)
+
+#: (id, elevation_m, lat, lon, name, agency, declination_base,
+#: sensor_orientation) — geomagio/api/ws/Observatory.py OBSERVATORIES;
+#: None orientation resolves via the agency default (HDZF, GSC->XYZF)
+OBSERVATORIES = (
+    ("BDT", 1682, 40.137, 254.763, "Boulder Test", "USGS", 5527, None),
+    ("BOU", 1682, 40.137, 254.763, "Boulder", "USGS", 5527, None),
+    ("TST", 1682, 40.137, 254.763, "Boulder Test (ObsRIO)", "USGS", 5527, None),
+    ("BRW", 10, 71.322, 203.378, "Barrow", "USGS", 10589, None),
+    ("BRT", 10, 71.322, 203.378, "Barrow Test (ObsRIO)", "USGS", 10589, None),
+    ("BSL", 8, 30.35, 270.365, "Stennis Space Center", "USGS", 215772, None),
+    ("BXX", 1682, 40.137, 254.763, "Boulder Test(Coil Building)", "USGS", 5527, None),
+    ("CMO", 197, 64.874, 212.14, "College", "USGS", 12151, None),
+    ("CMT", 197, 64.874, 212.14, "College (ObsRIO)", "USGS", 12151, None),
+    ("DED", 10, 70.355, 211.207, "Deadhorse", "USGS", 10755, None),
+    ("DHT", 10, 70.355, 211.207, "Deadhorse Test (ObsRIO)", "USGS", 10755, None),
+    ("FRD", 69, 38.205, 282.627, "Fredericksburg", "USGS", 209690, None),
+    ("FDT", 69, 38.205, 282.627, "Fredericksburg Test", "USGS", 209690, None),
+    ("FRN", 331, 37.091, 240.282, "Fresno", "USGS", 8097, None),
+    ("GUA", 140, 13.588, 144.867, "Guam", "USGS", 764, None),
+    ("GUT", 140, 13.588, 144.867, "Guam Test", "USGS", 764, None),
+    ("HON", 4, 21.316, 202.0, "Honolulu", "USGS", 5982, None),
+    ("HOT", 4, 21.316, 202.0, "Honolulu Test", "USGS", 5982, None),
+    ("NEW", 770, 48.265, 242.878, "Newport", "USGS", 9547, None),
+    ("SHU", 80, 55.348, 199.538, "Shumagin", "USGS", 7386, None),
+    ("SIT", 24, 57.058, 224.675, "Sitka", "USGS", 12349, None),
+    ("SJG", 424, 18.113, 293.849, "San Juan", "USGS", 208439, None),
+    ("SJT", 424, 18.113, 293.849, "San Juan Test", "USGS", 208439, None),
+    ("TUC", 946, 32.174, 249.267, "Tucson", "USGS", 5863, None),
+    ("USGS", 1682, 40.137, 254.764, "USGS", "USGS", 0, None),
+    ("BLC", 0, 64.3, 264.0, "Baker Lake", "GSC", 0, None),
+    ("BRD", 0, 49.6, 262.9, "Brandon", "GSC", 0, None),
+    ("CBB", 0, 69.2, 255.0, "Cambridge Bay", "GSC", 0, None),
+    ("EUA", 0, 55.3, 282.3, "Eureka", "GSC", 0, None),
+    ("FCC", 0, 58.8, 265.9, "Fort Churchill", "GSC", 0, None),
+    ("IQA", 0, 63.8, 291.5, "Iqaluit", "GSC", 0, None),
+    ("MEA", 0, 54.6, 246.7, "Meanook", "GSC", 0, None),
+    ("OTT", 0, 45.4, 284.5, "Ottawa", "GSC", 0, None),
+    ("RES", 0, 74.7, 265.1, "Resolute Bay", "GSC", 0, None),
+    ("SNK", 0, 62.4, 245.5, "Sanikiluaq", "GSC", 0, None),
+    ("STJ", 0, 47.6, 307.3, "St Johns", "GSC", 0, None),
+    ("VIC", 0, 48.6, 236.6, "Victoria", "GSC", 0, None),
+    ("YKC", 0, 62.4, 245.5, "Yellowknife", "GSC", 0, None),
+    ("HAD", 0, 51.0, 355.5, "Hartland", "BGS", 0, None),
+    ("HER", 0, -34.4, 19.2, "Hermanus", "SANSA", 0, None),
+    ("KAK", 36, 53.77, 140.18, "Kakioka", "JMA", 0, None),
+)
+OBSERVATORY_INDEX = frozenset(o[0] for o in OBSERVATORIES)
+
+_AGENCY_NAMES = {
+    "USGS": "United States Geological Survey (USGS)",
+    "GSC": "Geological Survey of Canada (GSC)",
+    "BGS": "British Geological Survey (BGS)",
+    "SANSA": "South African National Space Agency (SANSA)",
+    "JMA": "Japan Meteorological Agency (JMA)",
+}
+
+
+def _orientation(agency: str, explicit: str | None) -> str:
+    if explicit:
+        return explicit
+    return "XYZF" if agency == "GSC" else "HDZF"
+
+
+@dataclass(frozen=True)
+class DataRequest:
+    """A validated /data request (the DataApiQuery analog)."""
+
+    observatory: str
+    start_us: int
+    end_us: int
+    elements: tuple[str, ...] = DEFAULT_ELEMENTS
+    sampling_period: float = 60.0
+    data_type: str = "variation"
+    format: str = "iaga2002"
+    extra: dict = field(default_factory=dict)
+
+
+_KNOWN_PARAMS = {
+    "id", "starttime", "endtime", "elements", "sampling_period", "type",
+    "format",
+}
+
+
+def _parse_time(value) -> int:
+    """ISO-8601 string (naive = UTC) or numeric epoch seconds -> µs."""
+    if isinstance(value, (int, float)):
+        return int(round(float(value) * US))
+    s = str(value).replace("Z", "+00:00")
+    dt = datetime.datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return int(dt.timestamp() * US)
+
+
+def parse_data_request(
+    params: Mapping[str, object], now_us: int | None = None
+) -> DataRequest:
+    """Validate raw query parameters exactly as the reference's
+    ``get_data_query`` + ``DataApiQuery`` do; raises ValueError with
+    reference-style messages. ``now_us`` pins "current UTC day" for
+    deterministic defaults in tests."""
+    invalid = [k for k in params if k not in _KNOWN_PARAMS]
+    if invalid:
+        raise ValueError(
+            f"Invalid query parameter(s): {', '.join(sorted(invalid))}"
+        )
+    obs = params.get("id")
+    if not obs:
+        raise ValueError("id is required")
+    if obs not in OBSERVATORY_INDEX:
+        raise ValueError(
+            f"Bad observatory id '{obs}'. Valid values are: "
+            + ", ".join(sorted(OBSERVATORY_INDEX)) + "."
+        )
+    raw_elements = params.get("elements") or list(DEFAULT_ELEMENTS)
+    if isinstance(raw_elements, str):
+        raw_elements = [raw_elements]
+    if len(raw_elements) == 1 and "," in raw_elements[0]:
+        raw_elements = [e.strip() for e in raw_elements[0].split(",")]
+    for e in raw_elements:
+        # registry ids, or raw 3-letter EDGE channel codes
+        if e not in VALID_ELEMENTS and len(e) != 3:
+            raise ValueError(
+                f"Bad element '{e}'. Valid values are: "
+                + ", ".join(e[0] for e in ELEMENTS) + "."
+            )
+    sp = float(params.get("sampling_period", 60.0))
+    if sp not in SAMPLING_PERIOD_TIERS:
+        raise ValueError(
+            f"Bad sampling_period '{sp}'. Valid values are: "
+            + ", ".join(str(k) for k in SAMPLING_PERIOD_TIERS) + "."
+        )
+    dtype = str(params.get("type", "variation"))
+    # 2-letter EDGE location codes pass through (ref DataApiQuery:52-60)
+    if dtype not in DATA_TYPES and len(dtype) != 2:
+        raise ValueError(
+            f"Bad data type value '{dtype}'. Valid values are: "
+            + ", ".join(DATA_TYPES)
+        )
+    fmt = str(params.get("format", "iaga2002"))
+    if fmt not in OUTPUT_FORMATS:
+        raise ValueError(
+            f"Bad format '{fmt}'. Valid values are: "
+            + ", ".join(OUTPUT_FORMATS)
+        )
+    if "starttime" in params and params["starttime"]:
+        start_us = _parse_time(params["starttime"])
+    else:  # default: start of the current UTC day
+        now = (
+            datetime.datetime.now(tz=datetime.timezone.utc)
+            if now_us is None
+            else datetime.datetime.fromtimestamp(
+                now_us / US, tz=datetime.timezone.utc
+            )
+        )
+        day = now.replace(hour=0, minute=0, second=0, microsecond=0)
+        start_us = int(day.timestamp() * US)
+    if "endtime" in params and params["endtime"]:
+        end_us = _parse_time(params["endtime"])
+    else:  # default: starttime + (86400 - 0.001) seconds
+        end_us = start_us + 86_400_000_000 - 1_000
+    if start_us > end_us:
+        raise ValueError("Starttime must be before endtime.")
+    if len(raw_elements) > 4 and fmt == "iaga2002":
+        raise ValueError(
+            "No more than four elements allowed for iaga2002 format."
+        )
+    samples = int(
+        len(raw_elements) * (end_us - start_us) / US / sp
+    )
+    if samples > REQUEST_LIMIT:
+        raise ValueError(
+            f"Request exceeds limit ({samples} > {REQUEST_LIMIT})"
+        )
+    return DataRequest(
+        observatory=str(obs),
+        start_us=start_us,
+        end_us=end_us,
+        elements=tuple(raw_elements),
+        sampling_period=sp,
+        data_type=dtype,
+        format=fmt,
+    )
+
+
+def serve_data_request(
+    store: TierStore, req: DataRequest
+) -> tuple[DataFrame, str]:
+    """Dispatch a validated request to the tier store: sampling period
+    picks the materialized tier, channels filter + derive-on-read run
+    in the serve plan, and the result renders per ``req.format``.
+
+    Returns ``(df, media_type)``: for ``json`` one row per channel with
+    an IMFJSON document column (``application/json``); for ``iaga2002``
+    one ordered text line per sample (``text/plain``) — callers stream
+    or ``collect()`` as their transport requires."""
+    tier = SAMPLING_PERIOD_TIERS[req.sampling_period]
+    df = serve.get_timeseries(
+        store,
+        tier,
+        req.start_us,
+        req.end_us,
+        urls=[req.observatory],
+        channels=list(req.elements),
+        pad=True,
+        derive=True,
+    )
+    if req.format == "json":
+        from ..sources.imfjson import to_imfjson
+
+        return (
+            to_imfjson(df, series_cols=[store.series_cols[0], "channel"]),
+            "application/json",
+        )
+    wide = df.groupBy("t_us").pivot(
+        "channel", list(req.elements)
+    ).agg(F.first("value"))
+    from ..sources.iaga2002 import iaga2002_lines
+
+    return (
+        iaga2002_lines(wide, station=req.observatory, channels=req.elements),
+        "text/plain",
+    )
+
+
+# ----------------------------------------------------- metadata registries
+def elements_df(spark) -> DataFrame:
+    """The /elements registry as a queryable relation."""
+    return spark.createDataFrame(
+        list(ELEMENTS),
+        schema="id string, abbreviation string, name string, units string",
+    )
+
+
+def observatories_df(spark) -> DataFrame:
+    """The /observatories registry as a queryable relation (agency
+    names + sensor-orientation defaults resolved)."""
+    rows = [
+        (
+            o[0], o[1], o[2], o[3], o[4], o[5],
+            _AGENCY_NAMES.get(o[5]), o[6], _orientation(o[5], o[7]),
+        )
+        for o in OBSERVATORIES
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "id string, elevation int, latitude double, longitude double,"
+            " name string, agency string, agency_name string,"
+            " declination_base int, sensor_orientation string"
+        ),
+    )
+
+
+def observatory_geojson(obs_id: str) -> dict:
+    """One observatory as a GeoJSON feature (Observatory.geojson,
+    ``geomagio/api/ws/Observatory.py:55-75``)."""
+    o = next((o for o in OBSERVATORIES if o[0] == obs_id), None)
+    if o is None:
+        raise ValueError(f"Bad observatory id '{obs_id}'.")
+    return {
+        "type": "Feature",
+        "id": o[0],
+        "properties": {
+            "name": o[4],
+            "agency": o[5],
+            "agency_name": _AGENCY_NAMES.get(o[5]),
+            "sensor_orientation": _orientation(o[5], o[7]),
+            "sensor_sampling_rate": 0.01,
+            "declination_base": o[6],
+        },
+        "geometry": {
+            "type": "Point",
+            "coordinates": [o[3], o[2], o[1]],
+        },
+    }

@@ -26,6 +26,20 @@ def write_iaga2002(
     ts_col: str = "t_us",
 ) -> None:
     """Render a wide 4-channel frame to IAGA2002-style text (one file)."""
+    iaga2002_lines(wide, station, channels, ts_col).coalesce(
+        1
+    ).write.mode("overwrite").text(path)
+
+
+def iaga2002_lines(
+    wide: DataFrame,
+    station: str = "BOU",
+    channels=("H", "E", "Z", "F"),
+    ts_col: str = "t_us",
+) -> DataFrame:
+    """IAGA2002 text as an ordered one-column DataFrame (header + data
+    lines) — the response body of the /data endpoint's text rendering;
+    :func:`write_iaga2002` is this plus a single-file text sink."""
     ts = F.timestamp_micros(F.col(ts_col))
     vals = [
         F.format_string(
@@ -55,7 +69,7 @@ def write_iaga2002(
     hdr = lines.sparkSession.createDataFrame(
         [(h,) for h in header], schema="value string"
     )
-    hdr.unionByName(lines).coalesce(1).write.mode("overwrite").text(path)
+    return hdr.unionByName(lines)
 
 
 def read_iaga2002(

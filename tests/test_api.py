@@ -248,3 +248,99 @@ class TestRegistries:
         req = DataRequest("BOU", 0, 1)
         with pytest.raises(Exception):
             req.observatory = "XXX"
+
+
+class TestAlgorithmsEndpoints:
+    """/algorithms/dbdt and /algorithms/residual contract parity."""
+
+    def seed(self, spark, tmp_path):
+        store = TierStore(spark, str(tmp_path / "t"), n_buckets=2)
+        rows = []
+        for i in range(5):
+            rows += [
+                ("BOU", "H", T0 + i * MIN, 20000.0 + i * i),
+                ("BOU", "E", T0 + i * MIN, -100.0 + 2 * i),
+            ]
+        store.write(
+            spark.createDataFrame(
+                rows,
+                schema="url string, channel string, t_us long, value double",
+            ),
+            "minute",
+        )
+        return store
+
+    def _req(self, fmt="json"):
+        return parse_data_request(
+            {
+                "id": "BOU",
+                "starttime": "2020-01-01T00:00:00Z",
+                "endtime": "2020-01-01T00:04:00Z",
+                "elements": "H,E",
+                "format": fmt,
+            },
+            now_us=NOW,
+        )
+
+    def test_dbdt_json(self, spark, tmp_path):
+        from usgs_geomag_algorithms_spark.plans.api import serve_dbdt_request
+
+        store = self.seed(spark, tmp_path)
+        df, media = serve_dbdt_request(store, self._req("json"))
+        assert media == "application/json"
+        rows = {r["channel"]: json.loads(r["json"]) for r in df.collect()}
+        # reference naming: <element>_DT; first slot dropped (diff)
+        assert set(rows) == {"H_DT", "E_DT"}
+        assert rows["H_DT"]["values"] == [1.0, 3.0, 5.0, 7.0]
+        assert rows["E_DT"]["values"] == [2.0, 2.0, 2.0, 2.0]
+
+    def test_dbdt_iaga_lines(self, spark, tmp_path):
+        from usgs_geomag_algorithms_spark.plans.api import serve_dbdt_request
+
+        store = self.seed(spark, tmp_path)
+        df, media = serve_dbdt_request(store, self._req("iaga2002"))
+        assert media == "text/plain"
+        lines = [r["value"] for r in df.collect()]
+        assert any("BOUH_DT" in ln for ln in lines)
+        data = [ln for ln in lines if ln.startswith("2020-01-01")]
+        assert len(data) == 4
+
+    def test_residual_endpoint_roundtrip(self):
+        """POST /algorithms/residual contract over a real recorded
+        session: absolutes repopulated, scale/diagnostics present, other
+        reading fields shallow-copied, ValueError on missing types."""
+        import os
+
+        from usgs_geomag_algorithms_spark.plans.api import residual_request
+
+        fixture = "/root/reference/etc/residual/BOU20191001.json"
+        if not os.path.exists(fixture):
+            pytest.skip("reference fixtures not available")
+        raw = json.load(open(fixture))
+        session = next(
+            r for r in raw
+            if all(
+                a.get("valid")
+                for a in r["absolutes"]
+            )
+        )
+        out = residual_request(dict(session), adjust_reference=False)
+        got = {a["element"]: a for a in out["absolutes"]}
+        exp = {a["element"]: a for a in session["absolutes"]}
+        for el in ("D", "Z"):
+            assert got[el]["absolute"] == pytest.approx(
+                exp[el]["absolute"], abs=2e-4
+            )
+        assert got["H"]["absolute"] == pytest.approx(
+            exp["H"]["absolute"], abs=2e-4
+        )
+        assert out["diagnostics"]["inclination"] is not None
+        assert out["azimuth"] == session["azimuth"]  # shallow copy
+        # missing measurement types -> ValueError (the endpoint's 400)
+        broken = dict(session)
+        broken["measurements"] = [
+            m for m in session["measurements"]
+            if m["measurement_type"] != "WestDown"
+        ]
+        with pytest.raises(ValueError, match="Missing"):
+            residual_request(broken)

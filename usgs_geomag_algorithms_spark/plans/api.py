@@ -359,3 +359,111 @@ def observatory_geojson(obs_id: str) -> dict:
             "coordinates": [o[3], o[2], o[1]],
         },
     }
+
+
+# ------------------------------------------------- /algorithms endpoints
+def serve_dbdt_request(
+    store: TierStore, req: DataRequest
+) -> tuple[DataFrame, str]:
+    """``GET /algorithms/dbdt/`` parity (``geomagio/api/ws/
+    algorithms.py:18-36``): serve the raw tier (derive-on-read, padded
+    grid), first-order difference at the request's sampling period
+    (``operators/dbdt.py`` — shifted-timestamp adjacency, so pad gaps
+    diff to NULL), and render with the reference's ``<element>_DT``
+    channel naming in either output format."""
+    tier = SAMPLING_PERIOD_TIERS[req.sampling_period]
+    from ..operators.dbdt import dbdt
+
+    raw = serve.get_timeseries(
+        store,
+        tier,
+        req.start_us,
+        req.end_us,
+        urls=[req.observatory],
+        channels=list(req.elements),
+        pad=True,
+        derive=True,
+    )
+    d = dbdt(
+        raw,
+        req.sampling_period,
+        series_cols=[store.series_cols[0], "channel"],
+    )
+    elements_dt = [f"{e}_DT" for e in req.elements]
+    if req.format == "json":
+        from ..sources.imfjson import to_imfjson
+
+        return (
+            to_imfjson(d, series_cols=[store.series_cols[0], "channel"]),
+            "application/json",
+        )
+    wide = d.groupBy("t_us").pivot("channel", elements_dt).agg(
+        F.first("value")
+    )
+    from ..sources.iaga2002 import iaga2002_lines
+
+    return (
+        iaga2002_lines(wide, station=req.observatory, channels=elements_dt),
+        "text/plain",
+    )
+
+
+def residual_request(reading: dict, adjust_reference: bool = True) -> dict:
+    """``POST /algorithms/residual`` parity (``geomagio/api/ws/
+    algorithms.py:38-52``): recompute absolutes + scale value from a
+    posted Reading document and return the reading with ``absolutes``,
+    ``scale_value``, and ``diagnostics`` replaced (everything else
+    shallow-copied, NaN rendered as null — the endpoint's JSON
+    contract). Raises ValueError on missing measurement types, exactly
+    like the 400 the reference returns."""
+    import math
+
+    from ..functions.residual import Obs, calculate_absolutes
+
+    def _f(v):
+        return None if v is None else float(v)
+
+    ms = [
+        Obs(
+            mtype=str(m["measurement_type"]),
+            angle=float(m.get("angle", 0.0)),
+            residual=_f(m.get("residual")),
+            h=_f(m.get("h")),
+            e=_f(m.get("e")),
+            z=_f(m.get("z")),
+            f=_f(m.get("f")),
+        )
+        for m in reading.get("measurements", [])
+    ]
+    result = calculate_absolutes(
+        ms,
+        azimuth=float(reading.get("azimuth", 0.0)),
+        hemisphere=int(reading.get("hemisphere", 1)),
+        pier_correction=float(reading.get("pier_correction", 0.0)),
+        adjust_reference=adjust_reference,
+    )
+
+    def _null_nan(v):
+        return None if isinstance(v, float) and math.isnan(v) else v
+
+    absolutes = [
+        {
+            "element": a["element"],
+            "absolute": _null_nan(a["absolute"]),
+            "baseline": _null_nan(a["baseline"]),
+            "shift": a.get("shift", 0.0),
+        }
+        for a in (
+            result["absolutes"]["D"],
+            result["absolutes"]["H"],
+            result["absolutes"]["Z"],
+        )
+    ]
+    out = dict(reading)
+    out["absolutes"] = absolutes
+    out["scale_value"] = _null_nan(result["scale_value"])
+    out["diagnostics"] = {
+        "inclination": _null_nan(result["inclination"]),
+        "meridian": _null_nan(result["meridian"]),
+    }
+    return out

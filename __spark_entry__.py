@@ -591,11 +591,14 @@ def q_rollup_day_pctl_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the minute rate, MERGED into day digests, quantiles served off the
     digest column — the mergeable path that derives coarser percentile
     tiers without re-sorting raw samples (exact quantiles cannot roll
-    up). Build is two-phase: map-side partial digests (mapInPandas, no
-    shuffle), then one centroid-only shuffle. Rank-approximate by
-    construction -> rows-only driver entry; the exact twin of the same
-    shape is rollup_day_pctl, and tests/test_tdigest.py bounds the rank
-    error and checks merge-vs-direct consistency."""
+    up). Build is single-phase here (one skinny raw shuffle keyed
+    (series, hour), vectorized per-partition build): the minute rate is
+    hash-partitioned on the MINUTE key, so map-side partials would not
+    collapse rows (measured 3x slower; the partial=True path exists for
+    key-clustered input). Rank-approximate by construction -> rows-only
+    driver entry; the exact twin of the same shape is rollup_day_pctl,
+    and tests/test_tdigest.py bounds the rank error and checks
+    merge-vs-direct consistency."""
     from usgs_geomag_algorithms_spark.operators.tdigest import (
         tdigest_quantiles,
         tdigest_rollup,

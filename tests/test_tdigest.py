@@ -148,16 +148,44 @@ class TestSparkTier:
                 # partial-split digests: slightly looser than single-pass
                 assert rank_error(vals, q, est) <= 0.03
 
-    def test_two_phase_shuffles_digests_not_rows(self, spark):
-        """The merge stage's input relation is the partial-digest frame:
-        its schema has no raw value column."""
+    def test_partial_mode_shuffles_digests_not_rows(self, spark):
+        """partial=True (key-clustered input): the merge stage's input
+        relation is the partial-digest frame — no raw value column
+        crosses the shuffle."""
         df, _ = _signal(spark, n_series=1, hours=3, per_hour=50)
-        tier = tdigest_tier(df, HOUR_US, series_cols=("series",))
+        tier = tdigest_tier(
+            df, HOUR_US, series_cols=("series",), partial=True
+        )
         plan = tier._jdf.queryExecution().executedPlan().toString()
-        # everything downstream of the one Exchange sees (digest, n) —
-        # the raw value column never crosses the shuffle
         post_shuffle = plan.split("Exchange")[0]
         assert "digest" in post_shuffle and "_v#" not in post_shuffle
+
+    def test_partial_and_single_phase_agree(self, spark):
+        """Both build modes digest the same rows; group counts are
+        identical and extracted quantiles agree to rank-error level
+        (centroid sets differ by partial split, legitimately)."""
+        df, rows = _signal(spark, n_series=2, hours=6, per_hour=200)
+        one = tdigest_tier(
+            df.repartition(8), HOUR_US, series_cols=("series",)
+        )
+        two = tdigest_tier(
+            df.repartition(8), HOUR_US, series_cols=("series",),
+            partial=True,
+        )
+        a = {(r["series"], r["t_us"]): r for r in one.collect()}
+        b = {(r["series"], r["t_us"]): r for r in two.collect()}
+        assert set(a) == set(b)
+        by_key = {}
+        for s, t, v in rows:
+            by_key.setdefault((s, (t // HOUR_US) * HOUR_US), []).append(v)
+        for k in a:
+            assert a[k]["n"] == b[k]["n"] == len(by_key[k])
+            vals = np.array(by_key[k])
+            for q in (0.5, 0.95):
+                ea = digest_quantile(bytes(a[k]["digest"]), [q])[0]
+                eb = digest_quantile(bytes(b[k]["digest"]), [q])[0]
+                assert rank_error(vals, q, ea) <= 0.03
+                assert rank_error(vals, q, eb) <= 0.03
 
     def test_day_rollup_matches_raw_digest(self, spark):
         df, rows = _signal(spark, hours=48)

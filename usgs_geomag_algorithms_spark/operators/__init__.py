@@ -27,6 +27,10 @@ _REGISTRY = {
     ),
     "simhash": ("usgs_geomag_algorithms_spark.operators.dedup", "simhash"),
     "knn": ("usgs_geomag_algorithms_spark.operators.similarity", "cosine_topk"),
+    "tdigest": (
+        "usgs_geomag_algorithms_spark.operators.tdigest",
+        "tdigest_tier",
+    ),
 }
 
 

@@ -150,6 +150,91 @@ def digest_quantile(payload: bytes, qs: Sequence[float]) -> np.ndarray:
 
 
 # ----------------------------------------------------------- Spark layer
+def _segment_compress(codes, means, weights, delta):
+    """The :func:`compress` kernel applied to MANY groups in one
+    vectorized pass (the per-group-Python-call version costs ~0.5 ms/
+    group in loop overhead — measured 10x slower at a few thousand
+    groups/batch): lexsort by (group, mean), weighted in-group midpoint
+    ranks via a base-subtracted global cumsum, k1 cells as group-offset
+    segment ids, one ``reduceat``. Returns per-group centroid slices:
+    (group_order_codes, seg_m, seg_w, gseg_starts, gseg_ends,
+    group_starts, group_counts, order)."""
+    order = np.lexsort((means, codes))
+    c = codes[order]
+    m = means[order]
+    w = weights[order]
+    n = len(c)
+    starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    counts = np.diff(np.r_[starts, n])
+    totals = np.add.reduceat(w, starts)
+    cw = np.cumsum(w)
+    base = np.repeat(np.r_[0.0, cw[starts[1:] - 1]], counts)
+    qmid = (cw - base - 0.5 * w) / np.repeat(totals, counts)
+    kk = np.floor(
+        delta * (np.arcsin(np.clip(2.0 * qmid - 1.0, -1.0, 1.0)) / np.pi + 0.5)
+    ).astype(np.int64)
+    seg = c * (delta + 2) + kk  # group-major, cell-minor: non-decreasing
+    seg_starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+    seg_w = np.add.reduceat(w, seg_starts)
+    seg_m = np.add.reduceat(w * m, seg_starts) / seg_w
+    seg_grp = c[seg_starts]
+    gseg_starts = np.flatnonzero(np.r_[True, seg_grp[1:] != seg_grp[:-1]])
+    gseg_ends = np.r_[gseg_starts[1:], len(seg_grp)]
+    return c, m, seg_m, seg_w, gseg_starts, gseg_ends, starts, counts, order
+
+
+def _batch_digests(pdf, gcols: list, delta: int):
+    """One digest per (gcols) group of a raw-value batch, vectorized
+    across groups via :func:`_segment_compress`; only the final
+    per-group ``pack_digest`` loops (~10 µs each). Returns
+    (key_rows, digests, counts)."""
+    codes = pdf.groupby(gcols, sort=False).ngroup().to_numpy()
+    vals = pdf["_v"].to_numpy(dtype=np.float64)
+    (c, m, seg_m, seg_w, ga, gb, starts, counts, order) = _segment_compress(
+        codes, vals, np.ones_like(vals), delta
+    )
+    first_rows = order[starts]  # one original row index per group
+    keys = pdf.iloc[first_rows][gcols].itertuples(index=False, name=None)
+    digests = [
+        pack_digest(seg_m[a:b], seg_w[a:b], m[s], m[s + k - 1])
+        for a, b, s, k in zip(ga, gb, starts, counts)
+    ]
+    return list(keys), digests, counts.tolist()
+
+
+def _batch_merge(pdf, gcols: list, delta: int):
+    """Merge packed digests per (gcols) group, vectorized across groups:
+    unpack rows (the only per-row loop), concatenate centroid arrays
+    with per-row group codes, one :func:`_segment_compress`, exact
+    extrema by ``minimum.reduceat`` over the stored mins/maxs. Returns
+    (key_rows, digests, ns)."""
+    codes = pdf.groupby(gcols, sort=False).ngroup().to_numpy()
+    unpacked = [unpack_digest(bytes(b)) for b in pdf["digest"]]
+    lens = np.array([len(u[0]) for u in unpacked])
+    cat_m = np.concatenate([u[0] for u in unpacked])
+    cat_w = np.concatenate([u[1] for u in unpacked])
+    cat_codes = np.repeat(codes, lens)
+    row_mn = np.array([u[2] for u in unpacked])
+    row_mx = np.array([u[3] for u in unpacked])
+    ns = pdf["n"].to_numpy(dtype=np.int64)
+    ro = np.argsort(codes, kind="stable")
+    rstarts = np.flatnonzero(
+        np.r_[True, codes[ro][1:] != codes[ro][:-1]]
+    )
+    gmin = np.minimum.reduceat(row_mn[ro], rstarts)
+    gmax = np.maximum.reduceat(row_mx[ro], rstarts)
+    gn = np.add.reduceat(ns[ro], rstarts)
+    keys = pdf.iloc[ro[rstarts]][gcols].itertuples(index=False, name=None)
+    (_, _, seg_m, seg_w, ga, gb, _, _, _) = _segment_compress(
+        cat_codes, cat_m, cat_w, delta
+    )
+    digests = [
+        pack_digest(seg_m[a:b], seg_w[a:b], mn, mx)
+        for a, b, mn, mx in zip(ga, gb, gmin, gmax)
+    ]
+    return list(keys), digests, gn.tolist()
+
+
 def _tier_schema(df: DataFrame, series_cols: Sequence[str]) -> str:
     parts = [
         f"{f.name} {f.dataType.simpleString()}"
@@ -166,12 +251,27 @@ def tdigest_tier(
     ts_col: str = "t_us",
     value_col: str = "value",
     delta: int = DELTA,
+    partial: bool = False,
 ) -> DataFrame:
     """(series, t_us, digest, n): the storable quantile-sketch tier over
-    an unbounded-cardinality signal. Two-phase: map-side partial digests
-    per input partition (mapInPandas — zero shuffle, the hand-built
-    partial-aggregate state), then ONE shuffle keyed (series, bucket)
-    whose rows are centroid arrays, merged by applyInPandas."""
+    an unbounded-cardinality signal.
+
+    Default (``partial=False``): ONE shuffle of the skinny raw rows
+    keyed (series, bucket), then one vectorized digest build per
+    partition covering all its buckets — the same shuffle shape as the
+    boxcar tiers. This is the right plan when the input's partitioning
+    does not cluster bucket keys (e.g. the output of an upstream
+    aggregate, hash-partitioned on a finer key): a map-side "partial"
+    there would emit nearly one digest row per input row — a FATTER
+    relation than the raw rows — and was measured 3x slower at 8M rows.
+
+    ``partial=True``: map-side partial digests per input partition
+    (mapInPandas, the hand-built partial-aggregate state), then the
+    merge shuffle carries centroid arrays only. Choose this when input
+    partitions are key-clustered — a time-sorted store scan, a kafka
+    partition per series — where partials genuinely collapse many rows
+    per (bucket, partition). This is the same adaptivity Spark's own
+    HashAggregate applies when a partial aggregate stops reducing."""
     series_cols = list(series_cols)
     v = F.col(value_col)
     keyed = sig.where(v.isNotNull() & ~F.isnan(v)).select(
@@ -182,33 +282,69 @@ def tdigest_tier(
     schema = _tier_schema(keyed, series_cols)
     gcols = series_cols + ["t_us"]
 
+    if not partial:
+
+        def _build_all(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            parts = [p for p in batches if not p.empty]
+            if not parts:
+                return
+            pdf = (
+                pd.concat(parts, ignore_index=True)
+                if len(parts) > 1
+                else parts[0]
+            )
+            keys, digests, ns = _batch_digests(pdf, gcols, delta)
+            out = pd.DataFrame(keys, columns=gcols)
+            out["digest"] = digests
+            out["n"] = ns
+            yield out
+
+        return keyed.repartition(*gcols).mapInPandas(
+            _build_all, schema=schema
+        )
+
     def _partials(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = []
-            for key, grp in pdf.groupby(gcols, sort=False):
-                key = key if isinstance(key, tuple) else (key,)
-                vals = grp["_v"].to_numpy(dtype=np.float64)
-                out.append(
-                    (*key, digest_of(vals, delta), len(vals))
-                )
-            yield pd.DataFrame(out, columns=gcols + ["digest", "n"])
+            keys, digests, ns = _batch_digests(pdf, gcols, delta)
+            out = pd.DataFrame(keys, columns=gcols)
+            out["digest"] = digests
+            out["n"] = ns
+            yield out
 
-    partial = keyed.mapInPandas(_partials, schema=schema)
+    partial_df = keyed.mapInPandas(_partials, schema=schema)
+    return _merge_by_key(partial_df, gcols, schema, delta)
 
-    def _merge(key, pdf):
+
+def _merge_by_key(
+    digests: DataFrame, gcols: list, schema: str, delta: int
+) -> DataFrame:
+    """Merge digest rows per (gcols) key: hash-repartition on the key
+    (all rows of a key land in one partition), then ONE vectorized
+    merge per partition across all its keys (mapInPandas draining the
+    partition — per-partition rows are bounded by tier cardinality /
+    parallelism, the raw samples are long gone). applyInPandas would
+    pay per-group Python overhead at every key instead."""
+
+    def _merge_all(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        d = merge_digests(pdf["digest"].tolist(), delta)
-        return pd.DataFrame(
-            [(*key, d, int(pdf["n"].sum()))],
-            columns=gcols + ["digest", "n"],
-        )
+        parts = [p for p in batches if not p.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        keys, ds, ns = _batch_merge(pdf, gcols, delta)
+        out = pd.DataFrame(keys, columns=gcols)
+        out["digest"] = ds
+        out["n"] = ns
+        yield out
 
-    return partial.groupBy(*gcols).applyInPandas(_merge, schema=schema)
+    return digests.repartition(*gcols).mapInPandas(_merge_all, schema=schema)
 
 
 def tdigest_rollup(
@@ -221,7 +357,6 @@ def tdigest_rollup(
     never re-reading raw samples. Input/output schema: series + t_us +
     digest + n."""
     series_cols = list(series_cols)
-    gcols = series_cols + ["t_us"]
     rekeyed = fine.select(
         *series_cols,
         F.expr(f"(t_us div {out_us}) * {out_us}").alias("t_us"),
@@ -229,17 +364,7 @@ def tdigest_rollup(
         "n",
     )
     schema = _tier_schema(rekeyed, series_cols)
-
-    def _merge(key, pdf):
-        import pandas as pd
-
-        d = merge_digests(pdf["digest"].tolist(), delta)
-        return pd.DataFrame(
-            [(*key, d, int(pdf["n"].sum()))],
-            columns=gcols + ["digest", "n"],
-        )
-
-    return rekeyed.groupBy(*gcols).applyInPandas(_merge, schema=schema)
+    return _merge_by_key(rekeyed, series_cols + ["t_us"], schema, delta)
 
 
 def tdigest_quantiles(

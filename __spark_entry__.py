@@ -613,6 +613,67 @@ def q_rollup_day_pctl_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tdigest_quantiles(day, ps=(0.5, 0.95))
 
 
+def q_rolling_p95_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-24h p50/p95 of the minute rate per present hour —
+    the expand plan (each minute row explodes to the 24 hour windows it
+    feeds, one exact percentile per window end), carrying the oracle
+    for the digest path's amplification-free alternative. The 24x
+    amplification here is over RAW minute rows — exactly the cost
+    tdigest_rolling's tier-level explode avoids."""
+    rate = _minute_rate(spark, sf_dir)
+    hour_of = F.expr(f"(t_us div {HOUR_US}) * {HOUR_US}")
+    span = 23 * HOUR_US
+    exploded = rate.select(
+        "event_type",
+        F.explode(
+            F.expr(
+                f"sequence((t_us div {HOUR_US}) * {HOUR_US},"
+                f" (t_us div {HOUR_US}) * {HOUR_US} + {span}, {HOUR_US})"
+            )
+        ).alias("t_us"),
+        F.col("v").cast("double").alias("value"),
+    )
+    present = rate.select(
+        "event_type", hour_of.alias("t_us")
+    ).distinct()
+    grouped = exploded.groupBy("event_type", "t_us").agg(
+        F.percentile("value", [0.5, 0.95]).alias("_q"),
+        F.count("*").alias("n_values"),
+    )
+    return grouped.join(present, ["event_type", "t_us"]).select(
+        "event_type",
+        "t_us",
+        F.round(F.element_at("_q", 1), 4).alias("p50"),
+        F.round(F.element_at("_q", 2), 4).alias("p95"),
+        "n_values",
+    )
+
+
+def q_rolling_p95_day_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window percentiles off the digest tier
+    (operators/tdigest.py::tdigest_rolling): each HOUR digest explodes
+    to the 24 window ends it feeds and one vectorized merge pass
+    combines each window's <=24 digests — the amplified relation is
+    bounded by calendar hours, raw minute rows are never re-sorted
+    (the expand plan's 24x raw amplification is exactly what this
+    avoids). Rows-only (rank estimates); exact twin rolling_p95_day
+    carries the oracle."""
+    from usgs_geomag_algorithms_spark.operators.tdigest import (
+        tdigest_quantiles,
+        tdigest_rolling,
+        tdigest_tier,
+    )
+
+    rate = _minute_rate(spark, sf_dir).select(
+        "event_type", "t_us", F.col("v").cast("double").alias("value")
+    )
+    hour = tdigest_tier(rate, HOUR_US, series_cols=("event_type",))
+    roll = tdigest_rolling(
+        hour, window_buckets=24, series_cols=("event_type",)
+    )
+    return tdigest_quantiles(roll, ps=(0.5, 0.95))
+
+
 #: inactivity gap separating user-activity sessions (30 min, in us)
 SESSION_GAP_US = 1_800_000_000
 
@@ -1951,6 +2012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hour_pctl": q_rollup_hour_pctl,
         "rollup_day_pctl": q_rollup_day_pctl,
         "rollup_day_pctl_sketch": q_rollup_day_pctl_sketch,
+        "rolling_p95_day": q_rolling_p95_day,
+        "rolling_p95_day_sketch": q_rolling_p95_day_sketch,
         "purchase_asof_view": q_purchase_asof_view,
         "rate_anomaly": q_rate_anomaly,
         "changepoint_cusum": q_changepoint_cusum,
@@ -2665,6 +2728,36 @@ SELECT event_type, t_us,
 FROM sorted
 """
 
+    rolling_p95_day = f"""
+WITH rate AS (
+    SELECT event_type,
+           (epoch_us(ts) // {MIN_US}) * {MIN_US} AS t_us,
+           count(*)::DOUBLE AS v
+    FROM events GROUP BY 1, 2
+),
+exploded AS (
+    SELECT r.event_type,
+           (r.t_us // {HOUR_US}) * {HOUR_US} + k.k * {HOUR_US} AS t_us,
+           r.v
+    FROM rate r CROSS JOIN (SELECT range AS k FROM range(0, 24)) k
+),
+sorted AS (
+    SELECT event_type, t_us, list(v ORDER BY v) AS l, count(*) AS n
+    FROM exploded GROUP BY 1, 2
+),
+present AS (
+    SELECT DISTINCT event_type,
+           (t_us // {HOUR_US}) * {HOUR_US} AS t_us
+    FROM rate
+)
+SELECT s.event_type, s.t_us,
+       {_pctl_expr('0.5')} AS p50,
+       {_pctl_expr('0.95')} AS p95,
+       n AS n_values
+FROM sorted s JOIN present p
+  ON s.event_type = p.event_type AND s.t_us = p.t_us
+"""
+
     # exact-integer trailing variance: (Σv² − (Σv)²/n)/(n−1) with BIGINT
     # window sums (order-independent), same expression tree as Spark;
     # stddev()/var_samp() on either engine are order-dependent Welford
@@ -3320,6 +3413,7 @@ FROM s
         "session_stats": session_stats_sql,
         "rollup_hour_pctl": rollup_hour_pctl,
         "rollup_day_pctl": rollup_day_pctl,
+        "rolling_p95_day": rolling_p95_day,
         "purchase_asof_view": purchase_asof_view,
         "rate_anomaly": rate_anomaly,
         "changepoint_cusum": changepoint_cusum,

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "rollup_month_value",
     "rollup_hour_pctl",
     "rollup_day_pctl_sketch",
+    "rolling_p95_day_sketch",
     "rate_anomaly",
     "mad_outliers_hour",
     "active_users_hour",

@@ -323,3 +323,33 @@ class TestTdigestStream:
             for r in store.read("hour_digest").collect()
         }
         assert after == before
+
+
+class TestRollingDigest:
+    def test_rolling_matches_brute_force(self, spark):
+        from usgs_geomag_algorithms_spark.operators.tdigest import (
+            tdigest_rolling,
+        )
+
+        df, rows = _signal(spark, n_series=2, hours=30, per_hour=120)
+        hour = tdigest_tier(df, HOUR_US, series_cols=("series",))
+        roll = tdigest_rolling(
+            hour, window_buckets=24, series_cols=("series",)
+        ).collect()
+        # brute force: trailing-24h raw values per present hour
+        by_hour = {}
+        for s, t, v in rows:
+            by_hour.setdefault((s, (t // HOUR_US) * HOUR_US), []).append(v)
+        got = {(r["series"], r["t_us"]): r for r in roll}
+        assert set(got) == set(by_hour)  # only present hours
+        for (s, t), r in got.items():
+            vals = np.concatenate(
+                [
+                    by_hour.get((s, t - k * HOUR_US), [])
+                    for k in range(24)
+                ]
+            )
+            assert r["n"] == len(vals)
+            for q in (0.5, 0.95):
+                est = digest_quantile(bytes(r["digest"]), [q])[0]
+                assert rank_error(vals, q, est) <= 0.03

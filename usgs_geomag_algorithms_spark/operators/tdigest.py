@@ -14,17 +14,30 @@ boxcar tiers derive day from hour (tiers.py) and the HLL tier unions
 sketches (operators/sketches.py): raw samples are read once, at the
 finest tier.
 
-Scale shape (the part that matters at 100 TB): the hour tier builds in
-TWO phases — a map-side ``mapInPandas`` pass turns each input partition's
-rows into per-(series, bucket) PARTIAL digests (no shuffle; this is the
-hand-built analog of an aggregate's partial state, since Spark has no
-pandas UDAF), then one ``applyInPandas`` merge keyed (series, bucket) —
-so the only shuffle carries centroid arrays bounded by ``delta``
-(~128 doubles), never the raw value column. Day-from-hour is a second
-digest merge whose input is already tier-sized. Estimates are
-rank-approximate by construction -> the driver entry is rows-only; the
-exact twin (``rollup_day_pctl``, same plan shape with Spark's exact
-``percentile``) carries the DuckDB oracle, and tests/test_tdigest.py
+Scale shape (the part that matters at 100 TB): the hour tier build is
+DUAL-MODE. Default: one shuffle of the skinny raw rows keyed (series,
+bucket), then one VECTORIZED digest build per partition covering all
+its buckets — right when the input's partitioning does not cluster
+bucket keys (an upstream aggregate hash-partitioned on a finer key),
+where map-side "partials" would emit nearly one fat digest row per
+input row and were measured 3x slower. ``partial=True``: a map-side
+``mapInPandas`` pass turns each input partition's rows into
+per-(series, bucket) PARTIAL digests (the hand-built analog of an
+aggregate's partial state, since Spark has no pandas UDAF), then one
+merge keyed (series, bucket) — the only shuffle carries centroid
+arrays bounded by ``delta`` (~128 doubles), never the raw value
+column; choose it for key-clustered input (a time-sorted store scan) —
+the same adaptivity Spark's HashAggregate applies when partial
+aggregation stops reducing. Either way, every per-group kernel runs
+vectorized across ALL groups of a batch in one lexsort + reduceat
+segment pass (:func:`_segment_compress`). Day-from-hour is a digest
+merge whose input is already tier-sized; trailing windows
+(:func:`tdigest_rolling`) explode the HOUR TIER to the window ends it
+feeds — amplification bounded by calendar buckets, never corpus size.
+Estimates are rank-approximate by construction -> the driver entries
+are rows-only; the exact twins (``rollup_day_pctl``,
+``rolling_p95_day``, same plan shapes with Spark's exact
+``percentile``) carry the DuckDB oracles, and tests/test_tdigest.py
 bounds the rank error and checks merge-vs-direct consistency.
 
 Construction is the "one-shot" sorted build with the k1 scale function:
@@ -420,3 +433,38 @@ def tdigest_store(spark, root: str, series_col: str = "series"):
         series_cols=(series_col,),
         value_schema="digest binary, n long",
     )
+
+
+def tdigest_rolling(
+    hour_tier: DataFrame,
+    window_buckets: int = 24,
+    bucket_us: int = HOUR_US,
+    series_cols: Sequence[str] = ("series",),
+    delta: int = DELTA,
+) -> DataFrame:
+    """Trailing-window digests ending at each PRESENT bucket — the
+    quantile analog of the sliding distinct count
+    (``operators/sketches.py::rolling_users_sketch``): a trailing-24h
+    p95 recomputed exactly needs every window's raw samples re-sorted
+    (the expand plan's 24x amplification over RAW rows); here each
+    hour-tier digest row explodes to the ``window_buckets`` window ends
+    it feeds — the amplified relation is bounded by calendar buckets,
+    never corpus size — and one :func:`_merge_by_key` pass merges each
+    window's <=24 digests. Output rows are restricted to window ends
+    that are themselves present buckets (matching the exact twin's row
+    set). Schema: series + t_us + digest + n."""
+    series_cols = list(series_cols)
+    gcols = series_cols + ["t_us"]
+    span = (int(window_buckets) - 1) * bucket_us
+    exploded = hour_tier.select(
+        *series_cols,
+        F.explode(
+            F.expr(f"sequence(t_us, t_us + {span}, {bucket_us})")
+        ).alias("t_us"),
+        "digest",
+        "n",
+    )
+    present = hour_tier.select(*gcols)
+    schema = _tier_schema(exploded, series_cols)
+    merged = _merge_by_key(exploded, gcols, schema, delta)
+    return merged.join(present, gcols)

@@ -38,8 +38,12 @@ class TestDriverContract:
             "hll_users_day",  # DataSketches estimate; exact twin is
             # distinct_users_day, error bound in tests/test_sketches.py
             "knn_ivf",  # coarse centroids trained from data (seeded k-means)
+            "rolling_p95_day_sketch",  # t-digest trailing-window estimate;
+            # exact twin is rolling_p95_day
             "rolling_users_day_sketch",  # HLL range-frame estimate; exact
             # twin is rolling_users_day
+            "rollup_day_pctl_sketch",  # t-digest day percentiles; exact
+            # twin is rollup_day_pctl
             "source_overlap_sketch",  # HLL set-algebra estimate; exact
             # twin is source_overlap, error bound in tests
             "sqdist_decompose",  # real-data stateful; kernel oracle-checked

@@ -147,21 +147,29 @@ def adjusted(
 
     The matrix is tiny and baked into the plan as literals (constant-folded),
     the reference's statefile matrix application
-    (``AdjustedMatrix.py:32-51``)."""
+    (``AdjustedMatrix.py:32-51``). The matrix may be any (k+1)x(k+1) square —
+    the reference's e-field polarity inversion is the 3x3 case over
+    [E-E, E-N, 1] (``geomagio/processing/efield.py:33-39``,
+    ``AdjustedAlgorithm.py:60-66`` infers channel count from matrix size)."""
     m = np.asarray(matrix, dtype=float)
-    h, e, z = (F.col(c) for c in in_channels[:3])
+    if m.ndim != 2 or m.shape[0] != m.shape[1]:
+        raise ValueError(f"adjusted matrix must be square, got {m.shape}")
+    k = m.shape[0] - 1
+    ins = [F.col(c) for c in in_channels[:k]]
+    if len(ins) < k:
+        raise ValueError(f"matrix rank {k + 1} needs {k} in_channels")
     # one select: all rows of the matrix apply to the ORIGINAL inputs even
     # when out_channels overlaps in_channels (chained withColumn would feed
     # already-transformed values into later rows)
     chan = {}
-    for i, name in enumerate(out_channels[:3]):
-        chan[name] = (
-            F.lit(float(m[i, 0])) * h
-            + F.lit(float(m[i, 1])) * e
-            + F.lit(float(m[i, 2])) * z
-            + F.lit(float(m[i, 3]))
-        )
-    if len(in_channels) > 3 and len(out_channels) > 3:
-        chan[out_channels[3]] = F.col(in_channels[3]) + F.lit(float(pier_correction))
+    for i, name in enumerate(out_channels[:k]):
+        # products first, constant last — the exact float-add order of the
+        # original 4x4 formulation (hash oracles compare bit-exact)
+        acc = F.lit(float(m[i, 0])) * ins[0]
+        for j in range(1, k):
+            acc = acc + F.lit(float(m[i, j])) * ins[j]
+        chan[name] = acc + F.lit(float(m[i, k]))
+    if len(in_channels) > k and len(out_channels) > k:
+        chan[out_channels[k]] = F.col(in_channels[k]) + F.lit(float(pier_correction))
     passthrough = [c for c in wide.columns if c not in chan]
     return wide.select(*passthrough, *[v.alias(k) for k, v in chan.items()])

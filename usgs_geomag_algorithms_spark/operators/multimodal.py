@@ -9,13 +9,14 @@ REAL pure-stdlib/NumPy codecs cover: **PPM (P6)**, **non-interlaced
 spectral selection, successive approximation, EOB runs)** images
 (decode, pixel stats, bilinear resize, re-encode — see
 ``jpeg_codec.py``), **WAV
-(PCM 8/16-bit + G.711 A-law/µ-law) audio** (decode, waveform stats,
-linear resample, re-encode), and **MJPEG + uncompressed-DIB AVI video**
-(container walk, per-frame JPEG decode or raw BGR unpack, real frame
-sampling) — genuinely functional
+(PCM 8/16-bit + G.711 A-law/µ-law + IMA ADPCM) and FLAC
+(lossless compressed — ``flac_codec.py``) audio** (decode, waveform
+stats, linear resample, re-encode), and **MJPEG + uncompressed-DIB AVI
+video** (container walk, per-frame JPEG decode or raw BGR unpack, real
+frame sampling) — genuinely functional
 paths for all four modalities with zero external libraries. The
-remaining formats (arithmetic-coded/lossless JPEG, float/compressed
-audio beyond G.711+IMA-ADPCM, inter-frame-coded video) are STUBBED (no pillow/ffmpeg in this container):
+remaining formats (arithmetic-coded/lossless JPEG, perceptual lossy
+audio — MP3/AAC/Vorbis, inter-frame-coded video) are STUBBED (no pillow/ffmpeg in this container):
 ``deterministic=True`` produces a seeded fake decode (hash-derived
 dimensions + features) so the Spark-side plumbing — schema, batch
 iteration, partitioning — is real and tested; ``deterministic=False``
@@ -648,6 +649,18 @@ def wav_decode(payload: bytes) -> tuple[np.ndarray, int] | None:
     return x.reshape(-1, channels), int(rate)
 
 
+def audio_decode(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Container dispatch for the real audio codecs: RIFF/WAV (PCM,
+    G.711, IMA ADPCM — :func:`wav_decode`) and FLAC
+    (:mod:`.flac_codec`, lossless compressed). Same return contract as
+    ``wav_decode``: float64 in [-1, 1] shaped (n, channels) + rate."""
+    if payload[:4] == b"fLaC":
+        from .flac_codec import flac_decode
+
+        return flac_decode(payload)
+    return wav_decode(payload)
+
+
 def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
     """(n_samples, n_channels) float in [-1, 1] -> 16-bit PCM WAV."""
     import struct
@@ -720,7 +733,7 @@ def resample_audio(
         for pdf in it:
             rates, counts, blobs = [], [], []
             for b in pdf[payload_col]:
-                dec = wav_decode(bytes(b))
+                dec = audio_decode(bytes(b))
                 if dec is not None:
                     samples, rate = dec
                     out = resample_audio_kernel(samples, rate, target_rate)
@@ -909,7 +922,7 @@ def waveform_stats(
                 )
             }
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                dec = wav_decode(bytes(payload))
+                dec = audio_decode(bytes(payload))
                 if dec is None:
                     continue
                 x, rate = dec
@@ -1013,7 +1026,7 @@ def decode_media(
             for b, d, k in zip(pdf[payload_col], digests, pdf["kind"]):
                 raw = bytes(b)
                 img, _fmt = decode_image(raw)
-                wav = wav_decode(raw) if img is None else None
+                wav = audio_decode(raw) if img is None else None
                 avi = (
                     avi_mjpeg_frames(raw)
                     if img is None and wav is None

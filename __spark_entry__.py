@@ -1285,14 +1285,14 @@ def q_rollup_fir_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-width 2700s): exercises the explode-to-anchor FIR plan — masked
     dot, renormalization, 10% rule — against an exact SQL oracle."""
     from usgs_geomag_algorithms_spark.tiers import Step
-    from usgs_geomag_algorithms_spark.functions.windows import gaussian
+    from usgs_geomag_algorithms_spark.functions.windows import gaussian_periodic
 
     step = Step(
         name="fir-gauss-91-minute",
         data_interval="hour",
         input_sample_period=60.0,
         output_sample_period=3600.0,
-        window=gaussian(91, 15.8734),
+        window=gaussian_periodic(91, 15.8734),
         type="firfilter",
     )
     sig = _minute_signal(spark, sf_dir)
@@ -2552,9 +2552,9 @@ FROM documents
 """
     from usgs_geomag_algorithms_spark.webtext_queries import ORACLES as WO
 
-    from usgs_geomag_algorithms_spark.functions.windows import gaussian
+    from usgs_geomag_algorithms_spark.functions.windows import gaussian_periodic
 
-    w = gaussian(91, 15.8734)
+    w = gaussian_periodic(91, 15.8734)
     w = w / w.sum()
     lits = ", ".join(f"{x:.17g}" for x in w)
     HW = 2_700_000_000

@@ -4,7 +4,7 @@ Reproduces the coefficient vectors the reference builds with scipy at
 module-import time (``geomagio/algorithm/FilterAlgorithm.py:21,33,45,57``):
 
 - ``firwin(123, 0.25, window="blackman", fs=10.0)``  (10 Hz -> 1 s)
-- ``get_window(("gaussian", 15.8734), 91)``           (1 s -> 1 min, INTERMAGNET)
+- ``get_window(("gaussian", 15.8734), 91)``           (1 s -> 1 min, INTERMAGNET;\n  NOTE: get_window defaults to fftbins=True -> the PERIODIC, half-sample-\n  shifted gaussian — see gaussian_periodic)
 - ``boxcar(60)`` / ``boxcar(1440)``                   (min -> hour / day)
 
 The engine normalizes every window by its sum before use (reference does the
@@ -32,6 +32,19 @@ def gaussian(numtaps: int, std: float) -> np.ndarray:
     same formula as scipy.signal.windows.gaussian(sym=True)."""
     n = np.arange(numtaps, dtype=np.float64) - (numtaps - 1) / 2.0
     return np.exp(-0.5 * (n / std) ** 2)
+
+
+def gaussian_periodic(numtaps: int, std: float) -> np.ndarray:
+    """PERIODIC Gaussian window — what the reference actually ships for
+    the INTERMAGNET minute filter: ``scipy.signal.get_window(("gaussian",
+    std), Nx)`` defaults to ``fftbins=True``, which builds the symmetric
+    (Nx+1)-point window and drops the last sample. The result is
+    asymmetric (effective center at Nx/2, a half-INPUT-sample shift:
+    w[45] == w[46] for Nx=91). Discovered against the reference's own
+    ``etc/filter`` fixtures: the symmetric variant is ~0.02 nT off in
+    quiet field and whole nT off during fast variations."""
+    n = np.arange(numtaps + 1, dtype=np.float64) - numtaps / 2.0
+    return np.exp(-0.5 * (n / std) ** 2)[:-1]
 
 
 def boxcar(numtaps: int) -> np.ndarray:

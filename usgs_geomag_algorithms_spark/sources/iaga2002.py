@@ -41,9 +41,13 @@ def iaga2002_lines(
     lines) — the response body of the /data endpoint's text rendering;
     :func:`write_iaga2002` is this plus a single-file text sink."""
     ts = F.timestamp_micros(F.col(ts_col))
+    # the reference's exact data layout (IAGA2002Writer._format_values,
+    # IAGA2002Writer.py:264-275): "...DOY   " then " %9.2f" per channel,
+    # so values land in the fixed-width parser's [31:40]/[41:50]/[51:60]/
+    # [61:70] slices (IAGA2002Parser.py:160-165)
     vals = [
         F.format_string(
-            "%10.2f", F.coalesce(F.col(c).cast("double"), F.lit(99999.00))
+            " %9.2f", F.coalesce(F.col(c).cast("double"), F.lit(99999.00))
         )
         for c in channels
     ]
@@ -61,7 +65,7 @@ def iaga2002_lines(
             F.date_format(ts, "HH:mm:ss.SSS"),
             F.lit(" "),
             F.format_string("%3s", F.date_format(ts, "DDD")),
-            F.lit("  "),
+            F.lit("   "),
             *vals,
         ).alias("value"),
         F.col(ts_col).alias("_t"),
@@ -85,9 +89,10 @@ def read_iaga2002(
     timec = F.substring("value", 12, 12)
     ts = F.to_timestamp(F.concat(date, F.lit(" "), timec), "yyyy-MM-dd HH:mm:ss.SSS")
     cols = [F.unix_micros(ts).alias("t_us")]
-    base = 29  # date(10)+sp+time(12)+sp+doy(3)+2sp before the value fields
+    # the reference parser's fixed-width slices: line[31:40], [41:50],
+    # [51:60], [61:70] (IAGA2002Parser.py:160-165; substring is 1-based)
     for i, c in enumerate(channels):
-        v = F.trim(F.substring("value", base + i * 10 + 1, 10)).cast("double")
+        v = F.trim(F.substring("value", 32 + i * 10, 9)).cast("double")
         cols.append(
             F.when(v.isin(*[F.lit(s) for s in SENTINELS]), None)
             .otherwise(v)

@@ -178,7 +178,7 @@ def _mk_steps() -> list[Step]:
             data_interval="minute",
             input_sample_period=1.0,
             output_sample_period=60.0,
-            window=windows.gaussian(91, 15.8734),
+            window=windows.gaussian_periodic(91, 15.8734),
             type="firfilter",
             filter_comments=(
                 "Scalar and Vector 1-minute values are computed from 1 Hz values "

@@ -158,3 +158,122 @@ class TestDbDtFixture:
             spark, f"{ETC}/dbdt/BOU202005dbdt.min", "BOU", ("H",)
         )
         compare(got, exp, {"H"}, min_rows=50)
+
+
+class TestControllerSqDistFixture:
+    """Controller_test.test_controller_update_sqdist: the reference's
+    six-invocation realtime SqDist scenario on REAL BOU data with the
+    shipped statefile — gaps that are shorter than the realtime interval
+    are not projected over, longer ones free-run, and a restart before
+    ``next_starttime`` resumes where the state left off
+    (Controller.py:292-304 realtime pad/trim; SqDistAlgorithm state)."""
+
+    MIN_US = 60 * 1_000_000
+    REALTIME_US = 600 * 1_000_000
+
+    def load_h(self, spark):
+        import math
+
+        wide = read_iaga2002(
+            spark,
+            f"{ETC}/controller/bou20181024_XYZF_vmin.min",
+            station="BOU",
+            channels=("X", "Y", "Z", "F"),
+        )
+        h = {}
+        for r in wide.collect():
+            if r.X is None or r.Y is None:
+                h[r.t_us] = float("nan")
+            else:
+                h[r.t_us] = math.hypot(r.X, r.Y)  # get_mag_from_geo
+        return h
+
+    def test_six_invocations_match_expected(self, spark):
+        import json as _json
+        from datetime import datetime, timezone
+
+        from usgs_geomag_algorithms_spark.operators.sqdist import (
+            HWParams,
+            HWState,
+            sqdist_decompose,
+        )
+
+        raw = _json.load(
+            open(f"{ETC}/controller/sqdistBOU_h_state.json")
+        )
+        next_start = int(
+            datetime.fromisoformat(
+                raw["next_starttime"].replace("Z", "+00:00")
+            ).timestamp()
+            * 1_000_000
+        )
+        state = HWState(
+            yhat0=raw["yhat0"],
+            s0=raw["s0"],
+            l0=raw["l0"],
+            b0=raw["b0"],
+            sigma0=raw["sigma0"],
+        )
+        params = HWParams(
+            m=1440, alpha=2.3148e-5, beta=0.0, gamma=3.3333e-2, smooth=180
+        )
+        h = self.load_h(spark)
+
+        def us(hhmm):
+            base = 1540339200 * 1_000_000  # 2018-10-24T00:00:00Z
+            return base + (hhmm // 100 * 60 + hhmm % 100) * self.MIN_US
+
+        windows = [
+            (us(0), us(19), "test1"),
+            (us(20), us(39), "test2"),
+            (us(40), us(59), "test3"),
+            (us(100), us(119), "test4"),
+            (us(120), us(139), "test5"),
+            (us(120), us(159), "test6"),
+        ]
+        got = {}  # t_us -> dict(channel -> value)
+        for w_start, w_end, tag in windows:
+            start = next_start or w_start  # Controller.py:277-278
+            grid = list(range(start, w_end + self.MIN_US, self.MIN_US))
+            vals = np.array(
+                [h.get(t, float("nan")) for t in grid], dtype=np.float64
+            )
+            # realtime rule (Controller.py:296-303): process to the later
+            # of last real data and the start of the realtime gap
+            present = [t for t, v in zip(grid, vals) if not np.isnan(v)]
+            input_end = max(
+                present[-1] if present else start,
+                w_end - self.REALTIME_US,
+            )
+            k = (input_end - start) // self.MIN_US + 1
+            dist, sq, sv, sig, state = sqdist_decompose(
+                vals[:k], params, state
+            )
+            for i, t in enumerate(grid[:k]):
+                got[t] = {
+                    "MDT": dist[i], "MSQ": sq[i], "MSV": sv[i], "MSS": sig[i]
+                }
+            next_start = input_end + self.MIN_US
+
+            exp = read_iaga2002(
+                spark,
+                f"{ETC}/controller/bou20181024_DQVS_{tag}_vmin.min",
+                station="BOU",
+                channels=("MDT", "MSQ", "MSV", "MSS"),
+            )
+            n_exp = 0
+            for r in exp.collect():
+                for ch in ("MDT", "MSQ", "MSV", "MSS"):
+                    e = getattr(r, ch)
+                    if e is None:
+                        continue
+                    n_exp += 1
+                    g = got.get(r.t_us, {}).get(ch)
+                    assert g is not None and not np.isnan(g), (
+                        tag, ch, r.t_us
+                    )
+                    assert abs(g - e) < 0.011, (tag, ch, r.t_us, g, e)
+            assert n_exp > 0, tag
+        # the resume pointer ends one step past the last processed minute
+        # (test6 data runs through 01:59 -> next cron tick starts at 02:00)
+        assert next_start == us(159) + self.MIN_US

@@ -157,6 +157,45 @@ def main() -> None:
             spark.catalog.clearCache()
         out[tag] = timings
     big_tag = f"x{REPLICAS}"
+    # The two quadratic-within-bucket ops document their scale dial
+    # (SemDeDup: k ~ sqrt(N); hyperplane buckets: n_planes ~ log2 N).
+    # The driver queries pin test-scale dials for oracle determinism, so
+    # re-time them here at x32 with corpus-sized dials to show the
+    # documented contract restores ~linear growth.
+    import math
+
+    from usgs_geomag_algorithms_spark import webtext_queries as W
+    from usgs_geomag_algorithms_spark.operators import similarity as S
+    from usgs_geomag_algorithms_spark.operators.semdedup import (
+        semantic_dropped,
+    )
+
+    emb_big = spark.read.parquet(os.path.join(BIG, "embeddings.parquet"))
+    scaled = {}
+    n_planes = W.NEAR_DUP_PLANES_N + max(1, int(math.log2(REPLICAS)))
+    t = time.perf_counter()
+    S.embedding_near_dups(
+        emb_big,
+        threshold=W.NEAR_DUP_THRESHOLD,
+        n_planes=n_planes,
+        planes=S.md5_sign_planes(n_planes, W.EMB_DIM),
+    ).write.format("noop").mode("overwrite").save()
+    scaled[f"embedding_near_dups_bucketed@{n_planes}planes"] = round(
+        time.perf_counter() - t, 3
+    )
+    spark.catalog.clearCache()
+    k_scaled = max(W.KM_K, int(W.KM_K * math.sqrt(REPLICAS)))
+    t = time.perf_counter()
+    semantic_dropped(
+        emb_big,
+        k=k_scaled,
+        n_iter=W.KM_ITER,
+        tau_num=W.SEMDEDUP_TAU[0],
+        tau_den=W.SEMDEDUP_TAU[1],
+    ).write.format("noop").mode("overwrite").save()
+    scaled[f"semantic_dedup@k{k_scaled}"] = round(time.perf_counter() - t, 3)
+    spark.catalog.clearCache()
+
     ratio = {
         k: round(out[big_tag][k] / out["sf01"][k], 2)
         for k in QUERIES
@@ -170,6 +209,7 @@ def main() -> None:
             "sf01": out["sf01"],
             big_tag: out[big_tag],
             f"{big_tag}_over_sf01": ratio,
+            f"{big_tag}_scaled_dials": scaled,
         }
     )
     print(line)

@@ -178,3 +178,29 @@ class TestIndexMaintenance:
                     if f.endswith(".parquet")
                 ]
                 assert len(files) <= 1
+
+
+class TestAutoPlanes:
+    def test_auto_n_planes_rule(self):
+        from usgs_geomag_algorithms_spark.operators.similarity import (
+            auto_n_planes,
+        )
+
+        assert auto_n_planes(10) == 1
+        assert auto_n_planes(64) == 1
+        assert auto_n_planes(2_048) == 5
+        # occupancy pinned near the target as N grows 32x
+        assert auto_n_planes(64_000) - auto_n_planes(2_000) == 5
+
+    def test_near_dups_auto(self, spark):
+        from usgs_geomag_algorithms_spark.operators.similarity import (
+            embedding_near_dups,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0, 0.5 * i]) for i in range(1, 50)],
+            "vec_id long, embedding array<double>",
+        )
+        out = embedding_near_dups(emb, threshold=0.99, n_planes="auto")
+        rows = out.collect()
+        assert all(r.id_a < r.id_b for r in rows)

@@ -157,3 +157,27 @@ class TestSemanticDedup:
             semantic_dropped(emb, tau_num=0, tau_den=5)
         with pytest.raises(ValueError, match="tau"):
             semantic_dropped(emb, tau_num=6, tau_den=5)
+
+
+class TestAutoDials:
+    def test_auto_k_rule(self):
+        from usgs_geomag_algorithms_spark.operators.semdedup import auto_k
+
+        assert auto_k(0) == 2
+        assert auto_k(100) == 10
+        assert auto_k(1_000_000) == 1000
+        # cells stay ~sqrt(N): occupancy N/k also ~sqrt(N)
+        assert auto_k(64_000) in range(250, 260)
+
+    def test_semantic_dropped_auto(self, spark):
+        from usgs_geomag_algorithms_spark.operators.semdedup import (
+            semantic_dropped,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [float(i % 7), 1.0, float((i * 3) % 5)]) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        )
+        out = semantic_dropped(emb, k="auto", n_iter=1)
+        assert out.columns == ["vec_id", "cell", "kept_by", "n_dups"]
+        out.collect()  # runs end-to-end with the derived k

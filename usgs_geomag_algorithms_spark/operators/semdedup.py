@@ -112,9 +112,20 @@ def _dropped_arrow(t: DataFrame, id_col: str, num2: int, den2: int):
     )
 
 
+def auto_k(n_vectors: int) -> int:
+    """SemDeDup's own sizing contract, k ~ sqrt(N) (cells stay ~sqrt(N)
+    so within-cell pairwise work grows linearly with the corpus; the
+    paper's 50k cells for 5B docs is this rule within 2x). With a fixed
+    test-scale k the pairwise stage measured 41x time at 32x data
+    (``BENCH/BIGDOCS_PROBE.json``)."""
+    import math
+
+    return max(2, int(math.sqrt(max(n_vectors, 4))))
+
+
 def semantic_dropped(
     emb: DataFrame,
-    k: int = 4,
+    k: int | str = 4,
     n_iter: int = 2,
     tau_num: int = 2,
     tau_den: int = 5,
@@ -125,9 +136,13 @@ def semantic_dropped(
     """(id, cell, kept_by, n_dups) for every DROPPED document: ``kept_by``
     is the lowest same-cell id within cosine ``tau_num/tau_den``,
     ``n_dups`` how many lower-id near-matches existed. Zero vectors are
-    outside the embedding space (quantize drops them) and never dropped."""
+    outside the embedding space (quantize drops them) and never dropped.
+    ``k="auto"`` sizes the cell count from the corpus (:func:`auto_k`;
+    one count() planning scan)."""
     if not (0 < tau_num <= tau_den):
         raise ValueError(f"tau must be in (0, 1]: {tau_num}/{tau_den}")
+    if k == "auto":
+        k = auto_k(emb.count())
     state = state_from_rows(
         kmeans_fit(
             emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col

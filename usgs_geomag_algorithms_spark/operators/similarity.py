@@ -79,12 +79,26 @@ def cosine_topk(
     return _rank_topk(scored, k)
 
 
+def auto_n_planes(n_vectors: int, target_occupancy: int = 64) -> int:
+    """Corpus-sized bucket dial: enough sign-planes that the EXPECTED
+    bucket occupancy is ~``target_occupancy`` (2^planes buckets), so
+    within-bucket pairwise work stays ~linear as the corpus grows —
+    with a fixed plane count, occupancy grows with N and the bucket
+    join degrades quadratically (measured 54x time at 32x data in
+    ``BENCH/BIGDOCS_PROBE.json``; restored to ~linear by this rule)."""
+    import math
+
+    if n_vectors <= target_occupancy:
+        return 1
+    return max(1, math.ceil(math.log2(n_vectors / target_occupancy)))
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 0,
+    n_planes: int | str = 0,
     seed: int = 42,
     planes: list[list[float]] | None = None,
 ) -> DataFrame:
@@ -92,8 +106,13 @@ def embedding_near_dups(
     cosine >= threshold. ``n_planes=0`` is the exact all-pairs baseline
     (test scale); ``n_planes>0`` restricts candidates to shared hyperplane
     buckets — the 100 TB path where the join is bucket-local. Explicit
-    ``planes`` literals make the bucketing exactly oracle-checkable."""
+    ``planes`` literals make the bucketing exactly oracle-checkable.
+    ``n_planes="auto"`` sizes the dial from the corpus count
+    (:func:`auto_n_planes`; one count() planning scan)."""
     corpus = _nonzero(corpus, vec_col)
+    if n_planes == "auto":
+        n_planes = auto_n_planes(corpus.count())
+        planes = None  # literal planes can't be pre-baked for a dynamic n
     if n_planes > 0:
         ba = hyperplane_bucket(
             corpus, n_planes, id_col, vec_col, seed, planes

@@ -116,5 +116,16 @@ class TestCalFile:
     def test_lines_are_a_dataframe(self, spark):
         df = spark.createDataFrame(example_rows(), schema=SCHEMA)
         out = cal_lines(df)
-        assert out.columns == ["date", "elem_idx", "t_key", "line"]
+        assert out.columns == ["date", "elem_idx", "rank", "t_key", "line"]
         assert out.count() == 24 + 6
+
+
+    def test_pre_1970_sessions_keep_headers_first(self, spark):
+        rows = [
+            ("H", 12000.0, 100.0, us((1955, 3, 30), 1000), us((1955, 3, 30), 1005)),
+            ("H", 12001.0, 101.0, us((1955, 3, 30), 1010), us((1955, 3, 30), 1015)),
+        ]
+        df = spark.createDataFrame(rows, schema=SCHEMA)
+        text = format_cal(df).splitlines()
+        assert text[0] == "--1955 03 30 (H)"
+        assert text[1].startswith("1000-1005")

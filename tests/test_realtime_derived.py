@@ -291,3 +291,107 @@ class TestRunDerivedCli:
             interval_us=MIN, start_us=T0, end_us=T0 + 4 * MIN,
         )
         assert m["gaps_filled"] == 0
+
+
+class TestReviewRegressions:
+    def test_nan_neighbor_series_not_masked(self, spark, store):
+        # review finding: a merged gap interval's recompute reads EVERY
+        # series in [lo,hi]; a series with an incomplete/NaN input vector
+        # there must not get NaN output rows written (they would mask the
+        # slot forever) and must be picked up once its input is backfilled
+        nan = float("nan")
+        rows = [
+            ("BOU", "E-E", T0, 1.0), ("BOU", "E-N", T0, 2.0),
+            ("FRD", "E-E", T0, nan), ("FRD", "E-N", T0, 3.0),
+        ]
+        store.write(
+            spark.createDataFrame(
+                rows, "url string, channel string, t_us long, value double"
+            ),
+            "second",
+        )
+        m = RT.efield_update(
+            store, "adj", "second", interval_us=US, start_us=T0, end_us=T0
+        )
+        # matrix application NaN-propagates the whole vector (0*NaN=NaN,
+        # same as the reference's np.dot) -> FRD emits only NaN rows and
+        # NONE may be written (they would mask the slot forever)
+        assert m["rows_written"] == 2
+        out = store.read("adj").collect()
+        assert sorted((r.url, r.channel) for r in out) == [
+            ("BOU", "E-E"), ("BOU", "E-N")
+        ]
+        assert not any(
+            v != v for v in (r.value for r in out)
+        )  # no NaN landed
+        # second run: clean no-op (FRD slot is not expected yet)
+        m = RT.efield_update(
+            store, "adj", "second", interval_us=US, start_us=T0, end_us=T0
+        )
+        assert m["gaps_filled"] == 0
+        # backfill FRD's E-E -> the slot becomes expected and fills
+        store.upsert(
+            spark.createDataFrame(
+                [("FRD", "E-E", T0, 5.0)],
+                "url string, channel string, t_us long, value double",
+            ),
+            "second",
+        )
+        m = RT.efield_update(
+            store, "adj", "second", interval_us=US, start_us=T0, end_us=T0
+        )
+        assert m["rows_written"] == 4  # BOU + FRD full vectors recomputed
+        frd = {
+            r.channel: r.value
+            for r in store.read("adj").where(F.col("url") == "FRD").collect()
+        }
+        assert frd == {"E-E": -5.0, "E-N": -3.0}
+
+    def test_stale_nan_output_row_is_repaired(self, spark, store):
+        # a NaN row in the OUTPUT tier (written by an older engine or
+        # another writer) must not count as present
+        seed_hezf(spark, store, 3)
+        store.write(
+            spark.createDataFrame(
+                [("BOU", "X", T0 + MIN, float("nan"))],
+                "url string, channel string, t_us long, value double",
+            ),
+            "adj",
+        )
+        m = RT.adjusted_update(
+            store, "adj", "minute", IDENT4, interval_us=MIN,
+            start_us=T0, end_us=T0 + 2 * MIN,
+        )
+        assert m["rows_written"] == 3 * 4
+        x1 = (
+            store.read("adj")
+            .where((F.col("channel") == "X") & (F.col("t_us") == T0 + MIN))
+            .first()
+        )
+        assert x1.value == 100.0 + 1  # H at minute 1
+
+    def test_off_grid_window_start_still_widens(self, spark, store):
+        # review finding: widening compared the oldest gap to the RAW
+        # win_start; with an hourly product and a minute-aligned start the
+        # comparison could never match and update_limit was ignored
+        HOUR = 60 * MIN
+        rows = [
+            ("BOU", ch, T0 + h * HOUR, float(h))
+            for h in range(6)
+            for ch in ("H", "E", "Z", "F")
+        ]
+        store.write(
+            spark.createDataFrame(
+                rows, "url string, channel string, t_us long, value double"
+            ),
+            "hourly",
+        )
+        # realtime window [T0+4h+30min, T0+5h]: start is OFF the hourly
+        # grid; older hours are absent from the output
+        m = RT.adjusted_update(
+            store, "adj", "hourly", IDENT4, interval_us=HOUR,
+            start_us=T0 + 4 * HOUR + 30 * MIN, end_us=T0 + 5 * HOUR,
+            realtime_interval_s=3600, update_limit=10,
+        )
+        assert m["windows_examined"] > 1
+        assert store.read("adj").count() == 6 * 4  # all hours backfilled

@@ -279,10 +279,15 @@ def _flac_decode_int(payload: bytes):
     chans = []
     n_ch = info["channels"]
     bps = info["bits"]
-    while i < len(payload):
+    # ONE bit-unpack for the whole stream: frames are byte-aligned, so a
+    # shared reader at an absolute bit position replaces the per-frame
+    # _Bits(payload[i:]) rebuild (which re-unpacked the remaining bytes
+    # every frame — O(frames x stream) memory traffic)
+    br = _Bits(payload, pos_bits=i * 8)
+    nbits = br.bits.size
+    while br.pos < nbits:
         # frame header ----------------------------------------------
-        hstart = i
-        br = _Bits(payload[i:])
+        hstart = br.pos // 8
         sync = br.read(14)
         if sync != 0b11111111111110:
             raise ValueError("flac: lost frame sync")
@@ -310,12 +315,17 @@ def _flac_decode_int(payload: bytes):
             br.read(16)
         elif sr_code == 15:
             raise ValueError("flac: invalid sample rate code")
+        elif sr_code in _SAMPLE_RATE_CODE:
+            # a common-rate code must agree with STREAMINFO (frames
+            # cannot change the stream's rate mid-file)
+            if _SAMPLE_RATE_CODE[sr_code] != info["rate"]:
+                raise ValueError("flac: frame sample rate != STREAMINFO")
         fbps = _SAMPLE_SIZE_CODE.get(ss_code, bps) if ss_code else bps
         # header fields always total a whole byte count; CRC-8 covers them
         # and sits in the next byte, which must be consumed before the
         # first subframe
-        hdr_len = br.pos // 8
-        if crc8(payload[hstart : hstart + hdr_len]) != payload[hstart + hdr_len]:
+        hdr_end = br.pos // 8  # absolute byte offset (shared reader)
+        if crc8(payload[hstart:hdr_end]) != payload[hdr_end]:
             raise ValueError("flac: frame header CRC mismatch")
         br.read(8)
 
@@ -344,14 +354,11 @@ def _flac_decode_int(payload: bytes):
         else:
             raise ValueError("flac: reserved channel assignment")
         br.align()
-        frame_len = br.pos // 8
-        (fcrc,) = struct.unpack(
-            ">H", payload[i + frame_len : i + frame_len + 2]
-        )
-        if crc16(payload[i : i + frame_len]) != fcrc:
+        fend = br.pos // 8
+        fcrc = br.read(16)
+        if crc16(payload[hstart:fend]) != fcrc:
             raise ValueError("flac: frame CRC16 mismatch")
         chans.append(np.stack(subs, axis=1))
-        i += frame_len + 2
 
     pcm = np.concatenate(chans, axis=0)
     if info["total"]:

@@ -141,7 +141,9 @@ def semantic_dropped(
     one count() planning scan)."""
     if not (0 < tau_num <= tau_den):
         raise ValueError(f"tau must be in (0, 1]: {tau_num}/{tau_den}")
-    if k == "auto":
+    if isinstance(k, str):
+        if k != "auto":
+            raise ValueError(f"k must be an int or 'auto': {k!r}")
         k = auto_k(emb.count())
     state = state_from_rows(
         kmeans_fit(

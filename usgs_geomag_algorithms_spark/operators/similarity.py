@@ -110,9 +110,14 @@ def embedding_near_dups(
     ``n_planes="auto"`` sizes the dial from the corpus count
     (:func:`auto_n_planes`; one count() planning scan)."""
     corpus = _nonzero(corpus, vec_col)
-    if n_planes == "auto":
+    if isinstance(n_planes, str):
+        if n_planes != "auto":
+            raise ValueError(f"n_planes must be an int or 'auto': {n_planes!r}")
+        if planes is not None:
+            # silently ignoring caller-pinned oracle planes would change
+            # the buckets behind their back
+            raise ValueError("explicit planes cannot combine with n_planes='auto'")
         n_planes = auto_n_planes(corpus.count())
-        planes = None  # literal planes can't be pre-baked for a dynamic n
     if n_planes > 0:
         ba = hyperplane_bucket(
             corpus, n_planes, id_col, vec_col, seed, planes

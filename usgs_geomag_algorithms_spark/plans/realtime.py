@@ -118,8 +118,16 @@ def find_derived_gaps(
         key = ["url", "t_us"]
 
     if store.exists(tier_out):
+        # a NULL/NaN OUTPUT row is not "complete" either: the recompute
+        # path never writes one, but a stale NaN (e.g. written before an
+        # input correction, or by another writer) must re-flag its slot
+        # once the inputs can produce a value — counting it as present
+        # would mask the slot forever
+        ov = F.col("value")
         out = store.read(tier_out, grid0, grid1).where(
             F.col("channel").isin(list(out_channels))
+            & ov.isNotNull()
+            & ~F.isnan(ov)
         )
         if out_series is not None:
             out = out.where(F.col("url").isin(list(out_series)))
@@ -156,6 +164,52 @@ def find_derived_gaps(
     return [(r.s, r.e) for r in runs]
 
 
+def _gap_update_loop(
+    store: TierStore,
+    tier_out: str,
+    find_gaps: Callable[[int], list[tuple[int, int]]],
+    recompute: Callable[[int, int], DataFrame],
+    interval_us: int,
+    start_us: int,
+    end_us: int,
+    realtime_interval_s: int,
+    update_limit: int,
+) -> dict:
+    """The shared Controller-parity loop (Controller.py:427-448): detect
+    gaps in the window, recompute them as ONE unioned upsert commit, and
+    when the oldest gap touches the window's first grid slot, slide the
+    window one ``realtime_interval`` back — at most ``update_limit``
+    times. Each round runs one Spark action for the count and one commit
+    (the union is persisted so the upsert does not re-execute the
+    transforms)."""
+    metrics = {"gaps_filled": 0, "rows_written": 0, "windows_examined": 0}
+    win_start = start_us
+    for _ in range(max(1, update_limit)):
+        metrics["windows_examined"] += 1
+        gaps = find_gaps(win_start)
+        if not gaps:
+            break
+        out = None
+        for lo, hi in gaps:
+            piece = recompute(lo, hi)
+            out = piece if out is None else out.unionByName(piece)
+        out = out.persist()
+        n = out.count()
+        if n:
+            store.upsert(out, tier_out)
+        out.unpersist()
+        metrics["gaps_filled"] += len(gaps)
+        metrics["rows_written"] += n
+        # compare against the window's first GRID slot: win_start itself
+        # may be off-grid (e.g. a minute-aligned realtime start with an
+        # hourly product), and a gap can never begin before grid0
+        grid0 = win_start + (-win_start) % interval_us
+        if gaps[0][0] > grid0:
+            break  # oldest gap didn't touch the start: window is settled
+        win_start -= realtime_interval_s * US
+    return metrics
+
+
 def run_derived_update(
     store: TierStore,
     tier_out: str,
@@ -174,16 +228,11 @@ def run_derived_update(
 
     ``transform`` maps a wide frame (one column per ``in_channels``, plus
     ``url``/``t_us``) to a wide frame with ``out_channels`` columns —
-    e.g. a closure over :func:`~..operators.convert.adjusted`. The
-    Controller parity loop (Controller.py:427-448): when the oldest gap
-    touches the window start, the window slides one ``realtime_interval``
-    earlier and gap detection reruns, at most ``update_limit`` times."""
+    e.g. a closure over :func:`~..operators.convert.adjusted`."""
     src_store = in_store or store
-    metrics = {"gaps_filled": 0, "rows_written": 0, "windows_examined": 0}
-    win_start = start_us
-    for _ in range(max(1, update_limit)):
-        metrics["windows_examined"] += 1
-        gaps = find_derived_gaps(
+
+    def find_gaps(win_start: int) -> list[tuple[int, int]]:
+        return find_derived_gaps(
             store,
             tier_out,
             tier_in,
@@ -194,26 +243,35 @@ def run_derived_update(
             end_us,
             in_store=src_store,
         )
-        if not gaps:
-            break
-        for lo, hi in gaps:
-            src = src_store.read(tier_in, lo, hi).where(
-                F.col("channel").isin(list(in_channels))
-            )
-            wide = pivot_channels(src, list(in_channels))
-            out_wide = transform(wide)
-            out = unpivot_channels(out_wide, list(out_channels)).where(
-                F.col("value").isNotNull()
-            )
-            n = out.count()
-            if n:
-                store.upsert(out, tier_out)
-            metrics["gaps_filled"] += 1
-            metrics["rows_written"] += n
-        if gaps[0][0] > win_start:
-            break  # oldest gap didn't touch the start: window is settled
-        win_start -= realtime_interval_s * US
-    return metrics
+
+    def recompute(lo: int, hi: int) -> DataFrame:
+        src = src_store.read(tier_in, lo, hi).where(
+            F.col("channel").isin(list(in_channels))
+        )
+        wide = pivot_channels(src, list(in_channels))
+        out_wide = transform(wide)
+        v = F.col("value")
+        # drop NULL *and NaN* outputs: a merged gap interval's read can
+        # include series whose input vector is incomplete there (they are
+        # not expected); the NaN the transform propagates for them must
+        # not be written — with the non-NaN present-side check it would
+        # be recomputed every tick, and before that fix it silently
+        # masked the slot forever
+        return unpivot_channels(out_wide, list(out_channels)).where(
+            v.isNotNull() & ~F.isnan(v)
+        )
+
+    return _gap_update_loop(
+        store,
+        tier_out,
+        find_gaps,
+        recompute,
+        interval_us,
+        start_us,
+        end_us,
+        realtime_interval_s,
+        update_limit,
+    )
 
 
 def adjusted_update(
@@ -320,11 +378,9 @@ def average_update(
     under ``output_channel``."""
     out_ch = output_channel or input_channel
     src_store = in_store or store
-    metrics = {"gaps_filled": 0, "rows_written": 0, "windows_examined": 0}
-    win_start = start_us
-    for _ in range(max(1, update_limit)):
-        metrics["windows_examined"] += 1
-        gaps = find_derived_gaps(
+
+    def find_gaps(win_start: int) -> list[tuple[int, int]]:
+        return find_derived_gaps(
             store,
             tier_out,
             tier_in,
@@ -337,30 +393,33 @@ def average_update(
             in_series=list(observatories),
             out_series=[output_observatory],
         )
-        if not gaps:
-            break
-        for lo, hi in gaps:
-            src = src_store.read(tier_in, lo, hi).where(
-                F.col("channel").isin([input_channel])
-                & F.col("url").isin(list(observatories))
-            )
-            avg = average_across_series(
-                src,
-                n_series=len(observatories),
-                out_series=output_observatory,
-            )
-            out = avg.select(
-                F.col("url"),
-                F.lit(out_ch).alias("channel"),
-                F.col("t_us"),
-                F.col("value"),
-            ).where(F.col("value").isNotNull())
-            n = out.count()
-            if n:
-                store.upsert(out, tier_out)
-            metrics["gaps_filled"] += 1
-            metrics["rows_written"] += n
-        if gaps[0][0] > win_start:
-            break
-        win_start -= realtime_interval_s * US
-    return metrics
+
+    def recompute(lo: int, hi: int) -> DataFrame:
+        src = src_store.read(tier_in, lo, hi).where(
+            F.col("channel").isin([input_channel])
+            & F.col("url").isin(list(observatories))
+        )
+        avg = average_across_series(
+            src,
+            n_series=len(observatories),
+            out_series=output_observatory,
+        )
+        v = F.col("value")
+        return avg.select(
+            F.col("url"),
+            F.lit(out_ch).alias("channel"),
+            F.col("t_us"),
+            v,
+        ).where(v.isNotNull() & ~F.isnan(v))
+
+    return _gap_update_loop(
+        store,
+        tier_out,
+        find_gaps,
+        recompute,
+        interval_us,
+        start_us,
+        end_us,
+        realtime_interval_s,
+        update_limit,
+    )

@@ -62,9 +62,11 @@ def cal_lines(
     Absolute.py:32-38) and non-HDZ elements are dropped, exactly like
     the reference's filter.
 
-    Output columns: ``(date, elem_idx, t_key, line)`` sorted by the
-    first three = the file's line order; headers sort before their
-    group's measurement lines via ``t_key = -1``."""
+    Output columns: ``(date, elem_idx, rank, t_key, line)`` sorted by
+    the first four = the file's line order; headers carry ``rank = 0``
+    (measurements ``rank = 1``) so they sort first regardless of
+    ``t_key`` — a sentinel t_key would collide with pre-1970 epoch
+    microseconds, which are negative."""
     el = F.col(element_col)
     valid = (
         absolutes.where(
@@ -97,6 +99,7 @@ def cal_lines(
     measurement = valid.select(
         "date",
         "elem_idx",
+        F.lit(1).alias("rank"),
         F.col("_s").alias("t_key"),
         F.format_string(
             "%s-%s c%9.2f%9.2f",
@@ -112,13 +115,16 @@ def cal_lines(
         .select(
             "date",
             "elem_idx",
-            F.lit(-1).cast("long").alias("t_key"),
+            F.lit(0).alias("rank"),
+            F.lit(0).cast("long").alias("t_key"),
             F.format_string("--%s (%s)", F.col("date"), F.col("_el")).alias(
                 "line"
             ),
         )
     )
-    return measurement.unionByName(header).orderBy("date", "elem_idx", "t_key")
+    return measurement.unionByName(header).orderBy(
+        "date", "elem_idx", "rank", "t_key"
+    )
 
 
 def format_cal(absolutes: DataFrame, **cols) -> str:

@@ -3192,6 +3192,50 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+def q_audio_stats_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lossless-compressed twin of audio_stats: the SAME 24
+    md5-derived int16 samples per document, but round-tripped through
+    the real FLAC codec (operators/flac_codec.py — FIXED-predictor
+    encode with Rice residuals and STREAMINFO MD5, full frame decode
+    with CRC-8/CRC-16/MD5 verification) before the waveform statistics.
+    FLAC is lossless, so the oracle is the same PCM reconstruction the
+    WAV twin uses — any encoder/decoder bit slip (predictor order,
+    Rice escape, zigzag, CRC slicing, MD5 endianness) flips it."""
+    import pandas as pd
+
+    from .operators.flac_codec import flac_encode
+    from .operators.multimodal import waveform_stats
+
+    digests = [
+        F.unhex(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":a{k}")))
+        )
+        for k in range(3)
+    ]
+    pcm = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(*digests).alias("pcm"),
+    )
+
+    def enc(it):
+        import numpy as np
+
+        for pdf in it:
+            payloads = [
+                flac_encode(
+                    np.frombuffer(bytes(b), dtype="<i2").astype(np.int64),
+                    AUDIO_RATE,
+                )
+                for b in pdf["pcm"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = pcm.mapInPandas(enc, "media_id long, payload binary")
+    return waveform_stats(media).orderBy("media_id")
+
+
 def _audio_stats_sql() -> str:
     hexes = " || ".join(f"md5(doc_id::VARCHAR || ':a{k}')" for k in range(3))
     return f"""
@@ -3737,6 +3781,7 @@ QUERIES = {
     "media_pixel_stats": q_media_pixel_stats,
     "image_dhash": q_image_dhash,
     "audio_stats": q_audio_stats,
+    "audio_stats_flac": q_audio_stats_flac,
     "audio_stats_g711": q_audio_stats_g711,
     "quality_classifier": q_quality_classifier,
     "heavy_hitters_cms": q_heavy_hitters_cms,
@@ -3813,6 +3858,7 @@ ORACLES = {
     "media_pixel_stats": _media_pixel_stats_sql(),
     "image_dhash": _image_dhash_sql(),
     "audio_stats": _audio_stats_sql(),
+    "audio_stats_flac": _audio_stats_sql(),
     "audio_stats_g711": _audio_stats_g711_sql(),
     "quality_classifier": _quality_classifier_sql(),
     "heavy_hitters_cms": _heavy_hitters_sql(),

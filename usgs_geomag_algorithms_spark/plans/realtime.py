@@ -67,6 +67,7 @@ def find_derived_gaps(
     in_store: TierStore | None = None,
     in_series: Sequence[str] | None = None,
     out_series: Sequence[str] | None = None,
+    urls: Sequence[str] | None = None,
 ) -> list[tuple[int, int]]:
     """Merged gap intervals for a sample-aligned derived product.
 
@@ -75,7 +76,9 @@ def find_derived_gaps(
     when given — and when given, ALL listed series must be present, the
     multi-observatory average rule); it is *present* when every
     ``out_channels`` row exists for the matching output series. Gap =
-    expected and not present. Everything runs as one Spark plan; only
+    expected and not present. ``urls`` restricts BOTH sides to the given
+    series while keeping per-url keys (the per-observatory calibration
+    application), unlike ``in_series``'s all-of-them average rule. Everything runs as one Spark plan; only
     merged run boundaries reach the driver."""
     src_store = in_store or store
     grid0 = start_us + (-start_us) % interval_us
@@ -96,6 +99,8 @@ def find_derived_gaps(
         & v.isNotNull()
         & ~F.isnan(v)
     )
+    if urls is not None:
+        src = src.where(F.col("url").isin(list(urls)))
     if in_series is not None:
         src = src.where(F.col("url").isin(list(in_series)))
         # all observatories AND all channels (base can_produce_data:
@@ -131,6 +136,8 @@ def find_derived_gaps(
         )
         if out_series is not None:
             out = out.where(F.col("url").isin(list(out_series)))
+        if urls is not None:
+            out = out.where(F.col("url").isin(list(urls)))
         complete = (
             out.groupBy(*key)
             .agg(F.count_distinct("channel").alias("_m"))
@@ -223,6 +230,7 @@ def run_derived_update(
     realtime_interval_s: int = 600,
     update_limit: int = 10,
     in_store: TierStore | None = None,
+    urls: Sequence[str] | None = None,
 ) -> dict:
     """Gap-driven update of a wide->wide channel transform.
 
@@ -242,12 +250,15 @@ def run_derived_update(
             win_start,
             end_us,
             in_store=src_store,
+            urls=urls,
         )
 
     def recompute(lo: int, hi: int) -> DataFrame:
         src = src_store.read(tier_in, lo, hi).where(
             F.col("channel").isin(list(in_channels))
         )
+        if urls is not None:
+            src = src.where(F.col("url").isin(list(urls)))
         wide = pivot_channels(src, list(in_channels))
         out_wide = transform(wide)
         v = F.col("value")
@@ -288,8 +299,11 @@ def adjusted_update(
     realtime_interval_s: int = 600,
     update_limit: int = 10,
     in_store: TierStore | None = None,
+    urls: Sequence[str] | None = None,
 ) -> dict:
-    """``processing/derived.py:16-69`` — realtime Adjusted application."""
+    """``processing/derived.py:16-69`` — realtime Adjusted application.
+    ``urls`` restricts detection and recompute to the given
+    observatories (per-observatory calibration matrices)."""
     m = np.asarray(matrix, dtype=float)
     k = m.shape[0] - 1
 
@@ -315,6 +329,7 @@ def adjusted_update(
         realtime_interval_s=realtime_interval_s,
         update_limit=update_limit,
         in_store=in_store,
+        urls=urls,
     )
 
 

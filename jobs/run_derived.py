@@ -13,6 +13,9 @@ Commands
 adjusted   apply an affine matrix (statefile JSON: ``{"matrix": [[...]],
            "pier_correction": p}``) over the realtime window, filling
            output gaps only (ref derived.py:16-69).
+calibrated apply each observatory's OWN latest matrix from the store's
+           calibration state table (plans/calibration.py — the full
+           residual→affine→adjusted loop's serving leg).
 average    multi-observatory average onto an output observatory
            (ref derived.py:72-113).
 efield     invert 1 Hz E-E/E-N polarity into the adjusted tier, then
@@ -48,7 +51,9 @@ def _window(args) -> tuple[int, int]:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("command", choices=["adjusted", "average", "efield"])
+    ap.add_argument(
+        "command", choices=["adjusted", "average", "efield", "calibrated"]
+    )
     ap.add_argument("--store", required=True)
     ap.add_argument("--tier-in", default="second")
     ap.add_argument("--tier-out", required=True)
@@ -81,7 +86,24 @@ def main(argv=None) -> int:
         update_limit=args.update_limit,
     )
 
-    if args.command == "adjusted":
+    if args.command == "calibrated":
+        from usgs_geomag_algorithms_spark.plans.calibration import (
+            adjusted_from_calibration,
+        )
+
+        metrics = adjusted_from_calibration(
+            store,
+            args.tier_out,
+            args.tier_in,
+            start_us,
+            end_us,
+            in_channels=args.in_channels.split(","),
+            out_channels=args.out_channels.split(","),
+            interval_us=args.interval_us,
+            realtime_interval_s=args.realtime_interval,
+            update_limit=args.update_limit,
+        )
+    elif args.command == "adjusted":
         if not args.matrix:
             raise SystemExit("adjusted requires --matrix (statefile JSON)")
         with open(args.matrix) as f:

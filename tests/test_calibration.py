@@ -180,3 +180,26 @@ class TestApply:
             store, "adj", "minute", T0, T0 + 4 * MIN, interval_us=MIN
         )
         assert m["rows_written"] == 0 and m["gaps_filled"] == 0
+
+
+class TestCli:
+    def test_calibrated_command(self, spark, store):
+        import contextlib
+        import io
+        import json as _json
+
+        from jobs.run_derived import main
+
+        TestApply().seed(spark, store)
+        TestApply().mk_state(spark, store, 2.0, 3.0)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main([
+                "calibrated", "--store", store.root,
+                "--tier-in", "minute", "--tier-out", "adj",
+                "--interval-us", str(MIN),
+                "--now", "2020-01-01T00:05:00",
+            ])
+        m = _json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert rc == 0 and m["observatories"] == 2
+        assert m["rows_written"] == 40

@@ -53,6 +53,26 @@ QUERIES = [
     "gapfill_minute",
     "top_minutes",
     "user_sessions",
+    # round-3 additions: the remaining events-heavy families
+    "purchase_asof_view",
+    "funnel_steps",
+    "session_purchases",
+    "event_transitions",
+    "cohort_retention",
+    "ohlc_hour",
+    "hist_p95_hour",
+    "twa_hour",
+    "state_durations",
+    "counter_increase_hour",
+    "churn_day",
+    "acf_minute",
+    "xcorr_minute",
+    "trend_minute",
+    "theilsen_drift",
+    "spearman_hour",
+    "changepoint_cusum",
+    "rolling_p95_day",
+    "rollup_day_pctl",
 ]
 
 

@@ -125,14 +125,19 @@ def main() -> None:
         timings = {}
         for name in QUERIES:
             t = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            timings[name] = round(time.perf_counter() - t, 3)
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                timings[name] = round(time.perf_counter() - t, 3)
+            except Exception as e:  # record, keep probing
+                timings[name] = f"error: {type(e).__name__}"
             spark.catalog.clearCache()
         out[tag] = timings
     ratio = {
-        k: round(out["x100"][k] / out["sf01"][k], 2) for k in QUERIES
+        k: round(out["x100"][k] / out["sf01"][k], 2)
+        for k in QUERIES
+        if isinstance(out["x100"][k], float) and isinstance(out["sf01"][k], float)
     }
     line = json.dumps(
         {

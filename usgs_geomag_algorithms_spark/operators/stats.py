@@ -301,11 +301,15 @@ def trend_fit(
 
     Exactness discipline: timestamps are rebased to small grid indices
     ``k = (t - grid0) div step`` (epoch-microsecond squares would
-    overflow int64), all six sufficient statistics are exact BIGINTs
-    under any partitioning, and the slope/intercept/R² trees are fixed
-    int64→double IEEE expressions evaluated identically by Spark and
-    DuckDB.  NULL when fewer than ``min_points`` rows or a degenerate
-    time spread; R² NULL for constant series.
+    overflow int64); per-row products stay in int64, but the SUMS
+    accumulate as ``decimal(38,0)`` — a year-scale minute grid with
+    millions of points pushes Σk² past 2^63 (measured: long overflow at
+    the 100x probe), and DuckDB's SUM(BIGINT) is already HUGEINT, so
+    exact 128-bit sums keep the two engines identical. The final
+    slope/intercept/R² trees are fixed exact→double IEEE expressions
+    (decimal→double and HUGEINT→double both round-to-nearest of the
+    same exact integer). NULL when fewer than ``min_points`` rows or a
+    degenerate time spread; R² NULL for constant series.
 
     Plan: map-only projection + one map-side-combinable aggregate,
     output bounded by series count — the same rides-the-scan envelope
@@ -319,13 +323,14 @@ def trend_fit(
         k.alias("_k"),
         y.alias("_y"),
     )
+    dec = "decimal(38,0)"
     agg = proj.groupBy(*series_cols).agg(
         F.count("*").cast("long").alias("n_points"),
-        F.sum("_k").cast("long").alias("_sk"),
-        F.sum("_y").cast("long").alias("_sy"),
-        F.sum(F.col("_k") * F.col("_y")).cast("long").alias("_sky"),
-        F.sum(F.col("_k") * F.col("_k")).cast("long").alias("_skk"),
-        F.sum(F.col("_y") * F.col("_y")).cast("long").alias("_syy"),
+        F.sum(F.col("_k").cast(dec)).alias("_sk"),
+        F.sum(F.col("_y").cast(dec)).alias("_sy"),
+        F.sum((F.col("_k") * F.col("_y")).cast(dec)).alias("_sky"),
+        F.sum((F.col("_k") * F.col("_k")).cast(dec)).alias("_skk"),
+        F.sum((F.col("_y") * F.col("_y")).cast(dec)).alias("_syy"),
     )
     n = F.col("n_points").cast("double")
     sk = F.col("_sk").cast("double")

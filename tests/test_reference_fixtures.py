@@ -277,3 +277,35 @@ class TestControllerSqDistFixture:
         # the resume pointer ends one step past the last processed minute
         # (test6 data runs through 01:59 -> next cron tick starts at 02:00)
         assert next_start == us(159) + self.MIN_US
+
+
+class TestIaga2002ParserExample:
+    def test_reader_parses_reference_example(self, spark, tmp_path):
+        """The IAGA2002_EXAMPLE block from the reference's own parser
+        test (test/iaga2002_test/IAGA2002Parser_test.py) — extracted at
+        runtime, full header + comment block + DECBAS line included —
+        must parse to the same first/last values through this engine's
+        fixed-width reader."""
+        import re
+
+        src = open(
+            "/root/reference/test/iaga2002_test/IAGA2002Parser_test.py"
+        ).read()
+        m = re.search(r'IAGA2002_EXAMPLE = """(.*?)"""', src, re.S)
+        assert m, "example block not found"
+        p = tmp_path / "example.min"
+        p.write_text(m.group(1))
+        df = read_iaga2002(
+            spark, str(p), station="BDT", channels=("H", "D", "Z", "F")
+        ).orderBy("t_us")
+        rows = df.collect()
+        assert len(rows) >= 10
+        first = rows[0]
+        # 2013-09-01 00:00 244: 21516.28 -29.03 47809.92 52533.39
+        assert first.t_us == 1377993600000000
+        assert (first.H, first.D, first.Z, first.F) == (
+            21516.28, -29.03, 47809.92, 52533.39
+        )
+        # header/comment/DECBAS lines were all skipped, one row a minute
+        ts = [r.t_us for r in rows]
+        assert all(b - a == 60_000_000 for a, b in zip(ts, ts[1:]))

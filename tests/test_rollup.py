@@ -244,3 +244,30 @@ class TestQuantileRollup:
             F.percentile_approx("value", 0.95, 10_000).alias("a")
         ).first().a
         assert approx == pytest.approx(np.percentile(vals, 95), rel=0.01)
+
+
+class TestWindowShapes:
+    def test_minute_filter_is_the_periodic_gaussian(self):
+        """The INTERMAGNET minute filter must be scipy's get_window
+        DEFAULT (fftbins=True): the 92-point symmetric gaussian with the
+        last sample dropped — asymmetric, w[45]==w[46], effective center
+        45.5. The symmetric variant is a half-second shift that the
+        reference's own etc/filter fixtures reject (whole-nT errors in
+        fast field; see test_reference_fixtures::test_minute)."""
+        import numpy as np
+
+        from usgs_geomag_algorithms_spark.functions.windows import (
+            gaussian,
+            gaussian_periodic,
+        )
+
+        w = STEPS[1].window
+        assert len(w) == 91
+        assert w[45] == w[46]  # the periodic signature
+        assert not np.allclose(w, gaussian(91, 15.8734))  # not symmetric
+        assert np.array_equal(w, gaussian_periodic(91, 15.8734))
+        # exact closed form of the periodic variant: 92 symmetric points
+        # centered at 45.5, last dropped
+        n = np.arange(92, dtype=np.float64) - 45.5
+        expect = np.exp(-0.5 * (n / 15.8734) ** 2)[:-1]
+        assert np.array_equal(w, expect)

@@ -107,6 +107,17 @@ class TestCalFile:
         assert lines[1] == f"1000-1005 c{2.135:9.2f}{0.125:9.2f}"
         assert lines[3] == f"1010-1015 c{-2.135:9.2f}{-0.125:9.2f}"
 
+    def test_negative_zero_keeps_sign(self, spark):
+        # a value in (-0.005, 0) snaps to zero cents but Python %9.2f
+        # still renders the sign: '    -0.00' (ADVICE r3)
+        rows = [
+            ("H", -0.001, 0.004, us((2015, 1, 2), 1000), us((2015, 1, 2), 1005)),
+        ]
+        df = spark.createDataFrame(rows, schema=SCHEMA)
+        lines = format_cal(df).splitlines()
+        assert lines[1] == f"1000-1005 c{0.004:9.2f}{-0.001:9.2f}"
+        assert lines[1] == "1000-1005 c     0.00    -0.00"
+
     def test_write_file(self, spark, tmp_path):
         df = spark.createDataFrame(example_rows(), schema=SCHEMA)
         p = tmp_path / "sub" / "BOU2015WebAbsMaster.cal"

@@ -86,6 +86,32 @@ class TestIntegrity:
         assert FC.flac_decode_int(b"RIFFxxxxWAVE") is None
         assert FC.flac_decode_int(b"") is None
 
+    def test_reserved_sample_size_code_rejected(self):
+        # set the first frame's sample-size code to the reserved value 3
+        # and re-sign the header CRC-8 so ONLY the reserved code trips
+        # (ADVICE r3: it used to fall back to the STREAMINFO depth)
+        import pytest
+
+        f = 42  # frame start: 4 magic + 4 block hdr + 34 STREAMINFO
+        enc = bytearray(self.enc)
+        enc[f + 3] = (enc[f + 3] & ~0x0E) | (3 << 1)
+        enc[f + 5] = FC.crc8(bytes(enc[f : f + 5]))
+        with pytest.raises(ValueError, match="reserved"):
+            FC._flac_decode_int(bytes(enc))
+        assert FC.flac_decode_int(bytes(enc)) is None
+
+    def test_encode_range_guards(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="20 bits"):
+            FC.flac_encode(self.pcm, 1 << 20)
+        with pytest.raises(ValueError, match="20 bits"):
+            FC.flac_encode(self.pcm, 0)
+        # broadcast view: 2^36 logical rows without allocating them
+        huge = np.broadcast_to(np.int64(0), (1 << 36,))
+        with pytest.raises(ValueError, match="36 bits"):
+            FC.flac_encode(huge, 8000)
+
 
 # --------------------------------------------------- hand-crafted streams
 def craft(n_ch, bits, bs, write_subframes, pcm, rate=8000, ch_code=None):

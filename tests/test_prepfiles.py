@@ -83,13 +83,24 @@ class TestPrepfiles:
         assert written["BOU/BOU2020PCD.cal"] == 1  # window filtered
         assert written["BOU/BOU2020061.min"] == 1440  # Mar 1 = DOY 61
         assert written["BOU/BOU2020062.min"] == 1440
-        assert written["BOU/BOU2020061.deg"] == 1440
+        # temperatures are hour-filtered (60->3600) and named '.hor'
+        # like the reference magproc; 24 hourly rows for the full day
+        assert written["BOU/BOU2020061.hor"] == 24
+        assert not any(k.endswith(".deg") for k in written)
         # empty days and the absent second tier write nothing
-        assert not any(k.endswith(".sec") for k in written)
+        assert not any(k.endswith(".raw") for k in written)
         assert "BOU/BOU2020063.min" not in written
         cal = (out / "BOU" / "BOU2020PCD.cal").read_text()
         assert cal.startswith("--2020 02 15 (H)")
         assert "2140-2143 c   175.00 12531.30" in cal
+        # hourly temperature lines: center stamp HH:29(:30) keys minute-of-
+        # day h*60+29; mean of 60 x 21.5 -> 215 at the x10 Deg-C scale
+        hor = "\n".join(
+            p.read_text()
+            for p in sorted((out / "BOU" / "BOU2020061.hor").glob("part-*"))
+        )
+        assert "0029      215      215" in hor
+        assert "1409      215      215" in hor  # hour 23
         # the PCDCP file round-trips through the engine's own reader
         back = read_pcdcp(spark, str(out / "BOU" / "BOU2020061.min"))
         r = back.where(F.col("t_us") == us(2020, 3, 1)).first()

@@ -320,7 +320,11 @@ def _flac_decode_int(payload: bytes):
             # cannot change the stream's rate mid-file)
             if _SAMPLE_RATE_CODE[sr_code] != info["rate"]:
                 raise ValueError("flac: frame sample rate != STREAMINFO")
-        fbps = _SAMPLE_SIZE_CODE.get(ss_code, bps) if ss_code else bps
+        # code 0 = "get from STREAMINFO"; 3 is reserved (RFC 9639 §9.1.4)
+        # and must not silently fall back to the STREAMINFO depth
+        if ss_code and ss_code not in _SAMPLE_SIZE_CODE:
+            raise ValueError("flac: reserved frame sample-size code")
+        fbps = _SAMPLE_SIZE_CODE[ss_code] if ss_code else bps
         # header fields always total a whole byte count; CRC-8 covers them
         # and sits in the next byte, which must be consumed before the
         # first subframe
@@ -468,6 +472,13 @@ def flac_encode(pcm: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
     n, n_ch = x.shape
     if not 1 <= n_ch <= 8:
         raise ValueError("flac: 1-8 channels")
+    # STREAMINFO packs rate into 20 bits and total samples into 36
+    # (RFC 9639 §8.2) — out-of-range values would silently bleed into
+    # the adjacent bit fields of the >Q pack below
+    if not 1 <= sample_rate < (1 << 20):
+        raise ValueError("flac: sample_rate must fit in 20 bits")
+    if n >= (1 << 36):
+        raise ValueError("flac: total samples must fit in 36 bits")
     block = 4096
     ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}.get(bits, 0)
 

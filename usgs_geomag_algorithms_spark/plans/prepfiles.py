@@ -24,9 +24,19 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, functions as F
 
 from ..operators.convert import pivot_channels
+from ..operators.rollup import rollup_step
 from ..sources.calfile import write_cal_file
 from ..sources.legacy import write_pcdcp
 from ..sources.store import TierStore
+from ..tiers import STEPS
+
+#: minute->hour boxcar used for the temperature tier
+#: (magproc.write_temperature_data builds FilterAlgorithm 60->3600,
+#: magproc.py:114-153)
+_HOUR_STEP = next(
+    s for s in STEPS
+    if s.input_sample_period == 60.0 and s.output_sample_period == 3600.0
+)
 
 US = 1_000_000
 DAY_US = 86_400 * US
@@ -91,17 +101,39 @@ def prepfiles(
         write_cal_file(window, os.path.join(obs_dir, name))
         written[f"{observatory}/{name}"] = window.count()
 
-    jobs = [(second_tier, 1, "sec", list(channels), False),
+    # suffixes follow PCDCPFactory._get_interval_abbreviation
+    # (PCDCPFactory.py:111-113: second -> "raw"; base table
+    # TimeseriesFactory.py:436-448: minute -> "min", hour -> "hor")
+    jobs = [(second_tier, 1, "raw", list(channels), False),
             (minute_tier, 60, "min", list(channels), False)]
     if temperature_tier:
+        # minute temperatures are hour-filtered before writing
+        # (magproc.write_temperature_data, FilterAlgorithm 60->3600)
         jobs.append(
-            (temperature_tier, 60, "deg", list(temperature_channels), True)
+            (temperature_tier, 3600, "hor", list(temperature_channels), True)
         )
     for tier, delta_s, suffix, chans, temps in jobs:
         if not store.exists(tier):
             continue
         for lo, hi in day_intervals(year, month):
-            wide = _wide_day(store, tier, observatory, lo, hi, chans)
+            if temps:
+                # stamped hourly outputs for the day: anchor + half-width
+                out_lo = lo + _HOUR_STEP.stamp_offset_us
+                out_hi = hi - _HOUR_STEP.out_us + _HOUR_STEP.stamp_offset_us
+                in_lo, in_hi = _HOUR_STEP.input_interval_us(out_lo, out_hi)
+                src = store.read(tier, in_lo, in_hi, series=observatory).where(
+                    F.col("channel").isin(chans)
+                )
+                hourly = rollup_step(
+                    src,
+                    _HOUR_STEP,
+                    range_start_us=in_lo,
+                    range_end_us=in_hi,
+                    series_cols=("url", "channel"),
+                )
+                wide = pivot_channels(hourly, chans)
+            else:
+                wide = _wide_day(store, tier, observatory, lo, hi, chans)
             n = wide.count()
             if not n:
                 continue

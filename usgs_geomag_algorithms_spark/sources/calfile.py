@@ -42,6 +42,15 @@ def _cents_half_even(col: Column) -> Column:
         .cast("long")
     )
 
+def _cal_value(col: Column) -> Column:
+    """The double handed to ``%9.2f``: half-even integer cents / 100, with
+    the negative-zero edge preserved — Python renders a value in (-0.005, 0]
+    with a negative sign ('    -0.00') when the input is negative(-signed),
+    and ``col * 0.0`` keeps exactly that sign onto the zero cents."""
+    cents = _cents_half_even(col)
+    return F.when(cents == 0, col * 0.0).otherwise(cents / 100.0)
+
+
 #: the CAL element emission order within a date (CalFileFactory.py:33)
 _ELEMENT_ORDER = {"H": 0, "D": 1, "Z": 2}
 
@@ -105,8 +114,8 @@ def cal_lines(
             "%s-%s c%9.2f%9.2f",
             F.date_format(F.timestamp_micros(F.col("_s")), "HHmm"),
             F.date_format(F.timestamp_micros(F.col("_e")), "HHmm"),
-            _cents_half_even(F.col(baseline_col)) / 100.0,
-            _cents_half_even(F.col(absolute_col)) / 100.0,
+            _cal_value(F.col(baseline_col)),
+            _cal_value(F.col(absolute_col)),
         ).alias("line"),
     )
     header = (

@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "gap_detect_minute",
     "q1_pricing_summary",
     "calculated_channel",
+    "instrument_epochs",
     "purchase_asof_view",
     "rollup_levels_report",
     "pivot_day_report",

@@ -1,0 +1,270 @@
+"""Metadata epoch store — reference parity for geomagio/Metadata.py
+(get_instrument open-interval vectors, test/Metadata_test.py),
+api/db/metadata_table.py filter semantics, and
+MetadataDatabaseFactory history-on-update."""
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from usgs_geomag_algorithms_spark.operators.misc import (
+    apply_instrument_metadata,
+)
+from usgs_geomag_algorithms_spark.sources.metadata import (
+    METADATA_SCHEMA,
+    MetadataStore,
+    filter_metadata,
+    get_instrument,
+    instrument_epochs_table,
+)
+
+US = 1_000_000
+
+
+def us(s: str) -> int:
+    return int(
+        datetime.fromisoformat(s).replace(tzinfo=timezone.utc).timestamp()
+    ) * US
+
+
+T0202 = us("2020-02-02T00:00:00")
+T0203 = us("2020-02-03T00:00:00")
+
+
+@pytest.fixture()
+def epochs(spark):
+    """The reference's TEST_METADATA: three contiguous epochs with
+    open-ended first start and last end (test/Metadata_test.py:6-24)."""
+    rows = [
+        (1, "TST", None, T0202),
+        (2, "TST", T0202, T0203),
+        (3, "TST", T0203, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, station string, starttime_us long, endtime_us long"
+    )
+    return df
+
+
+class TestGetInstrument:
+    """The five reference vectors, test/Metadata_test.py:27-99."""
+
+    def ids(self, df):
+        return sorted(r.id for r in df.collect())
+
+    def test_after(self, epochs):
+        got = get_instrument(
+            epochs, "TST", us("2021-02-02T00:00:00"), us("2022-01-02T00:00:00")
+        )
+        assert self.ids(got) == [3]
+
+    def test_before(self, epochs):
+        got = get_instrument(
+            epochs, "TST", us("2019-02-02T00:00:00"), us("2020-01-02T00:00:00")
+        )
+        assert self.ids(got) == [1]
+
+    def test_inside(self, epochs):
+        got = get_instrument(
+            epochs, "TST", us("2020-02-02T01:00:00"), us("2020-02-02T02:00:00")
+        )
+        assert self.ids(got) == [2]
+
+    def test_span(self, epochs):
+        got = get_instrument(
+            epochs, "TST", us("2020-01-02T00:00:00"), us("2020-02-02T01:00:00")
+        )
+        assert self.ids(got) == [1, 2]
+
+    def test_unknown(self, epochs):
+        got = get_instrument(
+            epochs, "OTHER", us("2020-01-02T00:00:00"), us("2020-02-02T01:00:00")
+        )
+        assert self.ids(got) == []
+
+    def test_no_bounds_matches_all(self, epochs):
+        assert self.ids(get_instrument(epochs, "TST")) == [1, 2, 3]
+
+
+class TestStoreCrud:
+    def test_create_defaults_and_ids(self, spark, tmp_path):
+        st = MetadataStore(spark, str(tmp_path / "m"))
+        ids = st.create(
+            [
+                {"station": "BOU", "category": "instrument"},
+                {"station": "FRD", "category": "flag", "data_valid": False,
+                 "priority": 2, "status": "reviewed"},
+            ],
+            now_us=123,
+        )
+        assert ids == [1, 2]
+        rows = {r["id"]: r for r in (st.get_by_id(1), st.get_by_id(2))}
+        assert rows[1]["status"] == "new"  # create_metadata default
+        assert rows[1]["priority"] == 1 and rows[1]["data_valid"] is True
+        assert rows[1]["created_time_us"] == 123
+        assert rows[2]["status"] == "reviewed"
+        assert rows[2]["data_valid"] is False and rows[2]["priority"] == 2
+
+    def test_payload_stored_as_json(self, spark, tmp_path):
+        st = MetadataStore(spark, str(tmp_path / "m"))
+        payload = {"channels": {"U": [{"channel": "U_Volt", "scale": 100.0,
+                                       "offset": 0.0}]}}
+        (mid,) = st.create(
+            [{"station": "BOU", "category": "instrument", "metadata": payload}]
+        )
+        import json
+
+        assert json.loads(st.get_by_id(mid)["metadata"]) == payload
+
+    def test_unknown_field_rejected(self, spark, tmp_path):
+        st = MetadataStore(spark, str(tmp_path / "m"))
+        with pytest.raises(ValueError, match="unknown"):
+            st.create([{"station": "BOU", "bogus": 1}])
+        (mid,) = st.create([{"station": "BOU"}])
+        with pytest.raises(ValueError, match="unknown"):
+            st.update(mid, {"id": 99}, updated_by="x")
+
+    def test_update_archives_history(self, spark, tmp_path):
+        st = MetadataStore(spark, str(tmp_path / "m"))
+        (mid,) = st.create([{"station": "BOU", "comment": "v1"}], now_us=10)
+        st.update(mid, {"comment": "v2"}, updated_by="alice", now_us=20)
+        st.update(mid, {"comment": "v3"}, updated_by="bob", now_us=30)
+        live = st.get_by_id(mid)
+        assert live["comment"] == "v3" and live["updated_by"] == "bob"
+        assert live["updated_time_us"] == 30
+        # history: newest-first = live, then v2 image, then creation image
+        hist = st.history_by_metadata_id(mid).collect()
+        assert [r.comment for r in hist] == ["v3", "v2", "v1"]
+        # archived rows point back at the live id; live row has NULL
+        assert [r.metadata_id for r in hist] == [None, mid, mid]
+
+    def test_update_missing_id_raises(self, spark, tmp_path):
+        st = MetadataStore(spark, str(tmp_path / "m"))
+        with pytest.raises(ValueError, match="0 records"):
+            st.update(7, {"comment": "x"}, updated_by="a")
+
+    def test_snapshot_time_travel(self, spark, tmp_path):
+        st = MetadataStore(spark, str(tmp_path / "m"))
+        st.create([{"station": "BOU"}])
+        st.create([{"station": "FRD"}])
+        st.update(1, {"comment": "later"}, updated_by="a")
+        assert st.versions() == [1, 2, 3]
+        assert st.read(version=1).count() == 1
+        assert st.read(version=2).count() == 2
+        v2 = st.read(version=2).where(F.col("id") == 1).first()
+        assert v2.comment is None  # pre-update image
+        with pytest.raises(ValueError, match="does not exist"):
+            st.read(version=9)
+
+
+class TestQueryFilters:
+    @pytest.fixture()
+    def table(self, spark):
+        rows = [
+            # id, created, start, end, network, station, channel, location,
+            # category, valid, status
+            (1, 100, None, T0202, "NT", "BOU", "BEU", "R0", "flag", True, "new"),
+            (2, 200, T0202, T0203, "NT", "BOU", "BEH", "R1", "flag", False, "reviewed"),
+            (3, 300, T0203, None, "NT", "FRD", None, None, "instrument", True, "new"),
+        ]
+        data = [
+            (
+                i, None, None, c, None, None, s, e, n, st, ch, lo, cat, 1, dv,
+                stat, None, None, None,
+            )
+            for (i, c, s, e, n, st, ch, lo, cat, dv, stat) in rows
+        ]
+        return spark.createDataFrame(data, METADATA_SCHEMA)
+
+    def ids(self, df):
+        return sorted(r.id for r in df.collect())
+
+    def test_like_patterns(self, table):
+        assert self.ids(filter_metadata(table, channel="BE%")) == [1, 2]
+        assert self.ids(filter_metadata(table, channel="BEH")) == [2]
+        assert self.ids(filter_metadata(table, location="R_")) == [1, 2]
+
+    def test_open_bound_overlap(self, table):
+        # starttime filter keeps rows whose end is NULL or > starttime
+        assert self.ids(filter_metadata(table, starttime_us=T0202)) == [2, 3]
+        # endtime filter keeps rows whose start is NULL or < endtime
+        assert self.ids(filter_metadata(table, endtime_us=T0202)) == [1]
+        assert self.ids(
+            filter_metadata(table, starttime_us=T0202 - US, endtime_us=T0202)
+        ) == [1]
+
+    def test_created_window_valid_status(self, table):
+        assert self.ids(filter_metadata(table, created_after_us=150)) == [2, 3]
+        assert self.ids(filter_metadata(table, created_before_us=150)) == [1]
+        assert self.ids(filter_metadata(table, data_valid=False)) == [2]
+        assert self.ids(filter_metadata(table, status=["reviewed"])) == [2]
+        assert self.ids(
+            filter_metadata(table, network="NT", station="BOU", category="flag")
+        ) == [1, 2]
+
+
+class TestInstrumentEpochsTable:
+    def test_flattens_channel_components(self, spark, tmp_path):
+        st = MetadataStore(spark, str(tmp_path / "m"))
+        payload = {
+            "channels": {
+                "U": [
+                    {"channel": "U_Volt", "offset": 0.0, "scale": 100.0},
+                    {"channel": "U_Bin", "offset": 0.0, "scale": 500.0},
+                ],
+                "V": [{"channel": "V_Volt", "offset": 1.0, "scale": 200.0}],
+            }
+        }
+        st.create(
+            [
+                {"station": "BOU", "category": "instrument",
+                 "starttime_us": None, "endtime_us": T0202,
+                 "metadata": payload},
+                {"station": "BOU", "category": "observatory"},  # pruned
+            ]
+        )
+        flat = instrument_epochs_table(st.read())
+        got = {r.key: r for r in flat.collect()}
+        assert set(got) == {"BOU/U/U_Volt", "BOU/U/U_Bin", "BOU/V/V_Volt"}
+        assert got["BOU/U/U_Bin"].scale == 500.0
+        assert got["BOU/V/V_Volt"].offset == 1.0
+        assert got["BOU/U/U_Volt"].start_us is None
+        assert got["BOU/U/U_Volt"].end_us == T0202
+
+
+class TestApplyInstrumentMetadataNullBounds:
+    @pytest.fixture()
+    def facts(self, spark):
+        rows = [("BOU", t, 1.0) for t in (T0202 - US, T0202, T0203)]
+        rows.append(("XXX", T0202, 1.0))
+        return spark.createDataFrame(rows, "url string, t_us long, value double")
+
+    def test_open_ended_epochs_match(self, spark, facts):
+        meta = spark.createDataFrame(
+            [
+                ("BOU", None, T0202, 10.0, 0.0),
+                ("BOU", T0202, T0203, 20.0, 0.0),
+                ("BOU", T0203, None, 30.0, 0.0),
+            ],
+            "url string, start_us long, end_us long, scale double, offset double",
+        )
+        out = apply_instrument_metadata(facts, meta)
+        got = {(r.url, r.t_us): r.value for r in out.collect()}
+        assert got[("BOU", T0202 - US)] == 10.0  # open start epoch
+        assert got[("BOU", T0202)] == 20.0  # half-open boundary
+        assert got[("BOU", T0203)] == 30.0  # open end epoch
+        assert got[("XXX", T0202)] == 1.0  # default passthrough
+
+    def test_strict_nulls_unmatched(self, spark, facts):
+        meta = spark.createDataFrame(
+            [("BOU", T0202, T0203, 20.0, 0.0)],
+            "url string, start_us long, end_us long, scale double, offset double",
+        )
+        out = apply_instrument_metadata(facts, meta, strict=True)
+        got = {(r.url, r.t_us): r.value for r in out.collect()}
+        assert got[("BOU", T0202)] == 20.0
+        assert got[("BOU", T0202 - US)] is None
+        assert got[("XXX", T0202)] is None
+        # row count is preserved — strict never drops rows
+        assert out.count() == 4

@@ -32,12 +32,19 @@ def calculated_channel(
     return wide.withColumn(out_channel, expr)
 
 
+#: sentinel bounds for NULL (open-ended) epoch edges — epoch-µs facts
+#: are always far inside this range
+_EPOCH_MIN_US = -(2**62)
+_EPOCH_MAX_US = 2**62
+
+
 def apply_instrument_metadata(
     df: DataFrame,
     meta: DataFrame,
     on: str = "url",
     ts_col: str = "t_us",
     value_col: str = "value",
+    strict: bool = False,
 ) -> DataFrame:
     """Join per-time-range instrument config (scale/offset) onto fact rows:
     ``meta(on, start_us, end_us, scale, offset)`` is small — broadcast range
@@ -46,12 +53,19 @@ def apply_instrument_metadata(
     Epochs are HALF-OPEN ``[start_us, end_us)`` — the contiguous encoding
     (next epoch starts where the previous ends) matches each fact row at
     most once; inclusive ends would double-match boundary rows and
-    silently duplicate them."""
+    silently duplicate them.  A NULL bound is open-ended ("since/until
+    forever"), matching the reference's epoch semantics
+    (``geomagio/Metadata.py:get_instrument``, vectors
+    ``test/Metadata_test.py:27-99``).
+
+    ``strict=True`` nulls the value of rows no epoch covers instead of
+    passing them through at scale 1 / offset 0 — opt in when unconfigured
+    data must not masquerade as calibrated."""
     m = F.broadcast(
         meta.select(
             F.col(on).alias("_m_key"),
-            "start_us",
-            "end_us",
+            F.coalesce(F.col("start_us"), F.lit(_EPOCH_MIN_US)).alias("start_us"),
+            F.coalesce(F.col("end_us"), F.lit(_EPOCH_MAX_US)).alias("end_us"),
             "scale",
             "offset",
         )
@@ -63,12 +77,18 @@ def apply_instrument_metadata(
         & (F.col(ts_col) < F.col("end_us")),
         "left",
     )
+    if strict:
+        value = F.when(
+            F.col("start_us").isNotNull(),
+            F.col(value_col) * F.col("scale") + F.col("offset"),
+        )
+    else:
+        value = F.col(value_col) * F.coalesce(F.col("scale"), F.lit(1.0)) + F.coalesce(
+            F.col("offset"), F.lit(0.0)
+        )
     return joined.select(
         *[c for c in df.columns if c != value_col],
-        (
-            F.col(value_col) * F.coalesce(F.col("scale"), F.lit(1.0))
-            + F.coalesce(F.col("offset"), F.lit(0.0))
-        ).alias(value_col),
+        value.alias(value_col),
     )
 
 

@@ -309,3 +309,198 @@ class TestIaga2002ParserExample:
         # header/comment/DECBAS lines were all skipped, one row a minute
         ts = [r.t_us for r in rows]
         assert all(b - a == 60_000_000 for a, b in zip(ts, ts[1:]))
+
+
+class TestIaga2002HeaderParity:
+    """IAGA2002Parser header/comment/channel vectors
+    (test/iaga2002_test/IAGA2002Parser_test.py) plus the real shipped
+    BOU OneMinute file end-to-end."""
+
+    BOU_FILE = f"{ETC}/iaga2002/BOU/OneMinute/bou20141101vmin.min"
+
+    def test_merge_comments_vector(self):
+        from usgs_geomag_algorithms_spark.sources.iaga2002 import (
+            merge_comments,
+        )
+
+        assert merge_comments(["line 1", "line 2.", "line 3"]) == [
+            "line 1 line 2.",
+            "line 3",
+        ]
+
+    def test_parse_header_vector(self):
+        from usgs_geomag_algorithms_spark.sources.iaga2002 import (
+            parse_header_line,
+        )
+
+        key, value = parse_header_line(
+            " Format                 "
+            "IAGA-2002                                    |"
+        )
+        assert (key, value) == ("Format", "IAGA-2002")
+
+    def test_parse_comment_vector(self):
+        from usgs_geomag_algorithms_spark.sources.iaga2002 import (
+            parse_comment_line,
+        )
+
+        got = parse_comment_line(
+            " # Go to www.intermagnet.org for details on"
+            " obtaining this product.  |"
+        )
+        assert got == (
+            "Go to www.intermagnet.org for details on obtaining this product."
+        )
+
+    def test_parse_channels_vector(self):
+        from usgs_geomag_algorithms_spark.sources.iaga2002 import (
+            parse_channels_line,
+        )
+
+        got = parse_channels_line(
+            "DATE       TIME         DOY     "
+            "BDTH      BDTD      BDTZ      BDTF   |",
+            "BDT",
+        )
+        assert got == ["H", "D", "Z", "F"]
+
+    def test_bou_file_metadata(self, spark):
+        from usgs_geomag_algorithms_spark.sources.iaga2002 import (
+            read_iaga2002_meta,
+        )
+
+        meta = read_iaga2002_meta(spark, self.BOU_FILE)
+        md = meta["metadata"]
+        assert meta["channels"] == ["H", "D", "Z", "F"]
+        assert md["station"] == "BOU"
+        assert md["station_name"] == "Boulder"
+        assert md["geodetic_latitude"] == "40.137"
+        assert md["geodetic_longitude"] == "254.764"
+        assert md["elevation"] == "1682"
+        assert md["sensor_orientation"] == "HDZF"
+        assert md["data_type"] == "variation"
+        assert md["sensor_sampling_rate"] == 100.0  # "0.01 second"
+        # DECBAS from the merged comment block (test_parse_decbas)
+        assert md["declination_base"] == 5527
+        assert md["is_gin"] and md["is_intermagnet"]
+        assert md["conditions_of_use"].startswith("The Conditions of Use")
+        assert md["filter_comments"] == (
+            "Vector 1-minute values are computed from 1-second values "
+            "using the INTERMAGNET gaussian filter centered on the minute.",
+            "Scalar 1-minute values are computed from 1-second values "
+            "using the INTERMAGNET gaussian filter centered on the minute.",
+        )
+        assert meta["headers"]["Format"] == "IAGA-2002"
+
+
+class TestImfJsonFixture:
+    """IMFJSONWriter vectors (test/imfjson_test/IMFJSONWriter_test.py)
+    run on the same shipped BOU file: metadata, times, and values must
+    match what the reference's own test asserts."""
+
+    BOU_FILE = f"{ETC}/iaga2002/BOU/OneMinute/bou20141101vmin.min"
+
+    @pytest.fixture()
+    def doc(self, spark):
+        from usgs_geomag_algorithms_spark.functions.channels import (
+            minutes_to_radians,
+        )
+        from usgs_geomag_algorithms_spark.sources.iaga2002 import (
+            read_iaga2002_meta,
+        )
+        from usgs_geomag_algorithms_spark.sources.imfjson import (
+            format_imfjson,
+        )
+
+        meta = read_iaga2002_meta(spark, self.BOU_FILE)
+        wide = read_iaga2002(
+            spark, self.BOU_FILE, station="BOU", channels=("H", "D", "Z", "F")
+        )
+        # the reference stores D in radians internally
+        # (IAGA2002Factory.py:81) and converts back on JSON write —
+        # exercise both conversions
+        wide = wide.withColumn("D", minutes_to_radians(F.col("D")))
+        stats = dict(meta["metadata"], network="NT", sampling_period=60)
+        return format_imfjson(
+            wide, stats, channels=("H", "D", "Z", "F"), d_in_radians=True
+        )
+
+    def test_metadata(self, doc):
+        md = doc["metadata"]
+        assert md["status"] == 200
+        intermag = md["intermagnet"]
+        assert intermag["reported_orientation"] == "HDZF"
+        assert intermag["sensor_orientation"] == "HDZF"
+        assert intermag["data_type"] == "variation"
+        assert intermag["sampling_period"] == 60
+        assert intermag["digital_sampling_rate"] == 0.01
+        imo = intermag["imo"]
+        assert imo["iaga_code"] == "BOU"
+        assert imo["name"] == "Boulder"
+        assert imo["coordinates"] == [254.764, 40.137, 1682]
+
+    def test_times(self, doc):
+        times = doc["times"]
+        day, time = np.genfromtxt(
+            self.BOU_FILE, skip_header=25, usecols=(0, 1), unpack=True,
+            dtype=str,
+        )
+        expected = [d + "T" + t + "Z" for d, t in zip(day, time)]
+        assert times == expected
+
+    def test_values(self, doc):
+        values = doc["values"]
+        assert [v["id"] for v in values] == ["H", "D", "Z", "F"]
+        for v in values:
+            assert list(v.keys()) == ["id", "metadata", "values"]
+            assert list(v["metadata"].keys()) == [
+                "element", "network", "station", "channel", "location",
+            ]
+        md = values[0]["metadata"]
+        assert md["element"] == "H"
+        assert md["network"] == "NT"
+        assert md["station"] == "BOU"
+        assert md["location"] == "R0"  # variation default
+        test_h, test_d = np.loadtxt(
+            self.BOU_FILE, skiprows=25, usecols=(3, 4), unpack=True,
+            dtype=float,
+        )
+        got_h = np.around(np.array(values[0]["values"], dtype=float), 2)
+        got_d = np.around(np.array(values[1]["values"], dtype=float), 2)
+        assert got_h.tolist() == test_h.tolist()
+        assert got_d.tolist() == test_d.tolist()
+
+    def test_missing_channel_raises(self, spark):
+        from usgs_geomag_algorithms_spark.sources.imfjson import (
+            format_imfjson,
+        )
+
+        wide = read_iaga2002(
+            spark, self.BOU_FILE, station="BOU", channels=("H", "D", "Z", "F")
+        ).drop("F")
+        with pytest.raises(ValueError, match="Missing channel"):
+            format_imfjson(wide, {"station": "BOU"})
+
+    def test_compact_json_shape(self, spark):
+        import json as _json
+
+        from usgs_geomag_algorithms_spark.sources.iaga2002 import (
+            read_iaga2002_meta,
+        )
+        from usgs_geomag_algorithms_spark.sources.imfjson import (
+            format_imfjson_string,
+        )
+
+        meta = read_iaga2002_meta(spark, self.BOU_FILE)
+        wide = read_iaga2002(
+            spark, self.BOU_FILE, station="BOU", channels=("H", "D", "Z", "F")
+        )
+        s = format_imfjson_string(
+            wide, dict(meta["metadata"], sampling_period=60),
+            generated_us=0,
+        )
+        assert s.startswith('{"type":"Timeseries","metadata":')
+        assert '"generated":"1970-01-01T00:00:00Z"' in s
+        doc = _json.loads(s)
+        assert doc["metadata"]["url"] is None
+        assert len(doc["times"]) == len(doc["values"][0]["values"])

@@ -99,3 +99,143 @@ def read_iaga2002(
             .alias(c)
         )
     return data.select(*cols).withColumn("station", F.lit(station))
+
+
+# ---------------------------------------------------------------------------
+# header / comment metadata — IAGA2002Parser parity
+# (test vectors: test/iaga2002_test/IAGA2002Parser_test.py)
+# ---------------------------------------------------------------------------
+
+#: required-header key mapping (``_parse_header``, IAGA2002Parser.py:81-120)
+_HEADER_KEYS = {
+    "SOURCE OF DATA": "agency_name",
+    "STATION NAME": "station_name",
+    "IAGA CODE": "station",
+    "GEODETIC LATITUDE": "geodetic_latitude",
+    "GEODETIC LONGITUDE": "geodetic_longitude",
+    "ELEVATION": "elevation",
+    "SENSOR ORIENTATION": "sensor_orientation",
+    "DATA INTERVAL TYPE": "data_interval_type",
+    "DATA TYPE": "data_type",
+}
+
+
+def parse_header_line(line: str) -> tuple[str, str]:
+    """Header name/value split at the reference's fixed columns
+    (``_parse_header``: key = line[1:24], value = line[24:69])."""
+    return line[1:24].strip(), line[24:69].strip()
+
+
+def parse_comment_line(line: str) -> str:
+    """Strip the ``' # '`` prefix and trailing-pipe padding
+    (``_parse_comment``: line[2:69])."""
+    return line[2:69].strip()
+
+
+def parse_channels_line(line: str, iaga_code: str) -> list[str]:
+    """Channel names from the data-header line, IAGA code prefix removed
+    (``_parse_channels``: 10-char slices from column 30)."""
+    return [
+        line[lo:hi].strip().replace(iaga_code, "")
+        for lo, hi in ((30, 40), (40, 50), (50, 60), (60, 69))
+    ]
+
+
+def merge_comments(comments: list[str]) -> list[str]:
+    """Combine multi-line period-delimited comments (``_merge_comments``,
+    IAGA2002Parser.py:223-250): lines accumulate until one ends with a
+    period; an unterminated tail is kept as-is."""
+    merged: list[str] = []
+    partial = None
+    for comment in comments:
+        partial = comment if partial is None else partial + " " + comment
+        if partial.endswith("."):
+            merged.append(partial)
+            partial = None
+    if partial is not None:
+        merged.append(partial)
+    return merged
+
+
+def read_iaga2002_meta(spark: SparkSession, path: str) -> dict:
+    """Parse the header region of an IAGA2002 file into the reference's
+    metadata dict: raw ``headers``, mapped required keys, merged
+    ``comments``, comment-embedded values (``declination_base`` from
+    DECBAS, ``conditions_of_use``, ``filter_comments``,
+    ``is_intermagnet``/``is_gin``), and ``channels``
+    (``parse``/``_post_process``/``parse_comments``,
+    IAGA2002Parser.py:53-222).
+
+    Headers are a bounded prefix of the file (tens of lines) — the scan
+    is a Spark text read with the line-order preserved; assembly is
+    driver-side like every header-shaped read in the engine."""
+    rows = (
+        spark.read.text(path, wholetext=True)
+        .select(F.posexplode(F.split("value", "\r?\n")).alias("_i", "value"))
+        .where(
+            F.col("value").rlike(r"^ .*\|\s*$") | F.col("value").startswith("DATE ")
+        )
+        .orderBy("_i")
+        .select("value")
+        .collect()
+    )
+    headers: dict = {}
+    metadata: dict = {}
+    comments: list[str] = []
+    channels: list[str] = []
+    for (line,) in rows:
+        if line.startswith("DATE "):
+            channels = parse_channels_line(line, metadata.get("station", ""))
+            break
+        if line.startswith(" #"):
+            comments.append(parse_comment_line(line))
+            continue
+        key, value = parse_header_line(line)
+        headers[key] = value
+        mapped = _HEADER_KEYS.get(key.upper())
+        if key.upper() == "DIGITAL SAMPLING":
+            # "0.01 second" -> 100 Hz; "xx Hz" -> xx (the reference's
+            # sensor_sampling_rate normalization)
+            try:
+                if "second" in value:
+                    metadata["sensor_sampling_rate"] = 1 / float(
+                        value.replace("second", "").strip()
+                    )
+                elif "Hz" in value:
+                    metadata["sensor_sampling_rate"] = float(
+                        value.replace("Hz", "").strip()
+                    )
+            except ValueError:
+                pass
+        elif mapped:
+            metadata[mapped] = value
+    merged = merge_comments(comments)
+    kept, filt = [], []
+    conditions_of_use = None
+    declination_base = None
+    is_intermagnet = is_gin = False
+    for comment in merged:
+        if comment.startswith("DECBAS"):
+            decbas = comment.replace("DECBAS", "").strip()
+            declination_base = int(decbas[: decbas.find(" ")])
+        elif comment.startswith("CONDITIONS OF USE:"):
+            conditions_of_use = comment.replace("CONDITIONS OF USE:", "").strip()
+        else:
+            cu = comment.upper()
+            if "FILTER" in cu:
+                filt.append(comment)
+            elif "GIN" in cu:
+                is_gin = True
+            elif "INTERMAGNET DVD" in cu or "WWW.INTERMAGNET.ORG" in cu:
+                is_intermagnet = True
+            else:
+                kept.append(comment)
+    metadata.update(
+        comments=tuple(kept),
+        filter_comments=tuple(filt),
+        conditions_of_use=conditions_of_use,
+        declination_base=declination_base,
+        is_intermagnet=is_intermagnet,
+        is_gin=is_gin,
+    )
+    return {"headers": headers, "metadata": metadata, "channels": channels}

@@ -15,7 +15,8 @@ import math
 from pyspark.sql import Column, functions as F
 
 M2R = math.pi / 180 / 60  # minutes arc -> radians (ref :23)
-R2M = 1 / M2R
+R2M = 180.0 / math.pi * 60  # radians -> minutes (ref :24 — NOT 1/M2R,
+# which differs in the last ulp; bit-parity matters for codec round-trips)
 
 D2R = math.pi / 180
 

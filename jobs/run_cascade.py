@@ -39,10 +39,37 @@ def iso_to_us(s: str) -> int:
     return _iso(s)
 
 
+def parse_deprecated_arguments(args):
+    """Legacy-argument rewrite — the Controller's deprecated-flag mapping
+    (``parse_deprecated_arguments``, Controller.py:1311-1383): old names
+    keep working, rewritten onto the current arguments with the
+    reference's exact warning text."""
+    using_deprecated = False
+    if args.observatory is not None:
+        args.series = args.observatory
+        using_deprecated = True
+    if args.observatory_foreach:
+        args.series_foreach = True
+        using_deprecated = True
+    if args.input_pages is not None:
+        args.pages = args.input_pages
+        using_deprecated = True
+    if args.output_store is not None:
+        args.store = args.output_store
+        using_deprecated = True
+    if using_deprecated:
+        print(
+            "WARNING: you are using deprecated arguments,"
+            + " please update your usage",
+            file=sys.stderr,
+        )
+    return args
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--pages", required=False, help="pages parquet/table path")
-    ap.add_argument("--store", required=True, help="tier store root")
+    ap.add_argument("--store", required=False, help="tier store root")
     ap.add_argument("--start", required=False)
     ap.add_argument("--end", required=False)
     ap.add_argument(
@@ -69,7 +96,32 @@ def main(argv=None) -> int:
         "--hard", action="store_true",
         help="erase mode: physically unlink replaced files NOW",
     )
-    args = ap.parse_args(argv)
+    ap.add_argument(
+        "--series", nargs="*", default=None,
+        help="restrict build to these series (url) values",
+    )
+    ap.add_argument("--series-col", default="url")
+    ap.add_argument(
+        "--series-foreach", action="store_true",
+        help="run the build once per --series value (per-series run_id, "
+        "lineage, and metrics; failures are reported per series)",
+    )
+    # deprecated aliases — the reference Controller's observatory
+    # vocabulary and legacy-argument rewrite (Controller.py:696-712,
+    # parse_deprecated_arguments :1311-1383)
+    ap.add_argument("--observatory", nargs="*", default=None,
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--observatory-foreach", action="store_true",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--input-pages", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--output-store", default=None, help=argparse.SUPPRESS)
+    args = parse_deprecated_arguments(ap.parse_args(argv))
+    if not args.store:
+        ap.error("--store required")
+    if args.series_foreach and args.mode != "build":
+        ap.error("--series-foreach applies to build mode")
+    if args.series_foreach and not args.series:
+        ap.error("--series-foreach requires --series values")
 
     from usgs_geomag_algorithms_spark.plans import pipeline
     from usgs_geomag_algorithms_spark.sources.store import TierStore
@@ -93,7 +145,37 @@ def main(argv=None) -> int:
     if args.mode == "build":
         if not args.pages:
             ap.error("--pages required in build mode")
+        from pyspark.sql import functions as F
+
         pages = spark.read.parquet(args.pages)
+        if args.series_foreach:
+            # per-series fan-out (Controller.py:696-712): each series
+            # builds independently with its own run_id + lineage rows;
+            # a failure is reported and the loop continues, and ANY
+            # failure exits 1 at the end (the reference sets its
+            # observatory_exception flag nowhere, so its exit(1) is
+            # unreachable — fixed here rather than copied)
+            metrics = {"series": {}, "failed": []}
+            for sv in args.series:
+                try:
+                    m = pipeline.build_tiers(
+                        pages.where(F.col(args.series_col) == sv),
+                        store, start_us, end_us,
+                        channels=tuple(args.channels),
+                        run_id=f"{args.run_id or 'build'}-{sv}",
+                        upsert=True,
+                    )
+                    metrics["series"][sv] = m
+                except Exception as e:
+                    print(
+                        f"Exception processing series {sv}", str(e),
+                        file=sys.stderr,
+                    )
+                    metrics["failed"].append(sv)
+            print(json.dumps(metrics, default=str))
+            return 1 if metrics["failed"] else 0
+        if args.series:
+            pages = pages.where(F.col(args.series_col).isin(args.series))
         metrics = pipeline.build_tiers(
             pages, store, start_us, end_us,
             channels=tuple(args.channels), run_id=args.run_id,

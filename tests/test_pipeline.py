@@ -218,3 +218,87 @@ class TestEraseAndPublish:
         m = _json.loads(buf.getvalue().strip().splitlines()[-1])
         assert m["minute"] == store.current_version("minute")
         assert consumer.read("minute").count() == 270
+
+
+class TestSeriesForeach:
+    """Per-series CLI fan-out + deprecated-argument rewrite parity
+    (Controller.py:696-712 observatory foreach, :1311-1383 legacy args)."""
+
+    def _pages(self, spark, tmp_path):
+        pages = generate_pages(spark, n_urls=3, hours=1.0, n_hot=3)
+        path = str(tmp_path / "pages")
+        pages.write.parquet(path)
+        urls = sorted(r.url for r in pages.select("url").distinct().collect())
+        return path, urls
+
+    def test_foreach_builds_each_series(self, spark, tmp_path, capsys):
+        from jobs.run_cascade import main as cascade_main
+
+        path, urls = self._pages(spark, tmp_path)
+        rc = cascade_main([
+            "--pages", path, "--store", str(tmp_path / "t"),
+            "--start", "2020-01-06T00:00:00", "--end", "2020-01-06T00:59:59",
+            "--channels", "text_len",
+            "--series-foreach", "--series", urls[0], urls[1],
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert sorted(out["series"]) == sorted(urls[:2])
+        assert out["failed"] == []
+        # each series carries its own run_id and landed its own rows
+        for u in urls[:2]:
+            assert out["series"][u]["run_id"].endswith(u)
+            assert out["series"][u]["tiers"]["minute"] > 0
+        # the shared store holds BOTH series (per-series upsert — a
+        # plain write would have retired the first series' partitions)
+        store = TierStore(spark, str(tmp_path / "t"))
+        got = {r.url for r in store.read("minute").select("url").distinct().collect()}
+        assert got == set(urls[:2])
+        # per-series lineage rows
+        runs = {r["run_id"] for r in store.read_lineage("minute")}
+        assert any(r.endswith(urls[0]) for r in runs)
+        assert any(r.endswith(urls[1]) for r in runs)
+
+    def test_deprecated_observatory_aliases(self, spark, tmp_path, capsys):
+        from jobs.run_cascade import main as cascade_main
+
+        path, urls = self._pages(spark, tmp_path)
+        rc = cascade_main([
+            "--input-pages", path, "--output-store", str(tmp_path / "t2"),
+            "--start", "2020-01-06T00:00:00", "--end", "2020-01-06T00:59:59",
+            "--channels", "text_len",
+            "--observatory-foreach", "--observatory", urls[0],
+        ])
+        captured = capsys.readouterr()
+        assert rc == 0
+        assert "deprecated arguments" in captured.err
+        out = json.loads(captured.out.strip().splitlines()[-1])
+        assert list(out["series"]) == [urls[0]]
+
+    def test_foreach_reports_failures_and_exits_nonzero(
+        self, spark, tmp_path, capsys, monkeypatch
+    ):
+        from jobs import run_cascade
+        from usgs_geomag_algorithms_spark.plans import pipeline as pl
+
+        path, urls = self._pages(spark, tmp_path)
+        real = pl.build_tiers
+
+        def flaky(pages, store, *a, **kw):
+            if kw.get("run_id", "").endswith(urls[0]):
+                raise RuntimeError("boom")
+            return real(pages, store, *a, **kw)
+
+        monkeypatch.setattr(pl, "build_tiers", flaky)
+        rc = run_cascade.main([
+            "--pages", path, "--store", str(tmp_path / "t3"),
+            "--start", "2020-01-06T00:00:00", "--end", "2020-01-06T00:59:59",
+            "--channels", "text_len",
+            "--series-foreach", "--series", urls[0], urls[1],
+        ])
+        captured = capsys.readouterr()
+        assert rc == 1  # unlike the reference's dead flag, failures exit 1
+        assert f"Exception processing series {urls[0]}" in captured.err
+        out = json.loads(captured.out.strip().splitlines()[-1])
+        assert out["failed"] == [urls[0]]
+        assert list(out["series"]) == [urls[1]]  # the loop continued

@@ -43,19 +43,25 @@ def build_tiers(
     input_sample_period: float = 1.0,
     run_id: str | None = None,
     pack_coarse: tuple = (),
+    upsert: bool = False,
 ) -> dict:
     """Bulk-build every tier from a pages frame; returns metrics.
 
     ``pack_coarse``: tier names additionally persisted Gorilla-packed
     (``TierStore.write_packed``) — the long-term storage format for coarse
     tiers per BASELINE (e.g. ``("hour", "day")``). Packing reads the
-    just-materialized long tier back, so the cascade never recomputes."""
+    just-materialized long tier back, so the cascade never recomputes.
+
+    ``upsert=True`` merges instead of partition-overwriting — required
+    when several builds share (date, bucket) partitions, e.g. the
+    per-series fan-out (``run_cascade --series-foreach``): a plain write
+    of series B would retire series A's rows in every shared partition."""
     run_id = run_id or f"build-{int(time.time() * 1000)}"
     sig = page_signals(pages, channels=channels)
     tierframes = run_tiers(sig, input_sample_period, scan_start_us, scan_end_us)
     metrics = {"run_id": run_id, "tiers": {}}
     for name, df in tierframes.items():
-        store.write(df, name)
+        (store.upsert if upsert else store.write)(df, name)
         n = store.read(name).count()
         metrics["tiers"][name] = n
         if name in pack_coarse and n:

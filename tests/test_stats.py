@@ -331,3 +331,102 @@ class TestTrendFit:
         assert not any(n in plan for n in PY_NODES)
         assert "Join" not in plan
         assert plan.count("HashAggregate") == 2
+
+
+import pytest
+
+
+class TestScaleEscapeHatches:
+    """docs/SCALE.md escape hatches exercised, not just documented
+    (VERDICT r3 next-round #4): DECIMAL sufficient statistics past the
+    int64 span ceiling, and the TWA stale-series TTL clamp."""
+
+    def test_window_corr_decimal_rescues_int64_overflow(self, spark):
+        from usgs_geomag_algorithms_spark.operators.stats import window_corr
+
+        # |v| ~ 4e9 -> Sxx per row ~ 1.6e19 > 2^63: the BIGINT path
+        # wraps, the decimal path must stay exact
+        base = 4_000_000_000
+        rows = [
+            (i * 1000, base + i * 7, 2 * (base + i * 7) + 5)
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "t_us long, x long, y long")
+        exact = window_corr(
+            df, 1_000_000, "x", "y", exact_decimal=True
+        ).collect()
+        # y is a positive affine function of x -> r == 1 exactly
+        assert len(exact) == 1
+        assert exact[0].r == pytest.approx(1.0, abs=1e-12)
+        # the long path genuinely overflows here (ANSI mode raises
+        # rather than wraps), proving the hatch is load-bearing
+        with pytest.raises(Exception, match="overflow|OVERFLOW"):
+            window_corr(df, 1_000_000, "x", "y").collect()
+
+    def test_window_corr_decimal_matches_long_in_range(self, spark):
+        from usgs_geomag_algorithms_spark.operators.stats import window_corr
+
+        rows = [(i * 1000, i % 17, (i * 3) % 23) for i in range(500)]
+        df = spark.createDataFrame(rows, "t_us long, x long, y long")
+        a = {r.t_us: r.r for r in window_corr(df, 100_000, "x", "y").collect()}
+        b = {
+            r.t_us: r.r
+            for r in window_corr(
+                df, 100_000, "x", "y", exact_decimal=True
+            ).collect()
+        }
+        assert a == b  # bit-identical where int64 suffices
+
+    def test_cusum_decimal_rescues_prefix_overflow(self, spark):
+        from usgs_geomag_algorithms_spark.operators.changepoint import (
+            cusum_changepoints,
+        )
+
+        # v ~ 5e17, baseline 4: n0-scaled deltas ~ 2e18 each; 10 rows of
+        # prefix sum pass 2^63 while a Python-int model stays exact
+        v0 = 500_000_000_000_000_000
+        vals = [v0] * 4 + [v0 + 10_000_000_000_000_000 * (i + 1)
+                           for i in range(10)]
+        rows = [("s", i * 60, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "series string, t_us long, v long")
+        got = cusum_changepoints(
+            df, baseline=4, k=0, h=1, exact_decimal=True
+        ).orderBy("t_us").collect()
+        # python-int oracle of the same n0-scaled recurrence
+        n0, s0 = 4, sum(vals[:4])
+        p = m = 0
+        exp = []
+        for v in vals[4:]:
+            p += n0 * v - s0
+            m = min(m, p, 0)
+            exp.append((p - m) / n0)
+        assert [r.cusum_hi for r in got] == pytest.approx(exp, rel=1e-12)
+        assert all(r.is_change for r in got[1:])
+
+    def test_twa_ttl_bounds_explode_and_coverage(self, spark):
+        from usgs_geomag_algorithms_spark.operators.stats import (
+            time_weighted_avg,
+        )
+
+        MIN = 60_000_000
+        # a live series sampling every minute, and a stale series whose
+        # single segment would span 1000 windows unclamped
+        rows = [("live", i * MIN, 10) for i in range(5)]
+        rows += [("stale", 0, 7), ("stale", 1000 * MIN, 9)]
+        df = spark.createDataFrame(rows, "series string, t_us long, v long")
+        out = time_weighted_avg(
+            df, MIN, max_segment_us=2 * MIN
+        )
+        got = out.collect()
+        stale = sorted(
+            (r.t_us, r.covered_us) for r in got if r.series == "stale"
+        )
+        # TTL clamps the stale segment to 2 windows, not 1000
+        assert stale == [(0, MIN), (MIN, MIN)]
+        live = {r.t_us: r for r in got if r.series == "live"}
+        assert len(live) == 4 and all(
+            r.twa == 10.0 and r.covered_us == MIN for r in live.values()
+        )
+        # the final sample still contributes nothing (TTL must not
+        # resurrect it as a segment)
+        assert max(live) == 3 * MIN

@@ -41,6 +41,7 @@ def cusum_changepoints(
     series_cols: tuple[str, ...] = ("series",),
     ts_col: str = "t_us",
     value_col: str = "v",
+    exact_decimal: bool = False,
 ) -> DataFrame:
     """Two-sided tabular CUSUM per series.
 
@@ -52,13 +53,18 @@ def cusum_changepoints(
 
     Output: series + ts + v + cusum_hi + cusum_lo (doubles, value units)
     + is_change (either side exceeds ``h``).
-    """
+
+    ``exact_decimal=True`` is the raw-tier escape hatch (docs/SCALE.md):
+    the n0-scaled BIGINT prefix sums bound |P| ≤ rows·n0·max|v−μ|, which
+    wraps on 10 Hz raw tiers or extreme magnitudes — decimal(38,0)
+    prefixes stay exact to 10³⁸."""
     series_cols = list(series_cols)
     rn_w = Window.partitionBy(*series_cols).orderBy(F.col(ts_col).asc())
+    vtype = "decimal(20,0)" if exact_decimal else "bigint"
     ranked = sig.select(
         *series_cols,
         F.col(ts_col).alias(ts_col),
-        F.col(value_col).cast("bigint").alias("v"),
+        F.col(value_col).cast(vtype).alias("v"),
         F.row_number().over(rn_w).alias("_rn"),
     )
 

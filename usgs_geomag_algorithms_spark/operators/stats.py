@@ -70,6 +70,7 @@ def time_weighted_avg(
     series_cols: Sequence[str] = ("series",),
     ts_col: str = "t_us",
     value_col: str = "v",
+    max_segment_us: int | None = None,
 ) -> DataFrame:
     """LOCF time-weighted average per (series, window) over IRREGULAR
     samples: each sample's value holds until the next sample (or the end
@@ -82,6 +83,13 @@ def time_weighted_avg(
     appears only through ``ohlc``-style close semantics, not here) — so
     a window containing only the series' final sample emits nothing.
 
+    ``max_segment_us`` is the stale-series escape hatch (docs/SCALE.md):
+    without it a silent series' one segment spans months and explodes to
+    months/window rows.  With it, LOCF validity expires after the TTL —
+    the segment is clamped to ``[t_i, t_i + max_segment_us)``, bounding
+    the per-row explode at ``max_segment_us / out_us`` and leaving the
+    un-sampled remainder honestly uncovered (smaller ``covered_us``).
+
     Output per row: ``weighted_us`` (Σ value·µs, BIGINT-exact for
     integer values), ``covered_us`` (Σ µs), and their single
     correctly-rounded double quotient ``twa``.
@@ -89,10 +97,17 @@ def time_weighted_avg(
     series_cols = list(series_cols)
     t, v = F.col(ts_col), F.col(value_col)
     w = Window.partitionBy(*series_cols).orderBy(t.asc())
+    nxt = F.lead(t).over(w)
+    if max_segment_us is not None:
+        # clamp only real segments — least() skips NULLs, which would
+        # resurrect the final sample as a TTL-length segment
+        nxt = F.when(
+            nxt.isNotNull(), F.least(nxt, t + F.lit(int(max_segment_us)))
+        )
     seg = samples.select(
         *series_cols,
         t.alias("_t0"),
-        F.lead(t).over(w).alias("_t1"),
+        nxt.alias("_t1"),
         v.alias("_v"),
     ).where(F.col("_t1").isNotNull())
     out = F.lit(int(out_us))
@@ -136,6 +151,7 @@ def window_corr(
     series_cols: Sequence[str] = (),
     ts_col: str = "t_us",
     min_points: int = 2,
+    exact_decimal: bool = False,
 ) -> DataFrame:
     """Pearson correlation between two aligned integer channels per
     (series, window), from BIGINT sufficient statistics:
@@ -146,23 +162,38 @@ def window_corr(
     channel is constant.  Spark's ``corr()`` (and DuckDB's) are
     order-dependent streaming moments and cannot be oracle-matched; the
     integer-sum form is exact.  Rows where either channel is NULL are
-    dropped (pairwise-complete semantics)."""
+    dropped (pairwise-complete semantics).
+
+    ``exact_decimal=True`` is the span-ceiling escape hatch
+    (docs/SCALE.md): BIGINT Σxy silently wraps once |v| exceeds
+    ~2×10⁹·√n per window — the decimal(38,0) path keeps the sufficient
+    statistics exact to 10³⁸ at ~2× the aggregation cost."""
     series_cols = list(series_cols)
     x, y = F.col(x_col), F.col(y_col)
+    if exact_decimal:
+        xd, yd = x.cast("decimal(19,0)"), y.cast("decimal(19,0)")
+        sums = [
+            F.sum(xd).cast("decimal(38,0)").alias("sx"),
+            F.sum(yd).cast("decimal(38,0)").alias("sy"),
+            F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+            F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+            F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+        ]
+    else:
+        sums = [
+            F.sum(x).cast("long").alias("sx"),
+            F.sum(y).cast("long").alias("sy"),
+            F.sum(x * y).cast("long").alias("sxy"),
+            F.sum(x * x).cast("long").alias("sxx"),
+            F.sum(y * y).cast("long").alias("syy"),
+        ]
     stats = (
         sig.where(x.isNotNull() & y.isNotNull())
         .groupBy(
             *series_cols,
             F.expr(f"({ts_col} div {out_us}) * {out_us}").alias(ts_col),
         )
-        .agg(
-            F.count("*").cast("long").alias("n"),
-            F.sum(x).cast("long").alias("sx"),
-            F.sum(y).cast("long").alias("sy"),
-            F.sum(x * y).cast("long").alias("sxy"),
-            F.sum(x * x).cast("long").alias("sxx"),
-            F.sum(y * y).cast("long").alias("syy"),
-        )
+        .agg(F.count("*").cast("long").alias("n"), *sums)
     )
     n = F.col("n")
     num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")

@@ -67,3 +67,48 @@ class TestRrf:
             rrf_fuse([])
         with pytest.raises(ValueError):
             rrf_fuse([_df(spark, LEX)], k_rrf=-1)
+
+
+class TestRrfMultiQuery:
+    """query_col path: per-query keys everywhere so a batched fuse never
+    funnels through one window partition (VERDICT r3 #4)."""
+
+    def _q(self, spark, rows):
+        return spark.createDataFrame(rows, "q string, doc_id long, rank long")
+
+    def test_per_query_matches_single_query(self, spark):
+        a = [("q1", 1, 1), ("q1", 2, 2), ("q2", 9, 1)]
+        b = [("q1", 2, 1), ("q2", 8, 1), ("q2", 9, 2)]
+        multi = rrf_fuse(
+            [self._q(spark, a), self._q(spark, b)], topk=2, query_col="q"
+        ).collect()
+        by_q = {}
+        for r in multi:
+            by_q.setdefault(r.q, []).append((r.rank, r.doc_id, r.rrf_score))
+        for q in ("q1", "q2"):
+            single = rrf_fuse(
+                [
+                    self._q(spark, [x for x in a if x[0] == q]).drop("q"),
+                    self._q(spark, [x for x in b if x[0] == q]).drop("q"),
+                ],
+                topk=2,
+            ).collect()
+            assert sorted(by_q[q]) == sorted(
+                (r.rank, r.doc_id, r.rrf_score) for r in single
+            )
+
+    def test_topk_applies_per_query(self, spark):
+        rows = [("q1", i, i) for i in range(1, 6)] + [("q2", 10 + i, i) for i in range(1, 4)]
+        got = rrf_fuse([self._q(spark, rows)], topk=2, query_col="q").collect()
+        counts = {}
+        for r in got:
+            counts[r.q] = counts.get(r.q, 0) + 1
+        assert counts == {"q1": 2, "q2": 2}
+
+    def test_window_is_partitioned_in_plan(self, spark):
+        rows = [("q1", 1, 1), ("q2", 2, 1)]
+        df = rrf_fuse([self._q(spark, rows)], query_col="q")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # every Window node must carry the query-id partition spec
+        win = [l for l in plan.splitlines() if "Window" in l]
+        assert win and all("q#" in w for w in win)

@@ -344,3 +344,61 @@ class TestAlgorithmsEndpoints:
         ]
         with pytest.raises(ValueError, match="Missing"):
             residual_request(broken)
+
+
+class TestMetadataEndpoint:
+    """GET /metadata search contract (geomagio/api/ws/metadata.py) over
+    the MetadataStore relation."""
+
+    @pytest.fixture()
+    def store(self, spark, tmp_path):
+        from usgs_geomag_algorithms_spark.sources.metadata import (
+            MetadataStore,
+        )
+
+        st = MetadataStore(spark, str(tmp_path / "m"))
+        st.create([
+            {"station": "BOU", "network": "NT", "channel": "BEU",
+             "category": "flag", "data_valid": False,
+             "starttime_us": 0, "endtime_us": 10_000_000},
+            {"station": "BOU", "network": "NT", "category": "instrument",
+             "starttime_us": None, "endtime_us": None},
+            {"station": "FRD", "network": "NT", "category": "flag",
+             "status": "reviewed"},
+        ])
+        return st
+
+    def test_search_filters(self, store):
+        from usgs_geomag_algorithms_spark.plans.api import (
+            serve_metadata_request,
+        )
+
+        md = store.read()
+        got = serve_metadata_request(md, {"station": "BOU"}).collect()
+        assert len(got) == 2
+        got = serve_metadata_request(
+            md, {"category": "flag", "data_valid": "false"}
+        ).collect()
+        assert len(got) == 1 and got[0].channel == "BEU"
+        got = serve_metadata_request(md, {"status": "reviewed"}).collect()
+        assert len(got) == 1 and got[0].station == "FRD"
+        # open-bound overlap: starttime after the flag's end drops it but
+        # keeps NULL-ended rows
+        got = serve_metadata_request(
+            md, {"starttime": "1970-01-01T00:00:20"}
+        ).collect()
+        assert {r.category for r in got} == {"instrument", "flag"}
+        assert all(r.endtime_us is None for r in got)
+
+    def test_bad_params_rejected(self, store):
+        from usgs_geomag_algorithms_spark.plans.api import (
+            serve_metadata_request,
+        )
+
+        md = store.read()
+        with pytest.raises(ValueError, match="Unknown query"):
+            serve_metadata_request(md, {"id": 3})
+        with pytest.raises(ValueError, match="Bad category"):
+            serve_metadata_request(md, {"category": "bogus"})
+        with pytest.raises(ValueError, match="Bad data_valid"):
+            serve_metadata_request(md, {"data_valid": "maybe"})

@@ -337,6 +337,80 @@ def observatories_df(spark) -> DataFrame:
     )
 
 
+#: /metadata accepted query parameters (geomagio/api/ws/metadata.py:18-28 —
+#: the endpoint excludes id and metadata_id from the search surface)
+METADATA_PARAMS = frozenset(
+    (
+        "category", "starttime", "endtime", "network", "station",
+        "channel", "location", "data_valid", "status",
+    )
+)
+
+#: MetadataCategory enum values (geomagio/metadata/MetadataCategory.py)
+METADATA_CATEGORIES = (
+    "adjusted-matrix", "flag", "instrument", "observatory", "reading",
+)
+
+
+def serve_metadata_request(metadata: DataFrame, params: Mapping) -> DataFrame:
+    """The ``GET /metadata`` search endpoint (geomagio/api/ws/metadata.py)
+    over a metadata relation (:class:`..sources.metadata.MetadataStore`
+    ``read()`` or any frame with its schema): validate the query-param
+    surface, convert times, and apply the exact ``get_metadata``
+    predicate set via :func:`..sources.metadata.filter_metadata`.
+
+    - unknown parameters are rejected (same contract as /data);
+    - ``category`` must be a known MetadataCategory value;
+    - ``starttime``/``endtime`` accept the same ISO forms as /data and
+      carry the reference's open-bound overlap semantics;
+    - ``data_valid`` accepts bool or the query-string spellings;
+    - ``status`` may be a single value or a list (FastAPI Query(None)).
+    """
+    unknown = set(params) - METADATA_PARAMS
+    if unknown:
+        raise ValueError(f"Unknown query parameters: {sorted(unknown)}")
+    category = params.get("category")
+    if category is not None and category not in METADATA_CATEGORIES:
+        raise ValueError(
+            f"Bad category '{category}'. Valid values are: "
+            f"{', '.join(METADATA_CATEGORIES)}"
+        )
+    data_valid = params.get("data_valid")
+    if isinstance(data_valid, str):
+        low = data_valid.lower()
+        if low in ("true", "1", "yes"):
+            data_valid = True
+        elif low in ("false", "0", "no"):
+            data_valid = False
+        else:
+            raise ValueError(f"Bad data_valid '{data_valid}'")
+    status = params.get("status")
+    if isinstance(status, str):
+        status = [status]
+    from ..sources.metadata import filter_metadata
+
+    return filter_metadata(
+        metadata,
+        category=category,
+        network=params.get("network"),
+        station=params.get("station"),
+        channel=params.get("channel"),
+        location=params.get("location"),
+        starttime_us=(
+            _parse_time(params["starttime"])
+            if params.get("starttime") is not None
+            else None
+        ),
+        endtime_us=(
+            _parse_time(params["endtime"])
+            if params.get("endtime") is not None
+            else None
+        ),
+        data_valid=data_valid,
+        status=status,
+    )
+
+
 def observatory_geojson(obs_id: str) -> dict:
     """One observatory as a GeoJSON feature (Observatory.geojson,
     ``geomagio/api/ws/Observatory.py:55-75``)."""

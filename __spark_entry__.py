@@ -1156,6 +1156,45 @@ def q_instrument_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edge_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge scaled-int value codec over minute signals — the reference's
+    Edge storage encoding (``EdgeFactory.py:238-274``: x1000 truncating
+    int on put, /1000.0 on get) applied as a Catalyst column codec
+    (``functions/edgeint.py``).  Emits the stored integer AND the
+    decoded decimal per (event_type, minute), so the oracle pins both
+    the truncation semantics (CAST/trunc parity) and the exact double
+    division."""
+    from usgs_geomag_algorithms_spark.functions.edgeint import (
+        edge_decode,
+        edge_encode,
+    )
+
+    ev = _events(spark, sf_dir)
+    sig = (
+        ev.where(F.col("event_type").isin("click", "view", "purchase"))
+        .select(
+            "event_type",
+            F.expr(
+                f"(unix_micros(cast(ts as timestamp)) div {MIN_US}) * {MIN_US}"
+            ).alias("t_us"),
+            "value",
+        )
+        .groupBy("event_type", "t_us")
+        # count/64: exact binary doubles with fractional parts, so the
+        # x1000 truncation is bit-determined in any engine (avg() would
+        # carry summation-order ulp noise straight into trunc flips)
+        .agg((F.count("*") / F.lit(64.0)).alias("v"))
+    )
+    ch = F.col("event_type")  # no D channel here: the pure x1000 path
+    enc = edge_encode(F.col("v"), ch)
+    return sig.select(
+        "event_type",
+        "t_us",
+        enc.alias("stored_int"),
+        edge_decode(enc, ch).alias("decoded"),
+    )
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style relational sanity over lineitem."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -2042,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "calculated_channel": q_calculated_channel,
         "instrument_epochs": q_instrument_epochs,
+        "edge_codec_roundtrip": q_edge_codec_roundtrip,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "rollup_fir_gaussian": q_rollup_fir_gaussian,
@@ -2611,6 +2651,22 @@ LEFT JOIN meta mt
   ON mt.event_type = mi.event_type
  AND mi.t_us >= coalesce(mt.start_us, {-(2**62)})
  AND mi.t_us < coalesce(mt.end_us, {2**62})
+"""
+    # CAST(trunc(...) AS BIGINT) = Spark's truncating double->long cast =
+    # numpy astype(int) — the reference's _convert_trace_to_int
+    edge_codec_roundtrip = f"""
+WITH mcount AS (
+    SELECT event_type,
+           (epoch_us(ts) // {MIN_US}) * {MIN_US} AS t_us,
+           count(*) / 64.0 AS v
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+    GROUP BY 1, 2
+)
+SELECT event_type, t_us,
+       CAST(trunc(v * 1000.0) AS BIGINT) AS stored_int,
+       CAST(trunc(v * 1000.0) AS BIGINT) / 1000.0 AS decoded
+FROM mcount
 """
     dedup_exact = """
 SELECT doc_id, md5(text) AS text_md5,
@@ -3481,6 +3537,7 @@ FROM s
         "q1_pricing_summary": q1,
         "calculated_channel": calculated_channel,
         "instrument_epochs": instrument_epochs,
+        "edge_codec_roundtrip": edge_codec_roundtrip,
         "dedup_exact": dedup_exact,
         "text_quality": text_quality,
         "coverage_monitor": coverage_monitor,

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "calculated_channel",
     "instrument_epochs",
+    "edge_codec_roundtrip",
     "purchase_asof_view",
     "rollup_levels_report",
     "pivot_day_report",

@@ -1195,6 +1195,61 @@ def q_edge_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_metadata_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The /metadata search predicate set (``MetadataDatabaseFactory.
+    get_metadata``, MetadataDatabaseFactory.py:48-81 — LIKE channel
+    match, open-bound time overlap, data_valid) run through
+    ``filter_metadata`` over a metadata relation derived from the
+    ``nation`` table: station = nation name, channels alternate BEU/BEH/
+    other, every third row invalid, epochs NULL-bounded at the edges.
+    Deterministic content from sf_dir; predicates exercise LIKE + both
+    open bounds at once."""
+    from usgs_geomag_algorithms_spark.sources.metadata import (
+        filter_metadata,
+    )
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    HOUR = 3_600_000_000
+    md = nation.select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.lit(None).cast("long").alias("metadata_id"),
+        F.lit(None).cast("string").alias("created_by"),
+        (F.col("n_nationkey") * 1000).cast("long").alias("created_time_us"),
+        F.lit(None).cast("string").alias("updated_by"),
+        F.lit(None).cast("long").alias("updated_time_us"),
+        F.when(F.col("n_nationkey") == 0, F.lit(None))
+        .otherwise(F.col("n_nationkey") * HOUR)
+        .cast("long")
+        .alias("starttime_us"),
+        F.when(F.col("n_nationkey") == 24, F.lit(None))
+        .otherwise((F.col("n_nationkey") + 1) * HOUR)
+        .cast("long")
+        .alias("endtime_us"),
+        F.lit("NT").alias("network"),
+        F.col("n_name").alias("station"),
+        F.element_at(
+            F.array(F.lit("BEU"), F.lit("BEH"), F.lit("MVH")),
+            (F.pmod(F.col("n_nationkey"), F.lit(3)) + 1).cast("int"),
+        ).alias("channel"),
+        F.lit("R0").alias("location"),
+        F.lit("flag").alias("category"),
+        F.lit(1).alias("priority"),
+        (F.pmod(F.col("n_nationkey"), F.lit(3)) != 2).alias("data_valid"),
+        F.lit("new").alias("status"),
+        F.lit(None).cast("string").alias("metadata"),
+        F.lit(None).cast("string").alias("comment"),
+        F.lit(None).cast("string").alias("review_comment"),
+    )
+    out = filter_metadata(
+        md,
+        channel="BE%",
+        starttime_us=2 * HOUR,
+        endtime_us=23 * HOUR,
+        data_valid=True,
+    )
+    return out.select("id", "station", "channel", "starttime_us", "endtime_us")
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style relational sanity over lineitem."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -2082,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calculated_channel": q_calculated_channel,
         "instrument_epochs": q_instrument_epochs,
         "edge_codec_roundtrip": q_edge_codec_roundtrip,
+        "metadata_search": q_metadata_search,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "rollup_fir_gaussian": q_rollup_fir_gaussian,
@@ -2651,6 +2707,27 @@ LEFT JOIN meta mt
   ON mt.event_type = mi.event_type
  AND mi.t_us >= coalesce(mt.start_us, {-(2**62)})
  AND mi.t_us < coalesce(mt.end_us, {2**62})
+"""
+    # the get_metadata WHERE clause verbatim: LIKE + open-bound overlap
+    HOUR = 3_600_000_000
+    metadata_search = f"""
+WITH md AS (
+    SELECT n_nationkey::BIGINT AS id,
+           n_name AS station,
+           ['BEU', 'BEH', 'MVH'][(n_nationkey % 3) + 1] AS channel,
+           CASE WHEN n_nationkey = 0 THEN NULL
+                ELSE n_nationkey * {HOUR} END AS starttime_us,
+           CASE WHEN n_nationkey = 24 THEN NULL
+                ELSE (n_nationkey + 1) * {HOUR} END AS endtime_us,
+           (n_nationkey % 3) != 2 AS data_valid
+    FROM nation
+)
+SELECT id, station, channel, starttime_us, endtime_us
+FROM md
+WHERE channel LIKE 'BE%'
+  AND (endtime_us IS NULL OR endtime_us > {2 * HOUR})
+  AND (starttime_us IS NULL OR starttime_us < {23 * HOUR})
+  AND data_valid = true
 """
     # CAST(trunc(...) AS BIGINT) = Spark's truncating double->long cast =
     # numpy astype(int) — the reference's _convert_trace_to_int
@@ -3538,6 +3615,7 @@ FROM s
         "calculated_channel": calculated_channel,
         "instrument_epochs": instrument_epochs,
         "edge_codec_roundtrip": edge_codec_roundtrip,
+        "metadata_search": metadata_search,
         "dedup_exact": dedup_exact,
         "text_quality": text_quality,
         "coverage_monitor": coverage_monitor,

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "calculated_channel",
     "instrument_epochs",
     "edge_codec_roundtrip",
+    "metadata_search",
     "purchase_asof_view",
     "rollup_levels_report",
     "pivot_day_report",

@@ -268,3 +268,59 @@ class TestApplyInstrumentMetadataNullBounds:
         assert got[("XXX", T0202)] is None
         # row count is preserved — strict never drops rows
         assert out.count() == 4
+
+
+class TestMetadataCli:
+    """jobs/run_metadata.py — the geomag-metadata console-script analog
+    (geomagio/metadata/main.py create/get/update)."""
+
+    def _run(self, capsys, *argv):
+        from jobs.run_metadata import main
+
+        rc = main(list(argv))
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        import json as _json
+
+        return rc, _json.loads(out)
+
+    def test_create_get_update_history(self, spark, tmp_path, capsys):
+        import json as _json
+
+        store = str(tmp_path / "m")
+        meta = tmp_path / "meta.json"
+        meta.write_text(_json.dumps([
+            {"station": "BOU", "category": "flag", "channel": "BEU",
+             "comment": "v1"},
+            {"station": "FRD", "category": "instrument"},
+        ]))
+        rc, created = self._run(capsys, "--store", store, "create",
+                                "--input", str(meta))
+        assert rc == 0 and [r["id"] for r in created] == [1, 2]
+        assert created[0]["status"] == "new"
+
+        rc, got = self._run(capsys, "--store", store, "get",
+                            "--station", "BOU", "--getone")
+        assert got["channel"] == "BEU"
+
+        chg = tmp_path / "chg.json"
+        chg.write_text('{"comment": "v2"}')
+        rc, updated = self._run(capsys, "--store", store, "update",
+                                "--id", "1", "--input", str(chg),
+                                "--updated-by", "alice")
+        assert updated["comment"] == "v2" and updated["updated_by"] == "alice"
+
+        rc, hist = self._run(capsys, "--store", store, "history", "--id", "1")
+        assert [h["comment"] for h in hist] == ["v2", "v1"]
+
+    def test_getone_errors_on_multiple(self, spark, tmp_path, capsys):
+        import json as _json
+
+        store = str(tmp_path / "m")
+        meta = tmp_path / "meta.json"
+        meta.write_text(_json.dumps([
+            {"station": "BOU"}, {"station": "BOU"},
+        ]))
+        self._run(capsys, "--store", store, "create", "--input", str(meta))
+        with pytest.raises(SystemExit, match="2 matching"):
+            self._run(capsys, "--store", store, "get",
+                      "--station", "BOU", "--getone")

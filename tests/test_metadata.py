@@ -324,3 +324,85 @@ class TestMetadataCli:
         with pytest.raises(SystemExit, match="2 matching"):
             self._run(capsys, "--store", store, "get",
                       "--station", "BOU", "--getone")
+
+
+class TestCalculatedFromMetadata:
+    """Metadata-driven calculated channels (get_calculated_timeseries,
+    MiniSeedFactory.py:231-299, composed with the epoch store)."""
+
+    def test_epoch_dependent_components(self, spark, tmp_path):
+        from usgs_geomag_algorithms_spark.operators.misc import (
+            calculated_channels_from_metadata,
+        )
+
+        st = MetadataStore(spark, str(tmp_path / "m"))
+        # epoch 1 (until T0202): U = U_Volt*100; epoch 2 (from T0202,
+        # open-ended): U = U_Volt*90 + U_Bin*500 (recalibrated + extra
+        # component), V = V_Volt*200 + 1
+        st.create([
+            {"station": "BOU", "category": "instrument",
+             "starttime_us": None, "endtime_us": T0202,
+             "metadata": {"channels": {
+                 "U": [{"channel": "U_Volt", "scale": 100.0, "offset": 0.0}],
+             }}},
+            {"station": "BOU", "category": "instrument",
+             "starttime_us": T0202, "endtime_us": None,
+             "metadata": {"channels": {
+                 "U": [{"channel": "U_Volt", "scale": 90.0, "offset": 0.0},
+                       {"channel": "U_Bin", "scale": 500.0, "offset": 0.0}],
+                 "V": [{"channel": "V_Volt", "scale": 200.0, "offset": 1.0}],
+             }}},
+        ])
+        from usgs_geomag_algorithms_spark.sources.metadata import (
+            instrument_epochs_table,
+        )
+
+        epochs = instrument_epochs_table(st.read())
+        t_old, t_new = T0202 - US, T0202
+        facts = spark.createDataFrame(
+            [
+                ("BOU", "U_Volt", t_old, 2.0),
+                ("BOU", "U_Volt", t_new, 2.0),
+                ("BOU", "U_Bin", t_new, 3.0),
+                ("BOU", "V_Volt", t_new, 4.0),
+                # V_Volt in the OLD epoch: no V mapping then -> no output
+                ("BOU", "V_Volt", t_old, 4.0),
+                # foreign station never matches
+                ("XXX", "U_Volt", t_new, 9.0),
+            ],
+            "url string, channel string, t_us long, value double",
+        )
+        out = calculated_channels_from_metadata(facts, epochs)
+        got = {(r.url, r.channel, r.t_us): r.value for r in out.collect()}
+        assert got[("BOU", "U", t_old)] == 200.0  # old calibration
+        assert got[("BOU", "U", t_new)] == 2.0 * 90 + 3.0 * 500
+        assert got[("BOU", "V", t_new)] == 4.0 * 200 + 1.0
+        assert ("BOU", "V", t_old) not in got
+        assert not any(k[0] == "XXX" for k in got)
+
+    def test_incomplete_component_set_emits_nothing(self, spark, tmp_path):
+        from usgs_geomag_algorithms_spark.operators.misc import (
+            calculated_channels_from_metadata,
+        )
+        from usgs_geomag_algorithms_spark.sources.metadata import (
+            instrument_epochs_table,
+        )
+
+        st = MetadataStore(spark, str(tmp_path / "m"))
+        st.create([
+            {"station": "BOU", "category": "instrument",
+             "metadata": {"channels": {
+                 "U": [{"channel": "U_Volt", "scale": 100.0, "offset": 0.0},
+                       {"channel": "U_Bin", "scale": 500.0, "offset": 0.0}],
+             }}},
+        ])
+        facts = spark.createDataFrame(
+            [("BOU", "U_Volt", 0, 2.0)],  # U_Bin missing at this slot
+            "url string, channel string, t_us long, value double",
+        )
+        out = calculated_channels_from_metadata(
+            facts, instrument_epochs_table(st.read())
+        )
+        # the reference's aligned-trace sum would be NaN here; the engine
+        # emits nothing rather than a fabricated partial sum
+        assert out.count() == 0

@@ -92,6 +92,76 @@ def apply_instrument_metadata(
     )
 
 
+def calculated_channels_from_metadata(
+    df: DataFrame,
+    epochs: DataFrame,
+    station_col: str = "url",
+    channel_col: str = "channel",
+    ts_col: str = "t_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Metadata-driven calculated channels: derive every output channel
+    the instrument epochs define, honoring per-epoch component sets —
+    the reference's ``get_calculated_timeseries`` (MiniSeedFactory.py:
+    231-299, Σ component·scale+offset) driven by the epoch store
+    (``Metadata.py _INSTRUMENT_METADATA`` shape) instead of caller-
+    supplied component lists.
+
+    ``epochs`` is the flattened relation from
+    :func:`..sources.metadata.instrument_epochs_table`:
+    ``(station, out_channel, component, start_us NULL-able,
+    end_us NULL-able, scale, offset)``.  Scale shape: one broadcast
+    range join keyed (station, component-channel) — the fact side never
+    shuffles — then one (station, out_channel, time) aggregation.
+    A derived slot emits only when EVERY component of its epoch is
+    present (the reference sums aligned traces; a missing component
+    there is a NaN that poisons the sum — here the count guard states
+    the same contract without fabricating values)."""
+    m = F.broadcast(
+        epochs.select(
+            F.col("station").alias("_m_station"),
+            F.col("component").alias("_m_component"),
+            "out_channel",
+            F.coalesce(F.col("start_us"), F.lit(_EPOCH_MIN_US)).alias("_m_lo"),
+            F.coalesce(F.col("end_us"), F.lit(_EPOCH_MAX_US)).alias("_m_hi"),
+            "scale",
+            "offset",
+            # components per (station, out_channel, epoch): the
+            # completeness denominator, computed on the tiny dim side
+            F.count("*")
+            .over(Window.partitionBy("station", "out_channel", "start_us"))
+            .alias("_n_components"),
+        )
+    )
+    joined = df.join(
+        m,
+        (df[station_col] == F.col("_m_station"))
+        & (df[channel_col] == F.col("_m_component"))
+        & (F.col(ts_col) >= F.col("_m_lo"))
+        & (F.col(ts_col) < F.col("_m_hi")),
+        "inner",
+    )
+    return (
+        joined.groupBy(
+            F.col(station_col), "out_channel", F.col(ts_col)
+        )
+        .agg(
+            F.sum(
+                F.col(value_col) * F.col("scale") + F.col("offset")
+            ).alias(value_col),
+            F.count("*").alias("_got"),
+            F.max("_n_components").alias("_want"),
+        )
+        .where(F.col("_got") == F.col("_want"))
+        .select(
+            F.col(station_col),
+            F.col("out_channel").alias(channel_col),
+            ts_col,
+            value_col,
+        )
+    )
+
+
 def rename_channels(
     df: DataFrame, renames: Mapping[str, str], channel_col: str = "channel"
 ) -> DataFrame:

@@ -406,3 +406,117 @@ class TestCalculatedFromMetadata:
         # the reference's aligned-trace sum would be NaN here; the engine
         # emits nothing rather than a fabricated partial sum
         assert out.count() == 0
+
+
+class TestReferenceInstrumentTable:
+    """The reference's REAL production instrument table
+    (geomagio/Metadata.py _INSTRUMENT_METADATA, extracted at runtime)
+    loaded through the store: open-interval resolution must agree with a
+    direct implementation of the reference predicate for every station,
+    and the payload flattener must recover the component lists."""
+
+    @pytest.fixture(scope="class")
+    def ref_rows(self):
+        import ast
+        import os
+
+        path = "/root/reference/geomagio/Metadata.py"
+        if not os.path.exists(path):
+            pytest.skip("reference not present")
+        tree = ast.parse(open(path).read())
+        for node in tree.body:
+            if (
+                isinstance(node, ast.Assign)
+                and getattr(node.targets[0], "id", "") == "_INSTRUMENT_METADATA"
+            ):
+                class T(ast.NodeTransformer):
+                    def visit_Call(self, n):
+                        self.generic_visit(n)
+                        if getattr(n.func, "id", "") == "UTCDateTime":
+                            return n.args[0]
+                        return n
+
+                v = T().visit(node.value)
+                ast.fix_missing_locations(v)
+                return ast.literal_eval(v)
+        raise AssertionError("_INSTRUMENT_METADATA not found")
+
+    @staticmethod
+    def _t_us(v):
+        if v is None:
+            return None
+        s = str(v).replace("Z", "")
+        return us(s)
+
+    @pytest.fixture(scope="class")
+    def loaded(self, spark, ref_rows, tmp_path_factory):
+        st = MetadataStore(
+            spark, str(tmp_path_factory.mktemp("refmeta") / "m")
+        )
+        st.create([
+            {
+                "network": r.get("network"),
+                "station": r["station"],
+                "category": "instrument",
+                "starttime_us": self._t_us(r.get("start_time")),
+                "endtime_us": self._t_us(r.get("end_time")),
+                "metadata": r["instrument"],
+            }
+            for r in ref_rows
+        ])
+        return st
+
+    def test_resolution_matches_reference_predicate(
+        self, spark, ref_rows, loaded
+    ):
+        md = loaded.read().persist()
+        stations = sorted({r["station"] for r in ref_rows})
+        windows = [
+            (us("2015-06-01T00:00:00"), us("2015-07-01T00:00:00")),
+            (us("2020-02-02T12:00:00"), us("2020-02-02T13:00:00")),
+            (us("2023-01-01T00:00:00"), None),
+            (None, us("2010-01-01T00:00:00")),
+        ]
+        for start, end in windows:
+            got = {}
+            for station in stations:
+                rows = get_instrument(md, station, start, end).collect()
+                got[station] = sorted(
+                    (r.starttime_us, r.endtime_us) for r in rows
+                )
+            # the reference predicate, verbatim (Metadata.py:17-23)
+            for station in stations:
+                exp = sorted(
+                    (self._t_us(m.get("start_time")), self._t_us(m.get("end_time")))
+                    for m in ref_rows
+                    if m["station"] == station
+                    and (
+                        end is None
+                        or m.get("start_time") is None
+                        or self._t_us(m["start_time"]) < end
+                    )
+                    and (
+                        start is None
+                        or m.get("end_time") is None
+                        or self._t_us(m["end_time"]) > start
+                    )
+                )
+                assert got[station] == exp, (station, start, end)
+        md.unpersist()
+
+    def test_flattened_components(self, ref_rows, loaded):
+        flat = instrument_epochs_table(loaded.read()).collect()
+        # every (entry, out_channel, component) surfaced exactly once
+        exp_n = sum(
+            len(comps)
+            for r in ref_rows
+            for comps in r["instrument"].get("channels", {}).values()
+        )
+        assert len(flat) == exp_n
+        bou_u = [
+            r for r in flat
+            if r.station == "BOU" and r.out_channel == "U"
+        ]
+        assert {(r.component, r.scale) for r in bou_u} == {
+            ("U_Volt", 100.0), ("U_Bin", 500.0)
+        }

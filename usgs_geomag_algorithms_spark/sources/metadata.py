@@ -351,8 +351,13 @@ def instrument_epochs_table(
     keyed ``station/out/component`` so the downstream join stays a flat
     broadcast relation.  Runs as one JSON projection — no Python over
     rows."""
+    # the payload may be the channels map directly or the reference's
+    # _INSTRUMENT_METADATA shape with it nested under "instrument"
     ch = F.from_json(
-        F.get_json_object("metadata", "$.channels"),
+        F.coalesce(
+            F.get_json_object("metadata", "$.channels"),
+            F.get_json_object("metadata", "$.instrument.channels"),
+        ),
         "map<string, array<struct<channel:string, offset:double, scale:double>>>",
     )
     exploded = (

@@ -172,6 +172,10 @@ def main(argv=None) -> int:
                         file=sys.stderr,
                     )
                     metrics["failed"].append(sv)
+            if retention_now_us is not None:
+                metrics["retention_dropped"] = pipeline.apply_retention(
+                    store, retention_now_us
+                )
             print(json.dumps(metrics, default=str))
             return 1 if metrics["failed"] else 0
         if args.series:
@@ -179,6 +183,9 @@ def main(argv=None) -> int:
         metrics = pipeline.build_tiers(
             pages, store, start_us, end_us,
             channels=tuple(args.channels), run_id=args.run_id,
+            # a series-filtered build must merge: partition overwrite
+            # would retire the other series' rows in shared partitions
+            upsert=bool(args.series),
         )
     elif args.mode == "maintain":
         metrics = pipeline.maintain(store, end_us)

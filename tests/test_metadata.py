@@ -520,3 +520,53 @@ class TestReferenceInstrumentTable:
         assert {(r.component, r.scale) for r in bou_u} == {
             ("U_Volt", 100.0), ("U_Bin", 500.0)
         }
+
+
+class TestReviewFixes:
+    """Round-4 self-review findings pinned (code-review 32c4100..HEAD)."""
+
+    def test_missing_scale_offset_default(self, spark, tmp_path):
+        # a component omitting scale/offset must default 1.0/0.0, not
+        # NULL-poison the derived sum
+        from usgs_geomag_algorithms_spark.operators.misc import (
+            calculated_channels_from_metadata,
+        )
+
+        st = MetadataStore(spark, str(tmp_path / "m"))
+        st.create([
+            {"station": "BOU", "category": "instrument",
+             "metadata": {"channels": {
+                 "U": [{"channel": "U_Volt", "scale": 100.0},
+                       {"channel": "U_Bin"}],
+             }}},
+        ])
+        epochs = instrument_epochs_table(st.read())
+        got = {(r.component): (r.scale, r.offset) for r in epochs.collect()}
+        assert got["U_Volt"] == (100.0, 0.0)
+        assert got["U_Bin"] == (1.0, 0.0)
+        facts = spark.createDataFrame(
+            [("BOU", "U_Volt", 0, 2.0), ("BOU", "U_Bin", 0, 3.0)],
+            "url string, channel string, t_us long, value double",
+        )
+        out = calculated_channels_from_metadata(facts, epochs).collect()
+        assert len(out) == 1 and out[0].value == 2.0 * 100 + 3.0
+
+    def test_decbas_without_trailing_text(self, spark, tmp_path):
+        from usgs_geomag_algorithms_spark.sources.iaga2002 import (
+            read_iaga2002_meta,
+        )
+
+        p = tmp_path / "x.min"
+        p.write_text(
+            " Format                 IAGA-2002"
+            "                                    |\n"
+            " IAGA CODE              BDT"
+            "                                          |\n"
+            " # DECBAS               5527"
+            "                                         |\n"
+            "DATE       TIME         DOY     "
+            "BDTH      BDTD      BDTZ      BDTF   |\n"
+        )
+        md = read_iaga2002_meta(spark, str(p))["metadata"]
+        # the reference's [:find(' ')] slice would store 552 here
+        assert md["declination_base"] == 5527

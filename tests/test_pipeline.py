@@ -302,3 +302,46 @@ class TestSeriesForeach:
         out = json.loads(captured.out.strip().splitlines()[-1])
         assert out["failed"] == [urls[0]]
         assert list(out["series"]) == [urls[1]]  # the loop continued
+
+
+class TestSeriesFilterFixes:
+    """Round-4 self-review: series-filtered builds must merge, and
+    foreach must still honor --retention-now."""
+
+    def test_series_filter_without_foreach_merges(self, spark, tmp_path, capsys):
+        from jobs.run_cascade import main as cascade_main
+
+        pages = generate_pages(spark, n_urls=3, hours=1.0, n_hot=3)
+        path = str(tmp_path / "pages")
+        pages.write.parquet(path)
+        urls = sorted(r.url for r in pages.select("url").distinct().collect())
+        store_path = str(tmp_path / "t")
+        base = ["--pages", path, "--store", store_path,
+                "--start", "2020-01-06T00:00:00",
+                "--end", "2020-01-06T00:59:59", "--channels", "text_len"]
+        assert cascade_main(base + ["--series", urls[0]]) == 0
+        # second single-series build over the SAME dates must not retire
+        # the first series' rows (upsert, not partition overwrite)
+        assert cascade_main(base + ["--series", urls[1]]) == 0
+        store = TierStore(spark, store_path)
+        got = {r.url for r in store.read("minute").select("url").distinct().collect()}
+        assert got == set(urls[:2])
+
+    def test_foreach_applies_retention(self, spark, tmp_path, capsys):
+        from jobs.run_cascade import main as cascade_main
+
+        pages = generate_pages(spark, n_urls=2, hours=1.0, n_hot=2)
+        path = str(tmp_path / "pages")
+        pages.write.parquet(path)
+        urls = sorted(r.url for r in pages.select("url").distinct().collect())
+        rc = cascade_main([
+            "--pages", path, "--store", str(tmp_path / "t"),
+            "--start", "2020-01-06T00:00:00", "--end", "2020-01-06T00:59:59",
+            "--channels", "text_len",
+            "--series-foreach", "--series", urls[0],
+            "--retention-now", "2420-01-01T00:00:00",  # everything expires
+        ])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "retention_dropped" in out
+        assert any(out["retention_dropped"].values())

@@ -430,3 +430,41 @@ class TestScaleEscapeHatches:
         # the final sample still contributes nothing (TTL must not
         # resurrect it as a segment)
         assert max(live) == 3 * MIN
+
+
+class TestDecimalQuantizationParity:
+    """The decimal hatches must quantize like the BIGINT defaults
+    (truncation), not round half-up (round-4 self-review)."""
+
+    def test_cusum_decimal_truncates_like_default(self, spark):
+        from usgs_geomag_algorithms_spark.operators.changepoint import (
+            cusum_changepoints,
+        )
+
+        rows = [("s", i * 60, 10.7 + (i % 3) * 0.6) for i in range(12)]
+        df = spark.createDataFrame(rows, "series string, t_us long, v double")
+        a = sorted(
+            (r.t_us, r.cusum_hi, r.cusum_lo)
+            for r in cusum_changepoints(df, baseline=4, k=0, h=3).collect()
+        )
+        b = sorted(
+            (r.t_us, r.cusum_hi, r.cusum_lo)
+            for r in cusum_changepoints(
+                df, baseline=4, k=0, h=3, exact_decimal=True
+            ).collect()
+        )
+        assert a == b
+
+    def test_corr_decimal_truncates_like_default(self, spark):
+        from usgs_geomag_algorithms_spark.operators.stats import window_corr
+
+        rows = [(i * 1000, 3.9 + i, 7.2 + 2 * i) for i in range(50)]
+        df = spark.createDataFrame(rows, "t_us long, x double, y double")
+        a = {r.t_us: r.r for r in window_corr(df, 100_000, "x", "y").collect()}
+        b = {
+            r.t_us: r.r
+            for r in window_corr(
+                df, 100_000, "x", "y", exact_decimal=True
+            ).collect()
+        }
+        assert a == b

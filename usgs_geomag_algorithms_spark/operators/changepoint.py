@@ -60,11 +60,16 @@ def cusum_changepoints(
     prefixes stay exact to 10³⁸."""
     series_cols = list(series_cols)
     rn_w = Window.partitionBy(*series_cols).orderBy(F.col(ts_col).asc())
-    vtype = "decimal(20,0)" if exact_decimal else "bigint"
+    # decimal mode must quantize identically to the default: cast through
+    # bigint FIRST (truncation) — a direct double->decimal cast rounds
+    # half-up and would silently change results on non-integer inputs
+    v = F.col(value_col).cast("bigint")
+    if exact_decimal:
+        v = v.cast("decimal(20,0)")
     ranked = sig.select(
         *series_cols,
         F.col(ts_col).alias(ts_col),
-        F.col(value_col).cast(vtype).alias("v"),
+        v.alias("v"),
         F.row_number().over(rn_w).alias("_rn"),
     )
 

@@ -169,9 +169,16 @@ def window_corr(
     ~2×10⁹·√n per window — the decimal(38,0) path keeps the sufficient
     statistics exact to 10³⁸ at ~2× the aggregation cost."""
     series_cols = list(series_cols)
-    x, y = F.col(x_col), F.col(y_col)
+    # the integer contract is enforced at the INPUT (per-row truncating
+    # cast) so both statistic paths quantize identically — the old
+    # behavior truncated the default path's SUMS but the decimal path's
+    # ROWS, silently diverging on fractional inputs; a no-op for the
+    # integer-typed channels the operator documents
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
     if exact_decimal:
-        xd, yd = x.cast("decimal(19,0)"), y.cast("decimal(19,0)")
+        xd = x.cast("decimal(19,0)")
+        yd = y.cast("decimal(19,0)")
         sums = [
             F.sum(xd).cast("decimal(38,0)").alias("sx"),
             F.sum(yd).cast("decimal(38,0)").alias("sy"),

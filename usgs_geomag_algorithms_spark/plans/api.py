@@ -40,6 +40,7 @@ from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..sources.metadata import CATEGORIES as METADATA_CATEGORIES
 from ..sources.store import TierStore
 from . import serve
 
@@ -346,10 +347,8 @@ METADATA_PARAMS = frozenset(
     )
 )
 
-#: MetadataCategory enum values (geomagio/metadata/MetadataCategory.py)
-METADATA_CATEGORIES = (
-    "adjusted-matrix", "flag", "instrument", "observatory", "reading",
-)
+# METADATA_CATEGORIES (imported above) — single source of truth in
+# sources/metadata.py (geomagio/metadata/MetadataCategory.py)
 
 
 def serve_metadata_request(metadata: DataFrame, params: Mapping) -> DataFrame:

@@ -217,7 +217,11 @@ def read_iaga2002_meta(spark: SparkSession, path: str) -> dict:
     for comment in merged:
         if comment.startswith("DECBAS"):
             decbas = comment.replace("DECBAS", "").strip()
-            declination_base = int(decbas[: decbas.find(" ")])
+            # deliberate divergence: the reference slices
+            # [:decbas.find(" ")], which drops the last digit (or raises)
+            # when nothing follows the number — split() parses the full
+            # value in both shapes
+            declination_base = int(decbas.split()[0])
         elif comment.startswith("CONDITIONS OF USE:"):
             conditions_of_use = comment.replace("CONDITIONS OF USE:", "").strip()
         else:

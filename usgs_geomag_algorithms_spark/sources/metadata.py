@@ -385,6 +385,9 @@ def instrument_epochs_table(
         F.col("c.channel").alias("component"),
         F.col("starttime_us").alias("start_us"),
         F.col("endtime_us").alias("end_us"),
-        F.col("c.scale").alias("scale"),
-        F.col("c.offset").alias("offset"),
+        # components may omit scale/offset — same defaults as the
+        # dict-shaped path (operators/misc.py::calculated_channel), so a
+        # missing key never NULL-poisons the downstream Σ term
+        F.coalesce(F.col("c.scale"), F.lit(1.0)).alias("scale"),
+        F.coalesce(F.col("c.offset"), F.lit(0.0)).alias("offset"),
     )

@@ -570,3 +570,50 @@ class TestReviewFixes:
         md = read_iaga2002_meta(spark, str(p))["metadata"]
         # the reference's [:find(' ')] slice would store 552 here
         assert md["declination_base"] == 5527
+
+
+class TestConcurrentWriters:
+    """The commit lock queues concurrent writers (same discipline as the
+    TierStore): parallel creates never lose rows or reuse ids."""
+
+    def test_threaded_creates_all_land(self, spark, tmp_path):
+        import threading
+
+        st = MetadataStore(spark, str(tmp_path / "m"), lock_wait_s=30.0)
+        errs = []
+
+        def worker(k):
+            try:
+                st.create([{"station": f"S{k}", "comment": f"w{k}"}])
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=(k,)) for k in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        rows = st.read().collect()
+        assert len(rows) == 8
+        assert sorted(r.id for r in rows) == list(range(1, 9))  # no reuse
+        assert {r.station for r in rows} == {f"S{k}" for k in range(8)}
+
+    def test_lock_times_out_loudly(self, spark, tmp_path):
+        import os
+
+        from usgs_geomag_algorithms_spark.sources.metadata import (
+            MetadataConflictError,
+        )
+
+        st = MetadataStore(spark, str(tmp_path / "m"), lock_wait_s=0.2)
+        lock = os.path.join(st.base, "_commit.lock")
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+        try:
+            with pytest.raises(MetadataConflictError):
+                st.create([{"station": "BOU"}])
+        finally:
+            os.remove(lock)
+        # released lock -> the write goes through
+        assert st.create([{"station": "BOU"}]) == [1]

@@ -39,22 +39,36 @@ def iso_to_us(s: str) -> int:
     return _iso(s)
 
 
-def parse_deprecated_arguments(args):
+def parse_deprecated_arguments(args, error=None):
     """Legacy-argument rewrite — the Controller's deprecated-flag mapping
     (``parse_deprecated_arguments``, Controller.py:1311-1383): old names
     keep working, rewritten onto the current arguments with the
-    reference's exact warning text."""
+    reference's exact warning text.  Mixing an old flag with its new
+    spelling is ambiguous (which wins?) and is rejected rather than
+    silently overridden."""
+
+    def _err(msg):
+        if error is not None:
+            error(msg)
+        raise SystemExit(2)
+
     using_deprecated = False
     if args.observatory is not None:
+        if args.series is not None:
+            _err("--observatory is deprecated; do not combine it with --series")
         args.series = args.observatory
         using_deprecated = True
     if args.observatory_foreach:
         args.series_foreach = True
         using_deprecated = True
     if args.input_pages is not None:
+        if args.pages is not None:
+            _err("--input-pages is deprecated; do not combine it with --pages")
         args.pages = args.input_pages
         using_deprecated = True
     if args.output_store is not None:
+        if args.store is not None:
+            _err("--output-store is deprecated; do not combine it with --store")
         args.store = args.output_store
         using_deprecated = True
     if using_deprecated:
@@ -115,9 +129,13 @@ def main(argv=None) -> int:
                     help=argparse.SUPPRESS)
     ap.add_argument("--input-pages", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--output-store", default=None, help=argparse.SUPPRESS)
-    args = parse_deprecated_arguments(ap.parse_args(argv))
+    args = parse_deprecated_arguments(ap.parse_args(argv), error=ap.error)
     if not args.store:
         ap.error("--store required")
+    if args.series is not None and len(args.series) == 0:
+        # an empty restriction list would otherwise behave like an
+        # UNRESTRICTED overwrite build (no series filter, no upsert guard)
+        ap.error("--series requires at least one value")
     if args.series_foreach and args.mode != "build":
         ap.error("--series-foreach applies to build mode")
     if args.series_foreach and not args.series:

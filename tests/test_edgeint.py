@@ -144,3 +144,43 @@ class TestFrameTransforms:
         enc = encode_edge_values(df)
         assert enc.columns == df.columns
         assert dict(enc.dtypes)["value"] == "double"
+
+
+class TestOverflowGuard:
+    """r4 advice pin: encoded |value| >= 2^53 must not round silently on
+    the cast back to the store's float64 column."""
+
+    def _frame(self, spark):
+        # raw 1e13 encodes to 1e16 > 2^53 (~9.007e15)
+        return spark.createDataFrame(
+            [("u", "H", 0, 1.0e13), ("u", "H", 1, 1.0)],
+            "url string, channel string, t_us long, value double",
+        )
+
+    def test_default_raises(self, spark):
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PySparkException
+
+        with pytest.raises((Py4JJavaError, PySparkException)) as exc:
+            encode_edge_values(self._frame(spark)).collect()
+        assert "edge codec overflow" in str(exc.value)
+
+    def test_null_mode_masks(self, spark):
+        out = encode_edge_values(self._frame(spark), on_overflow="null")
+        vals = {r.t_us: r.value for r in out.collect()}
+        assert vals[0] is None
+        assert vals[1] == 1000.0
+
+    def test_boundary_value_passes(self, spark):
+        # largest exactly-representable encoded magnitude: 2^53 - 1
+        raw = (2**53 - 1) / 1000.0
+        df = spark.createDataFrame(
+            [("u", "H", 0, raw)],
+            "url string, channel string, t_us long, value double",
+        )
+        [r] = encode_edge_values(df).collect()
+        assert abs(r.value) < 2**53
+
+    def test_bad_mode_rejected(self, spark):
+        with pytest.raises(ValueError, match="on_overflow"):
+            encode_edge_values(self._frame(spark), on_overflow="wat")

@@ -617,3 +617,41 @@ class TestConcurrentWriters:
             os.remove(lock)
         # released lock -> the write goes through
         assert st.create([{"station": "BOU"}]) == [1]
+
+    def test_stale_lock_from_dead_writer_is_broken(self, spark, tmp_path):
+        """r4 advice pin: a writer SIGKILLed between creating
+        _commit.lock and its finally-cleanup must not wedge all later
+        writers — the pid in the lock file is detected dead and the
+        orphan lock broken."""
+        import os
+        import subprocess
+
+        st = MetadataStore(spark, str(tmp_path / "m"), lock_wait_s=0.5)
+        os.makedirs(st.base, exist_ok=True)
+        # a real pid that is guaranteed dead: a finished child process
+        child = subprocess.Popen(["true"])
+        child.wait()
+        lock = os.path.join(st.base, "_commit.lock")
+        with open(lock, "w") as f:
+            f.write(f"pid={child.pid}")
+        assert st.create([{"station": "BOU"}]) == [1]  # no conflict raised
+        assert not os.path.exists(lock)
+
+    def test_live_pid_lock_still_blocks(self, spark, tmp_path):
+        """Counterpart: a lock naming a LIVE pid is honored to timeout."""
+        import os
+
+        from usgs_geomag_algorithms_spark.sources.metadata import (
+            MetadataConflictError,
+        )
+
+        st = MetadataStore(spark, str(tmp_path / "m"), lock_wait_s=0.2)
+        os.makedirs(st.base, exist_ok=True)
+        lock = os.path.join(st.base, "_commit.lock")
+        with open(lock, "w") as f:
+            f.write(f"pid={os.getpid()}")
+        try:
+            with pytest.raises(MetadataConflictError):
+                st.create([{"station": "BOU"}])
+        finally:
+            os.remove(lock)

@@ -26,12 +26,19 @@ pytestmark = pytest.mark.skipif(
 
 SUBSET_SIZE = 25
 
+# Pin the rotation week once at import so a run that straddles a week
+# boundary (or a rerun a day later) draws the SAME subset.  Replay a past
+# failure with SPARK_GRAFT_ROTATION_WEEK=<key from the failure message>.
+ROTATION_WEEK = int(
+    os.environ.get("SPARK_GRAFT_ROTATION_WEEK", date.today().toordinal() // 7)
+)
+
 
 def rotation_subset(names, size=SUBSET_SIZE, week=None):
     """Deterministic weekly rotation: rank by md5(name:week), take the
     first ``size``.  Same week -> same subset (reproducible failures);
     next week -> a different draw, so coverage cycles."""
-    week = date.today().toordinal() // 7 if week is None else week
+    week = ROTATION_WEEK if week is None else week
     return sorted(
         names,
         key=lambda n: hashlib.md5(f"{n}:{week}".encode()).hexdigest(),
@@ -76,4 +83,7 @@ class TestOracleRotation:
         fn = entrymod.queries()[query_name]
         sql = entrymod.oracle_sql().get(query_name)
         ok, msg = check_one(spark, duck, SF_DIR, query_name, fn, sql)
-        assert ok, f"{query_name}: {msg}"
+        assert ok, (
+            f"{query_name}: {msg} "
+            f"(replay with SPARK_GRAFT_ROTATION_WEEK={ROTATION_WEEK})"
+        )

@@ -4,6 +4,8 @@ import json
 import subprocess
 import sys
 
+import pytest
+
 from usgs_geomag_algorithms_spark.plans import pipeline
 from usgs_geomag_algorithms_spark.sources.pages import BASE_EPOCH, generate_pages
 from usgs_geomag_algorithms_spark.sources.store import TierStore
@@ -274,6 +276,32 @@ class TestSeriesForeach:
         assert "deprecated arguments" in captured.err
         out = json.loads(captured.out.strip().splitlines()[-1])
         assert list(out["series"]) == [urls[0]]
+
+    def test_deprecated_alias_conflicts_rejected(self, tmp_path, capsys):
+        """r4 advice pin: a deprecated flag may not silently override its
+        new spelling, and an empty --series list is a usage error (it
+        would otherwise behave like an unrestricted overwrite build)."""
+        from jobs.run_cascade import main as cascade_main
+
+        with pytest.raises(SystemExit) as exc:
+            cascade_main([
+                "--pages", "x", "--store", str(tmp_path / "t"),
+                "--observatory", "u1", "--series", "u2",
+            ])
+        assert exc.value.code == 2
+        assert "do not combine" in capsys.readouterr().err
+
+        with pytest.raises(SystemExit):
+            cascade_main([
+                "--pages", "x", "--store", str(tmp_path / "t"), "--series",
+            ])
+        assert "at least one value" in capsys.readouterr().err
+
+        with pytest.raises(SystemExit):
+            cascade_main([
+                "--input-pages", "x", "--pages", "y",
+                "--store", str(tmp_path / "t"),
+            ])
 
     def test_foreach_reports_failures_and_exits_nonzero(
         self, spark, tmp_path, capsys, monkeypatch

@@ -481,6 +481,31 @@ class TestImfJsonFixture:
         with pytest.raises(ValueError, match="Missing channel"):
             format_imfjson(wide, {"station": "BOU"})
 
+    def test_per_trace_channel_codes(self, spark):
+        """r4 advice pin: a stats mapping that happens to carry a
+        'channel' key must NOT relabel every element with the same code —
+        the reference reads each trace's own stats.channel
+        (IMFJSONWriter.py:208-212).  Per-trace codes come in through the
+        explicit ``channel_codes`` mapping instead."""
+        from usgs_geomag_algorithms_spark.sources.imfjson import (
+            format_imfjson,
+        )
+
+        wide = read_iaga2002(
+            spark, self.BOU_FILE, station="BOU", channels=("H", "D", "Z", "F")
+        )
+        doc = format_imfjson(wide, {"station": "BOU", "channel": "MVH"})
+        assert [v["metadata"]["channel"] for v in doc["values"]] == [
+            "H", "D", "Z", "F",
+        ]
+        doc2 = format_imfjson(
+            wide, {"station": "BOU"},
+            channel_codes={"H": "MVH", "D": "MVD"},
+        )
+        assert [v["metadata"]["channel"] for v in doc2["values"]] == [
+            "MVH", "MVD", "Z", "F",
+        ]
+
     def test_compact_json_shape(self, spark):
         import json as _json
 

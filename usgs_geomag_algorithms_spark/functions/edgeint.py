@@ -43,14 +43,42 @@ def edge_decode(encoded: Column, channel: Column) -> Column:
 
 
 def encode_edge_values(
-    df: DataFrame, channel_col: str = "channel", value_col: str = "value"
+    df: DataFrame,
+    channel_col: str = "channel",
+    value_col: str = "value",
+    on_overflow: str = "error",
 ) -> DataFrame:
     """Apply the codec in place on a long frame (e.g. before a store write
-    of an Edge-bound tier)."""
-    return df.withColumn(
-        value_col,
-        edge_encode(F.col(value_col), F.col(channel_col)).cast("double"),
-    )
+    of an Edge-bound tier).
+
+    The store's value column is float64, so the encoded long must stay
+    inside double's exact-integer window (|x| < 2^53, raw values up to
+    ~9e12 — six orders of magnitude above any physical nT reading).
+    Anything larger (corrupt spikes) would otherwise ROUND SILENTLY on
+    the cast back to double; instead ``on_overflow="error"`` (default)
+    fails the job at the offending row, ``"null"`` masks it to NULL like
+    a gap."""
+    if on_overflow not in ("error", "null"):
+        raise ValueError(f"on_overflow must be 'error' or 'null': {on_overflow}")
+    enc = edge_encode(F.col(value_col), F.col(channel_col))
+    over = F.abs(enc) >= F.lit(2**53)
+    if on_overflow == "error":
+        guarded = F.when(
+            over,
+            F.raise_error(
+                F.concat(
+                    F.lit("edge codec overflow: encoded |value| >= 2^53 for "),
+                    F.col(channel_col),
+                    F.lit(" raw="),
+                    F.col(value_col).cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(enc.cast("double"))
+    else:
+        guarded = F.when(over, F.lit(None).cast("double")).otherwise(
+            enc.cast("double")
+        )
+    return df.withColumn(value_col, guarded)
 
 
 def decode_edge_values(

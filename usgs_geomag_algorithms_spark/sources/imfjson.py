@@ -72,6 +72,7 @@ def format_imfjson(
     generated_us: int | None = None,
     ts_col: str = "t_us",
     d_in_radians: bool = False,
+    channel_codes: Mapping | None = None,
 ) -> dict:
     """The reference web service's full JSON document
     (``IMFJSONWriter.write/_format_metadata/_format_times/_format_data``,
@@ -164,7 +165,11 @@ def format_imfjson(
                     "element": c,
                     "network": stats.get("network", "NT"),
                     "station": stats.get("station"),
-                    "channel": stats.get("channel", c),
+                    # per-trace channel code (the reference reads each
+                    # trace's OWN stats.channel, IMFJSONWriter.py:208-212;
+                    # a single stats-level 'channel' key would mislabel
+                    # every element with the same code)
+                    "channel": (channel_codes or {}).get(c, c),
                     "location": location,
                 },
                 "values": series,

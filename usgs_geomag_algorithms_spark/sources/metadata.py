@@ -115,6 +115,40 @@ class MetadataStore:
         os.replace(tmp, os.path.join(self.base, "manifest.json"))
         return v
 
+    def _lock_is_stale(self, lock: str) -> bool:
+        """True when the current holder of ``lock`` can never release it:
+        the pid written into the file is dead, or (pid unreadable — the
+        writer was killed inside the create→write window) the file's
+        mtime is older than a generous TTL.  Same-host assumption as the
+        lock itself; a live pid from an unrelated recycled process keeps
+        the lock conservatively held until the TTL."""
+        try:
+            with open(lock) as f:
+                body = f.read()
+        except OSError:
+            return False  # already released
+        pid = None
+        if body.startswith("pid="):
+            try:
+                pid = int(body[4:].strip())
+            except ValueError:
+                pid = None
+        if pid is not None:
+            try:
+                os.kill(pid, 0)
+                return False  # holder alive
+            except ProcessLookupError:
+                return True  # holder died without cleanup
+            except PermissionError:
+                return False  # alive, different uid
+            except OSError:
+                pass  # fall through to TTL
+        try:
+            age = time.time() - os.stat(lock).st_mtime
+        except OSError:
+            return False
+        return age > max(3.0 * self.lock_wait_s, 30.0)
+
     @contextmanager
     def _lock(self):
         lock = os.path.join(self.base, "_commit.lock")
@@ -124,6 +158,15 @@ class MetadataStore:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
             except FileExistsError:
+                # a writer killed hard (SIGKILL/OOM) between creating the
+                # lock and its finally-cleanup would otherwise wedge every
+                # later writer: detect and break the orphan
+                if self._lock_is_stale(lock):
+                    try:
+                        os.remove(lock)
+                    except FileNotFoundError:
+                        pass
+                    continue
                 if time.monotonic() < deadline:
                     time.sleep(0.05)
                     continue

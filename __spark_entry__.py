@@ -1004,6 +1004,11 @@ def q_crawl_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, _hi = _bounds(spark, sf_dir)
     trend = trend_fit(_minute_rate(spark, sf_dir), MIN_US, lo, ("event_type",))
     j = cadence.join(trend, "event_type")
+    # global ranks over a PER-EVENT-TYPE aggregate: cardinality is the
+    # event-type domain (a handful), not data volume — a domain-bounded
+    # global window, runtime-guarded (functions/winguard.py)
+    from usgs_geomag_algorithms_spark.functions.winguard import guard_bounded
+
     w_c = Window.orderBy(F.col("med_gap").asc(), F.col("event_type").asc())
     w_d = Window.orderBy(
         F.col("slope_per_step").desc(), F.col("event_type").asc()
@@ -1025,7 +1030,10 @@ def q_crawl_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slope_per_step",
         "cadence_rank",
         "drift_rank",
-        F.row_number().over(w_p).cast("long").alias("priority"),
+        guard_bounded(
+            F.row_number().over(w_p).cast("long"),
+            what="crawl planner per-type ranks",
+        ).alias("priority"),
     )
 
 
@@ -1248,6 +1256,86 @@ def q_metadata_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         data_valid=True,
     )
     return out.select("id", "station", "channel", "starttime_us", "endtime_us")
+
+
+#: first 15 registry codes (plans/api.py OBSERVATORIES order) targeted by
+#: the observatory_dim driver query's deterministic store overrides
+_OBS_REG15 = (
+    "BDT", "BOU", "TST", "BRW", "BRT", "BSL", "BXX", "CMO", "CMT", "DED",
+    "DHT", "FRD", "FDT", "FRN", "GUA",
+)
+
+
+def q_observatory_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The /observatories dimension (plans/api.py::observatory_dim —
+    the reference's in-code registry, geomagio/api/ws/Observatory.py,
+    merged with live 'observatory'-category metadata-store rows):
+    deterministic overrides derived from ``nation`` — nationkey<15 rows
+    override registry stations (name/elevation always, agency every 5th,
+    orientation every 7th; lat/lon fall back to the registry), ≥15 rows
+    add new stations with full coordinates, every (5k+4)th row is
+    data_valid=false (ignored), and a second later batch for k<5
+    exercises latest-wins.  agency_name and the orientation default
+    re-resolve from the FINAL agency (Observatory.py validators)."""
+    from usgs_geomag_algorithms_spark.plans.api import observatory_dim
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey").cast("long")
+    station = F.when(
+        k < 15,
+        F.element_at(
+            F.array(*[F.lit(s) for s in _OBS_REG15]), (k + 1).cast("int")
+        ),
+    ).otherwise(F.concat(F.lit("N_"), F.col("n_name")))
+    agency = F.when(k % 5 == 0, F.lit("GSC"))
+    orient = F.when(k % 7 == 0, F.lit("HEZF"))
+
+    def payload(name_prefix: str, with_coords):
+        return F.to_json(
+            F.struct(
+                F.concat(F.lit(name_prefix), F.col("n_name")).alias("name"),
+                agency.alias("agency"),
+                (k * 7).cast("int").alias("elevation"),
+                (
+                    F.when(k >= 15, k.cast("double") * 1.5)
+                    if with_coords
+                    else F.lit(None).cast("double")
+                ).alias("latitude"),
+                (
+                    F.when(k >= 15, k.cast("double") * 2.5)
+                    if with_coords
+                    else F.lit(None).cast("double")
+                ).alias("longitude"),
+                (
+                    F.when(k >= 15, (k * 11).cast("int"))
+                    if with_coords
+                    else F.lit(None).cast("int")
+                ).alias("declination_base"),
+                orient.alias("sensor_orientation"),
+            )
+        )
+
+    def md_cols(id_col, ct_col, pay, valid):
+        return [
+            id_col.cast("long").alias("id"),
+            station.alias("station"),
+            F.lit("observatory").alias("category"),
+            valid.alias("data_valid"),
+            pay.alias("metadata"),
+            ct_col.cast("long").alias("created_time_us"),
+            F.lit(None).cast("long").alias("updated_time_us"),
+        ]
+
+    base = nation.select(
+        *md_cols(k, k * 1000, payload("OBS ", True), k % 5 != 4)
+    )
+    # second batch always valid — so k=4 (base row invalid) resolves
+    # from its LATER row only, exercising both merge paths at once
+    second = nation.where(k < 5).select(
+        *md_cols(k + 100, k * 1000 + 5, payload("OBS2 ", False), F.lit(True))
+    )
+    md = base.unionByName(second)
+    return observatory_dim(spark, md)
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2138,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "instrument_epochs": q_instrument_epochs,
         "edge_codec_roundtrip": q_edge_codec_roundtrip,
         "metadata_search": q_metadata_search,
+        "observatory_dim": q_observatory_dim,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "rollup_fir_gaussian": q_rollup_fir_gaussian,
@@ -2203,6 +2292,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_day_report": q_pivot_day_report,
         "conversion_latency": q_conversion_latency,
     }
+
+
+def _observatory_dim_oracle_sql() -> str:
+    """DuckDB twin of q_observatory_dim: the registry literal is
+    generated from the SAME plans/api.py table (data parity by
+    construction), the overrides re-derived from nation with plain CASE
+    logic (the JSON payload round-trip is a Spark-side mechanism; the
+    values are deterministic either way)."""
+    from usgs_geomag_algorithms_spark.plans.api import (
+        OBSERVATORIES,
+        _AGENCY_NAMES,
+        _orientation,
+    )
+
+    reg_rows = ",\n    ".join(
+        f"('{o[0]}', {o[1]}, CAST({o[2]} AS DOUBLE), CAST({o[3]} AS DOUBLE),"
+        f" '{o[4]}', '{o[5]}', {o[6]}, '{_orientation(o[5], o[7])}')"
+        for o in OBSERVATORIES
+    )
+    ids_list = ", ".join(f"'{s}'" for s in _OBS_REG15)
+    agency_name = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _AGENCY_NAMES.items()
+    )
+    return f"""
+WITH reg(id, elevation, latitude, longitude, name, agency,
+         declination_base, sensor_orientation) AS (VALUES
+    {reg_rows}
+),
+base AS (SELECT CAST(n_nationkey AS BIGINT) AS k, n_name FROM nation),
+rows0 AS (
+    SELECT k AS rid, k * 1000 AS ct,
+           CASE WHEN k < 15 THEN list_extract([{ids_list}], CAST(k + 1 AS INTEGER))
+                ELSE 'N_' || n_name END AS station,
+           'OBS ' || n_name AS o_name,
+           CASE WHEN k % 5 = 0 THEN 'GSC' END AS o_agency,
+           CAST(k * 7 AS INTEGER) AS o_elev,
+           CASE WHEN k >= 15 THEN CAST(k AS DOUBLE) * 1.5 END AS o_lat,
+           CASE WHEN k >= 15 THEN CAST(k AS DOUBLE) * 2.5 END AS o_lon,
+           CASE WHEN k >= 15 THEN CAST(k * 11 AS INTEGER) END AS o_dec,
+           CASE WHEN k % 7 = 0 THEN 'HEZF' END AS o_orient,
+           (k % 5) <> 4 AS valid
+    FROM base
+    UNION ALL
+    SELECT k + 100, k * 1000 + 5,
+           list_extract([{ids_list}], CAST(k + 1 AS INTEGER)),
+           'OBS2 ' || n_name,
+           CASE WHEN k % 5 = 0 THEN 'GSC' END,
+           CAST(k * 7 AS INTEGER), NULL, NULL, NULL,
+           CASE WHEN k % 7 = 0 THEN 'HEZF' END, true
+    FROM base WHERE k < 5
+),
+live AS (
+    SELECT * FROM (
+        SELECT r.*, row_number() OVER (
+            PARTITION BY station ORDER BY ct DESC, rid DESC) AS rn
+        FROM rows0 r WHERE valid
+    ) WHERE rn = 1
+),
+m AS (
+    SELECT COALESCE(reg.id, live.station) AS id,
+           COALESCE(live.o_elev, reg.elevation) AS elevation,
+           COALESCE(live.o_lat, reg.latitude) AS latitude,
+           COALESCE(live.o_lon, reg.longitude) AS longitude,
+           COALESCE(live.o_name, reg.name) AS name,
+           COALESCE(live.o_agency, reg.agency) AS agency,
+           COALESCE(live.o_dec, reg.declination_base) AS declination_base,
+           COALESCE(live.o_orient, reg.sensor_orientation,
+                    CASE WHEN COALESCE(live.o_agency, reg.agency) = 'GSC'
+                         THEN 'XYZF' ELSE 'HDZF' END) AS sensor_orientation,
+           reg.id IS NOT NULL AS in_registry,
+           live.station IS NOT NULL AS overridden
+    FROM reg FULL OUTER JOIN live ON reg.id = live.station
+)
+SELECT id, elevation, latitude, longitude, name, agency,
+       CASE agency {agency_name} END AS agency_name,
+       declination_base, sensor_orientation, in_registry, overridden
+FROM m ORDER BY id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3616,6 +3783,7 @@ FROM s
         "instrument_epochs": instrument_epochs,
         "edge_codec_roundtrip": edge_codec_roundtrip,
         "metadata_search": metadata_search,
+        "observatory_dim": _observatory_dim_oracle_sql(),
         "dedup_exact": dedup_exact,
         "text_quality": text_quality,
         "coverage_monitor": coverage_monitor,

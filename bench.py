@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "instrument_epochs",
     "edge_codec_roundtrip",
     "metadata_search",
+    "observatory_dim",
     "purchase_asof_view",
     "rollup_levels_report",
     "pivot_day_report",
@@ -218,10 +219,49 @@ def bench_cascade(spark, sf: float) -> dict:
     }
 
 
+def throttle_gate(max_attempts: int, rest_s: float, thresh: float, dur: float) -> dict:
+    """Self-evidencing host-state gate (VERDICT r4 next-round #1): the
+    sandbox host throttles SUSTAINED multi-core CPU (NOTES.md lesson 10),
+    which can inflate suite walls 2-4x with no code change.  Sample the
+    sustained-capacity probe; if the host is throttled, rest and retry a
+    bounded number of times, then proceed anyway — but every sample lands
+    in the emitted artifact, so a slow suite JSON carries its own
+    throttle proof (or lack of one) instead of needing out-of-band
+    reruns."""
+    from tools.throttle_probe import probe
+
+    attempts = []
+    for i in range(max_attempts):
+        r = probe(dur)
+        attempts.append(r)
+        if r["sustained_ratio"] >= thresh:
+            break
+        if i + 1 < max_attempts:
+            time.sleep(rest_s)
+    return {
+        "attempts": attempts,
+        "thresh": thresh,
+        "host_clean": attempts[-1]["sustained_ratio"] >= thresh,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_from_dir(sf_dir)
+
+    # host-state gate BEFORE the JVM starts (probe wants a quiet machine);
+    # disable with SPARK_GRAFT_PROBE_SEC=0
+    probe_sec = float(os.environ.get("SPARK_GRAFT_PROBE_SEC", "5"))
+    throttle: dict | None = None
+    if probe_sec > 0 and "--cascade-only" not in sys.argv:
+        throttle = throttle_gate(
+            max_attempts=int(os.environ.get("SPARK_GRAFT_PROBE_RETRIES", "2")) + 1,
+            rest_s=float(os.environ.get("SPARK_GRAFT_PROBE_REST", "75")),
+            thresh=float(os.environ.get("SPARK_GRAFT_PROBE_THRESH", "0.85")),
+            dur=probe_sec,
+        )
+
     spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=cpus)
 
     if "--cascade-only" in sys.argv:
@@ -260,19 +300,28 @@ def main() -> None:
     timings["cascade_pages_to_day"] = cascade["wall_sec"]
     total += cascade["wall_sec"]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cores": cpus,
-                "cascade": cascade,
-            }
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cpus,
+        "cascade": cascade,
+    }
+    if throttle is not None:
+        # post-suite sample: a clean pre-probe + dirty post-probe means
+        # the throttle kicked in DURING the run and the walls are suspect
+        from tools.throttle_probe import probe
+
+        post = probe(probe_sec)
+        throttle["post"] = post
+        throttle["host_clean"] = bool(
+            throttle["host_clean"]
+            and post["sustained_ratio"] >= throttle["thresh"]
         )
-    )
+        out["throttle"] = throttle
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -402,3 +402,179 @@ class TestMetadataEndpoint:
             serve_metadata_request(md, {"category": "bogus"})
         with pytest.raises(ValueError, match="Bad data_valid"):
             serve_metadata_request(md, {"data_valid": "maybe"})
+
+
+# ------------------- /observatories + /elements endpoint contracts (r5)
+REF_WS = "/root/reference/geomagio/api/ws"
+
+
+def _ref_calls(path, cls):
+    """Parse the reference's in-code pydantic tables (``Observatory(...)``
+    / ``Element(...)`` literal calls) into keyword dicts — the fixture
+    the endpoint contract is checked against, read straight from the
+    reference source rather than re-transcribed."""
+    import ast
+
+    tree = ast.parse(open(path).read())
+    out = []
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Name)
+            and node.func.id == cls
+            and node.keywords
+        ):
+            out.append(
+                {kw.arg: ast.literal_eval(kw.value) for kw in node.keywords}
+            )
+    return out
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REF_WS), reason="reference not present"
+)
+class TestObservatoriesElementsEndpoints:
+    def _ref_observatory_geojson(self, o):
+        """The reference's Observatory validators + geojson
+        (Observatory.py:16-70) applied to a parsed literal."""
+        agency = o["agency"]
+        names = {
+            "USGS": "United States Geological Survey (USGS)",
+            "GSC": "Geological Survey of Canada (GSC)",
+            "BGS": "British Geological Survey (BGS)",
+            "SANSA": "South African National Space Agency (SANSA)",
+            "JMA": "Japan Meteorological Agency (JMA)",
+        }
+        return {
+            "type": "Feature",
+            "id": o["id"],
+            "properties": {
+                "name": o["name"],
+                "agency": agency,
+                "agency_name": o.get("agency_name") or names.get(agency),
+                "sensor_orientation": o.get("sensor_orientation")
+                or ("XYZF" if agency == "GSC" else "HDZF"),
+                "sensor_sampling_rate": 0.01,
+                "declination_base": o["declination_base"],
+            },
+            "geometry": {
+                "type": "Point",
+                "coordinates": [o["longitude"], o["latitude"], o["elevation"]],
+            },
+        }
+
+    def test_get_observatories_matches_reference_table(self):
+        from usgs_geomag_algorithms_spark.plans.api import get_observatories
+
+        ref = _ref_calls(f"{REF_WS}/Observatory.py", "Observatory")
+        expected = {
+            "type": "FeatureCollection",
+            "features": [self._ref_observatory_geojson(o) for o in ref],
+        }
+        got = get_observatories()
+        assert {f["id"] for f in got["features"]} == {
+            f["id"] for f in expected["features"]
+        }
+        by_id = {f["id"]: f for f in got["features"]}
+        for f in expected["features"]:
+            assert by_id[f["id"]] == f, f["id"]
+
+    def test_get_observatory_by_id(self):
+        from usgs_geomag_algorithms_spark.plans.api import (
+            get_observatory_by_id,
+        )
+
+        bou = get_observatory_by_id("BOU")
+        assert bou["properties"]["name"] == "Boulder"
+        assert bou["geometry"]["coordinates"] == [254.763, 40.137, 1682]
+        assert get_observatory_by_id("XXX") is None  # the router's 404
+
+    def test_get_elements_matches_reference_table(self):
+        from usgs_geomag_algorithms_spark.plans.api import get_elements
+
+        ref = _ref_calls(f"{REF_WS}/Element.py", "Element")
+        expected = []
+        for e in ref:
+            f = {
+                "type": "Feature",
+                "id": e["id"],
+                "properties": {"name": e["name"], "units": e["units"]},
+                "geometry": None,
+            }
+            if e.get("abbreviation"):
+                f["properties"]["abbreviation"] = e["abbreviation"]
+            expected.append(f)
+        got = get_elements()
+        assert got == {"type": "FeatureCollection", "features": expected}
+
+
+class TestObservatoryDim:
+    def test_store_rows_override_registry(self, spark, tmp_path):
+        from usgs_geomag_algorithms_spark.plans.api import (
+            get_observatories,
+            observatory_dim,
+        )
+        from usgs_geomag_algorithms_spark.sources.metadata import (
+            MetadataStore,
+        )
+
+        st = MetadataStore(spark, str(tmp_path / "m"))
+        st.create([
+            {
+                "category": "observatory",
+                "station": "BOU",
+                "metadata": json.dumps({"name": "Boulder (renamed)",
+                                        "elevation": 1700}),
+            },
+            {
+                "category": "observatory",
+                "station": "ZZZ",
+                "metadata": json.dumps({
+                    "name": "New Site", "agency": "GSC",
+                    "latitude": 1.5, "longitude": 2.5, "elevation": 3,
+                    "declination_base": 7,
+                }),
+            },
+            # invalid rows are ignored
+            {
+                "category": "observatory", "station": "TUC",
+                "data_valid": False,
+                "metadata": json.dumps({"name": "nope"}),
+            },
+        ])
+        dim = observatory_dim(spark, st.read())
+        rows = {r.id: r for r in dim.collect()}
+        assert rows["BOU"].name == "Boulder (renamed)"
+        assert rows["BOU"].elevation == 1700
+        assert rows["BOU"].latitude == 40.137  # absent key falls back
+        assert rows["BOU"].in_registry and rows["BOU"].overridden
+        assert rows["ZZZ"].agency_name == "Geological Survey of Canada (GSC)"
+        assert rows["ZZZ"].sensor_orientation == "XYZF"  # GSC default
+        assert not rows["ZZZ"].in_registry
+        assert rows["TUC"].name == "Tucson"  # invalid override ignored
+        assert not rows["TUC"].overridden
+        # endpoint rendering over the merged dim
+        doc = get_observatories(dim)
+        feats = {f["id"]: f for f in doc["features"]}
+        assert feats["BOU"]["properties"]["name"] == "Boulder (renamed)"
+        assert feats["ZZZ"]["geometry"]["coordinates"] == [2.5, 1.5, 3]
+
+    def test_latest_valid_row_wins(self, spark, tmp_path):
+        from usgs_geomag_algorithms_spark.plans.api import observatory_dim
+        from usgs_geomag_algorithms_spark.sources.metadata import (
+            MetadataStore,
+        )
+
+        st = MetadataStore(spark, str(tmp_path / "m"))
+        st.create(
+            [{"category": "observatory", "station": "BOU",
+              "metadata": json.dumps({"name": "old"})}],
+            now_us=1_000,
+        )
+        st.create(
+            [{"category": "observatory", "station": "BOU",
+              "metadata": json.dumps({"name": "new"})}],
+            now_us=2_000,
+        )
+        dim = observatory_dim(spark, st.read())
+        assert dim.where(F.col("id") == "BOU").first().name == "new"

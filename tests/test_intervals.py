@@ -95,3 +95,34 @@ class TestIntervalPointJoin:
             interval_point_join(iv, pt, 0)
         with pytest.raises(ValueError):
             interval_point_join(iv, pt, BIN, how="full")
+
+
+class TestSlotRuns:
+    """slot_runs: bucketed island detection over a slot grid (replaces
+    the refresh planners' unpartitioned lag() windows)."""
+
+    def test_matches_naive_runs(self, spark):
+        from usgs_geomag_algorithms_spark.operators.gaps import slot_runs
+
+        iv = 60
+        slots = [0, 60, 120, 300, 360, 600, 1200, 1260, 1320, 1380]
+        df = spark.createDataFrame([(t,) for t in slots], "t_us long")
+        # tiny buckets so runs cross bucket boundaries
+        got = [(r.s, r.e) for r in slot_runs(df, iv, bucket_slots=3).collect()]
+        assert got == [(0, 120), (300, 360), (600, 600), (1200, 1380)]
+
+    def test_single_slot_and_empty(self, spark):
+        from usgs_geomag_algorithms_spark.operators.gaps import slot_runs
+
+        one = spark.createDataFrame([(42,)], "t_us long")
+        assert [(r.s, r.e) for r in slot_runs(one, 10).collect()] == [(42, 42)]
+        empty = spark.createDataFrame([], "t_us long")
+        assert slot_runs(empty, 10).collect() == []
+
+    def test_unordered_input(self, spark):
+        from usgs_geomag_algorithms_spark.operators.gaps import slot_runs
+
+        slots = [120, 0, 60, 600, 540]
+        df = spark.createDataFrame([(t,) for t in slots], "t_us long").repartition(4)
+        got = [(r.s, r.e) for r in slot_runs(df, 60, bucket_slots=2).collect()]
+        assert got == [(0, 120), (540, 600)]

@@ -81,6 +81,36 @@ class TestTheilSen:
         assert got["a"].slope_per_step == 4.0
 
 
+class TestCoarseGridContract:
+    """VERDICT r4 #5: the quadratic-per-series bound is a runtime
+    assert, not a docstring plea."""
+
+    def test_minute_grid_bulk_call_raises(self, spark):
+        MIN = 60 * 1_000_000
+        rows = [("s", i * MIN, i % 7) for i in range(30)]
+        with pytest.raises(Exception, match="coarse-grid contract"):
+            theilsen_fit(
+                sig(spark, rows), MIN, 0, ("series",),
+                max_points_per_series=20,
+            ).collect()
+
+    def test_ceiling_is_per_series(self, spark):
+        HOUR = 3600 * 1_000_000
+        rows = [(s, i * HOUR, i) for s in ("a", "b") for i in range(15)]
+        out = theilsen_fit(
+            sig(spark, rows), HOUR, 0, ("series",),
+            max_points_per_series=15,
+        )
+        assert out.count() == 2  # 15 points/series is within the ceiling
+
+    def test_bad_ceiling_rejected(self, spark):
+        with pytest.raises(ValueError, match="max_points_per_series"):
+            theilsen_fit(
+                sig(spark, [("s", 0, 1)]), 1, 0, ("series",),
+                min_points=5, max_points_per_series=2,
+            )
+
+
 class TestSpearman:
     def test_matches_reference_with_ties(self, spark):
         xs = [3, 1, 4, 1, 5, 9, 2, 6]

@@ -35,19 +35,22 @@ def level(procs, dur):
     return sum(counts) / wall
 
 
-def main():
-    dur = float(sys.argv[1]) if len(sys.argv) > 1 else 8.0
+def probe(dur: float = 8.0) -> dict:
+    """One probe sample: single-proc and 16-proc sustained task rates plus
+    their ratio (~1.0 on an unthrottled host).  Importable — bench.py
+    embeds this in its artifact so suite timings are self-evidencing."""
     t1 = level(1, dur)
     t16 = level(16, dur)
-    print(
-        json.dumps(
-            {
-                "t1_tasks_per_sec": round(t1, 1),
-                "t16_tasks_per_sec": round(t16, 1),
-                "sustained_ratio": round(t16 / (16 * t1), 3),
-            }
-        )
-    )
+    return {
+        "t1_tasks_per_sec": round(t1, 1),
+        "t16_tasks_per_sec": round(t16, 1),
+        "sustained_ratio": round(t16 / (16 * t1), 3),
+    }
+
+
+def main():
+    dur = float(sys.argv[1]) if len(sys.argv) > 1 else 8.0
+    print(json.dumps(probe(dur)))
 
 
 if __name__ == "__main__":

@@ -98,15 +98,27 @@ def detect_gaps(
 
 def _merge_runs(gaps: DataFrame, part_cols: Sequence[str]) -> DataFrame:
     """One interval-merge pass: within each partition key, order by start and
-    split runs where start > cumulative max of previous ``next_valid``."""
+    split runs where start > cumulative max of previous ``next_valid``.
+
+    The ``part_cols=[]`` form is a single-partition global window — legal
+    ONLY for the boundary remainder of the two-phase merge (a few rows per
+    bucket that span bucket edges), so it carries a :func:`guard_bounded`
+    runtime ceiling instead of trusting call sites."""
     part_cols = list(part_cols)
-    w = Window.partitionBy(*part_cols).orderBy("gap_start_us") if part_cols else Window.orderBy("gap_start_us")
+    start = F.col("gap_start_us")
+    if part_cols:
+        w = Window.partitionBy(*part_cols).orderBy("gap_start_us")
+    else:
+        from ..functions.winguard import guard_bounded
+
+        w = Window.orderBy("gap_start_us")
+        start = guard_bounded(start, what="interval-merge boundary remainder")
     prev_max_next = F.max("next_valid_us").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
     flagged = gaps.select(
         *part_cols,
-        "gap_start_us",
+        start.alias("gap_start_us"),
         "gap_end_us",
         "next_valid_us",
         F.when(
@@ -168,11 +180,18 @@ def merge_gap_intervals(
 
     # Per-bucket reach: the farthest next_valid any earlier bucket attains.
     # #buckets rows — the unpartitioned window here is over a tiny frame.
+    from ..functions.winguard import guard_bounded
+
     wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     reach = (
         phase1.groupBy("_b")
         .agg(F.max("next_valid_us").alias("_max_nv"))
-        .select("_b", F.max("_max_nv").over(wb).alias("_reach_left"))
+        .select(
+            "_b",
+            guard_bounded(
+                F.max("_max_nv").over(wb), what="per-bucket reach prefix"
+            ).alias("_reach_left"),
+        )
     )
     joined = phase1.join(F.broadcast(reach), "_b", "left")
     final_cond = (
@@ -182,6 +201,40 @@ def merge_gap_intervals(
     final = joined.where(final_cond).select(*cols)
     spanning = joined.where(~final_cond).select(*cols)
     return final.unionByName(_merge_runs(spanning, []))
+
+
+def slot_runs(
+    slots: DataFrame,
+    interval_us: int,
+    t_col: str = "t_us",
+    bucket_slots: int = 1440,
+) -> DataFrame:
+    """Contiguous-run detection over a slot grid: collapse a relation of
+    grid timestamps (spacing ``interval_us``) into ``(s, e)`` run
+    boundaries, where consecutive slots ``t`` and ``t + interval_us``
+    belong to one run.
+
+    This is the refresh planner's missing-slot island detection
+    (``run_as_update``'s gap diff), expressed through the same two-phase
+    bucketed interval merge as :func:`merge_gap_intervals` — a slot ``t``
+    is the degenerate interval ``[t, t]`` with ``next_valid = t +
+    interval_us``, so runs fall out of interval merging.  Unlike a naive
+    ``lag()`` over an unpartitioned window, this stays parallel when the
+    slot relation is large (a fine grid over a long refresh horizon):
+    buckets of ``bucket_slots`` slots merge independently, and only the
+    bucket-spanning remainder (≤ 1 interval per bucket) takes the
+    guarded single-partition pass."""
+    iv = slots.select(
+        F.col(t_col).cast("long").alias("gap_start_us"),
+        F.col(t_col).cast("long").alias("gap_end_us"),
+        (F.col(t_col) + int(interval_us)).cast("long").alias("next_valid_us"),
+    )
+    merged = merge_gap_intervals(
+        iv, (), bucket_us=int(interval_us) * int(bucket_slots)
+    )
+    return merged.select(
+        F.col("gap_start_us").alias("s"), F.col("gap_end_us").alias("e")
+    ).orderBy("s")
 
 
 def has_any_channels(

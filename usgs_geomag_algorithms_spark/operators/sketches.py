@@ -105,10 +105,17 @@ def rolling_users_sketch(
     # the union must be the whole window expression; the estimate wraps
     # it in an OUTER projection (an aggregate nested inside a scalar call
     # is not a valid window function)
+    from ..functions.winguard import guard_bounded
+
     return hour_sketches.select(
         "t_us",
         F.expr("hll_union_agg(sketch)").over(w).alias("_merged"),
-        F.sum("n_events").over(w).alias("n_events"),
+        # calendar-bounded global window (one row per hour; the default
+        # guard ceiling is ~114 years of hours) — fails loudly if ever
+        # fed raw events instead of the hour tier
+        guard_bounded(
+            F.sum("n_events").over(w), what="rolling sketch over hour tier"
+        ).alias("n_events"),
     ).select(
         "t_us",
         F.expr("cast(hll_sketch_estimate(_merged) as bigint)").alias(

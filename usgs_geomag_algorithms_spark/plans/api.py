@@ -38,7 +38,7 @@ import datetime
 from dataclasses import dataclass, field
 from typing import Mapping, Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..sources.metadata import CATEGORIES as METADATA_CATEGORIES
 from ..sources.store import TierStore
@@ -432,6 +432,161 @@ def observatory_geojson(obs_id: str) -> dict:
             "coordinates": [o[3], o[2], o[1]],
         },
     }
+
+
+# --------------------------- /observatories + /elements endpoint contracts
+#: payload keys an 'observatory'-category metadata row may carry; any
+#: present key overrides the literal registry for that station
+OBS_OVERRIDE_SCHEMA = (
+    "name string, agency string, elevation int, latitude double, "
+    "longitude double, declination_base int, sensor_orientation string"
+)
+
+
+def _agency_name_col(agency: Column) -> Column:
+    out = F.lit(None).cast("string")
+    for k, v in _AGENCY_NAMES.items():
+        out = F.when(agency == k, F.lit(v)).otherwise(out)
+    return out
+
+
+def observatory_dim(spark, metadata: DataFrame | None = None) -> DataFrame:
+    """The ``/observatories`` dimension as a relation: the in-code
+    registry (``geomagio/api/ws/Observatory.py`` OBSERVATORIES)
+    optionally merged with live rows from the metadata store's
+    ``observatory`` category (``CATEGORIES``, MetadataCategory.py) —
+    the deployment shape where observatory config is store-resident:
+
+    - one live row per station wins (latest update, id as tiebreak,
+      ``data_valid`` only — the store's snapshot semantics);
+    - its JSON payload (:data:`OBS_OVERRIDE_SCHEMA` keys) overrides the
+      registry field-by-field; absent keys fall back;
+    - stations only in the store append to the dim; ``agency_name`` and
+      the sensor-orientation default re-resolve from the FINAL agency
+      (the reference's pydantic validators, Observatory.py:16-52).
+
+    Both sides are dimension-tiny; the full-outer merge never touches
+    fact data."""
+    base = observatories_df(spark)
+    if metadata is None:
+        return base.withColumn("in_registry", F.lit(True)).withColumn(
+            "overridden", F.lit(False)
+        )
+    from pyspark.sql import Window
+
+    live = (
+        metadata.where(
+            (F.col("category") == "observatory") & F.col("data_valid")
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("station").orderBy(
+                    F.coalesce(
+                        F.col("updated_time_us"), F.col("created_time_us")
+                    ).desc(),
+                    F.col("id").desc(),
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("station").alias("_sid"),
+            F.from_json("metadata", OBS_OVERRIDE_SCHEMA).alias("_o"),
+        )
+    )
+    j = base.join(live, base["id"] == live["_sid"], "full_outer")
+    agency = F.coalesce(F.col("_o.agency"), F.col("agency"))
+    return (
+        j.select(
+            F.coalesce(F.col("id"), F.col("_sid")).alias("id"),
+            F.coalesce(F.col("_o.elevation"), F.col("elevation")).alias(
+                "elevation"
+            ),
+            F.coalesce(F.col("_o.latitude"), F.col("latitude")).alias(
+                "latitude"
+            ),
+            F.coalesce(F.col("_o.longitude"), F.col("longitude")).alias(
+                "longitude"
+            ),
+            F.coalesce(F.col("_o.name"), F.col("name")).alias("name"),
+            agency.alias("agency"),
+            _agency_name_col(agency).alias("agency_name"),
+            F.coalesce(
+                F.col("_o.declination_base"), F.col("declination_base")
+            ).alias("declination_base"),
+            F.coalesce(
+                F.col("_o.sensor_orientation"),
+                F.col("sensor_orientation"),
+                F.when(agency == "GSC", F.lit("XYZF")).otherwise(
+                    F.lit("HDZF")
+                ),
+            ).alias("sensor_orientation"),
+            F.col("id").isNotNull().alias("in_registry"),
+            F.col("_sid").isNotNull().alias("overridden"),
+        )
+        .orderBy("id")
+    )
+
+
+def _feature(row: Mapping) -> dict:
+    """One dim row -> the reference's GeoJSON feature shape
+    (Observatory.geojson, geomagio/api/ws/Observatory.py:54-70)."""
+    return {
+        "type": "Feature",
+        "id": row["id"],
+        "properties": {
+            "name": row["name"],
+            "agency": row["agency"],
+            "agency_name": row["agency_name"],
+            "sensor_orientation": row["sensor_orientation"],
+            "sensor_sampling_rate": 0.01,
+            "declination_base": row["declination_base"],
+        },
+        "geometry": {
+            "type": "Point",
+            "coordinates": [row["longitude"], row["latitude"], row["elevation"]],
+        },
+    }
+
+
+def get_observatories(dim: DataFrame | None = None) -> dict:
+    """``GET /observatories/`` (geomagio/api/ws/observatories.py:12-19):
+    FeatureCollection over the registry — or over a store-merged
+    :func:`observatory_dim` frame when one is passed (bounded collect:
+    it is a dimension)."""
+    if dim is None:
+        feats = [observatory_geojson(o[0]) for o in OBSERVATORIES]
+    else:
+        feats = [_feature(r.asDict()) for r in dim.orderBy("id").collect()]
+    return {"type": "FeatureCollection", "features": feats}
+
+
+def get_observatory_by_id(obs_id: str) -> dict | None:
+    """``GET /observatories/{id}`` (observatories.py:22-29): the feature,
+    or None for an unknown code (the router's 404)."""
+    try:
+        return observatory_geojson(obs_id)
+    except ValueError:
+        return None
+
+
+def get_elements() -> dict:
+    """``GET /elements/`` (geomagio/api/ws/elements.py:11-30):
+    FeatureCollection with null geometry; ``abbreviation`` present only
+    when the element defines one."""
+    features = []
+    for id_, abbr, name, units in ELEMENTS:
+        f: dict = {
+            "type": "Feature",
+            "id": id_,
+            "properties": {"name": name, "units": units},
+            "geometry": None,
+        }
+        if abbr:
+            f["properties"]["abbreviation"] = abbr
+        features.append(f)
+    return {"type": "FeatureCollection", "features": features}
 
 
 # ------------------------------------------------- /algorithms endpoints

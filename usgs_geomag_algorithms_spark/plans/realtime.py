@@ -149,25 +149,9 @@ def find_derived_gaps(
         missing = expected
     missing_slots = missing.select("t_us").distinct()
 
-    from pyspark.sql import Window
+    from ..operators.gaps import slot_runs
 
-    w = Window.orderBy("t_us")
-    runs = (
-        missing_slots.withColumn(
-            "_new",
-            F.when(
-                F.col("t_us") - F.lag("t_us").over(w) == interval_us, 0
-            ).otherwise(1),
-        )
-        .withColumn(
-            "_grp",
-            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .groupBy("_grp")
-        .agg(F.min("t_us").alias("s"), F.max("t_us").alias("e"))
-        .orderBy("s")
-        .collect()
-    )
+    runs = slot_runs(missing_slots, interval_us).collect()
     return [(r.s, r.e) for r in runs]
 
 

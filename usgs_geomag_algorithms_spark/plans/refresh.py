@@ -208,25 +208,12 @@ def find_output_gaps(
         missing_slots = slots.join(present, "t_us", "left_anti")
     else:
         missing_slots = slots
-    # interval-merge the missing slots (island detection) Spark-side;
-    # return only the run boundaries
-    from pyspark.sql import Window
+    # interval-merge the missing slots (island detection) Spark-side via
+    # the bucketed two-phase merge — parallel even over a long horizon's
+    # fine grid; only run boundaries come back to the driver
+    from ..operators.gaps import slot_runs
 
-    w = Window.orderBy("t_us")
-    runs = (
-        missing_slots.withColumn(
-            "_new",
-            F.when(F.col("t_us") - F.lag("t_us").over(w) == out_us, 0).otherwise(1),
-        )
-        .withColumn(
-            "_grp",
-            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .groupBy("_grp")
-        .agg(F.min("t_us").alias("s"), F.max("t_us").alias("e"))
-        .orderBy("s")
-        .collect()
-    )
+    runs = slot_runs(missing_slots, out_us).collect()
     return [(r.s, r.e) for r in runs]
 
 
@@ -459,22 +446,9 @@ def refresh_changed(
         .select((F.col("_a") + stamp_off).cast("long").alias("t_us"))
         .distinct()
     )
-    from pyspark.sql import Window
+    from ..operators.gaps import slot_runs
 
-    w = Window.orderBy("t_us")
-    runs = (
-        slots.withColumn(
-            "_new",
-            F.when(F.col("t_us") - F.lag("t_us").over(w) == out_us, 0).otherwise(1),
-        )
-        .withColumn(
-            "_grp", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        .groupBy("_grp")
-        .agg(F.min("t_us").alias("s"), F.max("t_us").alias("e"))
-        .orderBy("s")
-        .collect()
-    )
+    runs = slot_runs(slots, out_us).collect()
     for r in runs:
         gap = (int(r.s), int(r.e))
         in_lo, in_hi = step.input_interval_us(gap[0], gap[1])

@@ -169,14 +169,19 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
-def _pages_path(sf: float, n_urls: int, hours: float) -> str:
-    return f"/tmp/spark_graft_bench/pages_v2_sf{sf}_u{n_urls}_h{hours}"
+def _pages_path(sf: float, n_urls: int, hours: float, n_hot: int | None) -> str:
+    hot = "" if n_hot is None else f"_hot{n_hot}"
+    return f"/tmp/spark_graft_bench/pages_v2_sf{sf}_u{n_urls}_h{hours}{hot}"
 
 
 def prepare_pages(spark, sf: float):
     n_urls = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", max(16, int(2560 * sf))))
     hours = float(os.environ.get("SPARK_GRAFT_BENCH_HOURS", 26.0))
-    path = _pages_path(sf, n_urls, hours)
+    # optional extreme-skew knob (scaling evidence): hottest n urls crawl
+    # every second; n_hot=1 with few urls makes ONE series dominate
+    n_hot = os.environ.get("SPARK_GRAFT_BENCH_HOT")
+    n_hot = int(n_hot) if n_hot else None
+    path = _pages_path(sf, n_urls, hours, n_hot)
     if not os.path.exists(path + "/_SUCCESS"):
         # url-hash-clustered layout (the Iceberg bucket(url) spec): each
         # file holds complete url series, sorted by (url, warc_ts). This is
@@ -184,7 +189,7 @@ def prepare_pages(spark, sf: float):
         # partial-agg hash map hold nearly ALL groups (measured 10x slower).
         n_files = max(64, (os.cpu_count() or 32) * 4)
         (
-            generate_pages(spark, n_urls=n_urls, hours=hours, gap_pct=4.0)
+            generate_pages(spark, n_urls=n_urls, hours=hours, gap_pct=4.0, n_hot=n_hot)
             .repartition(n_files, "url")
             .sortWithinPartitions("url", "warc_ts")
             .write.mode("overwrite")

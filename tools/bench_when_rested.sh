@@ -57,6 +57,17 @@ while [ $tries -lt $MAX_TRIES ] && [ $polls -lt $MAX_POLLS ]; do
           echo "$(date +%T) target met"
           exit 0
         fi
+      elif [ "$MODE" = "skew" ]; then
+        echo "$(date +%T) host clean, running extreme-skew scaling bench (attempt $tries)"
+        OUT=$(SPARK_GRAFT_SCALING_MODE=skew SPARK_GRAFT_SCALE_N=${SCALE_N:-2} SPARK_GRAFT_SCALE_REST=${SCALE_REST:-240} python tools/bench_scaling.py /root/testdata/sf0.1 | tail -n +1 | python -c 'import sys,json; txt=sys.stdin.read(); print(json.dumps(json.loads(txt[txt.find("{"):])))')
+        rm -f /tmp/bench_running.lock
+        echo "$OUT"
+        EFF=$(echo "$OUT" | python -c 'import json,sys; print(json.load(sys.stdin)["scaling_efficiency"])')
+        echo "$(date +%T) attempt $tries efficiency=$EFF"
+        if python -c "exit(0 if $TARGET_EFF <= $EFF <= 1.05 else 1)"; then
+          echo "$(date +%T) target met"
+          exit 0
+        fi
       elif [ "$MODE" = "curate" ]; then
         echo "$(date +%T) host clean, running curate scaling bench (attempt $tries)"
         OUT=$(SPARK_GRAFT_SCALE_N=${SCALE_N:-2} SPARK_GRAFT_SCALE_REST=${SCALE_REST:-240} python tools/bench_scaling_curate.py)

@@ -171,7 +171,7 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 def _pages_path(sf: float, n_urls: int, hours: float, n_hot: int | None) -> str:
     hot = "" if n_hot is None else f"_hot{n_hot}"
-    return f"/tmp/spark_graft_bench/pages_v2_sf{sf}_u{n_urls}_h{hours}{hot}"
+    return f"/tmp/spark_graft_bench/pages_v3_sf{sf}_u{n_urls}_h{hours}{hot}"
 
 
 def prepare_pages(spark, sf: float):
@@ -183,14 +183,23 @@ def prepare_pages(spark, sf: float):
     n_hot = int(n_hot) if n_hot else None
     path = _pages_path(sf, n_urls, hours, n_hot)
     if not os.path.exists(path + "/_SUCCESS"):
-        # url-hash-clustered layout (the Iceberg bucket(url) spec): each
-        # file holds complete url series, sorted by (url, warc_ts). This is
-        # load-bearing: scattering a url across files makes every map-side
-        # partial-agg hash map hold nearly ALL groups (measured 10x slower).
+        # url x time-bucket clustered layout (the Iceberg
+        # bucket(url) x days(warc_ts) spec — the north rule's salted
+        # repartitioning): one url's rows stay contiguous and
+        # (url, warc_ts)-sorted WITHIN each day slice, so map-side
+        # partial-agg hash maps stay small (scattering a url round-robin
+        # measured 10x slower), while a hot-domain series splits across
+        # its day files instead of concentrating in one oversized file
+        # whose scan parallelism is capped at maxPartitionBytes splits
+        # (measured: the 16-url extreme-skew table at 8 cores lost ~40%
+        # throughput to the hot file's straggler tail under url-only
+        # clustering).
+        from pyspark.sql import functions as F
+
         n_files = max(64, (os.cpu_count() or 32) * 4)
         (
             generate_pages(spark, n_urls=n_urls, hours=hours, gap_pct=4.0, n_hot=n_hot)
-            .repartition(n_files, "url")
+            .repartition(n_files, "url", F.to_date(F.col("warc_ts")))
             .sortWithinPartitions("url", "warc_ts")
             .write.mode("overwrite")
             .parquet(path)
